@@ -1,0 +1,903 @@
+"""Relational operator library (SURVEY.md §2.4 EXT surface).
+
+Each operator is a function ``(spark, sf_dir) -> DataFrame`` registered
+in ``QUERIES``; its DuckDB oracle SQL lives in ``ORACLES`` under the
+same key. The reference declares but never implements a relational
+surface (``query``/``fetch`` stubs, ``bigquery/__init__.py:463-499``);
+everything here is the Spark-native realization of that surface.
+
+Scale notes are inline per operator. Common principles:
+
+- Dimension tables (region/nation/supplier/part/literal dims) are
+  explicitly ``F.broadcast`` so the join never shuffles the fact side.
+- Fact-fact joins shuffle on their keys once; AQE handles skew.
+- Aggregates are expressed declaratively so Catalyst produces partial
+  (map-side) aggregation for free.
+- All double aggregates use the exact decimal accumulator from
+  ``_util`` — see that module's docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from load_datawarehouse_spark.ops._util import (
+    DEC,
+    dec_avg,
+    dec_sum,
+    sql_dec_avg,
+    sql_dec_sum,
+)
+from load_datawarehouse_spark.session import load_tables
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Flagship scan -> filter -> hash-agg -> sort (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dec_sum('l_quantity', 'sum_qty')},
+       {sql_dec_sum('l_extendedprice', 'sum_base_price')},
+       {sql_dec_sum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {sql_dec_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+       {sql_dec_avg('l_quantity', 'avg_qty')},
+       {sql_dec_avg('l_extendedprice', 'avg_price')},
+       {sql_dec_avg('l_discount', 'avg_disc')},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@_register("q1_pricing_summary", _Q1_ORACLE)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report.
+
+    Scale: single scan with the shipdate predicate pushed to parquet,
+    map-side partial hash aggregation, tiny (|flags| x |statuses|)
+    shuffle. Survives any SF unchanged.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    l = t["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            dec_sum(disc_price, "sum_disc_price"),
+            dec_sum(charge, "sum_charge"),
+            dec_avg("l_quantity", "avg_qty"),
+            dec_avg("l_extendedprice", "avg_price"),
+            dec_avg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way joins (TPC-H Q3 / Q5 shapes)
+# ---------------------------------------------------------------------------
+
+_Q3_ORACLE = f"""
+SELECT l.l_orderkey,
+       {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+       o.o_orderdate, o.o_orderpriority
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@_register("q3_shipping_priority", _Q3_ORACLE)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unshipped-orders revenue top-10.
+
+    Scale: customer filter prunes before the join; orders-lineitem is
+    the only big-big join (shuffle on orderkey); final top-10 is a
+    TakeOrdered, no global sort.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    o = t["orders"].filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    l = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q5_ORACLE = f"""
+SELECT n.n_name,
+       {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@_register("q5_local_supplier_volume", _Q5_ORACLE)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way join: local supplier volume per nation.
+
+    Scale: region/nation/supplier/customer are broadcast (all orders of
+    magnitude smaller than the facts at any SF; customer is ~SF*150k
+    rows — still broadcastable at 100 TB-lineitem scale where customer
+    is ~15 GB... NOT broadcastable there, so customer-orders is left to
+    the planner: at small SF AQE converts it to broadcast, at large SF
+    it's a shuffle join on custkey. The two fact joins shuffle once
+    each on their keys.)
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    r = t["region"].filter(F.col("r_name") == "ASIA")
+    n = t["nation"]
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    df = (
+        t["customer"]
+        .join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("n_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Join forms: inner / left / right / full / semi / anti / cross / theta
+# ---------------------------------------------------------------------------
+
+_JOIN_INNER_ORACLE = f"""
+SELECT n.n_name, COUNT(*) AS n_orders, {sql_dec_sum('o.o_totalprice', 'total_value')}
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@_register("join_inner", _JOIN_INNER_ORACLE)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join; nation broadcast, customer-orders on custkey."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dec_sum("o_totalprice", "total_value"))
+        .orderBy("n_name")
+    )
+
+
+_JOIN_LEFT_ORACLE = """
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_rows,
+       COUNT(o.o_orderkey) AS n_matched,
+       SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_unmatched
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@_register("join_left_outer", _JOIN_LEFT_ORACLE)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_orderkey").alias("n_matched"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("n_unmatched"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_JOIN_FULL_ORACLE = """
+SELECT COALESCE(a.k, b.k) AS nationkey,
+       COALESCE(a.n_customers, 0) AS n_customers,
+       COALESCE(b.n_suppliers, 0) AS n_suppliers
+FROM (SELECT c_nationkey AS k, COUNT(*) AS n_customers FROM customer GROUP BY c_nationkey) a
+FULL OUTER JOIN (SELECT s_nationkey AS k, COUNT(*) AS n_suppliers FROM supplier GROUP BY s_nationkey) b
+ON a.k = b.k
+ORDER BY nationkey
+"""
+
+
+@_register("join_full_outer", _JOIN_FULL_ORACLE)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, register_views=False)
+    a = t["customer"].groupBy(F.col("c_nationkey").alias("k")).agg(F.count(F.lit(1)).alias("n_customers"))
+    b = t["supplier"].groupBy(F.col("s_nationkey").alias("k")).agg(F.count(F.lit(1)).alias("n_suppliers"))
+    return (
+        a.join(b, "k", "full_outer")
+        .select(
+            F.col("k").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+_JOIN_SEMI_ORACLE = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+ORDER BY c.c_custkey
+"""
+
+
+@_register("join_semi", _JOIN_SEMI_ORACLE)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS). No fact columns ever materialize."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    big = t["orders"].filter(F.col("o_totalprice") > 300000)
+    return (
+        t["customer"]
+        .join(big, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+_JOIN_ANTI_ORACLE = """
+SELECT c.c_custkey, c.c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c.c_custkey
+"""
+
+
+@_register("join_anti", _JOIN_ANTI_ORACLE)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+_JOIN_CROSS_ORACLE = """
+SELECT r.r_name, n.n_name
+FROM region r CROSS JOIN nation n
+ORDER BY r.r_name, n.n_name
+"""
+
+
+@_register("join_cross", _JOIN_CROSS_ORACLE)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join — only ever dim x dim; broadcast NL at any scale."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["region"].crossJoin(F.broadcast(t["nation"])).select("r_name", "n_name").orderBy("r_name", "n_name")
+    )
+
+
+_JOIN_THETA_ORACLE = """
+SELECT n.n_name, COUNT(*) AS n_pairs
+FROM supplier s
+JOIN customer c ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@_register("join_theta", _JOIN_THETA_ORACLE)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join with an equi component.
+
+    Scale: Spark extracts the equi conjunct (nationkey) as the shuffle
+    key and applies the inequality as a post-join filter, so this stays
+    a hash join, not a nested loop — verified via .explain.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    s, c, n = t["supplier"], t["customer"], t["nation"]
+    return (
+        s.join(c, (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("n_name")
+    )
+
+
+_PRICE_BANDS = [
+    ("tiny", 0.0, 50_000.0),
+    ("small", 50_000.0, 150_000.0),
+    ("medium", 150_000.0, 300_000.0),
+    ("large", 300_000.0, 1e12),
+]
+
+_JOIN_RANGE_ORACLE = f"""
+SELECT b.band, COUNT(*) AS n_orders, {sql_dec_sum('o.o_totalprice', 'band_value')}
+FROM orders o
+JOIN (VALUES {', '.join(f"('{b}', {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)}) AS b(band, lo, hi)
+  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band
+ORDER BY b.band
+"""
+
+
+@_register("join_range_bands", _JOIN_RANGE_ORACLE)
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval containment) join against a literal dimension.
+
+    Scale: the band table is broadcast, so the range join is a
+    broadcast nested loop over 4 rows — effectively a map-side CASE.
+    For big-big range joins see as-of join's union technique.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
+    o = t["orders"]
+    return (
+        o.join(F.broadcast(bands), (o.o_totalprice >= F.col("lo")) & (o.o_totalprice < F.col("hi")))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dec_sum("o_totalprice", "band_value"))
+        .orderBy("band")
+    )
+
+
+_JOIN_ASOF_ORACLE = """
+WITH day_orders AS (
+    SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS day_max_price
+    FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, d.o_orderdate AS asof_orderdate, d.day_max_price
+FROM events e
+ASOF JOIN day_orders d
+  ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+ORDER BY e.event_id
+"""
+
+
+@_register("join_asof", _JOIN_ASOF_ORACLE)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest order state at each event time.
+
+    Implemented with the union + running-last-value technique: tag both
+    sides, union, and take ``last(payload) IGNORE NULLS`` over a
+    per-user time-ordered window. One shuffle on the key, O(n log n) —
+    the scalable pattern for big-big as-of joins (vs. the quadratic
+    join-then-rank alternative). Orders are pre-collapsed to one row
+    per (custkey, orderdate) so tie-breaking is deterministic.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    day_orders = (
+        t["orders"]
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate"))
+        .agg(F.max("o_totalprice").alias("day_max_price"))
+    )
+    o_side = day_orders.select(
+        "user_id",
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderdate"),
+        "day_max_price",
+    )
+    e_side = t["events"].select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+        F.lit(None).cast("double").alias("day_max_price"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = o_side.unionByName(e_side).select(
+        "event_id",
+        "user_id",
+        "is_event",
+        F.last("o_orderdate", ignorenulls=True).over(w).alias("asof_orderdate"),
+        F.last("day_max_price", ignorenulls=True).over(w).alias("day_max_price"),
+    )
+    return (
+        merged.filter((F.col("is_event") == 1) & F.col("asof_orderdate").isNotNull())
+        .select("event_id", "user_id", "asof_orderdate", "day_max_price")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation forms
+# ---------------------------------------------------------------------------
+
+_AGG_BASIC_ORACLE = f"""
+SELECT COUNT(*) AS n_rows,
+       {sql_dec_sum('l_quantity', 'total_qty')},
+       {sql_dec_avg('l_extendedprice', 'avg_price')},
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+"""
+
+
+@_register("agg_basic", _AGG_BASIC_ORACLE)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, register_views=False)
+    return t["lineitem"].agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dec_sum("l_quantity", "total_qty"),
+        dec_avg("l_extendedprice", "avg_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+_AGG_GROUPBY_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       {sql_dec_sum('l_extendedprice', 'sum_price')},
+       MIN(l_shipdate) AS first_ship,
+       MAX(l_shipdate) AS last_ship
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@_register("agg_groupby_distinct", _AGG_GROUPBY_ORACLE)
+def agg_groupby_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped agg with count(distinct) — Spark expands to a two-phase
+    aggregate (distinct keys first, then final) automatically."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            dec_sum("l_extendedprice", "sum_price"),
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_AGG_ROLLUP_ORACLE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+       GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS grouping_id,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY grouping_id, orderstatus, orderpriority
+"""
+
+
+@_register("agg_rollup", _AGG_ROLLUP_ORACLE)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["orders"]
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.grouping("o_orderstatus") + 2 * F.grouping("o_orderpriority")).alias("grouping_id"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "grouping_id",
+            "n_orders",
+        )
+        .orderBy("grouping_id", "orderstatus", "orderpriority")
+    )
+
+
+_AGG_CUBE_ORACLE = f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS grouping_id,
+       COUNT(*) AS n_rows,
+       {sql_dec_sum('l_quantity', 'sum_qty')}
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY grouping_id, returnflag, linestatus
+"""
+
+
+@_register("agg_cube", _AGG_CUBE_ORACLE)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["lineitem"]
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dec_sum("l_quantity", "sum_qty"),
+            (F.grouping("l_returnflag") + 2 * F.grouping("l_linestatus")).alias("grouping_id"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "grouping_id",
+            "n_rows",
+            "sum_qty",
+        )
+        .orderBy("grouping_id", "returnflag", "linestatus")
+    )
+
+
+_AGG_GSETS_SQL = """
+SELECT COALESCE(c_mktsegment, 'ALL') AS mktsegment,
+       CAST(COALESCE(c_nationkey, -1) AS BIGINT) AS nationkey,
+       COUNT(*) AS n_customers
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+ORDER BY mktsegment, nationkey
+"""
+
+
+@_register("agg_grouping_sets", _AGG_GSETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets via Spark SQL (same text runs on both engines)."""
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql(_AGG_GSETS_SQL)
+
+
+@_register("agg_approx_count_distinct", None)  # approx: no exact oracle
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — oracle omitted (estimator
+    implementations differ across engines by design); driver records
+    the rows-only check. Exact distinct is covered by agg_basic."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    return t["lineitem"].agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+_SETOP_UNION_ORACLE = """
+SELECT k, COUNT(*) AS n FROM (
+    SELECT c_nationkey AS k FROM customer
+    UNION ALL
+    SELECT s_nationkey AS k FROM supplier
+) GROUP BY k ORDER BY k
+"""
+
+
+@_register("setop_union_all", _SETOP_UNION_ORACLE)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, register_views=False)
+    u = t["customer"].select(F.col("c_nationkey").alias("k")).unionByName(
+        t["supplier"].select(F.col("s_nationkey").alias("k"))
+    )
+    return u.groupBy("k").agg(F.count(F.lit(1)).alias("n")).orderBy("k")
+
+
+_SETOP_INTERSECT_ORACLE = """
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY custkey
+"""
+
+
+@_register("setop_intersect", _SETOP_INTERSECT_ORACLE)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, register_views=False)
+    a = t["orders"].filter(F.col("o_totalprice") > 200000).select(F.col("o_custkey").alias("custkey"))
+    b = t["orders"].filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b).orderBy("custkey")
+
+
+_SETOP_EXCEPT_ORACLE = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey FROM orders
+ORDER BY custkey
+"""
+
+
+@_register("setop_except", _SETOP_EXCEPT_ORACLE)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, register_views=False)
+    a = t["customer"].select(F.col("c_custkey").alias("custkey"))
+    b = t["orders"].select(F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b).distinct().orderBy("custkey")
+
+
+_SETOP_DISTINCT_ORACLE = """
+SELECT DISTINCT o_orderstatus, o_orderpriority
+FROM orders
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+@_register("setop_distinct", _SETOP_DISTINCT_ORACLE)
+def setop_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, register_views=False)
+    return t["orders"].select("o_orderstatus", "o_orderpriority").distinct().orderBy(
+        "o_orderstatus", "o_orderpriority"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar expression families
+# ---------------------------------------------------------------------------
+
+_SCALAR_STRING_ORACLE = """
+SELECT p_partkey,
+       LOWER(p_name) AS lower_name,
+       UPPER(p_brand) AS upper_brand,
+       SUBSTR(p_type, 1, 5) AS type_prefix,
+       LENGTH(p_name) AS name_len,
+       CONCAT(p_brand, ':', p_type) AS brand_type,
+       REPLACE(p_name, ' ', '_') AS snake_name,
+       CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END AS is_green
+FROM part
+ORDER BY p_partkey
+"""
+
+
+@_register("scalar_string", _SCALAR_STRING_ORACLE)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family — all JVM built-ins, stay in codegen."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["part"]
+        .select(
+            "p_partkey",
+            F.lower("p_name").alias("lower_name"),
+            F.upper("p_brand").alias("upper_brand"),
+            F.substring("p_type", 1, 5).alias("type_prefix"),
+            F.length("p_name").alias("name_len"),
+            F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+            F.regexp_replace("p_name", " ", "_").alias("snake_name"),
+            F.when(F.col("p_name").contains("green"), 1).otherwise(0).alias("is_green"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+_SCALAR_DATE_ORACLE = """
+SELECT o_orderkey,
+       CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+       CAST(MONTH(o_orderdate) AS BIGINT) AS order_month,
+       CAST(DAYOFMONTH(o_orderdate) AS BIGINT) AS order_day,
+       CAST(QUARTER(o_orderdate) AS BIGINT) AS order_quarter,
+       DATE_TRUNC('month', o_orderdate) AS month_start,
+       CAST(DATEDIFF('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since_epoch_start
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+@_register("scalar_date", _SCALAR_DATE_ORACLE)
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["orders"]
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+            F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+            F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+            F.date_trunc("month", "o_orderdate").alias("month_start"),
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+            .cast("long")
+            .alias("days_since_epoch_start"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_SCALAR_MATH_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       ABS(l_extendedprice - 50000.0) AS abs_dev,
+       ROUND(l_extendedprice * l_discount, 2) AS discount_amt,
+       FLOOR(l_quantity) AS qty_floor,
+       CEIL(l_quantity / 10.0) AS qty_decile,
+       SQRT(l_extendedprice) AS price_sqrt,
+       CAST(l_partkey % 16 AS BIGINT) AS part_bucket
+FROM lineitem
+WHERE l_linenumber = 1
+ORDER BY l_orderkey
+"""
+
+
+@_register("scalar_math", _SCALAR_MATH_ORACLE)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. sqrt/abs/round/floor are IEEE-exact and engine-
+    independent (transcendentals like ln/exp are NOT and are excluded
+    from oracle-checked outputs)."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["lineitem"]
+        .filter(F.col("l_linenumber") == 1)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.abs(F.col("l_extendedprice") - 50000.0).alias("abs_dev"),
+            F.round(F.col("l_extendedprice") * F.col("l_discount"), 2).alias("discount_amt"),
+            F.floor("l_quantity").alias("qty_floor"),
+            F.ceil(F.col("l_quantity") / 10.0).alias("qty_decile"),
+            F.sqrt("l_extendedprice").alias("price_sqrt"),
+            (F.col("l_partkey") % 16).cast("long").alias("part_bucket"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+_SCALAR_CASE_ORACLE = f"""
+SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+            WHEN o_totalprice < 200000 THEN 'mid'
+            ELSE 'high' END AS price_tier,
+       o_orderstatus,
+       COUNT(*) AS n_orders,
+       {sql_dec_sum('o_totalprice', 'tier_value')}
+FROM orders
+GROUP BY 1, 2
+ORDER BY price_tier, o_orderstatus
+"""
+
+
+@_register("scalar_case_when", _SCALAR_CASE_ORACLE)
+def scalar_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, register_views=False)
+    tier = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 200000, "mid")
+        .otherwise("high")
+        .alias("price_tier")
+    )
+    return (
+        t["orders"]
+        .groupBy(tier, "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dec_sum("o_totalprice", "tier_value"))
+        .orderBy("price_tier", "o_orderstatus")
+    )
+
+
+_JSON_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@_register("json_extract_props", _JSON_ORACLE)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction over the events.props JSON-string column."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k
+# ---------------------------------------------------------------------------
+
+_TOPK_GLOBAL_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+@_register("topk_global", _TOPK_GLOBAL_ORACLE)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy+limit compiles to TakeOrderedAndProject —
+    per-partition heaps, no global sort. Tie-broken by orderkey so the
+    result set is deterministic."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+_TOPK_PERGROUP_ORACLE = """
+SELECT * FROM (
+    SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                              ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+) WHERE rn <= 3
+ORDER BY c_mktsegment, rn
+"""
+
+
+@_register("topk_per_group", _TOPK_PERGROUP_ORACLE)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ranking window; single shuffle on the group
+    key, rank filter applied before any further processing."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    joined = t["orders"].join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        joined.select(
+            "c_mktsegment", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("c_mktsegment", "rn")
+    )

@@ -1,0 +1,300 @@
+"""Window-function operators + batch time-window (streaming-shaped) ops.
+
+Window specs always carry a deterministic total order (unique-key
+tiebreakers) so ranking results are stable across engines and across
+partitionings — a requirement for the DuckDB oracle hash check and
+good practice anyway (a rank over a non-total order is
+nondeterministic at any scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from load_datawarehouse_spark.ops._util import DEC
+from load_datawarehouse_spark.session import load_tables
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_WIN_RANK_ORACLE = """
+SELECT * FROM (
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w2 AS rnk,
+           DENSE_RANK() OVER w2 AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate DESC)
+) WHERE rn <= 2
+ORDER BY o_custkey, rn
+"""
+
+
+@_register("window_ranking", _WIN_RANK_ORACLE)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank; one shuffle on o_custkey shared
+    by both window specs (same partitioning)."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+    w2 = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"))
+    return (
+        t["orders"]
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w2).alias("rnk"),
+            F.dense_rank().over(w2).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 2)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+_WIN_LAGLEAD_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       LAG(o_orderdate) OVER w AS prev_orderdate,
+       LEAD(o_orderdate) OVER w AS next_orderdate,
+       CAST(DATEDIFF('day', LAG(o_orderdate) OVER w, o_orderdate) AS BIGINT) AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+@_register("window_lag_lead", _WIN_LAGLEAD_ORACLE)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, register_views=False)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return (
+        t["orders"]
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            prev.alias("prev_orderdate"),
+            F.lead("o_orderdate").over(w).alias("next_orderdate"),
+            F.datediff(F.col("o_orderdate").cast("date"), prev.cast("date")).cast("long").alias("days_since_prev"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+_WIN_ROWS_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+       CAST(COUNT(*) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@_register("window_rows_frame", _WIN_ROWS_ORACLE)
+def window_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals with an explicit ROWS frame; decimal accumulator
+    keeps the running sum engine-exact at every prefix."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t["orders"]
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_total"),
+            F.count(F.lit(1)).over(w).cast("long").alias("running_n"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+_WIN_RANGE_ORACLE = """
+SELECT s_suppkey, s_acctbal,
+       CAST(COUNT(*) OVER (ORDER BY s_acctbal
+            RANGE BETWEEN 500.0 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_within_500
+FROM supplier
+ORDER BY s_suppkey
+"""
+
+
+@_register("window_range_frame", _WIN_RANGE_ORACLE)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric order (value-based, not row-based).
+
+    Note: unpartitioned window -> single-task sort; fine for a dim
+    table, never used on a fact table (there we'd bucket first).
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    w = Window.orderBy("s_acctbal").rangeBetween(-500, Window.currentRow)
+    return (
+        t["supplier"]
+        .select(
+            "s_suppkey",
+            "s_acctbal",
+            F.count(F.lit(1)).over(w).cast("long").alias("n_within_500"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_WIN_NTILE_ORACLE = """
+SELECT c_custkey, c_acctbal,
+       NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS balance_quartile
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+@_register("window_ntile", _WIN_NTILE_ORACLE)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, register_views=False)
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        t["customer"]
+        .select("c_custkey", "c_acctbal", F.ntile(4).over(w).alias("balance_quartile"))
+        .orderBy("c_custkey")
+    )
+
+
+_WIN_FIRSTLAST_ORACLE = """
+SELECT DISTINCT o_custkey,
+       FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+       LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey
+"""
+
+
+@_register("window_first_last", _WIN_FIRSTLAST_ORACLE)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, register_views=False)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        t["orders"]
+        .select(
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_orderkey"),
+            F.last("o_orderkey").over(w_full).alias("last_orderkey"),
+        )
+        .distinct()
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch time-windowing (the batch twins of the streaming operators;
+# ops/streaming.py runs the same shapes with watermarks on a stream)
+# ---------------------------------------------------------------------------
+
+_WIN_TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+@_register("time_window_tumbling", _WIN_TUMBLING_ORACLE)
+def time_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windows via F.window — identical code works on a
+    stream with .withWatermark; partial aggregation applies."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+_WIN_SLIDING_ORACLE = """
+WITH offsets AS (SELECT UNNEST([0, 1]) AS k)
+SELECT time_bucket(INTERVAL 1 HOUR, ts) - k * INTERVAL 1 HOUR AS window_start,
+       COUNT(*) AS n_events
+FROM events CROSS JOIN offsets
+GROUP BY 1
+ORDER BY window_start
+"""
+
+
+@_register("time_window_sliding", _WIN_SLIDING_ORACLE)
+def time_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h width, 1h slide): each event lands in 2
+    windows. Spark's F.window(slide) replicates rows exactly like the
+    oracle's unnested offset join."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+        .orderBy("window_start")
+    )
+
+
+_WIN_SESSION_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE OR
+                     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+), numbered AS (
+    SELECT user_id, ts,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+@_register("time_window_session", _WIN_SESSION_ORACLE)
+def time_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min gap) per user via F.session_window —
+    Spark's native session assignment; the oracle reconstructs the
+    identical sessions with the lag-gap-cumsum idiom."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["events"]
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+        .orderBy("user_id", "session_start")
+    )

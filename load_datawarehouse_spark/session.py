@@ -1,0 +1,116 @@
+"""SparkSession factory and test-table loading.
+
+Scale notes (100 TB design, tested on local[32]):
+
+- AQE is always on: runtime shuffle-partition coalescing, skew-join
+  splitting, and dynamic broadcast conversion replace hand-tuning.
+- ``spark.sql.shuffle.partitions`` is only a pre-AQE ceiling; on a
+  real cluster set it to ~2-3x total cores and let AQE coalesce.
+- Session timezone is pinned to UTC so timestamp semantics match the
+  DuckDB oracle and are cluster-invariant.
+- Arrow is enabled for all pandas interchange (createDataFrame,
+  toPandas, pandas UDFs) — the only sanctioned Python<->JVM path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables the driver provisions under /root/testdata/sf*/ (TESTDATA.md).
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "load_datawarehouse_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build or reuse the process SparkSession.
+
+    One session per process, reused across calls (unlike the reference,
+    which constructs a fresh BigQuery client per verb,
+    ``bigquery/__init__.py:519-544``).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # Dimension tables (region/nation/supplier/part at any SF) stay
+        # far under this; explicit F.broadcast hints are still used at
+        # call sites so intent survives stats-free file scans.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
+        # parquet reader refuses natively; read as long and convert
+        # (see load_tables).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str = DEFAULT_SF_DIR,
+    register_views: bool = True,
+) -> dict[str, DataFrame]:
+    """Load every driver table as a lazy parquet scan.
+
+    Column pruning and predicate pushdown reach the parquet reader
+    automatically because the scans are plain ``spark.read.parquet``
+    relations (check ``.explain``: PushedFilters / ReadSchema).
+    """
+    # The driver may hand us a session built without our factory; the
+    # nanos-timestamp workaround must hold there too (runtime conf).
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        if name == "events":
+            # TIMESTAMP(NANOS) arrives as long nanos under
+            # nanosAsLong; truncate to micros exactly like DuckDB does
+            # when reading the same file.
+            from pyspark.sql import functions as F
+            from pyspark.sql import types as T
+
+            if isinstance(df.schema["ts"].dataType, T.LongType):
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        out[name] = df
+        if register_views:
+            df.createOrReplaceTempView(name)
+    return out

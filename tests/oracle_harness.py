@@ -1,0 +1,73 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+Runs a Spark query and its oracle SQL on the same parquet tables and
+compares row-count + column names + order-insensitive values — a
+stricter local gate than the driver's hash check (we diff actual
+values, so mismatches are debuggable).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from decimal import Decimal
+
+import duckdb
+
+from load_datawarehouse_spark.session import TABLE_NAMES
+
+
+def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def compare_query(spark_df, con, sql: str, name: str = "?") -> None:
+    sdf = spark_df.toPandas()
+    odf = con.execute(sql).fetchdf()
+    s_cols = sorted(sdf.columns)
+    o_cols = sorted(odf.columns)
+    assert s_cols == o_cols, f"{name}: column mismatch spark={s_cols} oracle={o_cols}"
+    assert len(sdf) == len(odf), f"{name}: rowcount spark={len(sdf)} oracle={len(odf)}"
+
+    s_rows = sorted(
+        (tuple(_norm(v) for v in row) for row in sdf[s_cols].itertuples(index=False)),
+        key=repr,
+    )
+    o_rows = sorted(
+        (tuple(_norm(v) for v in row) for row in odf[o_cols].itertuples(index=False)),
+        key=repr,
+    )
+    n_bad = 0
+    first_bad = None
+    for i, (a, b) in enumerate(zip(s_rows, o_rows)):
+        if a != b:
+            n_bad += 1
+            if first_bad is None:
+                first_bad = (i, a, b)
+    assert n_bad == 0, (
+        f"{name}: {n_bad}/{len(s_rows)} row mismatches; first at {first_bad[0]}:\n"
+        f"  spark : {first_bad[1]}\n  oracle: {first_bad[2]}"
+    )

@@ -1,0 +1,67 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_asof",
+    "topk_per_group",
+    "agg_groupby_distinct",
+    "json_extract_props",
+    "time_window_session",
+    "dedup_exact_keep_first",
+    "text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entry_mod
+    from load_datawarehouse_spark.session import get_spark, load_tables
+
+    spark = get_spark(app_name="ldw-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + file-listing caches so timings measure query
+    # execution, not session bootstrap.
+    load_tables(spark, sf_dir, register_views=False)["lineitem"].count()
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        fn(spark, sf_dir).count()  # warmup: codegen + JIT, not I/O caching
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()  # full materialization of the result
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_query_wall_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

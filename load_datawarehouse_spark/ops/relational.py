@@ -126,11 +126,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
     o = t["orders"].filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
     l = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    # Pre-aggregate lineitem to one row per orderkey BEFORE joining:
+    # shrinks the big join's probe side ~4x and keeps the post-join
+    # group-by trivial (orderkey attrs are functionally dependent).
+    per_order = l.groupBy("l_orderkey").agg(
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
     return (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(l, l.l_orderkey == o.o_orderkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .join(per_order, F.col("l_orderkey") == o.o_orderkey)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)

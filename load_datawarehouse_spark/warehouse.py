@@ -1,0 +1,354 @@
+"""SparkWarehouse: the platform-neutral table verb surface on Spark.
+
+Re-expresses the reference's ``DataWarehouse`` ABC
+(``/root/reference/src/load_datawarehouse/classes.py:18-64``: get /
+select / new / rebuild / query / fetch / load / update / delete, with
+``drop`` aliasing delete) and its BigQuery implementation
+(``bigquery/__init__.py:103-700``) over Parquet tables in a warehouse
+root directory. The verbs the reference left as ``pass`` stubs
+(query / fetch / load body / update — ``bigquery/__init__.py:
+463-499,654-685``) are implemented for real here.
+
+Storage model: one directory per table holding parquet files plus a
+``_ldw_meta.json`` sidecar (api_repr schema, expiry). A metadata
+sidecar instead of a Hive metastore keeps the engine location-
+agnostic — on a cluster the root is any shared filesystem / object
+store prefix, and every data path is a plain distributed
+``df.write.parquet`` / ``spark.read.parquet``.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import shutil
+import uuid
+from enum import Enum
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from load_datawarehouse_spark import types as wtypes
+from load_datawarehouse_spark.data import prepare
+from load_datawarehouse_spark.errors import (
+    WarehouseInvalidInput,
+    WarehouseTableNotFound,
+)
+from load_datawarehouse_spark.schema_infer import infer_schema
+
+META_FILE = "_ldw_meta.json"
+
+
+class QuerySort(Enum):
+    """Sort directions (classes.py:6-8)."""
+
+    ASCENDING = "ASC"
+    DESCENDING = "DESC"
+
+
+def _conform_value(value: Any, field: dict) -> Any:
+    """Coerce one record value to its condensed schema field — the
+    role BigQuery's ingestion plays for the reference (server-side
+    coercion after inference)."""
+    if value is None:
+        return None
+    ftype = field.get("type", wtypes.DEFAULT_TYPE)
+    mode = field.get("mode", wtypes.DEFAULT_MODE)
+    if mode == wtypes.REPEATED:
+        if ftype == wtypes.RECORD:
+            items = value if isinstance(value, (list, tuple)) else [value]
+            sub = field.get("fields", [])
+            return [
+                _conform_record(v, sub) for v in items if isinstance(v, dict)
+            ]
+        if isinstance(value, dict):  # plain-dict quirk: keys as strings
+            items: Iterable[Any] = list(value.keys())
+        elif isinstance(value, (list, tuple)):
+            items = value
+        else:
+            items = [value]
+        return [_conform_scalar(v, ftype) for v in items]
+    return _conform_scalar(value, ftype)
+
+
+def _conform_scalar(value: Any, ftype: str) -> Any:
+    if value is None:
+        return None
+    if ftype == wtypes.STRING:
+        return value if isinstance(value, str) else str(value)
+    if ftype == wtypes.FLOAT:
+        return float(value)
+    if ftype == wtypes.INTEGER:
+        return int(value)
+    if ftype == wtypes.BOOLEAN:
+        return bool(value)
+    if ftype in (wtypes.DATETIME, wtypes.TIMESTAMP):
+        if isinstance(value, _dt.datetime):
+            return value
+        if isinstance(value, _dt.date):
+            return _dt.datetime(value.year, value.month, value.day)
+        return value
+    if ftype == wtypes.TIME:
+        return value.isoformat() if isinstance(value, _dt.time) else str(value)
+    return value
+
+
+def _conform_record(record: dict, schema: list[dict]) -> dict:
+    from load_datawarehouse_spark.data import clean_field_key
+
+    cleaned = {clean_field_key(k): v for k, v in record.items()}
+    return {f["name"]: _conform_value(cleaned.get(f["name"]), f) for f in schema}
+
+
+class SparkWarehouse:
+    """One instance ≙ one warehouse table (classes.py:20-23)."""
+
+    def __init__(self, spark: SparkSession, root: str, table: str):
+        self.spark = spark
+        self.root = root
+        self.table = table
+
+    # --- paths / metadata -------------------------------------------------
+
+    @property
+    def path(self) -> str:
+        return os.path.join(self.root, self.table)
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, META_FILE)
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and os.path.exists(self._meta_path)
+
+    def _read_meta(self) -> dict:
+        if not os.path.exists(self._meta_path):
+            return {}
+        with open(self._meta_path) as fh:
+            return json.load(fh)
+
+    def _write_meta(self, meta: dict) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh, default=str)
+        os.replace(tmp, self._meta_path)
+
+    @property
+    def schema(self) -> list[dict] | None:
+        return self._read_meta().get("schema")
+
+    # --- lifecycle verbs --------------------------------------------------
+
+    @classmethod
+    def get(cls, spark: SparkSession, root: str, table: str) -> "SparkWarehouse":
+        """Resolve an existing table; raises if absent
+        (bigquery/__init__.py:519-544 raises through the falsy-error
+        convention)."""
+        wh = cls(spark, root, table)
+        if not wh.exists():
+            raise WarehouseTableNotFound(f"table {table!r} not found under {root!r}")
+        return wh
+
+    @classmethod
+    def select(cls, spark: SparkSession, root: str, table: str) -> "SparkWarehouse":
+        """Local reference without existence check (no 'network'),
+        bigquery/__init__.py:103-119,546-565."""
+        return cls(spark, root, table)
+
+    @classmethod
+    def new(
+        cls,
+        spark: SparkSession,
+        root: str,
+        table: str,
+        data=None,
+        schema: list[dict] | None = None,
+        replace: bool = False,
+        expires: _dt.datetime | None = None,
+    ) -> "SparkWarehouse":
+        """Create a table (bigquery/__init__.py:152-230,567-609);
+        ``replace=False`` matches the OO default (:576)."""
+        wh = cls(spark, root, table)
+        if wh.exists():
+            if not replace:
+                raise WarehouseInvalidInput(
+                    f"table {table!r} already exists; pass replace=True to rebuild"
+                )
+            wh.delete()
+        wh._write_meta(
+            {
+                "schema": schema,
+                "expires": expires.isoformat() if expires else None,
+                "created_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            }
+        )
+        if data is not None:
+            wh.load(data, schema=schema)
+        return wh
+
+    def rebuild(self) -> "SparkWarehouse":
+        """Drop and recreate empty, preserving the prior schema
+        (bigquery/__init__.py:613-652)."""
+        meta = self._read_meta()
+        if not self.exists():
+            raise WarehouseTableNotFound(f"table {self.table!r} not found")
+        self.delete()
+        self._write_meta({**meta, "rebuilt_at": _dt.datetime.now(_dt.timezone.utc).isoformat()})
+        return self
+
+    def delete(self, not_found_ok: bool = True) -> bool:
+        """Drop the table (bigquery/__init__.py:327-361,687-700)."""
+        if not os.path.isdir(self.path):
+            if not_found_ok:
+                return False
+            raise WarehouseTableNotFound(f"table {self.table!r} not found")
+        shutil.rmtree(self.path)
+        return True
+
+    drop = delete  # classes.py:60-64 alias
+
+    def set_expiry(self, expires: _dt.datetime | None = None, update: bool = True) -> None:
+        """Set/clear TTL (bigquery/__init__.py:248-284). ``update``
+        parity: False stages the change for apply_changes."""
+        self._pending = {**getattr(self, "_pending", {}), "expires": expires.isoformat() if expires else None}
+        if update:
+            self.apply_changes()
+
+    def set_schema(self, schema: list[dict], update: bool = True) -> None:
+        """Replace the declared schema (bigquery/__init__.py:286-324)."""
+        self._pending = {**getattr(self, "_pending", {}), "schema": schema}
+        if update:
+            self.apply_changes()
+
+    def apply_changes(self) -> None:
+        """Push staged metadata mutations (bigquery/__init__.py:232-246)."""
+        pending = getattr(self, "_pending", {})
+        if pending:
+            self._write_meta({**self._read_meta(), **pending})
+            self._pending = {}
+
+    def is_expired(self, now: _dt.datetime | None = None) -> bool:
+        exp = self._read_meta().get("expires")
+        if not exp:
+            return False
+        now = now or _dt.datetime.now(_dt.timezone.utc)
+        return now.isoformat() >= exp
+
+    # --- data verbs -------------------------------------------------------
+
+    def df(self) -> DataFrame:
+        """Lazy scan of the table's parquet data."""
+        if not self.exists():
+            raise WarehouseTableNotFound(f"table {self.table!r} not found")
+        data_path = os.path.join(self.path, "data")
+        if not os.path.isdir(data_path):
+            api = self.schema or []
+            return self.spark.createDataFrame([], wtypes.api_repr_to_struct_type(api))
+        return self.spark.read.parquet(data_path)
+
+    def load(
+        self,
+        data,
+        schema: list[dict] | None = None,
+        full_schema: bool = False,
+    ) -> bool:
+        """The flagship load pipeline (bigquery/__init__.py:363-461,
+        SURVEY.md §3.1): prepare → adopt-existing-schema → infer/merge
+        (existing wins per field) → create-if-missing → append.
+
+        The reference's chunked streaming-insert loop (:432-442)
+        becomes a single distributed ``df.write``: the executor/driver
+        boundary replaces the HTTP boundary, and parquet row-groups
+        replace 20 MiB JSON chunks.
+        """
+        records = prepare(data)
+        if not isinstance(records, list):
+            raise WarehouseInvalidInput(
+                f"expected records or DataFrame, got {type(data).__name__}"
+            )
+        existing = self.schema if self.exists() else None
+        if existing and schema is None:
+            schema = existing  # :409-410 — adopt table schema
+        if full_schema and schema:
+            api = schema  # caller asserts completeness (:413-417)
+        else:
+            api = infer_schema(records, schema=schema).schema
+        struct = wtypes.api_repr_to_struct_type(api)
+        conformed = [
+            _conform_record(r, api) for r in records if isinstance(r, dict)
+        ]
+        df = self.spark.createDataFrame(conformed, struct)
+        if not self.exists():
+            self._write_meta(
+                {"schema": api, "expires": None,
+                 "created_at": _dt.datetime.now(_dt.timezone.utc).isoformat()}
+            )
+        else:
+            self._write_meta({**self._read_meta(), "schema": api})
+        df.write.mode("append").parquet(os.path.join(self.path, "data"))
+        return True
+
+    def query(self, query: str) -> DataFrame:
+        """Raw SQL over the warehouse (R1, the reference's ``pass``
+        stub bigquery/__init__.py:463-472) — the table is registered
+        as a temp view under its own name, then Catalyst does the
+        rest."""
+        self.df().createOrReplaceTempView(self.table)
+        return self.spark.sql(query)
+
+    def fetch(
+        self,
+        fields: Iterable[str] | str = "*",
+        sort: Iterable[tuple[str, QuerySort]] = (),
+        count: int | None = 10,
+    ) -> DataFrame:
+        """Projection + sort + limit (R2, stub at
+        bigquery/__init__.py:474-499)."""
+        df = self.df()
+        if fields != "*":
+            df = df.select(*list(fields))
+        order = [
+            F.col(c).asc() if s in (QuerySort.ASCENDING, "ASC") else F.col(c).desc()
+            for c, s in sort
+        ]
+        if order:
+            df = df.orderBy(*order)
+        return df.limit(count) if count is not None else df
+
+    def update(self, data, keys: Iterable[str]) -> bool:
+        """Upsert without a lakehouse dependency (R3, stub at
+        classes.py:56-58): new rows replace existing rows that match
+        on ``keys``.
+
+        Plan: existing LEFT ANTI JOIN new (drop rows being replaced)
+        UNION new, written to a temp path then atomically swapped —
+        single-writer assumption documented (SURVEY.md §7.5). The
+        anti-join shuffles once on the key; at scale, partition the
+        table by the key prefix so the rewrite touches only affected
+        partitions.
+        """
+        keys = list(keys)
+        records = prepare(data)
+        api = self.schema
+        if api is None:
+            raise WarehouseTableNotFound(f"table {self.table!r} has no schema")
+        struct = wtypes.api_repr_to_struct_type(api)
+        new_df = self.spark.createDataFrame(
+            [_conform_record(r, api) for r in records if isinstance(r, dict)], struct
+        )
+        existing_df = self.df()
+        merged = existing_df.join(new_df, on=keys, how="left_anti").unionByName(new_df)
+
+        data_path = os.path.join(self.path, "data")
+        tmp_path = os.path.join(self.path, f".tmp_update_{uuid.uuid4().hex}")
+        merged.write.mode("overwrite").parquet(tmp_path)
+        old_path = os.path.join(self.path, f".old_{uuid.uuid4().hex}")
+        if os.path.isdir(data_path):
+            os.replace(data_path, old_path)
+        os.replace(tmp_path, data_path)
+        if os.path.isdir(old_path):
+            shutil.rmtree(old_path)
+        return True

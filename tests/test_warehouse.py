@@ -1,0 +1,120 @@
+"""SparkWarehouse lifecycle round-trips — the local-catalog analog of
+the reference's live-BigQuery integration tests
+(test/test_bigquery.py:447-518)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from load_datawarehouse_spark.errors import (
+    WarehouseInvalidInput,
+    WarehouseTableNotFound,
+)
+from load_datawarehouse_spark.warehouse import QuerySort, SparkWarehouse
+
+RECORDS = [
+    {"id": 1, "name": "alpha", "score": 1.5, "tags": ["a", "b"]},
+    {"id": 2, "name": "beta", "score": 2.5, "tags": ["c"]},
+    {"id": 3, "name": "gamma", "score": None, "tags": []},
+]
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "wh")
+
+
+def test_get_missing_raises(spark, root):
+    with pytest.raises(WarehouseTableNotFound):
+        SparkWarehouse.get(spark, root, "nope")
+
+
+def test_create_load_fetch_query(spark, root):
+    wh = SparkWarehouse.new(spark, root, "t1")
+    assert wh.exists()
+    assert wh.load(RECORDS) is True
+    # inferred schema recorded in metadata
+    types = {f["name"]: (f["type"], f["mode"]) for f in wh.schema}
+    assert types["id"] == ("INTEGER", "NULLABLE")
+    assert types["score"] == ("FLOAT", "NULLABLE")
+    assert types["tags"] == ("STRING", "REPEATED")
+
+    got = wh.fetch(fields=["id", "name"], sort=[("id", QuerySort.DESCENDING)], count=2).collect()
+    assert [r["id"] for r in got] == [3, 2]
+
+    out = wh.query("SELECT COUNT(*) AS n FROM t1").collect()
+    assert out[0]["n"] == 3
+
+
+def test_load_appends_and_reuses_schema(spark, root):
+    wh = SparkWarehouse.new(spark, root, "t2")
+    wh.load(RECORDS)
+    # second load: ints arrive for a FLOAT column -> coerced by the
+    # adopted schema (existing-schema-wins)
+    wh.load([{"id": 4, "name": "delta", "score": 7, "tags": "solo"}])
+    rows = {r["id"]: r for r in wh.df().collect()}
+    assert rows[4]["score"] == 7.0
+    assert rows[4]["tags"] == ["solo"]  # scalar wrapped into REPEATED
+    assert wh.df().count() == 4
+
+
+def test_new_replace_semantics(spark, root):
+    SparkWarehouse.new(spark, root, "t3", data=RECORDS)
+    with pytest.raises(WarehouseInvalidInput):
+        SparkWarehouse.new(spark, root, "t3")
+    wh = SparkWarehouse.new(spark, root, "t3", replace=True)
+    assert wh.df().count() == 0  # replaced empty, no data dir yet
+
+
+def test_rebuild_preserves_schema(spark, root):
+    wh = SparkWarehouse.new(spark, root, "t4")
+    wh.load(RECORDS)
+    schema_before = wh.schema
+    wh.rebuild()
+    assert wh.df().count() == 0
+    assert wh.schema == schema_before
+
+
+def test_update_upsert(spark, root):
+    wh = SparkWarehouse.new(spark, root, "t5")
+    wh.load(RECORDS)
+    wh.update([{"id": 2, "name": "BETA2", "score": 9.0, "tags": []},
+               {"id": 9, "name": "new", "score": 0.5, "tags": ["z"]}], keys=["id"])
+    rows = {r["id"]: r for r in wh.df().collect()}
+    assert set(rows) == {1, 2, 3, 9}
+    assert rows[2]["name"] == "BETA2"
+    assert rows[9]["score"] == 0.5
+
+
+def test_delete_and_not_found_ok(spark, root):
+    wh = SparkWarehouse.new(spark, root, "t6", data=RECORDS)
+    assert wh.delete() is True
+    assert wh.delete() is False  # not_found_ok default
+    with pytest.raises(WarehouseTableNotFound):
+        wh.delete(not_found_ok=False)
+
+
+def test_expiry_round_trip(spark, root):
+    wh = SparkWarehouse.new(spark, root, "t7")
+    future = dt.datetime(2100, 1, 1, tzinfo=dt.timezone.utc)
+    wh.set_expiry(future)
+    assert not wh.is_expired()
+    past = dt.datetime(2000, 1, 1, tzinfo=dt.timezone.utc)
+    wh.set_expiry(past)
+    assert wh.is_expired()
+    # staged (update=False) not applied until apply_changes
+    wh.set_expiry(None, update=False)
+    assert wh.is_expired()
+    wh.apply_changes()
+    assert not wh.is_expired()
+
+
+def test_pandas_load(spark, root):
+    import pandas as pd
+
+    pdf = pd.DataFrame([{"a b": 1, "x": "u"}, {"a b": 2, "x": "v"}])
+    wh = SparkWarehouse.new(spark, root, "t8", data=pdf)
+    assert wh.df().columns == ["a_b", "x"]
+    assert wh.df().count() == 2

@@ -122,6 +122,443 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Near-duplicate detection: word-shingle Jaccard via inverted index
+# ---------------------------------------------------------------------------
+
+#: Shingles occurring in more than this many documents are dropped
+#: from the inverted index (stop-shingle pruning): they contribute
+#: little to Jaccard but create hot keys in the self-join — the
+#: classic skew guard for this pattern at scale.
+MAX_SHINGLE_DF = 100
+
+_JACCARD_ORACLE = f"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           word || ' ' || LEAD(word, 1) OVER w || ' ' || LEAD(word, 2) OVER w AS shingle
+    FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    QUALIFY LEAD(word, 2) OVER w IS NOT NULL
+), ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+idx AS (
+    SELECT shingle FROM ds GROUP BY shingle
+    HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+), pruned AS (SELECT ds.* FROM ds JOIN idx USING (shingle)),
+pairs AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+    FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT p.d1, p.d2, p.n_common,
+       CAST(p.n_common AS DOUBLE) / (c1.n + c2.n - p.n_common) AS jaccard
+FROM pairs p
+JOIN cnt c1 ON c1.doc_id = p.d1
+JOIN cnt c2 ON c2.doc_id = p.d2
+WHERE CAST(p.n_common AS DOUBLE) / (c1.n + c2.n - p.n_common) >= 0.3
+ORDER BY d1, d2
+"""
+
+
+def _shingles(t, n: int = 3):
+    """doc_id -> distinct word n-gram shingles, via posexplode + lead
+    windows (all built-ins, no UDF)."""
+    words = t["documents"].select(
+        "doc_id", F.posexplode(F.split("text", " ", -1)).alias("pos", "word")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    shingle = F.concat_ws(" ", "word", *[F.lead("word", i).over(w) for i in range(1, n)])
+    return (
+        words.select("doc_id", shingle.alias("shingle"), F.lead("word", n - 1).over(w).alias("_last"))
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+
+
+@_register("dedup_ngram_jaccard", _JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by 3-word-shingle Jaccard >= 0.3.
+
+    Scale pattern: distinct (doc, shingle) -> document-frequency
+    pruning of hot shingles (MAX_SHINGLE_DF) -> inverted-index
+    self-join (shuffle on shingle, pruned keys bound the fanout) ->
+    pair aggregation. Never materializes doc x doc.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    ds = _shingles(t)
+    cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    idx = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= MAX_SHINGLE_DF
+    )
+    pruned = ds.join(idx.select("shingle"), "shingle")
+    a = pruned.select(F.col("doc_id").alias("d1"), "shingle")
+    b = pruned.select(F.col("doc_id").alias("d2"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    return (
+        pairs.join(cnt.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(cnt.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        .select("d1", "d2", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.3)
+        .orderBy("d1", "d2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding (md5-based, engine-portable, no UDF)
+# ---------------------------------------------------------------------------
+
+N_MINHASH = 8  # hash functions
+BAND_SIZE = 2  # rows per LSH band -> 4 bands
+
+_MINHASH_ORACLE = f"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           word || ' ' || LEAD(word, 1) OVER w || ' ' || LEAD(word, 2) OVER w AS shingle
+    FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    QUALIFY LEAD(word, 2) OVER w IS NOT NULL
+), ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+hashes AS (
+    SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS sig
+    FROM ds CROSS JOIN (SELECT unnest(range({N_MINHASH})) AS j)
+    GROUP BY doc_id, j
+), bands AS (
+    SELECT doc_id, j // {BAND_SIZE} AS band,
+           md5(MIN(sig) || '|' || MAX(sig)) AS band_key
+    FROM hashes GROUP BY doc_id, j // {BAND_SIZE}
+)
+SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+ORDER BY d1, d2
+"""
+
+
+@_register("dedup_minhash_lsh", _MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs.
+
+    shingle -> md5 minhash signatures (md5 is identical across
+    engines; lowercase fixed-width hex min == numeric min) -> band
+    keys -> bucket self-join. Candidates only — exact-verify with
+    dedup_ngram_jaccard downstream. Scale: the bucket join fans out
+    per band bucket, never doc x doc; banding parameters (8 hashes,
+    4 bands of 2) target Jaccard ~>= 0.3 candidates.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    ds = _shingles(t)
+    hashes = (
+        ds.select("doc_id", "shingle", F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("j"))
+        .select(
+            "doc_id",
+            "j",
+            F.md5(F.concat_ws("|", F.col("j").cast("string"), "shingle")).alias("h"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.min("h").alias("sig"))
+    )
+    bands = hashes.groupBy(
+        "doc_id", (F.col("j") / BAND_SIZE).cast("int").alias("band")
+    ).agg(F.md5(F.concat_ws("|", F.min("sig"), F.max("sig"))).alias("band_key"))
+    a = bands.select(F.col("doc_id").alias("d1"), "band", "band_key")
+    b = bands.select(F.col("doc_id").alias("d2"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+        .orderBy("d1", "d2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprint (16-bit, nibble arithmetic portable to SQL)
+# ---------------------------------------------------------------------------
+
+_NIBBLE_SQL = "(strpos('0123456789abcdef', substr(md5(word), {pos}, 1)) - 1)"
+
+
+def _simhash_oracle() -> str:
+    bit_terms = []
+    for b in range(16):
+        nib = _NIBBLE_SQL.format(pos=b // 4 + 1)
+        bit = f"(({nib} // {2 ** (3 - b % 4)}) % 2)"
+        bit_terms.append(
+            f"CASE WHEN SUM(2 * {bit} - 1) > 0 THEN {2 ** b} ELSE 0 END"
+        )
+    total = " + ".join(bit_terms)
+    return f"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT doc_id, CAST({total} AS BIGINT) AS simhash16
+FROM words GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@_register("doc_fingerprint_simhash", _simhash_oracle())
+def doc_fingerprint_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document from word-level md5s.
+
+    Each md5 nibble yields 4 signed bit votes; the fingerprint sets
+    bit b when the vote sum is positive. Pure integer arithmetic on
+    both engines — bitwise identical. Scale: one explode + one
+    groupBy(doc_id) with partial aggregation of the 16 vote sums.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    words = t["documents"].select("doc_id", F.explode(F.split("text", " ", -1)).alias("word"))
+    h = F.md5("word")
+    bit_cols = []
+    for b in range(16):
+        nib = F.instr(F.lit("0123456789abcdef"), F.substring(h, b // 4 + 1, 1)) - 1
+        bit = F.floor(nib / (2 ** (3 - b % 4))) % 2
+        bit_cols.append(
+            F.when(F.sum(2 * bit - 1) > 0, 2**b).otherwise(0)
+        )
+    total = bit_cols[0]
+    for c in bit_cols[1:]:
+        total = total + c
+    return (
+        words.groupBy("doc_id")
+        .agg(total.cast("long").alias("simhash16"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language identification (marker-word heuristic)
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "y"),
+    "de": ("der", "die", "und"),
+    "zh": ("de", "shi", "le"),
+}
+
+
+def _lang_id_oracle() -> str:
+    score_cols = []
+    for lang, markers in _LANG_MARKERS.items():
+        counts = " + ".join(
+            f"len(list_filter(string_split(text, ' '), w -> w = '{m}'))" for m in markers
+        )
+        score_cols.append(f"({counts}) AS score_{lang}")
+    greatest = ", ".join(f"score_{m}" for m in _LANG_MARKERS)
+    first_case = " ".join(
+        f"WHEN score_{m} = _best AND _best > 0 THEN '{m}'" for m in _LANG_MARKERS
+    )
+    return f"""
+WITH scored AS (
+    SELECT doc_id, lang, {', '.join(score_cols)} FROM documents
+), best AS (
+    SELECT *, GREATEST({greatest}) AS _best FROM scored
+)
+SELECT doc_id, lang,
+       CASE {first_case} ELSE 'und' END AS lang_guess
+FROM best ORDER BY doc_id
+"""
+
+
+@_register("lang_id_markers", _lang_id_oracle())
+def lang_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (n-gram-heuristic stand-in): count
+    per-language stopword hits, argmax with a deterministic
+    first-match tie-break mirroring the oracle's CASE order."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    df = t["documents"]
+    words = F.split("text", " ", -1)
+
+    def marker_count(marker: str):
+        # NB: the filter lambda must be single-arg — PySpark treats a
+        # second parameter as the element index.
+        return F.size(F.filter(words, lambda w: w == F.lit(marker)))
+
+    for lang, markers in _LANG_MARKERS.items():
+        score = None
+        for m in markers:
+            c = marker_count(m)
+            score = c if score is None else score + c
+        df = df.withColumn(f"score_{lang}", score)
+    best = F.greatest(*[F.col(f"score_{m}") for m in _LANG_MARKERS])
+    guess = F.lit("und")
+    for lang in reversed(list(_LANG_MARKERS)):
+        guess = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), lang
+        ).otherwise(guess)
+    return df.select("doc_id", "lang", guess.alias("lang_guess")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search (exact decimal cosine, oracle-identical)
+# ---------------------------------------------------------------------------
+
+_COS_DEC = "decimal(28,12)"
+
+
+def _cosine_cols(a: str, b: str):
+    """Exact cosine between two float arrays: per-element double
+    products (IEEE-deterministic) accumulated in decimal (exact,
+    order-free), final arithmetic in double — bitwise identical in
+    Spark and DuckDB regardless of partitioning."""
+    zero = F.lit(0).cast(_COS_DEC)
+    prod = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_COS_DEC))
+    sq = lambda c: F.transform(c, lambda x: (x.cast("double") * x.cast("double")).cast(_COS_DEC))  # noqa: E731
+    # (s + x) widens decimal(28,12) -> decimal(29,12); cast back each
+    # step to satisfy aggregate's accumulator-type contract (exact —
+    # magnitudes here are << 10^16).
+    acc = lambda arr: F.aggregate(arr, zero, lambda s, x: (s + x).cast(_COS_DEC)).cast("double")  # noqa: E731
+    dot = acc(prod)
+    na = F.sqrt(acc(sq(a)))
+    nb = F.sqrt(acc(sq(b)))
+    return dot / (na * nb)
+
+
+_COS_SQL_FRAG = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+           FROM embeddings WHERE vec_id < 5),
+elems AS (
+    -- parallel unnest in one SELECT list is zipped element-wise in DuckDB
+    SELECT e.vec_id, q.qid, unnest(e.embedding) AS a, unnest(q.qv) AS b
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id != q.qid {extra_pred}
+),
+prod AS (
+    SELECT vec_id, qid,
+        CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dot
+    FROM elems
+    GROUP BY vec_id, qid
+), norms AS (
+    SELECT vec_id,
+        SQRT(CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+    FROM (SELECT vec_id, unnest(embedding) AS a FROM embeddings)
+    GROUP BY vec_id
+)
+SELECT * FROM (
+    SELECT p.qid, p.vec_id,
+           p.dot / (nq.nrm * nv.nrm) AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY p.qid
+                              ORDER BY p.dot / (nq.nrm * nv.nrm) DESC, p.vec_id) AS rk
+    FROM prod p
+    JOIN norms nq ON nq.vec_id = p.qid
+    JOIN norms nv ON nv.vec_id = p.vec_id
+) WHERE rk <= 10
+ORDER BY qid, rk
+"""
+
+
+@_register("similarity_cosine_topk", _COS_SQL_FRAG.format(extra_pred=""))
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors.
+
+    Scale: queries are broadcast; each corpus partition scores its
+    rows independently (zip_with/aggregate stay in codegen — no
+    Python); per-query top-k via ranking window on the (tiny) scored
+    set. The brute-force scan is the correctness baseline —
+    similarity_ivf_topk is the pruned-search path.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", _cosine_cols("embedding", "qv").alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .orderBy("qid", "rk")
+    )
+
+
+@_register(
+    "similarity_ivf_topk",
+    _COS_SQL_FRAG.format(extra_pred="AND e.label = q.qlabel"),
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style pruned cosine top-10: search only the query's coarse
+    cell (the ``label`` column stands in for the IVF centroid
+    assignment). Scale: turns the scan into a per-cell join — with C
+    cells, ~1/C of the corpus is scored per query; the cell id is a
+    join key so Catalyst shuffles both sides on label once."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), F.col("label").alias("qlabel")
+    )
+    scored = (
+        emb.join(F.broadcast(q), emb.label == F.col("qlabel"))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", _cosine_cols("embedding", "qv").alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .orderBy("qid", "rk")
+    )
+
+
+_NEARDUP_EMB_ORACLE = """
+WITH norms AS (
+    SELECT vec_id,
+        SQRT(CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+    FROM (SELECT vec_id, unnest(embedding) AS a FROM embeddings)
+    GROUP BY vec_id
+), elems AS (
+    SELECT a.vec_id AS v1, b.vec_id AS v2, a.label,
+           unnest(a.embedding) AS x, unnest(b.embedding) AS y
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+), pairs AS (
+    SELECT v1, v2, label,
+        CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dot
+    FROM elems
+    GROUP BY 1, 2, 3
+)
+SELECT p.v1, p.v2, p.label, p.dot / (n1.nrm * n2.nrm) AS cosine
+FROM pairs p JOIN norms n1 ON n1.vec_id = p.v1 JOIN norms n2 ON n2.vec_id = p.v2
+WHERE p.dot / (n1.nrm * n2.nrm) >= 0.3
+ORDER BY v1, v2
+"""
+
+
+@_register("dedup_embedding_neardup", _NEARDUP_EMB_ORACLE)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= 0.3) within coarse
+    cells. Scale: the label blocking keeps the pair join at
+    sum-of-squares-per-cell instead of N^2; for finer blocking chain
+    with LSH bucketing first."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    emb = t["embeddings"]
+    a = emb.select(F.col("vec_id").alias("v1"), F.col("label"), F.col("embedding").alias("e1"))
+    b = emb.select(F.col("vec_id").alias("v2"), F.col("label"), F.col("embedding").alias("e2"))
+    pairs = a.join(b, "label").filter(F.col("v1") < F.col("v2"))
+    return (
+        pairs.select("v1", "v2", "label", _cosine_cols("e1", "e2").alias("cosine"))
+        .filter(F.col("cosine") >= 0.3)
+        .orderBy("v1", "v2")
+    )
+
+
 _TOKEN_COUNT_ORACLE = """
 SELECT doc_id,
        LEN(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_tokens

@@ -760,9 +760,10 @@ def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCALAR_MATH_ORACLE = """
 SELECT l_orderkey, l_linenumber,
        ABS(l_extendedprice - 50000.0) AS abs_dev,
-       ROUND(l_extendedprice * l_discount, 2) AS discount_amt,
-       FLOOR(l_quantity) AS qty_floor,
-       CEIL(l_quantity / 10.0) AS qty_decile,
+       CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_discount AS DECIMAL(18,2)), 2) AS DOUBLE) AS discount_amt,
+       CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+       CAST(CEIL(l_quantity / 10.0) AS BIGINT) AS qty_decile,
        SQRT(l_extendedprice) AS price_sqrt,
        CAST(l_partkey % 16 AS BIGINT) AS part_bucket
 FROM lineitem
@@ -773,9 +774,14 @@ ORDER BY l_orderkey
 
 @_register("scalar_math", _SCALAR_MATH_ORACLE)
 def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math family. sqrt/abs/round/floor are IEEE-exact and engine-
+    """Math family. sqrt/abs/floor are IEEE-exact and engine-
     independent (transcendentals like ln/exp are NOT and are excluded
-    from oracle-checked outputs)."""
+    from oracle-checked outputs). ROUND on raw doubles is engine-
+    dependent at .xx5 boundaries (Spark rounds the shortest decimal
+    string HALF_UP; DuckDB rounds the binary value), so the rounded
+    term is computed in exact DECIMAL(18,2) arithmetic on both sides —
+    the source columns carry 2-decimal values, making the double->
+    decimal cast unambiguous in both engines."""
     t = load_tables(spark, sf_dir, register_views=False)
     return (
         t["lineitem"]
@@ -784,9 +790,15 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "l_linenumber",
             F.abs(F.col("l_extendedprice") - 50000.0).alias("abs_dev"),
-            F.round(F.col("l_extendedprice") * F.col("l_discount"), 2).alias("discount_amt"),
-            F.floor("l_quantity").alias("qty_floor"),
-            F.ceil(F.col("l_quantity") / 10.0).alias("qty_decile"),
+            F.round(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(18,2)"),
+                2,
+            )
+            .cast("double")
+            .alias("discount_amt"),
+            F.floor("l_quantity").cast("long").alias("qty_floor"),
+            F.ceil(F.col("l_quantity") / 10.0).cast("long").alias("qty_decile"),
             F.sqrt("l_extendedprice").alias("price_sqrt"),
             (F.col("l_partkey") % 16).cast("long").alias("part_bucket"),
         )

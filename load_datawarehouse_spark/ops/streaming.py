@@ -1,0 +1,353 @@
+"""Structured Streaming operators over the ``events`` table.
+
+The reference is batch-only (SURVEY.md §1.1: no streaming code anywhere
+under ``src/``), so this module is the EXT streaming surface mandated by
+the driver contract: watermarked tumbling / sliding / session windows,
+stateful dedup, and a custom stateful operator via
+``applyInPandasWithState``.
+
+Driver-testability design: each operator builds a real
+``readStream`` -> transform -> ``writeStream`` pipeline, runs it to
+completion with ``Trigger.AvailableNow`` into a memory sink, and
+returns the materialized result as a DataFrame. Because the test input
+is a single parquet file (one micro-batch), the streaming results are
+deterministic and most operators can be oracle-checked against batch
+SQL — far stronger than a rows-only check. On a real cluster the same
+pipelines run unbounded: swap the trigger for a processing-time one and
+the memory sink for kafka/parquet/foreachBatch.
+
+Scale notes (100 TB / unbounded):
+
+- Watermarks bound state: windowed aggregations and dedup evict state
+  older than ``max(event time) - delay``; without them state grows
+  without bound on an infinite stream.
+- Windowed aggregation partial-aggregates map-side before the shuffle
+  on (window, key) exactly like the batch analogs in windows.py.
+- ``applyInPandasWithState`` shuffles on the group key once; state
+  lives in the executor state store (RocksDB in prod), so per-key
+  state must stay small — here a fixed-width tuple per user.
+- The memory sink collects to the driver and is test-only.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from load_datawarehouse_spark.ops._util import DEC, sql_dec_sum
+from load_datawarehouse_spark.session import load_tables
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+#: Memory-sink names must be unique per started query within a session.
+_SINK_SEQ = itertools.count()
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _as_stream_dir(file_path: str) -> str:
+    """FileStreamSource requires a *directory* (its getBatch pins the
+    partition-discovery basePath to the source path). The test corpus
+    stores each table as a bare parquet file, so expose it through a
+    stable symlink directory under /tmp. Production streams read real
+    directories and skip this shim."""
+    import hashlib
+
+    d = os.path.join(
+        "/tmp", "ldw_stream_src", hashlib.md5(file_path.encode()).hexdigest()[:12]
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(file_path))
+    if not os.path.exists(link):
+        os.symlink(file_path, link)
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded view of the events table: ``readStream`` over the
+    parquet path with the batch-read schema (streaming file sources
+    require an explicit schema).
+
+    The file carries TIMESTAMP(NANOS); under the session's
+    ``nanosAsLong`` workaround it surfaces as long nanoseconds and is
+    truncated to micros exactly like the batch path
+    (``session.load_tables``).
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    df = (
+        spark.readStream.schema(schema)
+        # maxFilesPerTrigger high enough that AvailableNow processes
+        # the whole test input as one deterministic micro-batch.
+        .option("maxFilesPerTrigger", "1000000")
+        .parquet(_as_stream_dir(path))
+    )
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+    """Run a streaming DataFrame to completion (AvailableNow) into a
+    memory sink; return the materialized table."""
+    name = f"stream_sink_{next(_SINK_SEQ)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Watermarked windowed aggregations (complete mode -> batch-identical)
+# ---------------------------------------------------------------------------
+
+_STREAM_TUMBLING_ORACLE = f"""
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dec_sum('value', 'sum_value')}
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+@_register("stream_tumbling_counts", _STREAM_TUMBLING_ORACLE)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling 1h windows with a 10-minute watermark.
+
+    Complete output mode emits every window each trigger, so the final
+    answer equals the batch aggregation — which is what the oracle
+    checks. In append mode only watermark-closed windows would emit.
+    """
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    return run_to_memory(agg, "complete").orderBy("window_start", "event_type")
+
+
+_STREAM_SLIDING_ORACLE = """
+WITH offsets AS (SELECT UNNEST([0, 1]) AS k)
+SELECT time_bucket(INTERVAL 1 HOUR, ts) - k * INTERVAL 1 HOUR AS window_start,
+       COUNT(*) AS n_events
+FROM events CROSS JOIN offsets
+GROUP BY 1
+ORDER BY window_start
+"""
+
+
+@_register("stream_sliding_counts", _STREAM_SLIDING_ORACLE)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows (2h width / 1h slide), watermarked."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    return run_to_memory(agg, "complete").orderBy("window_start")
+
+
+_STREAM_SESSION_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE OR
+                     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+), numbered AS (
+    SELECT user_id, ts,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+@_register("stream_session_windows", _STREAM_SESSION_ORACLE)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-minute gap) per user.
+
+    ``F.session_window`` merges overlapping per-event windows in the
+    state store; the oracle rebuilds identical sessions with the batch
+    lag-gap-cumsum idiom (same as the batch op in windows.py).
+    """
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    return run_to_memory(agg, "complete").orderBy("user_id", "session_start")
+
+
+# ---------------------------------------------------------------------------
+# Stateful dedup within watermark
+# ---------------------------------------------------------------------------
+
+_STREAM_DEDUP_ORACLE = """
+SELECT event_type, COUNT(*) AS n_first_events
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@_register("stream_dedup_watermark", _STREAM_DEDUP_ORACLE)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: first event per (user_id, event_type),
+    with ``dropDuplicatesWithinWatermark`` bounding the dedup state to
+    the watermark horizon (unbounded-safe, unlike ``dropDuplicates``
+    whose state never expires on a stream).
+
+    Which physical row survives is nondeterministic, so the checked
+    output is the survivor count per event_type (= distinct key count).
+    """
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    deduped = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    survivors = run_to_memory(deduped, "append")
+    return (
+        survivors.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_first_events"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+_USER_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("max_value", T.DoubleType()),
+        T.StructField("min_value", T.DoubleType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("mx", T.DoubleType()),
+        T.StructField("mn", T.DoubleType()),
+        T.StructField("last", T.TimestampType()),
+    ]
+)
+
+
+def _user_stats_fn(key, pdf_iter, state: GroupState):
+    """Running per-user aggregate kept in the state store.
+
+    Only order-free exact statistics (count / max / min / latest ts) are
+    maintained so the emitted values are deterministic under any
+    partitioning — double *sums* would not be.
+    """
+    n, mx, mn, last = state.get if state.exists else (0, None, None, None)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        v = pdf["value"]
+        bmx, bmn = v.max(), v.min()
+        mx = bmx if mx is None else max(mx, bmx)
+        mn = bmn if mn is None else min(mn, bmn)
+        bts = pdf["ts"].max()
+        last = bts if last is None else max(last, bts)
+    state.update((n, mx, mn, last))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "max_value": [mx],
+            "min_value": [mn],
+            "last_ts": [last],
+        }
+    )
+
+
+_STREAM_USER_STATS_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events,
+       MAX(value) AS max_value, MIN(value) AS min_value,
+       MAX(ts) AS last_ts
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@_register("stream_stateful_user_stats", _STREAM_USER_STATS_ORACLE)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running stats, one state tuple per user, updated per
+    micro-batch and emitted in update mode.
+
+    Scale: one shuffle on user_id; Arrow-batched pandas transfer; state
+    is O(1) per user in the executor state store. The single-batch test
+    input makes the update-mode emission equal the full aggregate, which
+    the oracle checks per user.
+    """
+    ev = events_stream(spark, sf_dir)
+    stats = ev.groupBy("user_id").applyInPandasWithState(
+        _user_stats_fn,
+        outputStructType=_USER_STATS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(stats, "update").orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Batch-equivalence helper for tests (not registered)
+# ---------------------------------------------------------------------------
+
+
+def batch_equivalent_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch plan the streaming tumbling op must agree with —
+    used by tests/test_streaming.py to assert stream==batch."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+        .orderBy("window_start", "event_type")
+    )

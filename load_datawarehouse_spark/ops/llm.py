@@ -581,3 +581,101 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring (length / punctuation / stopword ratios)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+_QUALITY_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_q,
+           LEN(string_split(text, ' ')) AS n_words,
+           LENGTH(text) - LENGTH(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+               AS n_punct,
+           len(list_filter(string_split(text, ' '),
+                           t -> list_contains({list(_STOPWORDS)!r}, t))) AS n_stop
+    FROM documents
+)
+SELECT doc_id, n_words,
+       CAST(n_punct AS DOUBLE) / n_chars_q AS punct_ratio,
+       CAST(n_stop AS DOUBLE) / n_words AS stopword_ratio,
+       (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
+        + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars_q < 0.1 THEN 1 ELSE 0 END
+        + CASE WHEN CAST(n_stop AS DOUBLE) / n_words >= 0.05 THEN 1 ELSE 0 END)
+           AS quality_score
+FROM w
+ORDER BY doc_id
+"""
+
+
+@_register("quality_score", _QUALITY_ORACLE)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality scoring (Gopher/C4-style filters):
+    word-count band, punctuation ratio, stopword ratio — each a
+    codegen'd built-in expression; the composite score is the count of
+    passed filters. One narrow projection, no shuffle."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    words = F.split("text", " ", -1)
+    n_chars = F.length("text")
+    n_words = F.size(words)
+    n_punct = n_chars - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda t_: F.array_contains(stop_arr, t_)))
+    punct_ratio = n_punct.cast("double") / n_chars
+    stop_ratio = n_stop.cast("double") / n_words
+    score = (
+        F.when(n_words.between(20, 1000), 1).otherwise(0)
+        + F.when(punct_ratio < 0.1, 1).otherwise(0)
+        + F.when(stop_ratio >= 0.05, 1).otherwise(0)
+    )
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            n_words.alias("n_words"),
+            punct_ratio.alias("punct_ratio"),
+            stop_ratio.alias("stopword_ratio"),
+            score.alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash document fingerprint
+# ---------------------------------------------------------------------------
+
+_ROLL_MOD = 2**31 - 1
+_ROLL_BASE = 131
+
+_ROLLING_ORACLE = f"""
+SELECT doc_id,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split_regex(text, ''),
+                              c -> CAST(unicode(c) AS BIGINT))),
+           (h, c) -> (h * {_ROLL_BASE} + c) % {_ROLL_MOD}) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@_register("doc_fingerprint_rolling", _ROLLING_ORACLE)
+def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint over the document's bytes:
+    ``h = (h * 131 + byte) mod (2^31 - 1)`` — pure modular integer
+    arithmetic, so Spark's ``F.aggregate`` fold and DuckDB's
+    ``list_reduce`` produce identical values. Narrow projection,
+    entirely codegen'd (no UDF)."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    chars = F.filter(F.split("text", "", -1), lambda c: c != F.lit(""))
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda h, c: (h * _ROLL_BASE + F.ascii(c)) % _ROLL_MOD,
+    )
+    return t["documents"].select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")

@@ -1,0 +1,78 @@
+"""File-format round-trips, partitioned writes, JDBC gating."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+from load_datawarehouse_spark import sources as src
+from load_datawarehouse_spark.errors import (
+    WarehouseAPINotInstalled,
+    WarehouseInvalidInput,
+)
+from load_datawarehouse_spark.session import load_tables
+
+
+def _docs(spark):
+    return load_tables(spark, SF_DIR, register_views=False)["documents"]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.select("doc_id", "text", "lang").collect())
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "json", "csv"])
+def test_round_trip_preserves_rows(spark, tmp_path, fmt):
+    docs = _docs(spark)
+    path = str(tmp_path / f"docs_{fmt}")
+    src.write_table(docs, path, fmt=fmt)
+    # schema-lossy formats are read back with the explicit schema
+    schema = docs.schema if fmt != "parquet" else None
+    got = src.read_table(spark, path, fmt=fmt, schema=schema)
+    assert _rows(got) == _rows(docs)
+    assert got.schema == docs.schema
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    docs = _docs(spark)
+    path = str(tmp_path / "docs_part")
+    src.write_table(docs, path, fmt="parquet", partition_by=["lang"])
+    got = src.read_table(spark, path).filter("lang = 'en'")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # hive-layout write + filter on the partition column -> pruned scan
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    want = docs.filter("lang = 'en'").count()
+    assert got.count() == want
+
+
+def test_max_records_per_file_bounds_files(spark, tmp_path):
+    docs = _docs(spark)
+    n = docs.count()
+    path = str(tmp_path / "docs_small_files")
+    src.write_table(docs.coalesce(1), path, fmt="parquet", max_records_per_file=100)
+    import glob
+
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) >= n // 100
+
+
+def test_bad_format_rejected(spark, tmp_path):
+    with pytest.raises(WarehouseInvalidInput):
+        src.read_table(spark, str(tmp_path), fmt="avro")
+    with pytest.raises(WarehouseInvalidInput):
+        src.write_table(_docs(spark), str(tmp_path), fmt="orc2")
+
+
+def test_jdbc_gated_when_no_driver(spark):
+    url = "jdbc:postgresql://localhost:5432/nope"
+    with pytest.raises(WarehouseAPINotInstalled, match="JDBC driver"):
+        src.read_jdbc(spark, url, "t")
+    with pytest.raises(WarehouseAPINotInstalled, match="JDBC driver"):
+        src.write_jdbc(_docs(spark), url, "t")
+
+
+def test_jdbc_partitioning_args_validated(spark, monkeypatch):
+    monkeypatch.setattr(src, "_jdbc_available", lambda *a: True)
+    with pytest.raises(WarehouseInvalidInput, match="partition_column requires"):
+        src.read_jdbc(spark, "jdbc:x", "t", partition_column="id")

@@ -23,6 +23,11 @@ HEADLINE = [
     "time_window_session",
     "dedup_exact_keep_first",
     "text_stats",
+    "dedup_minhash_lsh",
+    "similarity_cosine_topk",
+    "quality_score",
+    "multimodal_feature_extract",
+    "stream_tumbling_counts",
 ]
 
 

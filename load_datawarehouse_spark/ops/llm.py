@@ -164,17 +164,27 @@ ORDER BY d1, d2
 
 
 def _shingles(t, n: int = 3):
-    """doc_id -> distinct word n-gram shingles, via posexplode + lead
-    windows (all built-ins, no UDF)."""
-    words = t["documents"].select(
-        "doc_id", F.posexplode(F.split("text", " ", -1)).alias("pos", "word")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    shingle = F.concat_ws(" ", "word", *[F.lead("word", i).over(w) for i in range(1, n)])
+    """doc_id -> distinct word n-gram shingles.
+
+    Built array-natively: ``transform`` over the per-document words
+    array assembles every n-gram *before* the explode, so the plan is
+    narrow (no shuffle) until the closing ``distinct``. The obvious
+    posexplode + lead-window formulation shuffles the full token
+    stream on doc_id first — strictly worse at scale.
+    """
+    words = F.split("text", " ", -1)
+    # sequence(0, x) counts DOWN when x < 0, so gate short documents
+    # to an empty shingle array explicitly.
+    shingles = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(words, i + k + 1) for k in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
-        words.select("doc_id", shingle.alias("shingle"), F.lead("word", n - 1).over(w).alias("_last"))
-        .filter(F.col("_last").isNotNull())
-        .select("doc_id", "shingle")
+        t["documents"]
+        .select("doc_id", F.explode(shingles).alias("shingle"))
         .distinct()
     )
 
@@ -260,19 +270,36 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load_tables(spark, sf_dir, register_views=False)
     ds = _shingles(t)
-    hashes = (
-        ds.select("doc_id", "shingle", F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("j"))
-        .select(
-            "doc_id",
-            "j",
-            F.md5(F.concat_ws("|", F.col("j").cast("string"), "shingle")).alias("h"),
-        )
-        .groupBy("doc_id", "j")
-        .agg(F.min("h").alias("sig"))
+    # All N signatures as columns of ONE groupBy(doc_id): the per-
+    # shingle md5s are computed narrow (pre-shuffle), partial min
+    # aggregation runs map-side, and the shuffle carries one row per
+    # document — vs the naive explode(j) formulation that shuffles
+    # N x |shingles| rows through a groupBy(doc_id, j).
+    hcols = [
+        F.md5(F.concat_ws("|", F.lit(str(j)), "shingle")).alias(f"h{j}")
+        for j in range(N_MINHASH)
+    ]
+    sigs = (
+        ds.select("doc_id", *hcols)
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{j}").alias(f"sig{j}") for j in range(N_MINHASH)])
     )
-    bands = hashes.groupBy(
-        "doc_id", (F.col("j") / BAND_SIZE).cast("int").alias("band")
-    ).agg(F.md5(F.concat_ws("|", F.min("sig"), F.max("sig"))).alias("band_key"))
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("long").alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.least(*[F.col(f"sig{j}") for j in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)]),
+                    F.greatest(*[F.col(f"sig{j}") for j in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)]),
+                )
+            ).alias("band_key"),
+        )
+        for b in range(N_MINHASH // BAND_SIZE)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     a = bands.select(F.col("doc_id").alias("d1"), "band", "band_key")
     b = bands.select(F.col("doc_id").alias("d2"), "band", "band_key")
     return (

@@ -14,11 +14,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _registry():
-    from load_datawarehouse_spark.ops import llm, multimodal, relational, streaming, windows
+    from load_datawarehouse_spark.ops import (
+        llm,
+        multimodal,
+        relational,
+        streaming,
+        udfs,
+        windows,
+    )
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
-    for mod in (relational, windows, llm, streaming, multimodal):
+    for mod in (relational, windows, llm, streaming, multimodal, udfs):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

@@ -194,6 +194,84 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+_Q6_ORACLE = f"""
+SELECT {sql_dec_sum('l_extendedprice * l_discount', 'revenue')},
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@_register("q6_forecast_revenue", _Q6_ORACLE)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue-change (TPC-H Q6 shape): pure scan-filter-agg.
+
+    Scale: all three predicates push to the parquet scan (row-group
+    min/max skip most of the file); no shuffle at all — the partial
+    sums reduce straight to one row.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_Q10_ORACLE = f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@_register("q10_returned_items", _Q10_ORACLE)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting (TPC-H Q10 shape): top 20 customers by
+    lost revenue.
+
+    Scale: both date and returnflag predicates push down before the
+    joins; orders-lineitem shuffles on orderkey; the nation dim is
+    broadcast; the final top-20 is a TakeOrdered (no global sort).
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    l = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Join forms: inner / left / right / full / semi / anti / cross / theta
 # ---------------------------------------------------------------------------

@@ -1,0 +1,220 @@
+"""UDF surface (SURVEY.md §2.4 "UDF surface" row, EXT).
+
+One oracle-checked operator per user-defined-function flavor Spark
+offers, ordered by preference at scale:
+
+1. ``F.pandas_udf`` — Arrow-batched, vectorized; the default when an
+   expression genuinely needs Python.
+2. ``GroupedData.applyInPandas`` — grouped-map UDAF: whole group as a
+   pandas frame; shuffles once on the key.
+3. ``F.udtf`` — table function (Spark 4), lateral-joined row generator.
+4. ``F.udf`` — row-at-a-time scalar; the SLOW path (pickled Python per
+   row). Included for surface completeness; never use in a hot path —
+   every other operator in this engine avoids it.
+
+Every function here computes integer-exact or order-free values only,
+so results are deterministic under any partitioning and the DuckDB
+oracle comparison is exact (the same discipline as ops/_util.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from load_datawarehouse_spark.session import load_tables
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# 1. Vectorized pandas UDF (Series -> Series)
+# ---------------------------------------------------------------------------
+
+_VOWELS_ORACLE = """
+SELECT doc_id,
+       CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+           AS n_vowels
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@F.pandas_udf(T.LongType())
+def _count_vowels(texts: pd.Series) -> pd.Series:
+    # vectorized pandas str op over the whole Arrow batch — no
+    # per-row Python dispatch
+    return texts.str.count("[aeiou]").astype("int64")
+
+
+@_register("udf_pandas_vectorized", _VOWELS_ORACLE)
+def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched pandas UDF: vowel count per document. The batch
+    (not the row) is the unit of Python dispatch; ~10-100x the
+    throughput of a row-at-a-time UDF for the same logic."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["documents"]
+        .select("doc_id", _count_vowels("text").alias("n_vowels"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Grouped-map UDAF via applyInPandas
+# ---------------------------------------------------------------------------
+
+_GROUP_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderpriority", T.StringType()),
+        T.StructField("n_orders", T.LongType()),
+        T.StructField("total_price", T.DoubleType()),
+        T.StructField("max_price", T.DoubleType()),
+    ]
+)
+
+
+def _group_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    # prices carry 2-decimal values: accumulate in integer cents so the
+    # sum is exact and order-free (a raw float64 sum would depend on
+    # row order and diverge from the oracle in the last ulps)
+    cents = (pdf["o_totalprice"] * 100).round().astype("int64")
+    return pd.DataFrame(
+        {
+            "o_orderpriority": [pdf["o_orderpriority"].iloc[0]],
+            "n_orders": [len(pdf)],
+            "total_price": [cents.sum() / 100.0],
+            "max_price": [pdf["o_totalprice"].max()],
+        }
+    )
+
+
+_GROUP_STATS_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           AS total_price,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@_register("udaf_apply_in_pandas", _GROUP_STATS_ORACLE)
+def udaf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF: per-priority order stats via ``applyInPandas``.
+
+    Scale: one shuffle on the group key; each group must fit in one
+    executor's memory as a pandas frame — fine for bounded-cardinality
+    keys like priority classes, wrong for per-user groups with
+    hot-key skew (use built-in aggregates or salt first)."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["orders"]
+        .select("o_orderpriority", "o_totalprice")
+        .groupBy("o_orderpriority")
+        .applyInPandas(_group_stats, schema=_GROUP_STATS_SCHEMA)
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. UDTF (Spark 4): lateral row generator
+# ---------------------------------------------------------------------------
+
+
+class _BigramsUDTF:
+    """Emit (pos, bigram) rows for a text — a table function consumed
+    via LATERAL join, the Spark-4-native way to fan out rows from
+    Python without an intermediate array column."""
+
+    def eval(self, doc_id: int, text: str):
+        words = text.split(" ")
+        for i in range(len(words) - 1):
+            yield doc_id, i, f"{words[i]} {words[i + 1]}"
+
+
+_BIGRAMS_ORACLE = """
+WITH words AS (
+    SELECT doc_id,
+           string_split(text, ' ') AS w
+    FROM documents
+    WHERE doc_id < 20
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS pos,
+       w[i + 1] || ' ' || w[i + 2] AS bigram
+FROM words, LATERAL (SELECT unnest(range(len(w) - 1)) AS i) z
+ORDER BY doc_id, pos
+"""
+
+
+@_register("udtf_bigrams", _BIGRAMS_ORACLE)
+def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF lateral-joined against the documents table (first
+    20 docs — UDTFs are row-at-a-time Python and priced accordingly;
+    the engine's production n-gram path is the array-native
+    ``_shingles`` in ops/llm.py)."""
+    load_tables(spark, sf_dir, register_views=True)
+    udtf = F.udtf(
+        _BigramsUDTF,
+        returnType="doc_id: long, pos: long, bigram: string",
+    )
+    spark.udtf.register("ldw_bigrams", udtf)
+    return spark.sql(
+        """
+        SELECT b.doc_id, b.pos, b.bigram
+        FROM documents d, LATERAL ldw_bigrams(d.doc_id, d.text) b
+        WHERE d.doc_id < 20
+        ORDER BY b.doc_id, b.pos
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. Row-at-a-time scalar UDF (the slow path, for surface completeness)
+# ---------------------------------------------------------------------------
+
+_LEN_BUCKET_ORACLE = """
+SELECT doc_id,
+       CASE WHEN LENGTH(text) < 100 THEN 'short'
+            WHEN LENGTH(text) < 300 THEN 'medium'
+            ELSE 'long' END AS len_bucket
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@F.udf(T.StringType())
+def _len_bucket(text: str) -> str:
+    n = len(text)
+    return "short" if n < 100 else ("medium" if n < 300 else "long")
+
+
+@_register("udf_python_scalar", _LEN_BUCKET_ORACLE)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — demonstrates the surface; the same
+    logic belongs in F.when/F.length built-ins (see scalar_case_when),
+    which run ~100x faster inside codegen."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["documents"]
+        .select("doc_id", _len_bucket("text").alias("len_bucket"))
+        .orderBy("doc_id")
+    )

@@ -437,22 +437,36 @@ def lang_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COS_DEC = "decimal(28,12)"
 
 
-def _cosine_cols(a: str, b: str):
-    """Exact cosine between two float arrays: per-element double
-    products (IEEE-deterministic) accumulated in decimal (exact,
-    order-free), final arithmetic in double — bitwise identical in
-    Spark and DuckDB regardless of partitioning."""
+def _dec_fold(arr):
+    """Exact order-free sum of a decimal array, returned as double.
+    (s + x) widens decimal(28,12) -> decimal(29,12); cast back each
+    step to satisfy aggregate's accumulator-type contract (exact —
+    magnitudes here are << 10^16)."""
     zero = F.lit(0).cast(_COS_DEC)
-    prod = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_COS_DEC))
-    sq = lambda c: F.transform(c, lambda x: (x.cast("double") * x.cast("double")).cast(_COS_DEC))  # noqa: E731
-    # (s + x) widens decimal(28,12) -> decimal(29,12); cast back each
-    # step to satisfy aggregate's accumulator-type contract (exact —
-    # magnitudes here are << 10^16).
-    acc = lambda arr: F.aggregate(arr, zero, lambda s, x: (s + x).cast(_COS_DEC)).cast("double")  # noqa: E731
-    dot = acc(prod)
-    na = F.sqrt(acc(sq(a)))
-    nb = F.sqrt(acc(sq(b)))
-    return dot / (na * nb)
+    return F.aggregate(arr, zero, lambda s, x: (s + x).cast(_COS_DEC)).cast("double")
+
+
+def _dec_dot(a, b):
+    """Exact dot product: per-element double products
+    (IEEE-deterministic) accumulated in decimal — bitwise identical in
+    Spark and DuckDB regardless of partitioning."""
+    return _dec_fold(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_COS_DEC))
+    )
+
+
+def _dec_norm(a):
+    """Exact L2 norm (same discipline as ``_dec_dot``)."""
+    return F.sqrt(
+        _dec_fold(F.transform(a, lambda x: (x.cast("double") * x.cast("double")).cast(_COS_DEC)))
+    )
+
+
+def _with_norm(emb):
+    """Corpus projection with the norm computed ONCE per row — the
+    scoring join then folds only the dot product per pair instead of
+    re-deriving both norms for every (row, query) combination."""
+    return emb.select("vec_id", "label", "embedding", _dec_norm("embedding").alias("nrm"))
 
 
 _COS_SQL_FRAG = """
@@ -499,14 +513,18 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity_ivf_topk is the pruned-search path.
     """
     t = load_tables(spark, sf_dir, register_views=False)
-    emb = t["embeddings"]
+    emb = _with_norm(t["embeddings"])
     q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), F.col("nrm").alias("qnrm")
     )
     scored = (
         emb.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", _cosine_cols("embedding", "qv").alias("cosine"))
+        .select(
+            "qid",
+            "vec_id",
+            (_dec_dot("embedding", "qv") / (F.col("nrm") * F.col("qnrm"))).alias("cosine"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -527,14 +545,21 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells, ~1/C of the corpus is scored per query; the cell id is a
     join key so Catalyst shuffles both sides on label once."""
     t = load_tables(spark, sf_dir, register_views=False)
-    emb = t["embeddings"]
+    emb = _with_norm(t["embeddings"])
     q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), F.col("label").alias("qlabel")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+        F.col("nrm").alias("qnrm"),
     )
     scored = (
         emb.join(F.broadcast(q), emb.label == F.col("qlabel"))
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", _cosine_cols("embedding", "qv").alias("cosine"))
+        .select(
+            "qid",
+            "vec_id",
+            (_dec_dot("embedding", "qv") / (F.col("nrm") * F.col("qnrm"))).alias("cosine"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -575,12 +600,21 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum-of-squares-per-cell instead of N^2; for finer blocking chain
     with LSH bucketing first."""
     t = load_tables(spark, sf_dir, register_views=False)
-    emb = t["embeddings"]
-    a = emb.select(F.col("vec_id").alias("v1"), F.col("label"), F.col("embedding").alias("e1"))
-    b = emb.select(F.col("vec_id").alias("v2"), F.col("label"), F.col("embedding").alias("e2"))
+    emb = _with_norm(t["embeddings"])
+    a = emb.select(
+        F.col("vec_id").alias("v1"), "label", F.col("embedding").alias("e1"), F.col("nrm").alias("n1")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("v2"), "label", F.col("embedding").alias("e2"), F.col("nrm").alias("n2")
+    )
     pairs = a.join(b, "label").filter(F.col("v1") < F.col("v2"))
     return (
-        pairs.select("v1", "v2", "label", _cosine_cols("e1", "e2").alias("cosine"))
+        pairs.select(
+            "v1",
+            "v2",
+            "label",
+            (_dec_dot("e1", "e2") / (F.col("n1") * F.col("n2"))).alias("cosine"),
+        )
         .filter(F.col("cosine") >= 0.3)
         .orderBy("v1", "v2")
     )

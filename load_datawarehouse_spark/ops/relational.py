@@ -995,3 +995,141 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .orderBy("c_mktsegment", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Percentiles (exact), pivot / unpivot, array function family
+# ---------------------------------------------------------------------------
+
+_PCTL_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.50) AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75,
+       MAX(l_quantity) AS qmax
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@_register("agg_percentiles", _PCTL_ORACLE)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (Spark ``percentile`` == DuckDB
+    ``quantile_cont``: both linear-interpolate at rank p*(n-1); the
+    inputs are whole numbers and quarter fractions, so the arithmetic
+    is float-exact on both engines).
+
+    Scale: exact percentile buffers every group value — fine for
+    bounded groups; at 100 TB switch to ``approx_percentile`` (t-digest
+    sketch, mergeable map-side, no buffering) and drop the oracle to a
+    tolerance check."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+            F.expr("percentile(l_quantity, 0.50)").alias("p50"),
+            F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+            F.max("l_quantity").alias("qmax"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_F,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_O,
+       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_P
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@_register("pivot_wide", _PIVOT_ORACLE)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot to wide form: order counts by priority x status.
+
+    The pivot values are declared explicitly — omitting them makes
+    Spark run a distinct-scan first AND makes the output schema
+    data-dependent, both wrong at scale."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    p = (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return p.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"status_{s}") for s in ("F", "O", "P")],
+    ).orderBy("o_orderpriority")
+
+
+_UNPIVOT_ORACLE = """
+SELECT l_orderkey, l_linenumber, measure, value FROM (
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+)
+WHERE l_orderkey < 100
+ORDER BY l_orderkey, l_linenumber, measure
+"""
+
+
+@_register("unpivot_long", _UNPIVOT_ORACLE)
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) to long form — native ``DataFrame.unpivot``
+    (Spark >= 3.4), a narrow row-generating operator (no shuffle)."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") < 100)
+        .unpivot(
+            ids=["l_orderkey", "l_linenumber"],
+            values=["l_quantity", "l_discount", "l_tax"],
+            variableColumnName="measure",
+            valueColumnName="value",
+        )
+        .withColumn("measure", F.regexp_replace("measure", "^l_", ""))
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    )
+
+
+_ARRAY_FNS_ORACLE = """
+SELECT doc_id,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+       list_sort(string_split(text, ' '))[1] AS first_sorted,
+       array_to_string(list_sort(string_split(text, ' '))[1:3], ',') AS top3_sorted,
+       list_contains(string_split(text, ' '), 'the') AS has_the,
+       len(string_split(text, ' ')) AS n_words
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@_register("scalar_array", _ARRAY_FNS_ORACLE)
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function family over per-document word arrays:
+    distinct / sort / slice / contains / size — all codegen'd
+    higher-order built-ins, no shuffle, no UDF."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    words = F.split("text", " ", -1)
+    sorted_words = F.array_sort(words)
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.size(F.array_distinct(words)).alias("n_distinct_words"),
+            F.element_at(sorted_words, 1).alias("first_sorted"),
+            F.array_join(F.slice(sorted_words, 1, 3), ",").alias("top3_sorted"),
+            F.array_contains(words, "the").alias("has_the"),
+            F.size(words).alias("n_words"),
+        )
+        .orderBy("doc_id")
+    )

@@ -52,8 +52,15 @@ def test_shingles_single_shuffle(spark):
 
 def test_whole_stage_codegen_on_hot_path(spark):
     # q1's scan->filter->agg pipeline must stay inside codegen; AQE
-    # only materializes the final plan (with codegen spans) after
-    # execution, so run the query first
+    # only finalizes the plan after execution, and only of THIS
+    # DataFrame's own queryExecution (count() would spawn a new one)
     df = relational.q1_pricing_summary(spark, SF_DIR)
-    df.count()
-    assert "WholeStageCodegen" in _plan(df)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # codegen'd operators carry the "*(n)" whole-stage marker; the
+    # aggregate and the scan-filter pipeline must both be inside one
+    import re
+
+    assert re.search(r"\*\(\d+\) HashAggregate", plan)
+    assert re.search(r"\*\(\d+\) (Project|Filter|ColumnarToRow)", plan)

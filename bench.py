@@ -16,6 +16,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
     "join_asof",
     "topk_per_group",
     "agg_groupby_distinct",

@@ -1133,3 +1133,60 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew mitigation: salted join
+# ---------------------------------------------------------------------------
+
+_SALT_K = 8
+
+_SALTED_ORACLE = f"""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_lines,
+       {sql_dec_sum('l.l_extendedprice', 'total_price')}
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@_register("join_skew_salted", _SALTED_ORACLE)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join with manual key salting (K=8).
+
+    The build side is replicated K times with an explicit salt column;
+    each probe row picks ONE deterministic salt (hash of non-key
+    columns mod K), so every probe row still matches exactly one
+    replica and the result equals the plain join — but a hot key's
+    probe rows now spread across K shuffle partitions instead of one.
+
+    Scale: this is the manual fallback for skew that AQE's runtime
+    skew-join splitting can't reach (streaming joins, non-shuffle
+    stages, engines without AQE). Cost: K-fold replication of the
+    build side — only salt genuinely hot keys in production (filter
+    the build replication to the hot-key set).
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    o_salted = t["orders"].select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.explode(F.sequence(F.lit(0), F.lit(_SALT_K - 1))).alias("salt"),
+    )
+    l_salted = t["lineitem"].select(
+        "l_orderkey",
+        "l_extendedprice",
+        F.pmod(F.xxhash64("l_linenumber", "l_partkey"), F.lit(_SALT_K)).alias("salt"),
+    )
+    return (
+        o_salted.join(
+            l_salted,
+            (F.col("l_orderkey") == F.col("o_orderkey")) & (o_salted.salt == l_salted.salt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dec_sum("l_extendedprice", "total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

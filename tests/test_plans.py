@@ -43,6 +43,14 @@ def test_dimension_joins_broadcast(spark):
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
 
 
+def test_range_bucketed_join_is_equi(spark):
+    # the bucketed expansion must plan as a hash/merge equi-join, not
+    # the quadratic nested-loop fallback a raw range predicate gets
+    plan = _plan(relational.join_range_bucketed(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_shingles_single_shuffle(spark):
     t = load_tables(spark, SF_DIR, register_views=False)
     plan = _plan(llm._shingles(t))

@@ -172,21 +172,22 @@ def _shingles(t, n: int = 3):
     posexplode + lead-window formulation shuffles the full token
     stream on doc_id first — strictly worse at scale.
     """
-    words = F.split("text", " ", -1)
+    # Materialize the words array ONCE per row in its own projection:
+    # referencing the split(...) *expression* inside the transform
+    # lambda would re-split the document for every element_at call
+    # (3 splits per shingle — measured 3-4x slower).
+    base = t["documents"].select("doc_id", F.split("text", " ", -1).alias("words"))
+    w = F.col("words")
     # sequence(0, x) counts DOWN when x < 0, so gate short documents
     # to an empty shingle array explicitly.
     shingles = F.when(
-        F.size(words) >= n,
+        F.size(w) >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.concat_ws(" ", *[F.element_at(words, i + k + 1) for k in range(n)]),
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + k + 1) for k in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        t["documents"]
-        .select("doc_id", F.explode(shingles).alias("shingle"))
-        .distinct()
-    )
+    return base.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
 
 
 @_register("dedup_ngram_jaccard", _JACCARD_ORACLE)
@@ -242,7 +243,11 @@ WITH words AS (
     QUALIFY LEAD(word, 2) OVER w IS NOT NULL
 ), ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
 hashes AS (
-    SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS sig
+    -- hash function j = 4-byte window j%4 of md5((j//4) || '|' || shingle):
+    -- 8 independent 32-bit minhashes from only 2 md5 evaluations
+    SELECT doc_id, j,
+           MIN(substr(md5(CAST(j // 4 AS VARCHAR) || '|' || shingle),
+                      (j % 4) * 8 + 1, 8)) AS sig
     FROM ds CROSS JOIN (SELECT unnest(range({N_MINHASH})) AS j)
     GROUP BY doc_id, j
 ), bands AS (
@@ -271,16 +276,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, register_views=False)
     ds = _shingles(t)
     # All N signatures as columns of ONE groupBy(doc_id): the per-
-    # shingle md5s are computed narrow (pre-shuffle), partial min
+    # shingle hashes are computed narrow (pre-shuffle), partial min
     # aggregation runs map-side, and the shuffle carries one row per
     # document — vs the naive explode(j) formulation that shuffles
-    # N x |shingles| rows through a groupBy(doc_id, j).
+    # N x |shingles| rows through a groupBy(doc_id, j). Hash function
+    # j is the 4-byte hex window j%4 of md5((j//4)|shingle): md5's
+    # output bits are uniform and independent, so disjoint windows are
+    # independent 32-bit minhashes at 1/4 the hashing cost; lexical
+    # MIN over fixed-width lowercase hex == numeric min.
+    with_md5 = ds.select(
+        "doc_id",
+        F.md5(F.concat_ws("|", F.lit("0"), "shingle")).alias("m0"),
+        F.md5(F.concat_ws("|", F.lit("1"), "shingle")).alias("m1"),
+    )
     hcols = [
-        F.md5(F.concat_ws("|", F.lit(str(j)), "shingle")).alias(f"h{j}")
+        F.substring(F.col("m0") if j < 4 else F.col("m1"), (j % 4) * 8 + 1, 8).alias(f"h{j}")
         for j in range(N_MINHASH)
     ]
     sigs = (
-        ds.select("doc_id", *hcols)
+        with_md5.select("doc_id", *hcols)
         .groupBy("doc_id")
         .agg(*[F.min(f"h{j}").alias(f"sig{j}") for j in range(N_MINHASH)])
     )

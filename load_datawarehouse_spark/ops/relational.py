@@ -1256,3 +1256,70 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# GEOGRAPHY slot (SURVEY §1.2): WKT-over-string + expression geometry
+# ---------------------------------------------------------------------------
+
+_GEO_ORACLE = """
+WITH pts AS (
+    SELECT o_orderkey,
+           'POINT(' || CAST(o_orderkey % 360 - 180 AS VARCHAR) || ' '
+                    || CAST(o_custkey % 180 - 90 AS VARCHAR) || ')' AS wkt
+    FROM orders
+), parsed AS (
+    SELECT o_orderkey, wkt,
+           CAST(regexp_extract(wkt, 'POINT\\(([-0-9.]+) ([-0-9.]+)\\)', 1) AS DOUBLE) AS x,
+           CAST(regexp_extract(wkt, 'POINT\\(([-0-9.]+) ([-0-9.]+)\\)', 2) AS DOUBLE) AS y
+    FROM pts
+)
+SELECT o_orderkey, wkt, x, y,
+       (x BETWEEN -10 AND 40) AND (y BETWEEN 35 AND 70) AS in_bbox,
+       x * x + y * y AS dist2_origin
+FROM parsed
+WHERE o_orderkey < 1000
+ORDER BY o_orderkey
+"""
+
+
+@_register("scalar_geo_wkt", _GEO_ORACLE)
+def scalar_geo_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOGRAPHY handling per the engine's type mapping (SURVEY §1.2:
+    no native Spark geo type -> WKT in StringType + expression-level
+    geometry). Synthesizes deterministic WKT points, parses them back
+    with regexp, and evaluates bbox containment + squared distance —
+    all codegen'd built-ins; exact integer-valued coordinates keep the
+    oracle comparison bitwise. Real geodesic ops belong in a UDF layer
+    (Sedona-style) on a cluster image that ships geo libs."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    wkt = F.concat(
+        F.lit("POINT("),
+        (F.col("o_orderkey") % 360 - 180).cast("string"),
+        F.lit(" "),
+        (F.col("o_custkey") % 180 - 90).cast("string"),
+        F.lit(")"),
+    )
+    parsed = (
+        t["orders"]
+        .filter(F.col("o_orderkey") < 1000)
+        .select("o_orderkey", wkt.alias("wkt"))
+        .select(
+            "o_orderkey",
+            "wkt",
+            F.regexp_extract("wkt", r"POINT\(([-0-9.]+) ([-0-9.]+)\)", 1)
+            .cast("double")
+            .alias("x"),
+            F.regexp_extract("wkt", r"POINT\(([-0-9.]+) ([-0-9.]+)\)", 2)
+            .cast("double")
+            .alias("y"),
+        )
+    )
+    return parsed.select(
+        "o_orderkey",
+        "wkt",
+        "x",
+        "y",
+        (F.col("x").between(-10, 40) & F.col("y").between(35, 70)).alias("in_bbox"),
+        (F.col("x") * F.col("x") + F.col("y") * F.col("y")).alias("dist2_origin"),
+    ).orderBy("o_orderkey")

@@ -98,9 +98,12 @@ def load_tables(
     relations (check ``.explain``: PushedFilters / ReadSchema).
     """
     # The driver may hand us a session built without our factory; the
-    # nanos-timestamp workaround must hold there too (runtime conf).
+    # nanos-timestamp workaround and the UTC pin (time-window bucketing
+    # and unix_timestamp are session-timezone-dependent; the DuckDB
+    # oracle is effectively UTC) must hold there too (runtime confs).
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
     out: dict[str, DataFrame] = {}

@@ -26,6 +26,8 @@ HEADLINE = [
     "dedup_exact_keep_first",
     "text_stats",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "join_range_bucketed",
     "similarity_cosine_topk",
     "quality_score",
     "multimodal_feature_extract",

@@ -201,10 +201,15 @@ ORDER BY doc_id
 """
 
 
-@F.udf(T.StringType())
-def _len_bucket(text: str) -> str:
+def _len_bucket_py(text):
+    # deliberately unannotated: type hints on an F.udf trigger pandas
+    # eval-type inference (and a warning) — this is the plain
+    # row-at-a-time variant
     n = len(text)
     return "short" if n < 100 else ("medium" if n < 300 else "long")
+
+
+_len_bucket = F.udf(_len_bucket_py, T.StringType())
 
 
 @_register("udf_python_scalar", _LEN_BUCKET_ORACLE)

@@ -1,0 +1,142 @@
+"""Hypothesis property tests for the engine's pure-Python core.
+
+The load-bearing property is partition-invariance of schema inference:
+``infer_schema_distributed`` relies on ``Observation.merge`` being
+associative/commutative *with respect to the condensed schema*, so any
+treeAggregate merge order on any partitioning must produce the same
+api_repr as a single sequential pass. (The
+``factor_of_records_adding_fields`` metric is enumeration-order
+dependent by reference semantics and is excluded.)
+"""
+
+from __future__ import annotations
+
+import copy
+import datetime as dt
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from load_datawarehouse_spark.data import chunks, clean_keys, json_size
+from load_datawarehouse_spark.errors import WarehouseRowOversize
+from load_datawarehouse_spark.schema_infer import Observation, condense, infer_schema
+
+# --- strategies ------------------------------------------------------------
+
+_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**40), max_value=2**40),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(max_size=8),
+    st.binary(max_size=6),
+    st.dates(),
+    st.datetimes(),
+)
+
+_keys = st.sampled_from(["a", "b", "b 2", "c.x", "d", 7, "e"])
+
+
+def _records(depth: int):
+    leaf = st.one_of(_scalars, st.lists(_scalars, max_size=4))
+    if depth <= 0:
+        value = leaf
+    else:
+        value = st.one_of(leaf, st.lists(_nested(depth - 1), max_size=2))
+    return st.dictionaries(_keys, value, max_size=5)
+
+
+def _nested(depth: int):
+    return st.deferred(lambda: _records(depth))
+
+
+record_lists = st.lists(_records(depth=2), max_size=12)
+
+
+def _norm(schema: list[dict]) -> list:
+    out = []
+    for f in sorted(schema, key=lambda f: f["name"]):
+        e = {"name": f["name"], "type": f["type"], "mode": f["mode"]}
+        if f.get("fields"):
+            e["fields"] = _norm(f["fields"])
+        out.append(e)
+    return out
+
+
+# --- inference: partition invariance --------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(records=record_lists, cut=st.integers(min_value=0, max_value=12))
+def test_inference_partition_invariant(records, cut):
+    cut = min(cut, len(records))
+    want = _norm(infer_schema(records).schema)
+
+    left, right = Observation(), Observation()
+    for r in records[:cut]:
+        left.observe_row(r)
+    for r in records[cut:]:
+        right.observe_row(r)
+
+    ab = copy.deepcopy(left).merge(copy.deepcopy(right))
+    ba = copy.deepcopy(right).merge(copy.deepcopy(left))
+    assert _norm(condense(ab.fields)) == want
+    assert _norm(condense(ba.fields)) == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(records=record_lists)
+def test_inference_idempotent_under_duplication(records):
+    # observing the same data twice must not change the schema
+    once = _norm(infer_schema(records).schema)
+    twice = _norm(infer_schema(records + records).schema)
+    assert once == twice
+
+
+# --- clean_keys: idempotence ----------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(records=record_lists)
+def test_clean_keys_idempotent(records):
+    cleaned = clean_keys(records)
+    assert clean_keys(cleaned) == cleaned
+
+
+# --- chunking: lossless, ordered, bounded ---------------------------------
+
+_json_records = st.lists(
+    st.dictionaries(
+        st.text(min_size=1, max_size=4),
+        st.one_of(st.integers(), st.text(max_size=30), st.none()),
+        max_size=4,
+    ),
+    max_size=30,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(records=_json_records, limit=st.integers(min_value=200, max_value=2000))
+def test_chunks_lossless_ordered_bounded(records, limit):
+    try:
+        out = list(chunks(records, size_limit=limit))
+    except WarehouseRowOversize:
+        # legitimate only if some single row alone exceeds the limit
+        assert any(json_size([r]) > limit for r in records)
+        return
+    flat = [r for c in out for r in c]
+    assert flat == records
+    for c in out:
+        assert json_size(c) <= limit
+    assert all(c for c in out)  # no empty chunks
+
+
+@settings(max_examples=30, deadline=None)
+@given(records=_json_records)
+def test_json_size_matches_reference_metric(records):
+    # reference parity: sys.getsizeof of the dump string
+    # (src/load_datawarehouse/data.py:146-177), NOT raw encoded length
+    import sys
+
+    assert json_size(records) == sys.getsizeof(json.dumps(records, default=str))

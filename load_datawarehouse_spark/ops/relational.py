@@ -1323,3 +1323,50 @@ def scalar_geo_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("x").between(-10, 40) & F.col("y").between(35, 70)).alias("in_bbox"),
         (F.col("x") * F.col("x") + F.col("y") * F.col("y")).alias("dist2_origin"),
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Map function family (+ from_json into MapType)
+# ---------------------------------------------------------------------------
+
+_MAP_ORACLE = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_from_json,
+       CAST(len(json_keys(props)) AS INTEGER) AS n_json_keys,
+       array_to_string(list_sort(json_keys(props)), ',') AS json_keys_sorted,
+       map_extract(map(['uid','val'], [CAST(user_id AS DOUBLE), value]), 'val')[1]
+           AS val_lookup,
+       array_to_string(map_keys(map(['uid','val'],
+                                    [CAST(user_id AS DOUBLE), value])), ',')
+           AS m_keys
+FROM events
+WHERE event_id < 1000
+ORDER BY event_id
+"""
+
+
+@_register("scalar_map", _MAP_ORACLE)
+def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map function family: ``from_json`` into ``MapType`` (schema-on-
+    read over the JSON props column), plus construction / key listing /
+    lookup on a built map — all codegen'd built-ins. MapType is an EXT
+    convenience per SURVEY §1.2 (the reference's model never emits
+    maps; dict values are records)."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    jm = F.from_json("props", "map<string,string>")
+    m = F.create_map(
+        F.lit("uid"), F.col("user_id").cast("double"), F.lit("val"), F.col("value")
+    )
+    return (
+        t["events"]
+        .filter(F.col("event_id") < 1000)
+        .select(
+            "event_id",
+            F.element_at(jm, "k").cast("long").alias("k_from_json"),
+            F.size(jm).alias("n_json_keys"),
+            F.array_join(F.array_sort(F.map_keys(jm)), ",").alias("json_keys_sorted"),
+            F.element_at(m, "val").alias("val_lookup"),
+            F.array_join(F.map_keys(m), ",").alias("m_keys"),
+        )
+        .orderBy("event_id")
+    )

@@ -754,3 +754,105 @@ def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda h, c: (h * _ROLL_BASE + F.ascii(c)) % _ROLL_MOD,
     )
     return t["documents"].select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate clustering: connected components over the pair graph
+# ---------------------------------------------------------------------------
+
+_CC_MAX_ITERS = 25
+
+_CC_ORACLE = """
+WITH RECURSIVE
+norms AS (
+    SELECT vec_id,
+        SQRT(CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+    FROM (SELECT vec_id, unnest(embedding) AS a FROM embeddings)
+    GROUP BY vec_id
+), elems AS (
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           unnest(a.embedding) AS x, unnest(b.embedding) AS y
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+), dots AS (
+    SELECT v1, v2,
+        CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dot
+    FROM elems GROUP BY 1, 2
+), edges AS (
+    SELECT d.v1, d.v2
+    FROM dots d JOIN norms n1 ON n1.vec_id = d.v1 JOIN norms n2 ON n2.vec_id = d.v2
+    WHERE d.dot / (n1.nrm * n2.nrm) >= 0.3
+), und AS (
+    SELECT v1 AS a, v2 AS b FROM edges UNION SELECT v2, v1 FROM edges
+), reach(src, node) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.node
+)
+SELECT node AS vec_id, MIN(src) AS component,
+       CAST(MIN(src) = node AS BOOLEAN) AS is_representative
+FROM reach GROUP BY node ORDER BY vec_id
+"""
+
+
+@_register("dedup_connected_components", _CC_ORACLE)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clustering: connected components over the
+    cosine>=0.3 pair graph via iterative min-label propagation, then
+    a representative (min id) per component — the "keep one copy per
+    duplicate cluster" step after any near-dup pass.
+
+    An iterative DataFrame algorithm (label(v) <- min(label(v),
+    min(label(neighbors))) to fixed point): each round is one shuffle
+    on the vertex id; rounds needed = graph diameter (small for
+    blocked near-dup graphs). The loop materializes each round with a
+    localCheckpoint to cut the growing lineage — the standard pattern
+    for iterative algorithms on DataFrames at scale. The oracle
+    replays it as a recursive CTE.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    emb = _with_norm(t["embeddings"])
+    a = emb.select(F.col("vec_id").alias("v1"), "label", F.col("embedding").alias("e1"), F.col("nrm").alias("n1"))
+    b = emb.select(F.col("vec_id").alias("v2"), "label", F.col("embedding").alias("e2"), F.col("nrm").alias("n2"))
+    edges = (
+        a.join(b, "label")
+        .filter(F.col("v1") < F.col("v2"))
+        .select("v1", "v2", (_dec_dot("e1", "e2") / (F.col("n1") * F.col("n2"))).alias("cos"))
+        .filter(F.col("cos") >= 0.3)
+        .select("v1", "v2")
+    )
+    und = edges.unionByName(
+        edges.select(F.col("v2").alias("v1"), F.col("v1").alias("v2"))
+    ).localCheckpoint(eager=True)
+
+    labels = t["embeddings"].select("vec_id", F.col("vec_id").alias("component"))
+    for _ in range(_CC_MAX_ITERS):
+        neighbor_min = (
+            und.join(labels, und.v1 == labels.vec_id)
+            .groupBy(F.col("v2").alias("nv"))
+            .agg(F.min("component").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.vec_id == F.col("nv"), "left")
+            .select(
+                "vec_id",
+                F.least(F.col("component"), F.coalesce(F.col("ncomp"), F.col("component"))).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint(eager=True)  # cut lineage each round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vec_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "vec_id",
+        "component",
+        (F.col("component") == F.col("vec_id")).alias("is_representative"),
+    ).orderBy("vec_id")

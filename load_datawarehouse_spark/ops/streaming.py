@@ -351,3 +351,68 @@ def batch_equivalent_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
         .orderBy("window_start", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream join (windowed, watermarked both sides)
+# ---------------------------------------------------------------------------
+
+_STREAM_JOIN_ORACLE = """
+SELECT c.user_id AS user_id,
+       COUNT(*) AS n_attributed,
+       MIN(p.event_id) AS first_purchase_event
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@_register("stream_stream_join", _STREAM_JOIN_ORACLE)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases attributed to a click by the
+    same user within 30 minutes.
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both ends — exactly what Spark requires to size and evict
+    the two join-state stores on an unbounded stream. The single-batch
+    test input makes the inner-join output deterministic; the oracle
+    replays it as a batch self-join. Scale: state is
+    watermark+interval-bounded per side; the join shuffles both
+    streams on user_id once.
+    """
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_event_id"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    )
+    matched = run_to_memory(joined, "append")
+    return (
+        matched.groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            F.min("p_event_id").alias("first_purchase_event"),
+        )
+        .orderBy("user_id")
+    )

@@ -1370,3 +1370,37 @@ def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Join strategy hints (broadcast is exercised throughout; this pins the
+# shuffle-hash and merge strategies explicitly)
+# ---------------------------------------------------------------------------
+
+_HINT_ORACLE = f"""
+SELECT o.o_orderpriority, COUNT(*) AS n_lines,
+       {sql_dec_sum('l.l_extendedprice', 'total_price')}
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@_register("join_hint_shuffle_hash", _HINT_ORACLE)
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same logical join as join_skew_salted's base, pinned to a
+    shuffle-hash strategy via hint: no sort on either side — the right
+    choice when one side is much smaller per partition but too big to
+    broadcast whole (build-side hash tables must fit per-task memory;
+    sort-merge is the spill-safe default)."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["orders"].hint("SHUFFLE_HASH")
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dec_sum("l_extendedprice", "total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

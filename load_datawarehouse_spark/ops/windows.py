@@ -298,3 +298,40 @@ def time_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")
         .orderBy("user_id", "session_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution analytics: percent_rank / cume_dist / ntile interplay
+# ---------------------------------------------------------------------------
+
+_WIN_DIST_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume,
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_custkey, o_totalprice, o_orderkey
+"""
+
+
+@_register("window_distribution", _WIN_DIST_ORACLE)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist per customer: both are exact integer
+    ratios ((rank-1)/(n-1), rank_rows/n) so the double results are
+    bitwise identical across engines. One shuffle on the partition
+    key, shared by both specs."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return (
+        t["orders"]
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("o_custkey", "o_totalprice", "o_orderkey")
+    )

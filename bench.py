@@ -32,6 +32,7 @@ HEADLINE = [
     "quality_score",
     "multimodal_feature_extract",
     "stream_tumbling_counts",
+    "pipeline_training_prep",
 ]
 
 

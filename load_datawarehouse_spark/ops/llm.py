@@ -856,3 +856,89 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         (F.col("component") == F.col("vec_id")).alias("is_representative"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Capstone: end-to-end training-data prep pipeline
+# ---------------------------------------------------------------------------
+
+_PIPELINE_ORACLE = f"""
+WITH deduped AS (
+    SELECT doc_id, lang, text
+    FROM (
+        SELECT doc_id, lang, text,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+), scored AS (
+    SELECT doc_id, lang, text,
+           LEN(string_split(text, ' ')) AS n_words,
+           CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+               / LENGTH(text) AS punct_ratio,
+           CAST(len(list_filter(string_split(text, ' '),
+                                t -> list_contains({list(_STOPWORDS)!r}, t))) AS DOUBLE)
+               / LEN(string_split(text, ' ')) AS stop_ratio
+    FROM deduped
+), kept AS (
+    SELECT doc_id, lang, text, n_words
+    FROM scored
+    WHERE (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
+         + CASE WHEN punct_ratio < 0.1 THEN 1 ELSE 0 END
+         + CASE WHEN stop_ratio >= 0.05 THEN 1 ELSE 0 END) >= 2
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(LEN(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT)
+           AS total_tokens
+FROM kept
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@_register("pipeline_training_prep", _PIPELINE_ORACLE)
+def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus preparation: exact dedup (keep lowest doc_id)
+    -> quality filter (>=2 of 3 Gopher/C4-style checks) -> per-language
+    token accounting. The composition the individual operators exist
+    for, expressed as ONE lazy plan so Catalyst pipelines dedup window,
+    filters, and aggregation with a single shuffle on the hash key plus
+    the final tiny group-by. At 100 TB: identical plan, with the window
+    dedup sharing the md5 shuffle and everything else map-side.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        t["documents"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "text")
+    )
+    words = F.split("text", " ", -1)
+    n_words = F.size(words)
+    punct_ratio = (
+        F.length("text") - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+    ).cast("double") / F.length("text")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stop_ratio = F.size(F.filter(words, lambda t_: F.array_contains(stop_arr, t_))).cast(
+        "double"
+    ) / n_words
+    score = (
+        F.when(n_words.between(20, 1000), 1).otherwise(0)
+        + F.when(punct_ratio < 0.1, 1).otherwise(0)
+        + F.when(stop_ratio >= 0.05, 1).otherwise(0)
+    )
+    kept = deduped.withColumn("n_words", n_words).filter(score >= 2)
+    n_tokens = F.size(
+        F.regexp_extract_all("text", F.lit("([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ])"), 0)
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum(n_tokens).cast("long").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )

@@ -111,12 +111,14 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "lang",
-            F.length("text").alias("n_chars_actual"),
-            n_words.alias("n_words"),
+            F.length("text").cast("long").alias("n_chars_actual"),
+            n_words.cast("long").alias("n_words"),
             (
                 F.length(F.regexp_replace("text", " ", "")).cast("double") / n_words
             ).alias("avg_word_len"),
-            (F.length("text") - F.length(F.regexp_replace("text", "e", ""))).alias("n_letter_e"),
+            (F.length("text") - F.length(F.regexp_replace("text", "e", "")))
+            .cast("long")
+            .alias("n_letter_e"),
         )
         .orderBy("doc_id")
     )
@@ -321,6 +323,91 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
         .distinct()
+        .orderBy("d1", "d2")
+    )
+
+
+_MINHASH_VERIFIED_ORACLE = f"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           word || ' ' || LEAD(word, 1) OVER w || ' ' || LEAD(word, 2) OVER w AS shingle
+    FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    QUALIFY LEAD(word, 2) OVER w IS NOT NULL
+), ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+hashes AS (
+    SELECT doc_id, j,
+           MIN(substr(md5(CAST(j // 4 AS VARCHAR) || '|' || shingle),
+                      (j % 4) * 8 + 1, 8)) AS sig
+    FROM ds CROSS JOIN (SELECT unnest(range({{n_minhash}})) AS j)
+    GROUP BY doc_id, j
+), bands AS (
+    SELECT doc_id, j // {{band_size}} AS band,
+           md5(MIN(sig) || '|' || MAX(sig)) AS band_key
+    FROM hashes GROUP BY doc_id, j // {{band_size}}
+), cand AS (
+    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), cnt AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+    FROM ds a
+    JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    JOIN cand c ON c.d1 = a.doc_id AND c.d2 = b.doc_id
+    GROUP BY 1, 2
+)
+SELECT m.d1, m.d2, m.n_common,
+       CAST(m.n_common AS DOUBLE) / (c1.n + c2.n - m.n_common) AS jaccard
+FROM common m
+JOIN cnt c1 ON c1.doc_id = m.d1
+JOIN cnt c2 ON c2.doc_id = m.d2
+WHERE CAST(m.n_common AS DOUBLE) / (c1.n + c2.n - m.n_common) >= 0.3
+ORDER BY d1, d2
+""".format(n_minhash=N_MINHASH, band_size=BAND_SIZE)
+
+
+@_register("dedup_minhash_verified", _MINHASH_VERIFIED_ORACLE)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates -> exact-Jaccard verification (the downstream
+    step ``dedup_minhash_lsh``'s docstring promises).
+
+    Scale pattern: the exact shingle-intersection join runs only over
+    documents that appear in some LSH candidate pair (left-semi
+    restriction), so the expensive exact step touches ~|candidates|
+    documents instead of the whole corpus — the standard
+    LSH-then-verify dedup pipeline shape (cf. MinHashLSH usage in
+    Spark MLlib docs). No document-frequency pruning here: the
+    verification must be exact, and the semi-join already bounds the
+    inverted-index fanout."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    cand = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    ds = _shingles(t)
+    cand_docs = (
+        cand.select(F.col("d1").alias("doc_id"))
+        .union(cand.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    ds_c = ds.join(cand_docs, "doc_id", "left_semi")
+    cnt = ds_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ds_c.select(F.col("doc_id").alias("d1"), "shingle")
+    b = ds_c.select(F.col("doc_id").alias("d2"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(cand, ["d1", "d2"])
+    )
+    jac = F.col("n_common").cast("double") / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    return (
+        common.join(cnt.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(cnt.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        .select("d1", "d2", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.3)
         .orderBy("d1", "d2")
     )
 
@@ -542,7 +629,7 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 10)
         .orderBy("qid", "rk")
     )
@@ -577,7 +664,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 10)
         .orderBy("qid", "rk")
     )
@@ -652,7 +739,9 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.size(
                 F.regexp_extract_all("text", F.lit("([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ])"), 0)
-            ).alias("n_tokens"),
+            )
+            .cast("long")
+            .alias("n_tokens"),
         )
         .orderBy("doc_id")
     )
@@ -711,7 +800,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["documents"]
         .select(
             "doc_id",
-            n_words.alias("n_words"),
+            n_words.cast("long").alias("n_words"),
             punct_ratio.alias("punct_ratio"),
             stop_ratio.alias("stopword_ratio"),
             score.alias("quality_score"),

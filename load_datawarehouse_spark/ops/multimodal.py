@@ -224,7 +224,7 @@ GROUP BY doc_id
 ORDER BY doc_id
 """.format(
     bins=",\n       ".join(
-        f"COALESCE(SUM(CASE WHEN code // 32 = {i} THEN 1 END), 0) AS hist_{i}"
+        f"CAST(COALESCE(SUM(CASE WHEN code // 32 = {i} THEN 1 END), 0) AS BIGINT) AS hist_{i}"
         for i in range(8)
     )
 )

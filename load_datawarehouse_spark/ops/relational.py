@@ -304,7 +304,7 @@ _JOIN_LEFT_ORACLE = """
 SELECT c.c_mktsegment,
        COUNT(*) AS n_rows,
        COUNT(o.o_orderkey) AS n_matched,
-       SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_unmatched
+       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
 FROM customer c
 LEFT JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
@@ -318,6 +318,40 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["customer"]
         .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_orderkey").alias("n_matched"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("n_unmatched"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_JOIN_RIGHT_ORACLE = """
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_rows,
+       COUNT(o.o_orderkey) AS n_matched,
+       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+FROM orders o
+RIGHT JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@_register("join_right_outer", _JOIN_RIGHT_ORACLE)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer equi-join (orders ⟖ customer), aggregated per
+    segment. Mirrors ``join_left_outer``; the preserved side is the
+    right (customer), so unmatched customers survive with a NULL
+    orders side. Reference query surface: bigquery/__init__.py:463-499.
+    Scale: single shuffle on custkey; AQE may convert to broadcast
+    when the preserved side is small enough."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["orders"]
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"), "right")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -620,7 +654,9 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            (F.grouping("o_orderstatus") + 2 * F.grouping("o_orderpriority")).alias("grouping_id"),
+            (F.grouping("o_orderstatus") + 2 * F.grouping("o_orderpriority"))
+            .cast("long")
+            .alias("grouping_id"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
@@ -653,7 +689,9 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             dec_sum("l_quantity", "sum_qty"),
-            (F.grouping("l_returnflag") + 2 * F.grouping("l_linestatus")).alias("grouping_id"),
+            (F.grouping("l_returnflag") + 2 * F.grouping("l_linestatus"))
+            .cast("long")
+            .alias("grouping_id"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -683,15 +721,48 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_AGG_GSETS_SQL)
 
 
-@_register("agg_approx_count_distinct", None)  # approx: no exact oracle
+_AGG_APPROX_ORACLE = """
+SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS orders_ok,
+       TRUE AS parts_ok
+FROM lineitem
+"""
+
+#: HLL++ relative standard deviation used below; the within-tolerance
+#: flags assert |estimate - exact| <= 3*rsd*exact (≈99.7% confidence).
+_HLL_RSD = 0.01
+
+
+@_register("agg_approx_count_distinct", _AGG_APPROX_ORACLE)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct estimate — oracle omitted (estimator
-    implementations differ across engines by design); driver records
-    the rows-only check. Exact distinct is covered by agg_basic."""
+    """HyperLogLog++ distinct estimate, made oracle-checkable.
+
+    Raw HLL estimates can't hash-match an exact oracle (estimator
+    internals differ across engines by design), so the query emits the
+    exact distinct counts plus boolean flags asserting the estimate is
+    within 3*rsd of exact — the oracle's flags are literal TRUE, so a
+    drifting estimator fails the driver hash instead of hiding behind
+    a rows-only check."""
     t = load_tables(spark, sf_dir, register_views=False)
-    return t["lineitem"].agg(
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+    tol = 3 * _HLL_RSD
+    agg = t["lineitem"].agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey", _HLL_RSD).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", _HLL_RSD).alias("approx_parts"),
+    )
+    return agg.select(
+        "exact_orders",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= tol * F.col("exact_orders")
+        ).alias("orders_ok"),
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= tol * F.col("exact_parts")
+        ).alias("parts_ok"),
     )
 
 
@@ -793,7 +864,7 @@ def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lower("p_name").alias("lower_name"),
             F.upper("p_brand").alias("upper_brand"),
             F.substring("p_type", 1, 5).alias("type_prefix"),
-            F.length("p_name").alias("name_len"),
+            F.length("p_name").cast("long").alias("name_len"),
             F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
             F.regexp_replace("p_name", " ", "_").alias("snake_name"),
             F.when(F.col("p_name").contains("green"), 1).otherwise(0).alias("is_green"),
@@ -917,7 +988,7 @@ def scalar_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JSON_ORACLE = """
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
@@ -990,7 +1061,10 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
         joined.select(
-            "c_mktsegment", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+            "c_mktsegment",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
         )
         .filter(F.col("rn") <= 3)
         .orderBy("c_mktsegment", "rn")
@@ -1125,11 +1199,11 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["documents"]
         .select(
             "doc_id",
-            F.size(F.array_distinct(words)).alias("n_distinct_words"),
+            F.size(F.array_distinct(words)).cast("long").alias("n_distinct_words"),
             F.element_at(sorted_words, 1).alias("first_sorted"),
             F.array_join(F.slice(sorted_words, 1, 3), ",").alias("top3_sorted"),
             F.array_contains(words, "the").alias("has_the"),
-            F.size(words).alias("n_words"),
+            F.size(words).cast("long").alias("n_words"),
         )
         .orderBy("doc_id")
     )

@@ -56,9 +56,9 @@ def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             "o_orderdate",
-            F.row_number().over(w).alias("rn"),
-            F.rank().over(w2).alias("rnk"),
-            F.dense_rank().over(w2).alias("drnk"),
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w2).cast("long").alias("rnk"),
+            F.dense_rank().over(w2).cast("long").alias("drnk"),
         )
         .filter(F.col("rn") <= 2)
         .orderBy("o_custkey", "rn")
@@ -173,7 +173,7 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("c_acctbal", "c_custkey")
     return (
         t["customer"]
-        .select("c_custkey", "c_acctbal", F.ntile(4).over(w).alias("balance_quartile"))
+        .select("c_custkey", "c_acctbal", F.ntile(4).over(w).cast("long").alias("balance_quartile"))
         .orderBy("c_custkey")
     )
 

@@ -49,6 +49,7 @@ def test_approx_count_distinct_within_tolerance(spark):
     t = load_tables(spark, SF_DIR, register_views=False)
     exact_orders = t["lineitem"].select("l_orderkey").distinct().count()
     exact_parts = t["lineitem"].select("l_partkey").distinct().count()
-    # rsd=0.01 — allow 5 sigma
-    assert abs(row["approx_orders"] - exact_orders) <= max(5, 0.05 * exact_orders)
-    assert abs(row["approx_parts"] - exact_parts) <= max(5, 0.05 * exact_parts)
+    assert row["exact_orders"] == exact_orders
+    assert row["exact_parts"] == exact_parts
+    # the query itself asserts |estimate-exact| <= 3*rsd*exact
+    assert row["orders_ok"] and row["parts_ok"]

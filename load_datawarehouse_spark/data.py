@@ -157,7 +157,10 @@ def sample(data, size: int, seed: int | None = None):
     """Random no-replacement sample of n records (data.py:179-204).
     Spark variant returns *exactly* n rows (rand-sort + limit)."""
     if isinstance(data, DataFrame):
-        return data.orderBy(F.rand(seed if seed is not None else 42)).limit(size)
+        # unseeded must be genuinely random per call (matches the
+        # reference's random.sample and the pandas/list branches)
+        rand = F.rand(seed) if seed is not None else F.rand()
+        return data.orderBy(rand).limit(size)
     try:
         import pandas as pd
 
@@ -229,22 +232,36 @@ def chunks(
         # len('[' + ', '.join(parts) + ']') + string overhead
         return overhead + 2 + body_len + max(0, n_rows - 1) * 2
 
-    for idx, row in enumerate(data):
-        row_len = len(json.dumps(row, default=str))
-        if cur_size(1, row_len) > size_limit:
+    i, n = 0, len(data)
+    while i < n or cur:
+        if i < n:
+            row = data[i]
+            row_len = len(json.dumps(row, default=str))
+            if cur_size(1, row_len) > size_limit:
+                raise WarehouseRowOversize(
+                    f"Row #{i} has a size of {cur_size(1, row_len):d}, "
+                    f"which exceeds size limit of {size_limit:,d} bytes."
+                )
+            if not (cur and cur_size(len(cur) + 1, cur_len + row_len) > size_limit):
+                cur.append(row)
+                cur_len += row_len
+                i += 1
+                continue
+        # flush. The width guard trims rows whose real (non-ASCII)
+        # json_size exceeds the per-row estimate — trimmed rows are
+        # NOT dropped: i rewinds so they lead the next chunk
+        # (lossless-concatenation invariant).
+        popped = 0
+        while cur and json_size(cur) > size_limit:  # pragma: no cover
+            cur.pop()  # estimate is exact for ASCII dumps
+            popped += 1
+        i -= popped
+        if not cur:  # pragma: no cover — even one row over the real metric
             raise WarehouseRowOversize(
-                f"Row #{idx} has a size of {cur_size(1, row_len):d}, "
-                f"which exceeds size limit of {size_limit:,d} bytes."
+                f"Row #{i} exceeds size limit of {size_limit:,d} bytes."
             )
-        if cur and cur_size(len(cur) + 1, cur_len + row_len) > size_limit:
-            while cur and json_size(cur) > size_limit:  # non-ASCII width guard
-                cur.pop()  # pragma: no cover — estimate is exact for ASCII
-            yield cur
-            cur, cur_len = [], 0
-        cur.append(row)
-        cur_len += row_len
-    if cur:
         yield cur
+        cur, cur_len = [], 0
 
 
 def with_chunk_ids(

@@ -603,15 +603,56 @@ ORDER BY qid, rk
 """
 
 
+def _global_topk(scored, k: int = 10):
+    """Two-phase per-query top-k over a (qid, vec_id, cosine) set.
+
+    Phase 1 is a *narrow* ``mapInPandas``: each partition keeps only
+    its local top-k per qid, so at most |partitions| * |queries| * k
+    rows survive. Phase 2 ranks that tiny set with the usual window.
+
+    Why not ``Window.partitionBy("qid")`` directly: with few query
+    ids it funnels EVERY scored corpus row through a low-cardinality
+    full shuffle — the classic scale-killer (at 100 TB, billions of
+    rows into 5 reducers). Here the big side never shuffles at all;
+    the exchange moves only the per-partition survivors.
+    """
+
+    def partition_topk(batches):
+        import pandas as pd
+
+        best = None
+        for pdf in batches:
+            cand = pdf if best is None else pd.concat((best, pdf), ignore_index=True)
+            cand = cand.sort_values(
+                ["qid", "cosine", "vec_id"], ascending=[True, False, True]
+            )
+            best = cand.groupby("qid", sort=False).head(k)
+        if best is not None:
+            yield best
+
+    local = scored.select(
+        F.col("qid").cast("long"),
+        F.col("vec_id").cast("long"),
+        F.col("cosine").cast("double"),
+    ).mapInPandas(partition_topk, "qid long, vec_id long, cosine double")
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        local.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .orderBy("qid", "rk")
+    )
+
+
 @_register("similarity_cosine_topk", _COS_SQL_FRAG.format(extra_pred=""))
 def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for 5 query vectors.
 
     Scale: queries are broadcast; each corpus partition scores its
     rows independently (zip_with/aggregate stay in codegen — no
-    Python); per-query top-k via ranking window on the (tiny) scored
-    set. The brute-force scan is the correctness baseline —
-    similarity_ivf_topk is the pruned-search path.
+    Python), then keeps only its local top-k per query before any
+    shuffle (see ``_global_topk``). The brute-force scan is the
+    correctness baseline — similarity_ivf_topk is the pruned-search
+    path.
     """
     t = load_tables(spark, sf_dir, register_views=False)
     emb = _with_norm(t["embeddings"])
@@ -627,12 +668,7 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (_dec_dot("embedding", "qv") / (F.col("nrm") * F.col("qnrm"))).alias("cosine"),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 10)
-        .orderBy("qid", "rk")
-    )
+    return _global_topk(scored, 10)
 
 
 @_register(
@@ -662,12 +698,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (_dec_dot("embedding", "qv") / (F.col("nrm") * F.col("qnrm"))).alias("cosine"),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 10)
-        .orderBy("qid", "rk")
-    )
+    return _global_topk(scored, 10)
 
 
 _NEARDUP_EMB_ORACLE = """

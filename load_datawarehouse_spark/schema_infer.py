@@ -58,25 +58,42 @@ except Exception:  # pragma: no cover
 # --- Observation IR --------------------------------------------------------
 
 
-def _ordered_add(lst: list, item: Any) -> None:
-    if item not in lst:
-        lst.append(item)
+#: order key: (partition_id, row_index) of the FIRST observation of a
+#: kind. "First observed" is thereby a GLOBAL property — min() over
+#: keys is associative and commutative, so any treeAggregate merge
+#: order reproduces the sequential result (the reference's
+#: guess_warehouse_dtype returns the switch type of the first-observed
+#: kind, so kind order is semantics, not bookkeeping).
+OrderKey = tuple
+
+
+def _first_add(d: dict, kind: str, key: OrderKey) -> None:
+    prev = d.get(kind)
+    if prev is None or key < prev:
+        d[kind] = key
+
+
+def _merge_keyed(into: dict, other: dict) -> None:
+    for kind, key in other.items():
+        _first_add(into, kind, key)
+
+
+def _kinds_in_order(d: dict) -> list:
+    return [k for k, _ in sorted(d.items(), key=lambda kv: kv[1])]
 
 
 @dataclass
 class FieldObs:
     """Merged observations for one field path (associative-mergeable)."""
 
-    scalars: list = field(default_factory=list)  # observed scalar types
-    list_elems: list = field(default_factory=list)  # flattened list-element types
+    scalars: dict = field(default_factory=dict)  # kind -> first-seen OrderKey
+    list_elems: dict = field(default_factory=dict)  # flattened list-element kinds
     has_list: bool = False
     record: "dict[str, FieldObs] | None" = None  # merged sub-record obs
 
     def merge(self, other: "FieldObs") -> "FieldObs":
-        for t in other.scalars:
-            _ordered_add(self.scalars, t)
-        for t in other.list_elems:
-            _ordered_add(self.list_elems, t)
+        _merge_keyed(self.scalars, other.scalars)
+        _merge_keyed(self.list_elems, other.list_elems)
         self.has_list = self.has_list or other.has_list
         if other.record is not None:
             if self.record is None:
@@ -91,7 +108,14 @@ class FieldObs:
 
 @dataclass
 class Observation:
-    """Per-partition / whole-input observation state."""
+    """Per-partition / whole-input observation state.
+
+    ``part_id`` orders this observation's rows against other
+    partitions' rows: kind order keys are ``(part_id, row_index)``,
+    so merging partition observations in ANY order yields the same
+    first-observed kind ordering as one sequential pass in partition
+    order.
+    """
 
     fields: "dict[str, FieldObs]" = field(default_factory=dict)
     n_rows: int = 0  # every enumerated row, incl. invalid
@@ -99,10 +123,12 @@ class Observation:
     n_adding: int = 0  # rows (excl. the first record seen) adding new fields
     first_seen: bool = False
     type_errors: list = field(default_factory=list)  # sample of non-dict rows
+    part_id: int = 0
 
     MAX_ERROR_SAMPLES = 20
 
     def observe_row(self, row: Any) -> None:
+        order_key = (self.part_id, self.n_rows)
         self.n_rows += 1
         if not isinstance(row, dict):
             if len(self.type_errors) < self.MAX_ERROR_SAMPLES:
@@ -117,7 +143,7 @@ class Observation:
                 added = True
             if value is None:
                 continue
-            _observe_value(obs, value)
+            _observe_value(obs, value, order_key)
         if self.first_seen and added:
             self.n_adding += 1
         self.first_seen = True
@@ -144,7 +170,7 @@ class Observation:
         return self.n_adding / self.n_rows if self.n_rows else 0.0
 
 
-def _observe_value(obs: FieldObs, value: Any) -> None:
+def _observe_value(obs: FieldObs, value: Any, order_key: OrderKey) -> None:
     """Observe one non-None value into a FieldObs (schema.py:687-720)."""
     try:
         import pandas as _pd
@@ -164,7 +190,7 @@ def _observe_value(obs: FieldObs, value: Any) -> None:
         # schema.py:670,738-749).
         obs.has_list = True
         for k in value.keys():
-            _ordered_add(obs.list_elems, _scalar_kind(k))
+            _first_add(obs.list_elems, _scalar_kind(k), order_key)
         return
     if isinstance(value, (list, tuple)):
         dict_elems = [e for e in value if isinstance(e, dict)]
@@ -180,13 +206,13 @@ def _observe_value(obs: FieldObs, value: Any) -> None:
                     if sub is None:
                         sub = obs.record[key] = FieldObs()
                     if v is not None:
-                        _observe_value(sub, v)
+                        _observe_value(sub, v, order_key)
             return
         obs.has_list = True
         for e in value:
-            _ordered_add(obs.list_elems, _scalar_kind(e))
+            _first_add(obs.list_elems, _scalar_kind(e), order_key)
         return
-    _ordered_add(obs.scalars, _scalar_kind(value))
+    _first_add(obs.scalars, _scalar_kind(value), order_key)
 
 
 #: canonical scalar kinds (pickle-friendly strings, stable across
@@ -239,8 +265,13 @@ def promote_scalars(kinds: Iterable[str], strict_dates: bool = False) -> str | N
     kinds = list(kinds)
     if strict_dates and kinds and all(k == "date" for k in kinds):
         return wtypes.DATE
-    for matchers, wtype in _PRIORITY_SWITCH:
-        for k in kinds:
+    # observed kinds OUTER, switch INNER — the reference returns the
+    # switch type of the FIRST-OBSERVED matching kind
+    # (guess_warehouse_dtype, schema.py:455-466), so {str-then-bytes}
+    # condenses to STRING, not BYTES. The issubclass quirk survives:
+    # an observed "date" still hits the ("datetime", "date") entry.
+    for k in kinds:
+        for matchers, wtype in _PRIORITY_SWITCH:
             if k in matchers:
                 return wtype
     # numeric promotion lattice (np.find_common_type equivalent):
@@ -298,13 +329,18 @@ def condense(
             )
             continue
         if obs.has_list:  # scalar REPEATED (schema.py:379-380)
-            all_kinds = list(obs.list_elems)
-            for k in obs.scalars:
-                _ordered_add(all_kinds, k)
-            wtype = promote_scalars(all_kinds, strict_dates) or wtypes.DEFAULT_TYPE
+            all_kinds = dict(obs.list_elems)
+            _merge_keyed(all_kinds, obs.scalars)
+            wtype = (
+                promote_scalars(_kinds_in_order(all_kinds), strict_dates)
+                or wtypes.DEFAULT_TYPE
+            )
             out.append({"name": name, "type": wtype, "mode": wtypes.REPEATED})
             continue
-        wtype = promote_scalars(obs.scalars, strict_dates) or wtypes.DEFAULT_TYPE
+        wtype = (
+            promote_scalars(_kinds_in_order(obs.scalars), strict_dates)
+            or wtypes.DEFAULT_TYPE
+        )
         out.append({"name": name, "type": wtype, "mode": wtypes.NULLABLE})
     return out
 
@@ -367,11 +403,17 @@ def infer_schema_distributed(
     else:
         rdd = rdd_or_df
 
-    def seq(acc: Observation, row) -> Observation:
-        acc.observe_row(row)
-        return acc
+    def per_partition(pid: int, rows):
+        # partition id seeds the order keys: "first observed" is then
+        # global (partition order x row order), so the treeReduce
+        # merge order cannot change the condensed schema
+        obs = Observation(part_id=pid)
+        for row in rows:
+            obs.observe_row(row)
+        yield obs
 
-    merged = rdd.treeAggregate(Observation(), seq, lambda a, b: a.merge(b), depth=depth)
+    parts = rdd.mapPartitionsWithIndex(per_partition)
+    merged = parts.treeReduce(lambda a, b: a.merge(b), depth=depth)
     return InferenceResult(
         schema=condense(merged.fields, schema, strict_dates),
         type_errors=merged.type_errors,

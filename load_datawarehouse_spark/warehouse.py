@@ -247,6 +247,17 @@ class SparkWarehouse:
         if not os.path.isdir(data_path):
             api = self.schema or []
             return self.spark.createDataFrame([], wtypes.api_repr_to_struct_type(api))
+        api = self.schema
+        if api:
+            # read with the DECLARED schema: files written before a
+            # schema-widening append lack the newer columns, and a bare
+            # read would surface whichever footer Spark samples first —
+            # the declared schema fills missing columns with null
+            # deterministically (cheaper than mergeSchema, which
+            # re-reads every footer).
+            return self.spark.read.schema(
+                wtypes.api_repr_to_struct_type(api)
+            ).parquet(data_path)
         return self.spark.read.parquet(data_path)
 
     def load(
@@ -276,6 +287,13 @@ class SparkWarehouse:
             api = schema  # caller asserts completeness (:413-417)
         else:
             api = infer_schema(records, schema=schema).schema
+        if existing:
+            # a batch that omits an existing column must not NARROW the
+            # table schema: condense() only emits observed fields, so
+            # union the untouched existing fields back in (append can
+            # widen, never shrink)
+            inferred_names = {f["name"] for f in api}
+            api = api + [dict(f) for f in existing if f["name"] not in inferred_names]
         struct = wtypes.api_repr_to_struct_type(api)
         conformed = [
             _conform_record(r, api) for r in records if isinstance(r, dict)
@@ -308,6 +326,9 @@ class SparkWarehouse:
         """Projection + sort + limit (R2, stub at
         bigquery/__init__.py:474-499)."""
         df = self.df()
+        if isinstance(fields, str):
+            # a bare column name must select that column, not its chars
+            fields = [fields] if fields != "*" else "*"
         if fields != "*":
             df = df.select(*list(fields))
         order = [

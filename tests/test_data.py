@@ -101,6 +101,20 @@ def test_sample_subset_local():
     assert subset(data, 20, 5) == data[20:25]
 
 
+def test_sample_spark_unseeded_is_random(spark):
+    # seed=None must NOT pin a fixed seed: two unseeded plans carry
+    # different rand(seed) expressions (seeded plans carry the same)
+    import re
+
+    def rand_seed(df):
+        plan = str(df._jdf.queryExecution().analyzed())
+        return re.search(r"rand\((-?\d+)\)", plan).group(1)
+
+    df = spark.range(1000).selectExpr("id AS i")
+    assert rand_seed(sample(df, 5)) != rand_seed(sample(df, 5))
+    assert rand_seed(sample(df, 5, seed=9)) == rand_seed(sample(df, 5, seed=9)) == "9"
+
+
 def test_spark_clean_dataframe_keys(spark):
     from pyspark.sql import types as T
 

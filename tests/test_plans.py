@@ -58,6 +58,22 @@ def test_shingles_single_shuffle(spark):
     assert plan.count("Exchange") == 1
 
 
+def test_similarity_topk_no_corpus_shuffle(spark):
+    # two-phase top-k: the scored corpus must reach the per-partition
+    # MapInPandas reducer WITHOUT an Exchange (the old plan funneled
+    # every scored row through a 5-key window shuffle); the only
+    # exchange sits above it, moving <= partitions*queries*k rows
+    plan = _plan(llm.similarity_cosine_topk(spark, SF_DIR))
+    assert "MapInPandas" in plan
+    head, _, tail = plan.partition("MapInPandas")
+    # operators BELOW MapInPandas print after it in the tree dump; the
+    # query-vector BroadcastExchange is fine — only a *shuffle*
+    # (hash/range partitioning) of the corpus would be a regression
+    assert "Exchange hashpartitioning" not in tail, "corpus side must stay narrow"
+    assert "Exchange rangepartitioning" not in tail, "corpus side must stay narrow"
+    assert "Exchange hashpartitioning" in head, "final k-merge window still shuffles (tiny)"
+
+
 def test_whole_stage_codegen_on_hot_path(spark):
     # q1's scan->filter->agg pipeline must stay inside codegen; AQE
     # only finalizes the plan after execution, and only of THIS

@@ -73,7 +73,10 @@ def test_inference_partition_invariant(records, cut):
     cut = min(cut, len(records))
     want = _norm(infer_schema(records).schema)
 
-    left, right = Observation(), Observation()
+    # distinct part_ids model the distributed path: order keys are
+    # (part_id, row_idx), so merge order must not matter even though
+    # promotion is first-observed-sensitive
+    left, right = Observation(part_id=0), Observation(part_id=1)
     for r in records[:cut]:
         left.observe_row(r)
     for r in records[cut:]:

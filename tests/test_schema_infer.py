@@ -124,6 +124,19 @@ def test_strict_dates_divergence_flag():
     assert res.schema[0]["type"] == "DATE"
 
 
+def test_promotion_is_first_observed():
+    # the reference's guess_warehouse_dtype iterates OBSERVED kinds
+    # outer, priority switch inner: a str-then-datetime field loads as
+    # STRING (and the raw strings survive createDataFrame), while
+    # datetime-then-str picks DATETIME
+    got = infer_schema([{"x": "free text"}, {"x": datetime(2024, 1, 2, 3)}]).schema
+    assert got == [{"name": "x", "type": "STRING", "mode": "NULLABLE"}]
+    got = infer_schema([{"x": datetime(2024, 1, 2, 3)}, {"x": "free text"}]).schema
+    assert got == [{"name": "x", "type": "DATETIME", "mode": "NULLABLE"}]
+    got = infer_schema([{"x": "s"}, {"x": b"b"}]).schema
+    assert got == [{"name": "x", "type": "STRING", "mode": "NULLABLE"}]
+
+
 def test_dirty_keys_cleaned():
     res = infer_schema([{"b.2": 1, 123: "x", "b something": True}])
     names = [f["name"] for f in res.schema]
@@ -143,3 +156,81 @@ def test_scalar_plus_list_condenses_together():
     res = infer_schema([{"G": 123}, {"G": [1.5, 2.5]}])
     f = res.schema[0]
     assert (f["type"], f["mode"]) == ("FLOAT", "REPEATED")
+
+
+# --- F3: the reference's flagship 26-field `articles` golden ---------------
+# (FIXTURES.md F3; reference test/test_bigquery.py:210-358, asserted
+# order-insensitively at :422-445). The fixture blob is synthesized
+# deterministically: >=100 rows, ~20% nulls per nullable column, 0-5
+# t_productfeature entries per row.
+
+_F3_INT_COLS = ("pkm_familie", "u_ugr", "u_beleuchtungsstaerke_dl_sym_raster")
+_F3_BOOL_COLS = ("b_neuheit",)
+_F3_STR_COLS = (
+    "s_familie", "led_module", "s_farbe_kombifeld_indirekt",
+    "s_abblendraster", "s_control", "s_baugroesse_list_display_string",
+    "power_singlefield_with_unit", "s_farbe_kombifeld", "s_montageart",
+    "s_artikelbild", "s_leuchtenlichtstrom_display_unit",
+    "lumens_with_unit", "artno_schoen", "pkm_artikel", "s_einbaudetail",
+    "s_untertitel", "s_gehaeusefarbe", "s_leistung_display_unit",
+    "s_lichtwerkzeug", "s_lichtaustritt", "product_image",
+)
+
+
+def _f3_records(n: int = 120) -> list[dict]:
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(n):
+        r: dict = {}
+        for c in _F3_INT_COLS:
+            r[c] = None if rng.random() < 0.2 else rng.randint(0, 999)
+        for c in _F3_BOOL_COLS:
+            r[c] = None if rng.random() < 0.2 else rng.random() < 0.5
+        for c in _F3_STR_COLS:
+            r[c] = None if rng.random() < 0.2 else f"{c}-{i}"
+        r["t_productfeature"] = [
+            {
+                "Kurztext": None if rng.random() < 0.2 else f"kt-{j}",
+                "Text": None if rng.random() < 0.2 else f"tx-{j}",
+                "ID": None if rng.random() < 0.2 else str(j),
+            }
+            for j in range(rng.randint(0, 5))
+        ]
+        rows.append(r)
+    return rows
+
+
+def test_f3_articles_golden_schema():
+    got = infer_schema(_f3_records()).schema
+    by_name = {f["name"]: f for f in got}
+    assert len(got) == 26, sorted(by_name)
+    for c in _F3_INT_COLS:
+        assert by_name[c] == {"name": c, "type": "INTEGER", "mode": "NULLABLE"}
+    for c in _F3_BOOL_COLS:
+        assert by_name[c] == {"name": c, "type": "BOOLEAN", "mode": "NULLABLE"}
+    for c in _F3_STR_COLS:
+        assert by_name[c] == {"name": c, "type": "STRING", "mode": "NULLABLE"}
+    pf = by_name["t_productfeature"]
+    assert pf["type"] == "RECORD" and pf["mode"] == "REPEATED"
+    sub = {f["name"]: f for f in pf["fields"]}
+    assert set(sub) == {"Kurztext", "Text", "ID"}
+    for f in sub.values():
+        assert f["type"] == "STRING" and f["mode"] == "NULLABLE"
+
+
+def test_f3_round_trips_through_spark(spark):
+    # the inferred api_repr must produce a StructType Spark accepts,
+    # and the conformed records must load losslessly
+    from load_datawarehouse_spark import types as wtypes
+    from load_datawarehouse_spark.warehouse import _conform_record
+
+    records = _f3_records()
+    api = infer_schema(records).schema
+    struct = wtypes.api_repr_to_struct_type(api)
+    df = spark.createDataFrame(
+        [_conform_record(r, api) for r in records], struct
+    )
+    assert df.count() == len(records)
+    assert {f.name for f in df.schema.fields} == {f["name"] for f in api}

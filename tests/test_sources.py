@@ -76,3 +76,24 @@ def test_jdbc_partitioning_args_validated(spark, monkeypatch):
     monkeypatch.setattr(src, "_jdbc_available", lambda *a: True)
     with pytest.raises(WarehouseInvalidInput, match="partition_column requires"):
         src.read_jdbc(spark, "jdbc:x", "t", partition_column="id")
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    # end-to-end S14: write documents to an embedded Derby database
+    # (derby ships in Spark's jars/), read them back with a
+    # range-partitioned parallel read, and compare
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    if not src._jdbc_available(spark, url):  # pragma: no cover
+        pytest.skip("no embedded Derby driver on this classpath")
+    df = _docs(spark).select("doc_id", "lang", "n_chars")
+    src.write_jdbc(df, url, "docs", mode="overwrite")
+    hi = df.count()
+    back = src.read_jdbc(
+        spark, url, "docs",
+        partition_column="doc_id", lower_bound=0, upper_bound=hi,
+        num_partitions=4,
+    )
+    assert back.rdd.getNumPartitions() == 4  # parallel, not serial
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, back.select("doc_id", "lang", "n_chars").collect()))
+    assert a == b

@@ -60,6 +60,34 @@ def test_load_appends_and_reuses_schema(spark, root):
     assert wh.df().count() == 4
 
 
+def test_load_append_never_narrows_schema(spark, root):
+    # appending a batch that OMITS an existing column must keep the
+    # column in both the metadata schema and the read path (older
+    # files lack newer columns; the declared-schema read nulls them)
+    wh = SparkWarehouse.new(spark, root, "t2n")
+    wh.load(RECORDS)
+    wh.load([{"id": 4, "name": "delta"}])  # no score, no tags
+    names = {f["name"] for f in wh.schema}
+    assert {"id", "name", "score", "tags"} <= names
+    rows = {r["id"]: r for r in wh.df().collect()}
+    assert rows[4]["score"] is None
+    assert rows[1]["score"] == 1.5
+    # and the widening direction still works: a NEW column appears
+    wh.load([{"id": 5, "name": "eps", "flag": "x"}])
+    assert "flag" in {f["name"] for f in wh.schema}
+    rows = {r["id"]: r for r in wh.df().collect()}
+    assert rows[5]["flag"] == "x"
+    assert rows[1]["flag"] is None
+
+
+def test_fetch_single_string_field(spark, root):
+    # fetch(fields="name") must select the column, not its characters
+    wh = SparkWarehouse.new(spark, root, "t2s")
+    wh.load(RECORDS)
+    got = wh.fetch(fields="name", sort=[("name", QuerySort.ASCENDING)], count=1).collect()
+    assert got[0].asDict() == {"name": "alpha"}
+
+
 def test_new_replace_semantics(spark, root):
     SparkWarehouse.new(spark, root, "t3", data=RECORDS)
     with pytest.raises(WarehouseInvalidInput):

@@ -25,6 +25,7 @@ _FIRST_NAMES = (
     "join_right_outer",
     "json_extract_props",
     "agg_approx_count_distinct",
+    "agg_approx_percentile",
     "dedup_minhash_verified",
 )
 

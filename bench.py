@@ -26,9 +26,14 @@ HEADLINE = [
     "dedup_exact_keep_first",
     "text_stats",
     "dedup_minhash_lsh",
+    "dedup_minhash_verified",
     "dedup_ngram_jaccard",
+    "dedup_simhash_neardup",
+    "tfidf_top_terms",
+    "ngram_lm_counts",
     "join_range_bucketed",
     "similarity_cosine_topk",
+    "embedding_label_centroids",
     "quality_score",
     "multimodal_feature_extract",
     "stream_tumbling_counts",

@@ -447,6 +447,11 @@ def doc_fingerprint_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(doc_id) with partial aggregation of the 16 vote sums.
     """
     t = load_tables(spark, sf_dir, register_views=False)
+    return _simhash16(t).orderBy("doc_id")
+
+
+def _simhash16(t) -> DataFrame:
+    """doc_id -> 16-bit SimHash (shared by fingerprint + near-dup)."""
     words = t["documents"].select("doc_id", F.explode(F.split("text", " ", -1)).alias("word"))
     h = F.md5("word")
     bit_cols = []
@@ -459,11 +464,7 @@ def doc_fingerprint_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = bit_cols[0]
     for c in bit_cols[1:]:
         total = total + c
-    return (
-        words.groupBy("doc_id")
-        .agg(total.cast("long").alias("simhash16"))
-        .orderBy("doc_id")
-    )
+    return words.groupBy("doc_id").agg(total.cast("long").alias("simhash16"))
 
 
 # ---------------------------------------------------------------------------
@@ -1061,4 +1062,394 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(n_tokens).cast("long").alias("total_tokens"),
         )
         .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text normalization (canonical form + dedup key)
+# ---------------------------------------------------------------------------
+
+_TEXT_NORM_ORACLE = """
+WITH n AS (
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS norm_text
+    FROM documents
+)
+SELECT doc_id, norm_text, md5(norm_text) AS norm_key
+FROM n ORDER BY doc_id
+"""
+
+
+@_register("text_normalize", _TEXT_NORM_ORACLE)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text form for dedup: lowercase, non-alphanumerics to
+    spaces, whitespace collapsed, trimmed; plus the md5 dedup key.
+    Pure codegen'd built-ins, narrow plan (the standard first stage of
+    a C4/RefinedWeb-style cleaning pipeline)."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return (
+        t["documents"]
+        .select("doc_id", norm.alias("norm_text"))
+        .withColumn("norm_key", F.md5("norm_text"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram language-model counts (bigram frequency table)
+# ---------------------------------------------------------------------------
+
+_NGRAM_LM_ORACLE = """
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+), bg AS (
+    SELECT word || ' ' || LEAD(word, 1) OVER w AS bigram
+    FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    QUALIFY LEAD(word, 1) OVER w IS NOT NULL
+)
+SELECT bigram, COUNT(*) AS cnt
+FROM bg GROUP BY bigram
+ORDER BY cnt DESC, bigram
+LIMIT 100
+"""
+
+
+@_register("ngram_lm_counts", _NGRAM_LM_ORACLE)
+def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency table, top-100.
+
+    LM-style counts keep multiplicity (unlike ``_shingles``' distinct
+    sets): bigrams are assembled array-natively per document (narrow),
+    exploded, and counted with map-side partial aggregation; the
+    top-100 compiles to TakeOrderedAndProject — no global sort."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    base = t["documents"].select(F.split("text", " ", -1).alias("w"))
+    w = F.col("w")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        base.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (regex redaction + counts)
+# ---------------------------------------------------------------------------
+
+#: conservative patterns valid in BOTH Java regex (Spark) and RE2
+#: (DuckDB): no lookaround, no backrefs
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "\\+1-[0-9]{3}-[0-9]{4,8}"
+
+_PII_ORACLE = f"""
+WITH aug AS (
+    -- synthetic PII injected deterministically so the scrub is
+    -- exercised on every row (the corpus itself is PII-free)
+    SELECT doc_id,
+           text || ' contact user' || doc_id ||
+           '@example.com or +1-555-' || (1000 + doc_id % 9000) AS text
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_key
+FROM aug ORDER BY doc_id
+"""
+
+
+@_register("pii_scrub", _PII_ORACLE)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction (emails, NANP-style phone numbers).
+
+    The corpus is synthetic and PII-free, so both engines first inject
+    a deterministic email+phone per row, then count and redact them —
+    the scrubbed md5 proves byte-identical redaction. All codegen'd
+    built-ins; narrow plan."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    aug = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ).alias("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return (
+        aug.select(
+            "doc_id",
+            F.regexp_count("text", F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+            F.regexp_count("text", F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+            F.md5(scrubbed).alias("scrubbed_key"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (hash-based, per stratum)
+# ---------------------------------------------------------------------------
+
+_STRAT_SAMPLE_ORACLE = """
+SELECT lang,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2000'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@_register("sample_stratified_hash", _STRAT_SAMPLE_ORACLE)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~12.5% per-stratum sample via md5 prefix.
+
+    Hash-gating (md5(doc_id) hex prefix < '2000' = 8192/65536) is the
+    scale idiom for reproducible sampling: no shuffle, no RNG state,
+    identical on every engine and cluster size, and stable under
+    re-runs — unlike rand()-based sampling. Output is the per-language
+    stratum accounting (total vs sampled)."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < "2000"
+    return (
+        t["documents"]
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(gate, 1).otherwise(0)).alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-duplicate pairs (banded buckets + hamming verify)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_HAMMING_MAX = 3
+_SIMHASH_ND_BITS = 60  # 15 md5 nibbles; fits BIGINT positive range
+_SIMHASH_ND_BANDS = 4  # pigeonhole: distance <= BANDS-1 shares a band
+_SIMHASH_ND_BAND_BITS = _SIMHASH_ND_BITS // _SIMHASH_ND_BANDS  # 15
+
+_SIMHASH_NEARDUP_ORACLE = f"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), sh AS (
+    SELECT doc_id, CAST({{total}} AS BIGINT) AS simhash
+    FROM words GROUP BY doc_id
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_HAMMING_MAX}
+ORDER BY d1, d2
+"""
+
+
+def _simhash_neardup_oracle() -> str:
+    # 60-bit variant of the fingerprint oracle's bit-vote expression
+    bit_terms = []
+    for b in range(_SIMHASH_ND_BITS):
+        nib = _NIBBLE_SQL.format(pos=b // 4 + 1)
+        bit = f"(({nib} // {2 ** (3 - b % 4)}) % 2)"
+        bit_terms.append(f"CASE WHEN SUM(2 * {bit} - 1) > 0 THEN {2 ** b} ELSE 0 END")
+    return _SIMHASH_NEARDUP_ORACLE.format(total=" + ".join(bit_terms))
+
+
+def _simhash60(t) -> DataFrame:
+    """doc_id -> 60-bit SimHash (near-dup resolution).
+
+    16 bits (the fingerprint op) is too coarse for banding: 4-bit
+    bands give 16 bucket values, i.e. ~N^2/16 candidate pairs — a
+    disguised cross join. 60 bits / 15-bit bands give 32768 buckets
+    per band, so bucket sizes stay O(N/32768)."""
+    words = t["documents"].select("doc_id", F.explode(F.split("text", " ", -1)).alias("word"))
+    h = F.md5("word")
+    total = None
+    for b in range(_SIMHASH_ND_BITS):
+        nib = F.instr(F.lit("0123456789abcdef"), F.substring(h, b // 4 + 1, 1)) - 1
+        bit = F.floor(nib / (2 ** (3 - b % 4))) % 2
+        c = F.when(F.sum(2 * bit - 1) > 0, 2**b).otherwise(0)
+        total = c if total is None else total + c
+    return words.groupBy("doc_id").agg(total.cast("long").alias("simhash"))
+
+
+@_register("dedup_simhash_neardup", _simhash_neardup_oracle())
+def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance <= 3.
+
+    Scale pattern (pigeonhole banding): split the 60-bit fingerprint
+    into 4 bands of 15 bits — any pair within hamming distance 3
+    agrees on at least one full band, so candidates come from equality
+    self-joins on (band_idx, band_bits) buckets, never doc x doc; the
+    exact ``bit_count(xor)`` check then filters false candidates.
+    The oracle does the naive all-pairs join (fine at oracle scale,
+    wrong at 100 TB — the banded plan is the point of this op)."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    sh = _simhash60(t)
+    mask = (1 << _SIMHASH_ND_BAND_BITS) - 1
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", _SIMHASH_ND_BAND_BITS * i)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bits"),
+                    )
+                    for i in range(_SIMHASH_ND_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bits").alias("bits"))
+    a = bands.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"), "band", "bits")
+    b = bands.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"), "band", "bits")
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
+        a.join(b, ["band", "bits"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= _SIMHASH_HAMMING_MAX)
+        .distinct()
+        .orderBy("d1", "d2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids (exact decimal mean, long format)
+# ---------------------------------------------------------------------------
+
+_CENTROID_ORACLE = """
+WITH elems AS (
+    SELECT label,
+           generate_subscripts(embedding, 1) AS pos,
+           unnest(embedding) AS val
+    FROM embeddings
+)
+SELECT label, CAST(pos AS BIGINT) AS pos,
+       ROUND(CAST(CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+             / COUNT(*) AS DOUBLE), 9) AS centroid,
+       COUNT(*) AS n_vectors
+FROM elems
+GROUP BY label, pos
+ORDER BY label, pos
+"""
+
+
+@_register("embedding_label_centroids", _CENTROID_ORACLE)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise embedding mean (IVF centroid refresh /
+    class prototype computation), in (label, pos) long format.
+
+    The float sum goes through the decimal-accumulator discipline so
+    the result is independent of partitioning/merge order — the same
+    device the cosine ops use. Scale: posexplode is narrow; one
+    shuffle on (label, pos) with map-side partial sums."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    elems = t["embeddings"].select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    )
+    dec = F.col("val").cast("double").cast(_COS_DEC)
+    return (
+        elems.groupBy("label", (F.col("pos0") + 1).cast("long").alias("pos"))
+        .agg(
+            # round to 9 dp: the decimal sum is exact, but the final
+            # double division can differ by ~1 ulp across engines when
+            # a value sits on a decimal-cast rounding edge
+            F.round(F.sum(dec).cast("double") / F.count(F.lit(1)), 9).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term
+), df AS (
+    SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 9) AS score
+    FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, CAST(rk AS BIGINT) AS rk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, term) AS rk
+    FROM scored
+) WHERE rk <= 3
+ORDER BY doc_id, rk
+"""
+
+
+@_register("tfidf_top_terms", _TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.
+
+    tf and df are exact integer aggregates; the real-valued score is
+    used ONLY for ordering and rounded to 9 dp first, so a 1-ulp
+    ``ln`` difference between engines cannot flip ranks (the score is
+    deliberately not emitted). Scale: two hash aggregations; df is a
+    small table broadcast back onto tf; the per-doc window rides the
+    existing doc_id partitioning."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    docs = t["documents"]
+    words = docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 9
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "rk")
+        .orderBy("doc_id", "rk")
     )

@@ -766,6 +766,53 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AGG_APPROX_PCTL_ORACLE = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.50), 6) AS exact_p50,
+       ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.95), 6) AS exact_p95,
+       TRUE AS p50_ok,
+       TRUE AS p95_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@_register("agg_approx_percentile", _AGG_APPROX_PCTL_ORACLE)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch), made
+    oracle-checkable the same way as the HLL op: emit the EXACT
+    interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``) plus booleans asserting the sketch estimate
+    lies between the exact values at p±0.02 rank — the oracle's flags
+    are literal TRUE. At scale only the sketch runs (mergeable, one
+    pass); the exact percentile here is the certificate, not the
+    production path."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    q = F.col("l_quantity").cast("double")
+    agg = t["lineitem"].groupBy("l_returnflag").agg(
+        F.expr("percentile(CAST(l_quantity AS DOUBLE), 0.50)").alias("exact_p50_raw"),
+        F.expr("percentile(CAST(l_quantity AS DOUBLE), 0.95)").alias("exact_p95_raw"),
+        F.expr("percentile(CAST(l_quantity AS DOUBLE), 0.48)").alias("lo50"),
+        F.expr("percentile(CAST(l_quantity AS DOUBLE), 0.52)").alias("hi50"),
+        F.expr("percentile(CAST(l_quantity AS DOUBLE), 0.93)").alias("lo95"),
+        F.expr("percentile(CAST(l_quantity AS DOUBLE), 0.97)").alias("hi95"),
+        F.percentile_approx(q, 0.50, 10000).alias("approx_p50"),
+        F.percentile_approx(q, 0.95, 10000).alias("approx_p95"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round("exact_p50_raw", 6).alias("exact_p50"),
+        F.round("exact_p95_raw", 6).alias("exact_p95"),
+        (
+            (F.col("approx_p50") >= F.col("lo50")) & (F.col("approx_p50") <= F.col("hi50"))
+        ).alias("p50_ok"),
+        (
+            (F.col("approx_p95") >= F.col("lo95")) & (F.col("approx_p95") <= F.col("hi95"))
+        ).alias("p95_ok"),
+    ).orderBy("l_returnflag")
+
+
 # ---------------------------------------------------------------------------
 # Set operations
 # ---------------------------------------------------------------------------

@@ -341,3 +341,38 @@ def multimodal_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``mapInPandas`` (strided gather, md5 fingerprint of the result)."""
     m = media_table(spark, sf_dir).select("doc_id", "content")
     return m.mapInPandas(_thumb_batches, schema=_THUMB_SCHEMA).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# multimodal_modality_stats — per-modality storage accounting
+# ---------------------------------------------------------------------------
+
+_MODALITY_STATS_ORACLE = """
+SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+           AS media_type,
+       COUNT(*) AS n_items,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_bytes,
+       ROUND(AVG(CAST((doc_id % 16 + 1) * 8 AS DOUBLE)), 6) AS avg_width,
+       CAST(MAX((doc_id % 9 + 1) * 8) AS BIGINT) AS max_height
+FROM documents
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@_register("multimodal_modality_stats", _MODALITY_STATS_ORACLE)
+def multimodal_modality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality storage/shape accounting (dataset-curation query:
+    how much of each modality, how big). Metadata-only aggregation —
+    the binary payload is pruned at the scan, so at 100 TB this reads
+    the (tiny) metadata columns, never the media bytes."""
+    m = media_table(spark, sf_dir)
+    return (
+        m.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("meta.n_bytes").alias("total_bytes"),
+            F.round(F.avg(F.col("meta.width").cast("double")), 6).alias("avg_width"),
+            F.max("meta.height").alias("max_height"),
+        )
+        .orderBy("media_type")
+    )

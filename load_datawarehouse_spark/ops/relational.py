@@ -1525,3 +1525,167 @@ def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM)
+# ---------------------------------------------------------------------------
+
+_JOIN_NULL_SAFE_ORACLE = """
+WITH a AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderpriority END AS k
+    FROM orders
+), b AS (
+    SELECT DISTINCT CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                         ELSE o_orderpriority END AS k
+    FROM orders
+)
+SELECT a.k, COUNT(*) AS n_rows
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY a.k
+ORDER BY a.k
+"""
+
+
+@_register("join_null_safe_eq", _JOIN_NULL_SAFE_ORACLE)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping out — the semantics SQL users
+    reach for when joining on nullable dimensions. Still a hash-join
+    key for Catalyst (EqualNullSafe is sargable), so the plan is a
+    normal shuffled/broadcast hash join, not a nested loop."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    k = F.when(F.col("o_orderkey") % 11 == 0, None).otherwise(F.col("o_orderpriority"))
+    a = t["orders"].select("o_orderkey", k.alias("k"))
+    b = a.select("k").distinct().select(F.col("k").alias("bk"))
+    return (
+        a.join(F.broadcast(b), F.col("k").eqNullSafe(F.col("bk")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mode (most frequent value) per group, deterministic tiebreak
+# ---------------------------------------------------------------------------
+
+_AGG_MODE_ORACLE = """
+WITH counts AS (
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+    FROM orders GROUP BY 1, 2
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                 ORDER BY cnt DESC, o_orderpriority) AS rn
+    FROM counts
+) WHERE rn = 1
+ORDER BY o_orderstatus
+"""
+
+
+@_register("agg_mode", _AGG_MODE_ORACLE)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent value per group with a DETERMINISTIC tiebreak
+    (count desc, then value asc) — built-in ``mode()`` breaks ties
+    arbitrarily, which is hash-unverifiable. Two hash aggregations +
+    a window over the (tiny) per-group count table."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    counts = (
+        t["orders"]
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("cnt"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "cnt")
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation (listagg / string_agg)
+# ---------------------------------------------------------------------------
+
+_AGG_STRING_AGG_ORACLE = """
+SELECT o_orderstatus,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+           AS priorities,
+       COUNT(DISTINCT o_orderpriority) AS n_distinct
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@_register("agg_string_agg", _AGG_STRING_AGG_ORACLE)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered, distinct string aggregation. Spark's ``collect_set``
+    is unordered (shuffle-order-dependent) — ``sort_array`` + 
+    ``array_join`` makes the result deterministic and therefore
+    hash-comparable; same discipline DuckDB needs (ORDER BY inside
+    string_agg)."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias(
+                "priorities"
+            ),
+            F.countDistinct("o_orderpriority").alias("n_distinct"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL parsing (regexp-based, engine-portable)
+# ---------------------------------------------------------------------------
+
+_SCALAR_URL_ORACLE = """
+WITH u AS (
+    SELECT doc_id,
+           'https://' || source || '.example.com/docs/' || doc_id
+               || '?lang=' || lang AS url
+    FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, 'https?://([^/?]+)', 1) AS host,
+       regexp_extract(url, 'https?://[^/?]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '[?]lang=([a-z]+)', 1) AS lang_param
+FROM u ORDER BY doc_id
+"""
+
+
+@_register("scalar_url_extract", _SCALAR_URL_ORACLE)
+def scalar_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL host/path/query extraction via regexp groups (portable to
+    engines without ``parse_url``; the patterns avoid lookaround so
+    Java regex and RE2 agree). Synthetic URLs are derived from the
+    documents table so every row exercises the extraction."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    u = t["documents"].select("doc_id", url.alias("url"))
+    return (
+        u.select(
+            "doc_id",
+            F.regexp_extract("url", r"https?://([^/?]+)", 1).alias("host"),
+            F.regexp_extract("url", r"https?://[^/?]+(/[^?]*)", 1).alias("path"),
+            F.regexp_extract("url", r"[?]lang=([a-z]+)", 1).alias("lang_param"),
+        )
+        .orderBy("doc_id")
+    )

@@ -416,3 +416,81 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER join (watermark-gated null emission)
+# ---------------------------------------------------------------------------
+
+_STREAM_LEFT_JOIN_ORACLE = """
+WITH c AS (SELECT user_id u, ts FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id u, ts FROM events WHERE event_type = 'purchase'),
+     wm AS (SELECT least((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+                   - INTERVAL 10 MINUTE AS w),
+matched AS (
+    SELECT c.u, COUNT(*) AS n FROM c JOIN p
+      ON c.u = p.u AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    GROUP BY c.u
+),
+unmatched AS (
+    -- a left row emits with nulls only once the GLOBAL watermark
+    -- (min over both sides) passes its join-window upper bound
+    SELECT c.u, COUNT(*) AS n FROM c, wm
+    WHERE c.ts + INTERVAL 30 MINUTE < w
+      AND NOT EXISTS (SELECT 1 FROM p
+                      WHERE c.u = p.u AND p.ts >= c.ts
+                        AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+    GROUP BY c.u
+)
+SELECT COALESCE(m.u, um.u) AS user_id,
+       CAST(COALESCE(m.n, 0) AS BIGINT) AS n_matched,
+       CAST(COALESCE(um.n, 0) AS BIGINT) AS n_unmatched
+FROM matched m FULL JOIN unmatched um ON m.u = um.u
+ORDER BY user_id
+"""
+
+
+@_register("stream_stream_left_outer_join", _STREAM_LEFT_JOIN_ORACLE)
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every click, attributed to a
+    purchase within 30 minutes or emitted with nulls.
+
+    The outer side exercises the semantics the inner join doesn't:
+    unmatched left rows are held in the state store and emitted with
+    nulls only when the global watermark — the MIN of both sides'
+    watermarks — passes their join-window upper bound, so clicks near
+    the end of input stay buffered (correct: a matching purchase could
+    still arrive). The oracle replays exactly that rule in batch SQL.
+    Scale: state per side is watermark+interval-bounded, one shuffle
+    on user_id."""
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_event_id"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    )
+    out = run_to_memory(joined, "append")
+    return (
+        out.groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count("p_event_id").alias("n_matched"),
+            F.sum(F.when(F.col("p_event_id").isNull(), 1).otherwise(0)).alias("n_unmatched"),
+        )
+        .orderBy("user_id")
+    )

@@ -384,14 +384,22 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification must be exact, and the semi-join already bounds the
     inverted-index fanout."""
     t = load_tables(spark, sf_dir, register_views=False)
-    cand = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    # the candidate set is tiny (pairs that collided in some band) but
+    # its lineage is the whole LSH pipeline, and it feeds THREE
+    # consumers (two unions + the final filter join). Without a
+    # lineage cut Catalyst re-derives the full LSH plan per consumer
+    # (~22 scans of documents, measured); localCheckpoint materializes
+    # the few-thousand-row candidate list once.
+    cand = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2").localCheckpoint(eager=False)
     ds = _shingles(t)
     cand_docs = (
         cand.select(F.col("d1").alias("doc_id"))
         .union(cand.select(F.col("d2").alias("doc_id")))
         .distinct()
     )
-    ds_c = ds.join(cand_docs, "doc_id", "left_semi")
+    # same cut for the candidate-doc shingles: consumed by cnt + both
+    # join sides; bounded by |candidate docs| x shingles-per-doc
+    ds_c = ds.join(cand_docs, "doc_id", "left_semi").localCheckpoint(eager=False)
     cnt = ds_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = ds_c.select(F.col("doc_id").alias("d1"), "shingle")
     b = ds_c.select(F.col("doc_id").alias("d2"), "shingle")

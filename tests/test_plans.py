@@ -74,6 +74,34 @@ def test_similarity_topk_no_corpus_shuffle(spark):
     assert "Exchange hashpartitioning" in head, "final k-merge window still shuffles (tiny)"
 
 
+def test_minhash_verified_checkpoints_candidates(spark):
+    # cand + ds_c feed multiple consumers; without the lineage cut
+    # Catalyst re-derives the full LSH pipeline per consumer (~22
+    # document scans, measured). The checkpointed plan reads the
+    # cached RDDs instead of re-scanning parquet.
+    plan = _plan(llm.dedup_minhash_verified(spark, SF_DIR))
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("FileScan parquet") == 0
+
+
+def test_simhash_neardup_is_bucketed_equi_join(spark):
+    # pigeonhole banding must plan as an equality join on
+    # (band, bits) buckets — a cartesian/BNL fallback would be the
+    # disguised all-pairs join the op exists to avoid
+    plan = _plan(llm.dedup_simhash_neardup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_null_safe_join_is_hash_join(spark):
+    # EqualNullSafe is sargable: expect a broadcast hash join, not a
+    # nested-loop fallback
+    plan = _plan(relational.join_null_safe_eq(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_whole_stage_codegen_on_hot_path(spark):
     # q1's scan->filter->agg pipeline must stay inside codegen; AQE
     # only finalizes the plan after execution, and only of THIS

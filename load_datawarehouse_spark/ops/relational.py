@@ -1689,3 +1689,218 @@ def scalar_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated-subquery surface (Catalyst decorrelation; TPC-H Q4/Q17/Q18/Q22
+# shapes adapted to the driver schema). The reference's `query` verb
+# (bigquery/__init__.py:463-472) accepts arbitrary SQL; these exercise the
+# subquery forms a SQL-parity user hits first. Expressed as spark.sql over
+# the registered views so Catalyst's RewriteCorrelatedScalarSubquery /
+# RewritePredicateSubquery rules produce the join-based plans — the same
+# SQL text runs on DuckDB, making the oracle trivially in-sync.
+# ---------------------------------------------------------------------------
+
+_SUBQ_EXISTS_SQL = """
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@_register("subq_exists_late_ship", _SUBQ_EXISTS_SQL)
+def subq_exists_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape): orders with at least
+    one line shipped >30 days after the order date.
+
+    Scale: Catalyst decorrelates EXISTS into a LEFT SEMI join on
+    l_orderkey — the date predicates push to both parquet scans, the
+    semi join shuffles each side once on the key, and the final agg is
+    a 5-row hash aggregate. No nested-loop per-row subquery ever runs
+    (locked in tests/test_plans.py)."""
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql(_SUBQ_EXISTS_SQL)
+
+
+_SUBQ_SCALAR_SQL = """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0
+           AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (
+      SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+@_register("subq_scalar_avg_qty", _SUBQ_SCALAR_SQL)
+def subq_scalar_avg_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): lines whose
+    quantity is under half the part's average.
+
+    Scale: the correlated scalar subquery decorrelates into an
+    aggregate-then-join — lineitem is scanned once for the per-part
+    averages (partial agg, one shuffle on l_partkey) and joined back,
+    not re-scanned per row. The threshold AVG is exact because
+    l_quantity holds whole numbers (integer sums are exact in double
+    well past 2^53), so the oracle comparison is partitioning-proof."""
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql(_SUBQ_SCALAR_SQL)
+
+
+_SUBQ_IN_HAVING_SQL = """
+SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING SUM(l_quantity) > 200
+)
+GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
+@_register("subq_in_groupby_having", _SUBQ_IN_HAVING_SQL)
+def subq_in_groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (TPC-H Q18 shape): orders whose total
+    quantity clears a threshold, via IN over a grouped-HAVING subquery.
+
+    Scale: the IN-subquery becomes a LEFT SEMI join against the
+    pre-aggregated keys (one row per qualifying order — tiny build
+    side), so the 3-way fact join only processes qualifying orders.
+    The HAVING sum is exact (whole-number quantities)."""
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql(_SUBQ_IN_HAVING_SQL)
+
+
+_SUBQ_NOT_EXISTS_SQL = """
+WITH avg_bal AS (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS ab
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.ab
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+"""
+
+
+@_register("subq_not_exists_idle_rich", _SUBQ_NOT_EXISTS_SQL)
+def subq_not_exists_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-sales-opportunity (TPC-H Q22 shape): above-average
+    balances with no orders, per nation.
+
+    Scale: NOT EXISTS decorrelates into a LEFT ANTI join on
+    o_custkey; the scalar average is computed once (single-row
+    broadcast) and compared via the exact decimal accumulator so the
+    threshold never flips on partitioning (c_acctbal has cents)."""
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql(_SUBQ_NOT_EXISTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension history (warehouse-pipeline staple)
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       o_orderdate AS valid_from,
+       LEAD(o_orderdate) OVER w AS valid_to,
+       (LEAD(o_orderdate) OVER w IS NULL) AS is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, valid_from, o_orderkey
+"""
+
+
+@_register("scd2_order_history", _SCD2_ORACLE)
+def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: each customer's order
+    stream becomes versioned rows with [valid_from, valid_to) ranges
+    and an is_current flag (the standard dimension-history pattern a
+    warehouse user expects from the `update` verb's history-keeping
+    cousin).
+
+    Scale: one shuffle on the dimension key (o_custkey), then a
+    per-key sort for LEAD — exactly the minimal work SCD2 requires;
+    no self-join (the naive formulation joins the table to itself on
+    consecutive versions)."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return (
+        t["orders"].select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_orderdate").alias("valid_from"),
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("o_custkey", "valid_from", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style cascading time rollup (minute -> hour -> day)
+# ---------------------------------------------------------------------------
+
+_HYPERTABLE_ORACLE = """
+SELECT date_trunc('day', ts) AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@_register("rollup_hypertable", _HYPERTABLE_ORACLE)
+def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup: events are aggregated to minute
+    buckets, minutes re-aggregated to hours, hours to days — the
+    continuous-aggregate / hypertable pattern (each level is what a
+    materialized rollup table would store).
+
+    Scale: only the minute level touches raw events (one shuffle,
+    partial agg); hour and day re-aggregate the previous level's few
+    rows. COUNT/SUM are decomposable, and the decimal accumulator
+    keeps the re-aggregated sums bit-identical to a direct day-level
+    aggregation (the oracle computes it directly — equality IS the
+    correctness statement for rollup reuse)."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    minute = (
+        t["events"]
+        .groupBy(F.date_trunc("minute", "ts").alias("minute"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).alias("_sum_dec"),
+        )
+    )
+    hour = (
+        minute.groupBy(F.date_trunc("hour", "minute").alias("hour"))
+        .agg(F.sum("n_events").alias("n_events"), F.sum("_sum_dec").alias("_sum_dec"))
+    )
+    return (
+        hour.groupBy(F.date_trunc("day", "hour").alias("day"))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("_sum_dec").cast("double").alias("total_value"),
+        )
+        .orderBy("day")
+    )

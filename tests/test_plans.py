@@ -116,3 +116,36 @@ def test_whole_stage_codegen_on_hot_path(spark):
 
     assert re.search(r"\*\(\d+\) HashAggregate", plan)
     assert re.search(r"\*\(\d+\) (Project|Filter|ColumnarToRow)", plan)
+
+
+def test_exists_subquery_decorrelates_to_semi_join(spark):
+    # Catalyst must rewrite EXISTS into a semi join on l_orderkey —
+    # a per-row nested subquery would appear as a BNLJ/cartesian
+    plan = _plan(relational.subq_exists_late_ship(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_not_exists_decorrelates_to_anti_join(spark):
+    plan = _plan(relational.subq_not_exists_idle_rich(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scalar_subquery_aggregates_once(spark):
+    # the correlated AVG decorrelates into ONE lineitem aggregate
+    # joined back — lineitem is scanned exactly twice (probe + agg),
+    # never per-row
+    plan = _plan(relational.subq_scalar_avg_qty(spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 2
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hypertable_rollup_single_wide_shuffle(spark):
+    # only the minute level shuffles raw events; hour/day re-aggregate
+    # tiny intermediates (AQE-coalesced). 3 agg levels + final sort =
+    # at most 4 exchanges, and exactly one of them carries raw rows.
+    plan = _plan(relational.rollup_hypertable(spark, SF_DIR))
+    assert plan.count("Exchange") <= 4
+    assert "Join" not in plan

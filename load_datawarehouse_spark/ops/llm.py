@@ -1461,3 +1461,341 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df", "rk")
         .orderBy("doc_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition score (Gopher-style quality signal)
+# ---------------------------------------------------------------------------
+
+_REP_GRAM_SQL = " || ' ' || ".join(f"ws[i+{k}]" for k in range(3))
+
+_REPETITION_ORACLE = f"""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+    SELECT doc_id,
+           CASE WHEN len(ws) >= 3
+                THEN list_transform(generate_series(1, len(ws) - 2), i -> {_REP_GRAM_SQL})
+                ELSE [] END AS gs
+    FROM s
+)
+SELECT doc_id,
+       CAST(len(gs) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
+       CASE WHEN len(gs) > 0
+            THEN CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE) / len(gs)
+            ELSE 0.0 END AS dup_frac
+FROM g ORDER BY doc_id
+"""
+
+
+@_register("doc_repetition_score", _REPETITION_ORACLE)
+def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate word-3-gram fraction per document — the Gopher-style
+    within-doc repetition signal (high dup_frac = boilerplate /
+    degenerate text a training pipeline drops).
+
+    Scale: completely narrow — the gram list, its distinct count, and
+    the ratio are all array expressions evaluated per row inside
+    whole-stage codegen; no explode, no shuffle (only the final
+    presentation sort). A 100-TB corpus maps through this at scan
+    speed."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    base = t["documents"].select("doc_id", F.split("text", " ", -1).alias("w"))
+    w = F.col("w")
+    grams = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 3),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.select("doc_id", grams.alias("gs"))
+    n = F.size("gs").cast("long")
+    nd = F.size(F.array_distinct("gs")).cast("long")
+    return g.select(
+        "doc_id",
+        n.alias("n_grams"),
+        nd.alias("n_distinct"),
+        F.when(n > 0, (n - nd).cast("double") / n).otherwise(F.lit(0.0)).alias("dup_frac"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule-based quality filter
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPWORDS = ("the", "a", "of", "and", "to")
+_STOP_PRED_SQL = " OR ".join(f"x = '{s}'" for s in _GOPHER_STOPWORDS)
+
+_GOPHER_ORACLE = f"""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+m AS (
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(ws, x -> len(x))) AS BIGINT) AS sum_len,
+           CAST(len(list_filter(ws, x -> {_STOP_PRED_SQL})) AS BIGINT) AS n_stop
+    FROM s
+)
+SELECT doc_id, n_words,
+       CAST(sum_len AS DOUBLE) / n_words AS mean_word_len,
+       n_stop,
+       (n_words BETWEEN 50 AND 100000
+        AND CAST(sum_len AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0
+        AND n_stop >= 2) AS keep
+FROM m ORDER BY doc_id
+"""
+
+
+@_register("quality_gopher_filters", _GOPHER_ORACLE)
+def quality_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter: word-count bounds, mean word length
+    band, and a minimum stop-word count (the published heuristic set,
+    reduced to the signals this corpus can express — symbol/bullet
+    ratios are identically zero here and add no discrimination).
+
+    Scale: narrow per-row array arithmetic in codegen, no shuffle —
+    the filter column composes with any downstream dedup/sampling
+    stage for free."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    base = t["documents"].select("doc_id", F.split("text", " ", -1).alias("w"))
+    w = F.col("w")
+    n_words = F.size(w).cast("long")
+    sum_len = F.aggregate(
+        F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    ).cast("long")
+    stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast("long")
+    m = base.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        sum_len.alias("sum_len"),
+        n_stop.alias("n_stop"),
+    )
+    mean_len = F.col("sum_len").cast("double") / F.col("n_words")
+    keep = (
+        F.col("n_words").between(50, 100000)
+        & mean_len.between(3.0, 10.0)
+        & (F.col("n_stop") >= 2)
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        mean_len.alias("mean_word_len"),
+        "n_stop",
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup (web-crawl pipeline staple)
+# ---------------------------------------------------------------------------
+
+_URL_CANON_ORACLE = """
+WITH raw AS (
+    -- deterministic messy-URL synthesis: mixed host case, optional
+    -- trailing slash, optional utm tracking params, shared path keys
+    SELECT doc_id,
+           'https://' ||
+           CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END ||
+           '.Example.COM/docs/' || CAST(doc_id % 100 AS VARCHAR) ||
+           CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+           CASE WHEN doc_id % 2 = 0
+                THEN '?utm_source=feed&utm_campaign=x&id=' || CAST(doc_id % 100 AS VARCHAR)
+                ELSE '?id=' || CAST(doc_id % 100 AS VARCHAR) END AS url
+    FROM documents
+), canon AS (
+    SELECT doc_id,
+           lower(regexp_extract(url, 'https?://([^/?]+)', 1)) ||
+           regexp_replace(regexp_extract(url, 'https?://[^/?]+([^?]*)', 1), '/$', '') ||
+           '?' || regexp_extract(url, '[?&](id=[0-9]+)', 1) AS canonical_url
+    FROM raw
+)
+SELECT canonical_url,
+       COUNT(*) AS n_dups,
+       MIN(doc_id) AS keeper_doc_id
+FROM canon
+GROUP BY canonical_url
+ORDER BY canonical_url
+"""
+
+
+@_register("dedup_url_canonical", _URL_CANON_ORACLE)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup: lowercase the host, strip the
+    trailing slash, drop utm_* tracking params, then group fetches of
+    the same canonical resource and elect a deterministic keeper
+    (min doc_id).
+
+    Scale: canonicalization is per-row regex in codegen; the dedup is
+    one hash aggregation on the canonical key — the shuffle carries
+    (canonical_url, doc_id) pairs only, never document bodies."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(d % 5 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".Example.COM/docs/"),
+        (d % 100).cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.concat(F.lit("?utm_source=feed&utm_campaign=x&id="), (d % 100).cast("string")))
+        .otherwise(F.concat(F.lit("?id="), (d % 100).cast("string"))),
+    )
+    raw = t["documents"].select("doc_id", url.alias("url"))
+    canonical = F.concat(
+        F.lower(F.regexp_extract("url", r"https?://([^/?]+)", 1)),
+        F.regexp_replace(F.regexp_extract("url", r"https?://[^/?]+([^?]*)", 1), r"/$", ""),
+        F.lit("?"),
+        F.regexp_extract("url", r"[?&](id=[0-9]+)", 1),
+    )
+    return (
+        raw.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document segment dedup (CCNet-style shard dedup on fixed windows)
+# ---------------------------------------------------------------------------
+
+_SEG_WORDS = 10
+
+_SEGMENT_DEDUP_ORACLE = f"""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+seg AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               generate_series(0, (len(ws) // {_SEG_WORDS}) - 1),
+               j -> md5(array_to_string(list_slice(ws, j * {_SEG_WORDS} + 1, (j + 1) * {_SEG_WORDS}), ' '))
+           )) AS seg_hash
+    FROM s WHERE len(ws) >= {_SEG_WORDS}
+), dseg AS (SELECT DISTINCT doc_id, seg_hash FROM seg),
+owner AS (SELECT seg_hash, MIN(doc_id) AS owner_doc FROM dseg GROUP BY seg_hash),
+per_doc AS (
+    SELECT d.doc_id,
+           COUNT(*) AS n_seg,
+           CAST(SUM(CASE WHEN o.owner_doc = d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM dseg d JOIN owner o USING (seg_hash)
+    GROUP BY d.doc_id
+)
+SELECT doc_id, n_seg, n_kept,
+       CAST(n_kept AS DOUBLE) / n_seg AS retained_frac
+FROM per_doc ORDER BY doc_id
+"""
+
+
+@_register("dedup_crossdoc_segments", _SEGMENT_DEDUP_ORACLE)
+def dedup_crossdoc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus segment dedup: documents are cut into fixed
+    10-word windows, each window is hashed, and the corpus-wide first
+    occurrence (min doc_id) owns the segment; per document we report
+    how many of its distinct segments it still owns after dedup.
+
+    Scale: segments are assembled array-natively per row (narrow) and
+    only their md5 hashes are exploded — the shuffle carries 16-byte
+    keys, not text. Ownership is one groupBy(seg_hash) with partial
+    min; the ownership join is hash-equi on the same key so the
+    exchange is reused. This is the pattern that removes boilerplate
+    at 100 TB without ever comparing documents pairwise."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    base = t["documents"].select("doc_id", F.split("text", " ", -1).alias("w"))
+    w = F.col("w")
+    segs = F.when(
+        F.size(w) >= _SEG_WORDS,
+        F.transform(
+            # floor division, NOT cast(double): DuckDB's double->int
+            # cast rounds half-up while Spark's truncates — `//` and
+            # floor() agree everywhere
+            F.sequence(F.lit(0), F.floor(F.size(w) / _SEG_WORDS).cast("long") - 1),
+            lambda j: F.md5(
+                F.concat_ws(" ", F.slice(w, (j * _SEG_WORDS + 1).cast("int"), _SEG_WORDS))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dseg = (
+        base.select("doc_id", F.explode(segs).alias("seg_hash")).distinct()
+    )
+    owner = dseg.groupBy("seg_hash").agg(F.min("doc_id").alias("owner_doc"))
+    per_doc = (
+        dseg.join(owner, "seg_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_seg"),
+            F.sum(
+                F.when(F.col("owner_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_kept"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_seg",
+        "n_kept",
+        (F.col("n_kept").cast("double") / F.col("n_seg")).alias("retained_frac"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination check (eval-set n-gram overlap)
+# ---------------------------------------------------------------------------
+
+_CONTAM_N = 8
+_CONTAM_EVAL_SOURCES = ("src0", "src1")
+_CONTAM_GRAM_SQL = " || ' ' || ".join(f"ws[i+{k}]" for k in range(_CONTAM_N))
+_CONTAM_EVAL_PRED = ", ".join(f"'{s}'" for s in _CONTAM_EVAL_SOURCES)
+
+_CONTAMINATION_ORACLE = f"""
+WITH s AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+g AS (
+    SELECT doc_id, source, unnest(list_transform(
+        generate_series(1, len(ws) - {_CONTAM_N - 1}), i -> md5({_CONTAM_GRAM_SQL})
+    )) AS gram
+    FROM s WHERE len(ws) >= {_CONTAM_N}
+), d AS (SELECT DISTINCT doc_id, source, gram FROM g),
+ev AS (SELECT DISTINCT gram FROM d WHERE source IN ({_CONTAM_EVAL_PRED}))
+SELECT d.doc_id, COUNT(*) AS n_shared_grams
+FROM d JOIN ev USING (gram)
+WHERE d.source NOT IN ({_CONTAM_EVAL_PRED})
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@_register("contamination_ngram_check", _CONTAMINATION_ORACLE)
+def contamination_ngram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination scan: training documents sharing any word
+    8-gram with the held-out eval sources (the standard
+    benchmark-leak check run before training).
+
+    Scale: eval-set grams are the SMALL side (benchmarks are MBs, the
+    corpus is TBs) — they are distinct-reduced and explicitly
+    broadcast, so the corpus side streams through a broadcast hash
+    semi-probe with no shuffle of the big side; grams travel as md5
+    hashes, never raw text."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    base = t["documents"].select("doc_id", "source", F.split("text", " ", -1).alias("w"))
+    w = F.col("w")
+    grams = F.when(
+        F.size(w) >= _CONTAM_N,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - _CONTAM_N),
+            lambda i: F.md5(
+                F.concat_ws(" ", *[F.element_at(w, i + k + 1) for k in range(_CONTAM_N)])
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = base.select("doc_id", "source", F.explode(grams).alias("gram")).distinct()
+    is_eval = F.col("source").isin(*_CONTAM_EVAL_SOURCES)
+    ev = d.filter(is_eval).select("gram").distinct()
+    return (
+        d.filter(~is_eval)
+        .join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )

@@ -149,3 +149,20 @@ def test_hypertable_rollup_single_wide_shuffle(spark):
     plan = _plan(relational.rollup_hypertable(spark, SF_DIR))
     assert plan.count("Exchange") <= 4
     assert "Join" not in plan
+
+
+def test_repetition_and_gopher_are_narrow(spark):
+    # per-row array arithmetic must stay shuffle-free: the only
+    # exchange allowed is the final presentation sort's range partition
+    for fn in (llm.doc_repetition_score, llm.quality_gopher_filters):
+        plan = _plan(fn(spark, SF_DIR))
+        assert plan.count("Exchange hashpartitioning") == 0, fn.__name__
+        assert "Join" not in plan, fn.__name__
+
+
+def test_contamination_broadcasts_eval_grams(spark):
+    # the eval-set gram list is the small side and must broadcast;
+    # the corpus side must not shuffle for the probe
+    plan = _plan(llm.contamination_ngram_check(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -1799,3 +1799,137 @@ def contamination_ngram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH approximate nearest neighbours
+# ---------------------------------------------------------------------------
+
+_LSH_PLANES = 6
+_LSH_DIM = 64
+
+
+def _lsh_weights() -> list[list[int]]:
+    """Deterministic integer hyperplane weights in [-1000, 1000],
+    derived from md5(p:d) — reproducible on any machine with no RNG,
+    and inlineable as literals in BOTH engines so the bucketing is
+    bit-identical by construction."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+            for d in range(_LSH_DIM)
+        ]
+        for p in range(_LSH_PLANES)
+    ]
+
+
+def _lsh_oracle() -> str:
+    ws = _lsh_weights()
+    values = ",\n        ".join(
+        f"({p}, {d}, {w}, {1 << p})"
+        for p, row in enumerate(ws)
+        for d, w in enumerate(row)
+    )
+    return f"""
+WITH weights(p, d, w, bit) AS (
+    VALUES {values}
+),
+dots AS (
+    SELECT e.vec_id, wt.p, MAX(wt.bit) AS bit,
+           CAST(SUM(CAST(CAST(wt.w AS DOUBLE) * CAST(e.embedding[wt.d + 1] AS DOUBLE)
+                         AS DECIMAL(28,12))) AS DOUBLE) AS dot
+    FROM embeddings e JOIN weights wt ON TRUE
+    GROUP BY e.vec_id, wt.p
+),
+buckets AS (
+    SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 THEN bit ELSE 0 END) AS BIGINT) AS bucket
+    FROM dots GROUP BY vec_id
+),
+q AS (
+    SELECT e.vec_id AS qid, e.embedding AS qv, b.bucket
+    FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id
+    WHERE e.vec_id < 5
+),
+elems AS (
+    SELECT e.vec_id, q.qid, unnest(e.embedding) AS a, unnest(q.qv) AS b
+    FROM embeddings e
+    JOIN buckets eb ON eb.vec_id = e.vec_id
+    JOIN q ON q.bucket = eb.bucket AND e.vec_id != q.qid
+),
+prod AS (
+    SELECT vec_id, qid,
+        CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dot
+    FROM elems GROUP BY vec_id, qid
+),
+norms AS (
+    SELECT vec_id,
+        SQRT(CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+    FROM (SELECT vec_id, unnest(embedding) AS a FROM embeddings)
+    GROUP BY vec_id
+)
+SELECT * FROM (
+    SELECT p.qid, p.vec_id,
+           p.dot / (nq.nrm * nv.nrm) AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY p.qid
+                              ORDER BY p.dot / (nq.nrm * nv.nrm) DESC, p.vec_id) AS rk
+    FROM prod p
+    JOIN norms nq ON nq.vec_id = p.qid
+    JOIN norms nv ON nv.vec_id = p.vec_id
+) WHERE rk <= 10
+ORDER BY qid, rk
+"""
+
+
+def _lsh_buckets(emb):
+    """vec_id -> LSH bucket id (sign pattern over the hyperplanes),
+    computed narrowly per row: each plane's dot product is an exact
+    decimal fold over zip_with — pure codegen, no shuffle, no UDF."""
+    ws = _lsh_weights()
+    bucket = None
+    for p, row in enumerate(ws):
+        warr = F.array(*[F.lit(w) for w in row])
+        dot = _dec_fold(
+            F.zip_with(
+                F.col("embedding"),
+                warr,
+                lambda x, y: (x.cast("double") * y.cast("double")).cast(_COS_DEC),
+            )
+        )
+        bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return emb.withColumn("bucket", bucket.cast("long"))
+
+
+@_register("similarity_lsh_topk", _lsh_oracle())
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN cosine top-10 via random-hyperplane LSH: vectors landing in
+    the same sign-pattern bucket as a query are scored exactly; the
+    rest are never touched (recall < 1 by design — the scale path next
+    to similarity_cosine_topk's exact baseline and similarity_ivf's
+    cell-pruned search).
+
+    Scale: bucketing is narrow per-row arithmetic; the 5 query
+    buckets are broadcast, so the corpus probe is a broadcast hash
+    join that prunes to ~|corpus| / 2^planes candidates before any
+    exact scoring; the top-k merge uses the two-phase local-heap
+    pattern (no low-cardinality shuffle)."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    emb = _lsh_buckets(_with_norm(t["embeddings"]))
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        emb.join(F.broadcast(q), emb.bucket == F.col("qbucket"))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (_dec_dot("embedding", "qv") / (F.col("nrm") * F.col("qnrm"))).alias("cosine"),
+        )
+    )
+    return _global_topk(scored, 10)

@@ -36,7 +36,11 @@ from load_datawarehouse_spark.errors import (
     WarehouseInvalidInput,
 )
 
-FORMATS = ("parquet", "json", "csv")
+#: orc is the second columnar format Spark ships natively (predicate
+#: pushdown + column pruning like parquet); text reads/writes a single
+#: string column per line (the raw-corpus interchange format); avro
+#: needs the external spark-avro package and is gated at call time.
+FORMATS = ("parquet", "json", "csv", "orc", "text", "avro")
 
 
 def read_table(
@@ -65,7 +69,24 @@ def read_table(
         # Spark samples for inference; make it explicit that the full
         # pass is intended when no schema is given.
         options.setdefault("samplingRatio", "1.0")
+    if fmt == "avro" and not _format_available(spark, "avro"):
+        raise WarehouseAPINotInstalled(
+            "spark-avro is not on the session classpath; add "
+            "org.apache.spark:spark-avro via spark.jars.packages"
+        )
     return reader.options(**options).format(fmt).load(path)
+
+
+def _format_available(spark: SparkSession, fmt: str) -> bool:
+    """Probe the JVM for an external DataSource implementation
+    (availability-shim pattern, cf. ``_jdbc_available``)."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            fmt, spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:
+        return False
 
 
 def write_table(
@@ -86,6 +107,16 @@ def write_table(
     """
     if fmt not in FORMATS:
         raise WarehouseInvalidInput(f"unsupported format {fmt!r}; use one of {FORMATS}")
+    if fmt == "text" and (len(df.columns) != 1):
+        raise WarehouseInvalidInput(
+            "text format writes exactly one string column per line; "
+            f"got {len(df.columns)} columns"
+        )
+    if fmt == "avro" and not _format_available(df.sparkSession, "avro"):
+        raise WarehouseAPINotInstalled(
+            "spark-avro is not on the session classpath; add "
+            "org.apache.spark:spark-avro via spark.jars.packages"
+        )
     writer = df.write.mode(mode)
     if fmt == "csv":
         options.setdefault("header", "true")

@@ -59,7 +59,7 @@ def test_max_records_per_file_bounds_files(spark, tmp_path):
 
 def test_bad_format_rejected(spark, tmp_path):
     with pytest.raises(WarehouseInvalidInput):
-        src.read_table(spark, str(tmp_path), fmt="avro")
+        src.read_table(spark, str(tmp_path), fmt="xml")
     with pytest.raises(WarehouseInvalidInput):
         src.write_table(_docs(spark), str(tmp_path), fmt="orc2")
 
@@ -97,3 +97,44 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     a = sorted(map(tuple, df.collect()))
     b = sorted(map(tuple, back.select("doc_id", "lang", "n_chars").collect()))
     assert a == b
+
+
+def test_orc_round_trip_and_pushdown(spark, tmp_path):
+    docs = _docs(spark)
+    path = str(tmp_path / "docs_orc")
+    src.write_table(docs, path, fmt="orc")
+    got = src.read_table(spark, path, fmt="orc")
+    assert _rows(got) == _rows(docs)
+    # ORC supports predicate pushdown like parquet
+    plan = (
+        src.read_table(spark, path, fmt="orc")
+        .filter("doc_id = 7")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)]" in plan
+
+
+def test_text_round_trip_single_column(spark, tmp_path):
+    docs = _docs(spark).select("text")
+    path = str(tmp_path / "docs_txt")
+    src.write_table(docs, path, fmt="text")
+    got = src.read_table(spark, path, fmt="text")
+    assert got.columns == ["value"]
+    assert got.count() == docs.count()
+    assert sorted(r[0] for r in got.collect()) == sorted(r[0] for r in docs.collect())
+
+
+def test_text_rejects_multi_column(spark, tmp_path):
+    with pytest.raises(WarehouseInvalidInput):
+        src.write_table(_docs(spark), str(tmp_path / "bad_txt"), fmt="text")
+
+
+def test_avro_gated_when_package_missing(spark, tmp_path):
+    # the container has no spark-avro jar; the gate must raise the
+    # availability error, not a raw JVM ClassNotFound
+    if src._format_available(spark, "avro"):  # pragma: no cover
+        pytest.skip("spark-avro unexpectedly present")
+    with pytest.raises(WarehouseAPINotInstalled):
+        src.write_table(_docs(spark), str(tmp_path / "docs_avro"), fmt="avro")

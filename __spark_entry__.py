@@ -20,13 +20,26 @@ from pyspark.sql import DataFrame, SparkSession
 # this round must land inside that verified prefix. Relational +
 # window queries follow — they were all driver-verified in round 1.
 _FIRST_NAMES = (
-    # oracles fixed / added this round — need fresh driver rows
+    # oracles fixed / added in round 2 — need fresh driver rows
     "join_left_outer",
     "join_right_outer",
     "json_extract_props",
     "agg_approx_count_distinct",
     "agg_approx_percentile",
     "dedup_minhash_verified",
+    # new in round 2
+    "subq_exists_late_ship",
+    "subq_scalar_avg_qty",
+    "subq_in_groupby_having",
+    "subq_not_exists_idle_rich",
+    "scd2_order_history",
+    "rollup_hypertable",
+    "similarity_lsh_topk",
+    "doc_repetition_score",
+    "quality_gopher_filters",
+    "dedup_url_canonical",
+    "dedup_crossdoc_segments",
+    "contamination_ngram_check",
 )
 
 

@@ -32,7 +32,12 @@ HEADLINE = [
     "tfidf_top_terms",
     "ngram_lm_counts",
     "join_range_bucketed",
+    "subq_exists_late_ship",
+    "rollup_hypertable",
+    "dedup_crossdoc_segments",
+    "contamination_ngram_check",
     "similarity_cosine_topk",
+    "similarity_lsh_topk",
     "embedding_label_centroids",
     "quality_score",
     "multimodal_feature_extract",

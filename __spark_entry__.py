@@ -40,6 +40,9 @@ _FIRST_NAMES = (
     "dedup_url_canonical",
     "dedup_crossdoc_segments",
     "contamination_ngram_check",
+    "dedup_exact_normalized",
+    "stream_ingest_warehouse",
+    "stream_topk_per_window",
 )
 
 

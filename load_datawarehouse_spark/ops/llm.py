@@ -1933,3 +1933,53 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _global_topk(scored, 10)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy-exact dedup on normalized text
+# ---------------------------------------------------------------------------
+
+_DEDUP_NORM_ORACLE = """
+WITH n AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                   ' +', ' ', 'g'))) AS norm_key
+    FROM documents
+)
+SELECT norm_key,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS keeper_doc_id
+FROM n GROUP BY norm_key
+HAVING COUNT(*) >= 1
+ORDER BY norm_key
+"""
+
+
+@_register("dedup_exact_normalized", _DEDUP_NORM_ORACLE)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after canonical normalization (case folding,
+    punctuation stripping, whitespace collapse) — catches the
+    trivial-variant duplicates exact dedup misses without paying for
+    MinHash (the standard stage between exact and near dedup).
+
+    Scale: normalization is per-row codegen; only the 16-byte md5 of
+    the normalized form travels through the single groupBy shuffle —
+    document bodies never move."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    norm_key = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+            )
+        )
+    )
+    return (
+        t["documents"]
+        .select("doc_id", norm_key.alias("norm_key"))
+        .groupBy("norm_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .orderBy("norm_key")
+    )

@@ -494,3 +494,110 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest INTO the warehouse (foreachBatch -> SparkWarehouse)
+# ---------------------------------------------------------------------------
+
+_STREAM_INGEST_ORACLE = """
+SELECT event_id, user_id, value
+FROM events
+WHERE event_type = 'purchase'
+ORDER BY event_id
+"""
+
+
+@_register("stream_ingest_warehouse", _STREAM_INGEST_ORACLE)
+def stream_ingest_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest bridge: an unbounded event stream is filtered
+    and appended into a ``SparkWarehouse`` table via ``foreachBatch``
+    — the production pattern for landing a stream in batch-queryable
+    warehouse storage (foreachBatch gives per-micro-batch batch-writer
+    semantics; pair with idempotent paths or the file-sink log for
+    exactly-once on retries).
+
+    Scale: the filter runs inside the stream (only purchases reach the
+    sink); each micro-batch append is a distributed parquet write, and
+    the resulting table is immediately readable by every batch
+    operator in this engine."""
+    import shutil
+    import tempfile
+
+    from load_datawarehouse_spark.warehouse import SparkWarehouse
+
+    root = tempfile.mkdtemp(prefix="ldw_stream_wh_")
+    try:
+        wh = SparkWarehouse(spark, root, "purchases")
+        wh._write_meta({"schema": None, "expires": None})
+        data_path = os.path.join(wh.path, "data")
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(data_path)
+
+        ev = events_stream(spark, sf_dir)
+        q = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "value")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(root, "_chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # materialize before the temp dir disappears
+        rows = wh.df().orderBy("event_id").collect()
+        return spark.createDataFrame(rows, wh.df().schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Windowed top-k over the materialized stream sink
+# ---------------------------------------------------------------------------
+
+_STREAM_TOPK_ORACLE = """
+WITH counts AS (
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type, COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                 ORDER BY n_events DESC, event_type) AS rk
+    FROM counts
+)
+SELECT window_start, event_type, n_events, rk
+FROM ranked WHERE rk <= 2
+ORDER BY window_start, rk
+"""
+
+
+@_register("stream_topk_per_window", _STREAM_TOPK_ORACLE)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 event types per hour window: the stream maintains the
+    windowed counts (watermarked, state-bounded); the rank is a batch
+    query over the materialized sink — the standard split, since
+    global ranking inside an update-mode stream would need the whole
+    window's state on every trigger (sink-then-rank keeps the
+    streaming side incremental).
+
+    Scale: the streaming aggregation shuffles on (window, event_type)
+    with partial aggregation; the batch rank runs over |windows| x
+    |types| rows — trivially small."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    sunk = run_to_memory(agg, "complete")
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(F.desc("n_events"), F.asc("event_type"))
+    )
+    return (
+        sunk.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= 2)
+        .orderBy("window_start", "rk")
+    )

@@ -43,6 +43,10 @@ _FIRST_NAMES = (
     "dedup_exact_normalized",
     "stream_ingest_warehouse",
     "stream_topk_per_window",
+    "window_dedup_latest",
+    "gap_islands_streaks",
+    "q7_nation_volume",
+    "kmeans_lloyd",
 )
 
 

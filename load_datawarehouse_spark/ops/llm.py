@@ -1983,3 +1983,143 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("norm_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means (Lloyd) — fixed 3 iterations, deterministic seeds
+# ---------------------------------------------------------------------------
+
+_KM_K = 4
+_KM_ITERS = 3
+#: centroids are quantized to 9 decimal places after every mean update:
+#: decimal->double casts are correctly rounded in both engines for the
+#: SUM, but the subsequent division's last ulp is the one place the
+#: engines could disagree — fixed-point centroids make each iteration
+#: bit-reproducible everywhere (ROUND(x, 9) is away-from-zero in both).
+_KM_Q = 9
+
+
+def _kmeans_oracle() -> str:
+    elems = (
+        "SELECT vec_id, generate_subscripts(embedding, 1) AS pos, "
+        "unnest(embedding) AS x FROM embeddings"
+    )
+    parts = [
+        f"""el AS ({elems}),
+c0 AS (
+    SELECT vec_id AS cluster, pos, CAST(x AS DOUBLE) AS cval
+    FROM el WHERE vec_id < {_KM_K}
+)"""
+    ]
+    for j in range(1, _KM_ITERS + 1):
+        parts.append(f"""d{j} AS (
+    SELECT el.vec_id, c.cluster,
+           CAST(SUM(CAST((CAST(el.x AS DOUBLE) - c.cval) * (CAST(el.x AS DOUBLE) - c.cval)
+                         AS DECIMAL(28,12))) AS DOUBLE) AS d2
+    FROM el JOIN c{j - 1} c ON c.pos = el.pos
+    GROUP BY el.vec_id, c.cluster
+),
+a{j} AS (
+    SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+        FROM d{j}
+    ) WHERE rk = 1
+),
+c{j} AS (
+    SELECT a.cluster, el.pos,
+           ROUND(CAST(SUM(CAST(CAST(el.x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*), {_KM_Q}) AS cval
+    FROM el JOIN a{j} a USING (vec_id)
+    GROUP BY a.cluster, el.pos
+)""")
+    last = _KM_ITERS
+    return f"""
+WITH {', '.join(parts)},
+sizes AS (SELECT cluster, COUNT(*) AS n_members FROM a{last} GROUP BY cluster)
+SELECT c.cluster, CAST(c.pos AS BIGINT) AS pos, c.cval AS centroid, s.n_members
+FROM c{last} c JOIN sizes s USING (cluster)
+ORDER BY c.cluster, c.pos
+"""
+
+
+@_register("kmeans_lloyd", _kmeans_oracle())
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus: k=4 seeds (vectors
+    0..3), 3 full assign/update iterations, exact-decimal distance
+    and mean accumulation, centroids quantized per iteration (see
+    ``_KM_Q``) so the trajectory is engine- and partitioning-
+    independent. The oracle unrolls the identical 3 iterations in SQL.
+
+    Scale: the canonical Spark iterative-ML shape — centroids (k x
+    dim, tiny) are collected to the driver each iteration and shipped
+    back as broadcast literals, so assignment is a NARROW pass over
+    the corpus (distance arithmetic in codegen, no join, no shuffle);
+    only the mean update shuffles, carrying (cluster, pos, sum)
+    partial aggregates. Per iteration: one narrow scan + one
+    bounded-key shuffle — exactly what MLlib's KMeans does."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    emb = t["embeddings"].select("vec_id", "embedding")
+    # seeds: vectors 0..k-1, cluster id = vec_id (exact float->double)
+    seed_rows = (
+        emb.filter(F.col("vec_id") < _KM_K)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("c"))
+        .collect()
+    )
+    centroids = {int(r["vec_id"]): list(r["c"]) for r in seed_rows}
+
+    assign = None
+    for _ in range(_KM_ITERS):
+        d2s = []
+        for c in range(_KM_K):
+            carr = F.array(*[F.lit(v) for v in centroids[c]])
+            d2s.append(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"),
+                        carr,
+                        lambda x, y: ((x.cast("double") - y) * (x.cast("double") - y)).cast(
+                            _COS_DEC
+                        ),
+                    ),
+                    F.lit(0).cast(_COS_DEC),
+                    lambda s, x: (s + x).cast(_COS_DEC),
+                ).cast("double")
+            )
+        best = F.least(*d2s)
+        cluster = F.lit(None).cast("int")
+        # first-match tiebreak = lowest cluster id, matching the
+        # oracle's ORDER BY d2, cluster
+        for c in reversed(range(_KM_K)):
+            cluster = F.when(d2s[c] == best, c).otherwise(cluster)
+        assign = emb.select("vec_id", "embedding", cluster.alias("cluster"))
+        new_means = (
+            assign.select(
+                "cluster", F.posexplode(F.col("embedding").cast("array<double>"))
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("col").cast(_COS_DEC)).cast("double") / F.count(F.lit(1)),
+                    _KM_Q,
+                ).alias("cval")
+            )
+            .collect()
+        )
+        updated: dict[int, list[float]] = {c: list(centroids[c]) for c in centroids}
+        for r in new_means:
+            updated[int(r["cluster"])][int(r["pos"])] = float(r["cval"])
+        centroids = updated
+
+    sizes = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    rows = [
+        (c, pos, centroids[c][pos])
+        for c in range(_KM_K)
+        for pos in range(len(centroids[c]))
+    ]
+    cent_df = spark.createDataFrame(rows, "cluster long, pos long, centroid double")
+    return (
+        cent_df.join(F.broadcast(sizes.withColumn("cluster", F.col("cluster").cast("long"))), "cluster")
+        .select("cluster", (F.col("pos") + 1).alias("pos"), "centroid", "n_members")
+        .orderBy("cluster", "pos")
+    )

@@ -1904,3 +1904,163 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Latest-per-key dedup (warehouse upsert-view staple)
+# ---------------------------------------------------------------------------
+
+_DEDUP_LATEST_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM (
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+    FROM orders
+) WHERE rk = 1
+ORDER BY o_custkey
+"""
+
+
+@_register("window_dedup_latest", _DEDUP_LATEST_ORACLE)
+def window_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest row per key (the CDC/warehouse 'current view' of an
+    append-only change stream): row_number over (key, recency) = 1
+    with a deterministic tiebreak.
+
+    Scale: one shuffle on the key; per-partition sort + streaming
+    rank-1 filter. Key cardinality here scales with data (unlike a
+    low-cardinality window), so the shuffle stays balanced; for
+    pathological hot keys, AQE skew handling applies."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        t["orders"]
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: consecutive-day activity streaks
+# ---------------------------------------------------------------------------
+
+_GAP_ISLANDS_ORACLE = """
+WITH days AS (
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), seq AS (
+    SELECT user_id, day,
+           date_diff('day', DATE '1970-01-01', day)
+             - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island
+    FROM days
+)
+SELECT user_id, MIN(day) AS streak_start, MAX(day) AS streak_end,
+       COUNT(*) AS streak_days
+FROM seq
+GROUP BY user_id, island
+ORDER BY user_id, streak_start
+"""
+
+
+@_register("gap_islands_streaks", _GAP_ISLANDS_ORACLE)
+def gap_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's maximal runs of consecutive
+    active days (the classic retention/streak computation).
+
+    Scale: distinct (user, day) first — the shuffle carries one row
+    per user-day, not per event; then a single window on user_id and
+    a re-aggregation on the derived island key. Both shuffles hash the
+    same user_id prefix, so the exchange is reusable."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    days = (
+        t["events"]
+        .select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    island = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) - F.row_number().over(w)
+    return (
+        days.withColumn("island", island)
+        .groupBy("user_id", "island")
+        .agg(
+            F.min("day").alias("streak_start"),
+            F.max("day").alias("streak_end"),
+            F.count(F.lit(1)).alias("streak_days"),
+        )
+        .select("user_id", "streak_start", "streak_end", "streak_days")
+        .orderBy("user_id", "streak_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nation-pair trade volume (TPC-H Q7 shape)
+# ---------------------------------------------------------------------------
+
+_Q7_ORACLE = f"""
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(YEAR(l.l_shipdate) AS INTEGER) AS l_year,
+       {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+WHERE ((cn.n_name = 'NATION_0' AND sn.n_name = 'NATION_1')
+    OR (cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_0'))
+  AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                       AND TIMESTAMP '1996-12-31 00:00:00'
+GROUP BY cust_nation, supp_nation, l_year
+ORDER BY cust_nation, supp_nation, l_year
+"""
+
+
+@_register("q7_nation_volume", _Q7_ORACLE)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping between a nation pair per year (TPC-H Q7
+    shape).
+
+    Scale: nation/supplier/customer are broadcast dims; the only
+    big-big join is lineitem-orders on the order key (single
+    shuffle). The nation-pair filter applies as soon as the dims are
+    joined, before aggregation; the shipdate band pushes to the
+    lineitem scan."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    l = t["lineitem"].filter(
+        F.col("l_shipdate").between(
+            F.lit("1995-01-01").cast("timestamp"),
+            F.lit("1996-12-31").cast("timestamp"),
+        )
+    )
+    cn = t["nation"].select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    sn = t["nation"].select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    cust = t["customer"].join(
+        F.broadcast(cn), F.col("c_nationkey") == F.col("c_nkey")
+    ).select("c_custkey", "cust_nation")
+    supp = t["supplier"].join(
+        F.broadcast(sn), F.col("s_nationkey") == F.col("s_nkey")
+    ).select("s_suppkey", "supp_nation")
+    pair = (
+        (F.col("cust_nation") == "NATION_0") & (F.col("supp_nation") == "NATION_1")
+    ) | ((F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_0"))
+    return (
+        l.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(pair)
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy("cust_nation", "supp_nation", "l_year")
+    )

@@ -47,6 +47,10 @@ _FIRST_NAMES = (
     "gap_islands_streaks",
     "q7_nation_volume",
     "kmeans_lloyd",
+    "pack_training_sequences",
+    "sample_temperature_mix",
+    "lm_commonness_score",
+    "sample_topk_hash_per_group",
 )
 
 

@@ -2123,3 +2123,217 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster", (F.col("pos") + 1).alias("pos"), "centroid", "n_members")
         .orderBy("cluster", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-sequence packing (token-budget shards per source)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+_PACK_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, source,
+           LEN(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_tokens
+    FROM documents
+), cum AS (
+    SELECT doc_id, source, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    FROM tok
+)
+SELECT doc_id, source, n_tokens,
+       CAST((cum_tokens - 1) // {_PACK_BUDGET} AS BIGINT) AS seq_id
+FROM cum ORDER BY source, doc_id
+"""
+
+
+@_register("pack_training_sequences", _PACK_ORACLE)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget packing: documents are packed in stable
+    doc_id order into ~{budget}-token training sequences, independently
+    per source shard (running token cumsum // budget). A sequence may
+    exceed the budget by at most one straddling document — the
+    one-pass distributed form of greedy packing (cf. the exact
+    sequential variant in ``data.chunks``).
+
+    Scale: the window is PARTITIONED by source, so each shard packs
+    independently — no global total order, no single-reducer
+    bottleneck; token counting is per-row regex in codegen."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    tok = t["documents"].select(
+        "doc_id",
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), F.lit(0))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tok.withColumn("seq_id", F.floor((F.sum("n_tokens").over(w) - 1) / _PACK_BUDGET).cast("long"))
+        .select("doc_id", "source", "n_tokens", "seq_id")
+        .orderBy("source", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled data-mixture weights
+# ---------------------------------------------------------------------------
+
+_TEMP_MIX_ORACLE = """
+WITH per_src AS (
+    SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), tot AS (
+    SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM per_src
+), w AS (
+    SELECT source, n_docs, n_total,
+           CAST(SQRT(CAST(n_docs AS DOUBLE) / n_total) AS DECIMAL(28,12)) AS w_dec
+    FROM per_src CROSS JOIN tot
+), norm AS (
+    SELECT CAST(SUM(w_dec) AS DOUBLE) AS w_sum FROM w
+)
+SELECT w.source, w.n_docs,
+       CAST(w.w_dec AS DOUBLE) / norm.w_sum AS mix_share,
+       CAST(FLOOR(CAST(w.w_dec AS DOUBLE) / norm.w_sum * w.n_total) AS BIGINT) AS target_docs
+FROM w CROSS JOIN norm
+ORDER BY w.source
+"""
+
+
+@_register("sample_temperature_mix", _TEMP_MIX_ORACLE)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (T=2): per-source share
+    ∝ (n_s/N)^(1/T) — the standard recipe for up-weighting small
+    sources in multilingual/multi-domain pretraining mixes. sqrt is
+    IEEE-exact and the weight normalization goes through the decimal
+    accumulator, so shares are bit-identical across engines.
+
+    Scale: one count per source (partial agg), then arithmetic over
+    |sources| rows — the corpus is touched exactly once."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    per_src = t["documents"].groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per_src.agg(F.sum("n_docs").cast("long").alias("n_total"))
+    w = per_src.crossJoin(F.broadcast(tot)).withColumn(
+        "w_dec",
+        F.sqrt(F.col("n_docs").cast("double") / F.col("n_total")).cast(_COS_DEC),
+    )
+    norm = w.agg(F.sum("w_dec").cast("double").alias("w_sum"))
+    share = F.col("w_dec").cast("double") / F.col("w_sum")
+    return (
+        w.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "n_docs",
+            share.alias("mix_share"),
+            F.floor(share * F.col("n_total")).cast("long").alias("target_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LM-commonness score (bigram corpus-frequency proxy, log-free)
+# ---------------------------------------------------------------------------
+
+_LM_SCORE_ORACLE = """
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+), bg AS (
+    SELECT doc_id, word || ' ' || LEAD(word, 1) OVER w AS bigram
+    FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    QUALIFY LEAD(word, 1) OVER w IS NOT NULL
+), cnt AS (
+    SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram
+)
+SELECT bg.doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(cnt.c) AS BIGINT) AS sum_corpus_cnt,
+       CAST(SUM(cnt.c) AS DOUBLE) / COUNT(*) AS avg_corpus_cnt
+FROM bg JOIN cnt USING (bigram)
+GROUP BY bg.doc_id
+ORDER BY bg.doc_id
+"""
+
+
+@_register("lm_commonness_score", _LM_SCORE_ORACLE)
+def lm_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style fluency proxy without logs: each document scored by
+    the average corpus frequency of its bigrams (rare-bigram documents
+    score low — the deterministic, engine-portable stand-in for mean
+    log-probability, since libm log rounding differs across engines).
+
+    Scale: bigram counts and per-doc scoring are two aggregations on
+    the same exploded bigram stream; the count table joins back on the
+    bigram hash — an inverted-index equi join, shuffle keyed by bigram
+    (high cardinality, balanced). Integer sums only."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    base = t["documents"].select("doc_id", F.split("text", " ", -1).alias("w"))
+    w = F.col("w")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = base.select("doc_id", F.explode(bigrams).alias("bigram"))
+    cnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        bg.join(cnt, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("c").alias("sum_corpus_cnt"),
+            (F.sum("c").cast("double") / F.count(F.lit(1))).alias("avg_corpus_cnt"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group downsampling (hash-ranked)
+# ---------------------------------------------------------------------------
+
+_HASH_SAMPLE_K = 5
+
+_HASH_SAMPLE_ORACLE = f"""
+SELECT source, lang, doc_id
+FROM (
+    SELECT source, lang, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY source, lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM documents
+) WHERE rk <= {_HASH_SAMPLE_K}
+ORDER BY source, lang, doc_id
+"""
+
+
+@_register("sample_topk_hash_per_group", _HASH_SAMPLE_ORACLE)
+def sample_topk_hash_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform downsample: keep the k documents with the
+    smallest md5(doc_id) per (source, lang) — reservoir-sampling
+    semantics with a reproducible, seedless order (md5 of the key is
+    uniform), so reruns and backfills pick identical samples.
+
+    Scale: one shuffle on the group key; group count scales with data
+    so the window stays balanced (contrast the low-cardinality-qid
+    caveat on similarity top-k)."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    rk = F.row_number().over(
+        Window.partitionBy("source", "lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    return (
+        t["documents"]
+        .select("source", "lang", "doc_id")
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= _HASH_SAMPLE_K)
+        .drop("rk")
+        .orderBy("source", "lang", "doc_id")
+    )

@@ -51,6 +51,9 @@ _FIRST_NAMES = (
     "sample_temperature_mix",
     "lm_commonness_score",
     "sample_topk_hash_per_group",
+    "multimodal_shard_packing",
+    "multimodal_dedup_payload",
+    "multimodal_caption_pairs",
 )
 
 

@@ -36,7 +36,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -375,4 +375,154 @@ def multimodal_modality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("meta.height").alias("max_height"),
         )
         .orderBy("media_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_shard_packing — webdataset-style size-bounded shards
+# ---------------------------------------------------------------------------
+
+SHARD_BYTES = 4096  #: target shard payload size in the test corpus
+
+_SHARD_ORACLE = f"""
+WITH m AS (
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+               AS media_type,
+           CAST(LENGTH(text) AS BIGINT) AS n_bytes
+    FROM documents
+)
+SELECT doc_id, media_type, n_bytes,
+       CAST((SUM(n_bytes) OVER (PARTITION BY media_type ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - 1) // {SHARD_BYTES}
+            AS BIGINT) AS shard_id
+FROM m ORDER BY media_type, doc_id
+"""
+
+
+@_register("multimodal_shard_packing", _SHARD_ORACLE)
+def multimodal_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Webdataset-style shard assignment: samples packed in stable
+    doc_id order into ~SHARD_BYTES shards, independently per modality
+    (running byte cumsum // budget — same one-pass greedy form as
+    ``data.with_chunk_ids`` / ``llm.pack_training_sequences``).
+
+    Scale: metadata-only — the window reads ``meta.n_bytes``; the
+    binary payload column is pruned at the scan and never moves. The
+    window is partitioned by modality; for heavier parallelism,
+    sub-shard by (modality, hash-prefix) first."""
+    m = media_table(spark, sf_dir)
+    w = (
+        Window.partitionBy("media_type")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        m.select("doc_id", "media_type", F.col("meta.n_bytes").alias("n_bytes"))
+        .withColumn(
+            "shard_id",
+            F.floor((F.sum("n_bytes").over(w) - 1) / SHARD_BYTES).cast("long"),
+        )
+        .orderBy("media_type", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_dedup_payload — exact media dedup by content digest
+# ---------------------------------------------------------------------------
+
+_PAYLOAD_DEDUP_ORACLE = """
+WITH m AS (
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+               AS media_type,
+           md5(text) AS content_md5,
+           CAST(LENGTH(text) AS BIGINT) AS n_bytes
+    FROM documents
+)
+SELECT content_md5, media_type, n_bytes,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS keeper_doc_id
+FROM m GROUP BY content_md5, media_type, n_bytes
+ORDER BY content_md5
+"""
+
+
+@_register("multimodal_dedup_payload", _PAYLOAD_DEDUP_ORACLE)
+def multimodal_dedup_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup: group by (content digest, modality, size)
+    and elect a deterministic keeper — the first dedup stage of any
+    image/audio training pipeline (identical files re-crawled under
+    different URLs).
+
+    Scale: the md5 runs JVM-side over the binary column where the
+    data lives; only the 16-byte digest + metadata enter the shuffle.
+    Payload bytes never move — the same
+    shuffle-carries-keys-not-bodies rule as the text dedups. (The
+    test corpus's payloads are UTF-8 text, so DuckDB replays the
+    digest with md5(text).)"""
+    m = media_table(spark, sf_dir)
+    return (
+        m.select(
+            "doc_id",
+            "media_type",
+            F.md5("content").alias("content_md5"),
+            F.col("meta.n_bytes").alias("n_bytes"),
+        )
+        .groupBy("content_md5", "media_type", "n_bytes")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .orderBy("content_md5")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_caption_pairs — cross-modal (media, caption) pairing
+# ---------------------------------------------------------------------------
+
+_CAPTION_ORACLE = """
+WITH m AS (
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+               AS media_type,
+           CAST(LENGTH(text) AS BIGINT) AS n_bytes
+    FROM documents
+), cap AS (
+    SELECT doc_id AS cap_doc_id,
+           len(string_split(text, ' ')) AS caption_words
+    FROM documents
+)
+SELECT m.doc_id, m.media_type, m.n_bytes,
+       CAST(cap.caption_words AS BIGINT) AS caption_words
+FROM m JOIN cap ON cap.cap_doc_id = m.doc_id
+WHERE m.media_type = 'image' AND cap.caption_words BETWEEN 5 AND 1000
+ORDER BY m.doc_id
+"""
+
+
+@_register("multimodal_caption_pairs", _CAPTION_ORACLE)
+def multimodal_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-style (image, caption) pair assembly: media rows join
+    their text captions on the document key, filtered to images with
+    usable caption lengths.
+
+    Scale: both sides are keyed by doc_id; when media and captions
+    are stored co-bucketed on that key the join needs no shuffle at
+    all (here the filter prunes modality and caption-length before
+    the join). Payload pruning still applies — the pair table carries
+    metadata + caption stats, not bytes."""
+    m = media_table(spark, sf_dir).select(
+        "doc_id", "media_type", F.col("meta.n_bytes").alias("n_bytes")
+    ).filter(F.col("media_type") == "image")
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    cap = docs.select(
+        F.col("doc_id").alias("cap_doc_id"),
+        F.size(F.split("text", " ", -1)).cast("long").alias("caption_words"),
+    ).filter(F.col("caption_words").between(5, 1000))
+    return (
+        m.join(cap, m.doc_id == cap.cap_doc_id)
+        .select("doc_id", "media_type", "n_bytes", "caption_words")
+        .orderBy("doc_id")
     )

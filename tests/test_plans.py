@@ -166,3 +166,20 @@ def test_contamination_broadcasts_eval_grams(spark):
     plan = _plan(llm.contamination_ngram_check(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_shard_packing_prunes_payload(spark):
+    # shard assignment is metadata-only: the binary content column
+    # must be pruned from the parquet scan
+    from load_datawarehouse_spark.ops import multimodal
+
+    plan = _plan(multimodal.multimodal_shard_packing(spark, SF_DIR))
+    assert "content" not in plan
+
+
+def test_pack_sequences_window_is_partitioned(spark):
+    # packing must shuffle on source (parallel per shard), never into
+    # a single unpartitioned window
+    plan = _plan(llm.pack_training_sequences(spark, SF_DIR))
+    assert "Exchange hashpartitioning(source" in plan
+    assert "Exchange SinglePartition" not in plan.split("Sort")[0]

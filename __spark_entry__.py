@@ -54,6 +54,8 @@ _FIRST_NAMES = (
     "multimodal_shard_packing",
     "multimodal_dedup_payload",
     "multimodal_caption_pairs",
+    "agg_hll_mergeable_rollup",
+    "udf_arrow_optimized",
 )
 
 

@@ -2064,3 +2064,73 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy("cust_nation", "supp_nation", "l_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch rollup (Datasketches HLL: partial per-nation sketches
+# unioned to region level — re-aggregation WITHOUT rescanning raw data)
+# ---------------------------------------------------------------------------
+
+_HLL_ROLLUP_ORACLE = """
+SELECT r.r_name AS region,
+       CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS exact_customers,
+       TRUE AS est_ok
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name
+ORDER BY r.r_name
+"""
+
+
+@_register("agg_hll_mergeable_rollup", _HLL_ROLLUP_ORACLE)
+def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-customer counts per region via MERGEABLE HLL sketches:
+    per-nation sketches are built once, then unioned up to region —
+    the pattern that makes distinct-count rollups reaggregable at
+    100 TB (a materialized nation-level sketch table answers region /
+    global questions without rescanning raw data; exact COUNT
+    DISTINCT cannot re-aggregate).
+
+    The driver-facing columns are engine-portable: the exact count
+    plus a boolean asserting the sketch estimate lands within 3·rsd
+    of it (the estimate itself is sketch-implementation-specific, so
+    it stays out of the hash, like agg_approx_count_distinct).
+
+    Scale: sketch build shuffles (nation, sketch) partials — map-side
+    combine keeps it one compact binary per nation per task; the
+    region union touches |nations| rows."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    nat_sketch = (
+        t["customer"]
+        .groupBy("c_nationkey")
+        .agg(F.hll_sketch_agg("c_custkey").alias("sk"))
+    )
+    nat = t["nation"].select("n_nationkey", "n_regionkey")
+    reg = t["region"].select("r_regionkey", "r_name")
+    region_est = (
+        nat_sketch.join(F.broadcast(nat), nat_sketch.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    exact = (
+        t["customer"]
+        .join(F.broadcast(nat), t["customer"].c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.count_distinct("c_custkey").alias("exact_customers"))
+    )
+    tol = 3 * 0.02  # default HLL lgK=12 rsd ~= 1.04/sqrt(2^12) ≈ 1.6%
+    return (
+        exact.join(region_est, "r_name")
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("exact_customers").cast("long"),
+            (
+                F.abs(F.col("est") - F.col("exact_customers"))
+                <= F.lit(tol) * F.col("exact_customers")
+            ).alias("est_ok"),
+        )
+        .orderBy("region")
+    )

@@ -223,3 +223,47 @@ def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", _len_bucket("text").alias("len_bucket"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-optimized Python UDF (Spark 3.5+/4 useArrow fast path)
+# ---------------------------------------------------------------------------
+
+_ARROW_BUCKET_ORACLE = """
+SELECT doc_id,
+       CASE WHEN LENGTH(text) < 100 THEN 'short'
+            WHEN LENGTH(text) < 300 THEN 'medium'
+            ELSE 'long' END AS len_bucket
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def _len_bucket_arrow_py(text: str) -> str:
+    if len(text) < 100:
+        return "short"
+    if len(text) < 300:
+        return "medium"
+    return "long"
+
+
+#: same logic as the pickled row-at-a-time exhibit above, but with
+#: useArrow=True: batches cross the Python boundary as Arrow record
+#: batches instead of pickled rows — the drop-in accelerator when a
+#: scalar Python UDF can't be avoided and rewriting to @pandas_udf is
+#: too invasive (typically 2-10x over pickled serialization).
+_len_bucket_arrow = F.udf(_len_bucket_arrow_py, T.StringType(), useArrow=True)
+
+
+@_register("udf_arrow_optimized", _ARROW_BUCKET_ORACLE)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-serialized scalar Python UDF — completes the UDF-surface
+    ladder: builtin expr >> pandas_udf > udf(useArrow=True) >
+    pickled udf. Logic matches udf_python_scalar so the two rows are
+    directly comparable in the bench output."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["documents"]
+        .select("doc_id", _len_bucket_arrow("text").alias("len_bucket"))
+        .orderBy("doc_id")
+    )

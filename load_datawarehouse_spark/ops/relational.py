@@ -2134,3 +2134,157 @@ def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed size-bounded chunking (driver-verified face of
+# data.with_chunk_ids — the reference's 20 MiB upload batching,
+# data.py:227-317, as a one-pass window)
+# ---------------------------------------------------------------------------
+
+_CHUNK_LIMIT = 8192
+
+_CHUNKING_ORACLE = f"""
+WITH sized AS (
+    SELECT doc_id,
+           LENGTH(to_json(struct_pack(doc_id := doc_id, text := text,
+                                      lang := lang, source := source,
+                                      n_chars := n_chars))::VARCHAR) AS row_size
+    FROM documents
+)
+SELECT doc_id,
+       (row_size > {_CHUNK_LIMIT}) AS row_oversize,
+       CAST((SUM(row_size) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - 1) // {_CHUNK_LIMIT}
+            AS BIGINT) AS chunk_id
+FROM sized ORDER BY doc_id
+"""
+
+
+@_register("chunking_distributed", _CHUNKING_ORACLE)
+def chunking_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed chunk assignment over the documents table: rows in
+    stable doc_id order are batched into ≤8 KiB JSON chunks (running
+    cumsum // limit) — the Spark form of the reference's 20 MiB
+    streaming-insert batching. Both engines render the SAME compact
+    JSON for the size metric (verified byte-identical), so chunk
+    boundaries agree exactly.
+
+    Scale: the total-order window serializes; use for bounded loads,
+    or pre-partition by a load key (see pack_training_sequences /
+    multimodal_shard_packing for the partitioned form)."""
+    from load_datawarehouse_spark.data import with_chunk_ids
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        with_chunk_ids(t["documents"], _CHUNK_LIMIT, order_by="doc_id")
+        .select("doc_id", "row_oversize", "chunk_id")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (fixed 3 iterations) over the customer<->supplier trade graph
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+#: ranks live in integer micro-units (1 rank = 1e12 units) and the
+#: damping d=0.85 is the rational 17/20, so every operation is BIGINT
+#: arithmetic — floor divisions and integer sums are bit-identical in
+#: every engine at every partitioning, with no float rounding anywhere.
+_PR_UNIT = 10**12
+
+
+def _pagerank_oracle() -> str:
+    base = """
+edges0 AS (
+    SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                    's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+    SELECT src, dst FROM edges0
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges0
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+pr0 AS (
+    SELECT node, CAST({unit} // nn.n AS BIGINT) AS pr FROM nodes CROSS JOIN nn
+)""".format(unit=_PR_UNIT)
+    iters = []
+    for j in range(1, _PR_ITERS + 1):
+        iters.append("""pr{j} AS (
+    SELECT n.node,
+           CAST(({base_num} // nn.n) + ((17 * COALESCE(s.contrib, 0)) // 20)
+                AS BIGINT) AS pr
+    FROM nodes n CROSS JOIN nn
+    LEFT JOIN (
+        SELECT e.dst AS node, CAST(SUM(p.pr // od.deg) AS BIGINT) AS contrib
+        FROM edges e
+        JOIN pr{prev} p ON p.node = e.src
+        JOIN outdeg od ON od.src = e.src
+        GROUP BY e.dst
+    ) s ON s.node = n.node
+)""".format(j=j, prev=j - 1, base_num=3 * _PR_UNIT // 20))
+    return (
+        "WITH " + base + ",\n" + ",\n".join(iters)
+        + "\nSELECT node, pr AS pr_micro FROM pr{last} ORDER BY pr DESC, node LIMIT 50".format(last=_PR_ITERS)
+    )
+
+
+@_register("graph_pagerank", _pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (d=17/20, 3 iterations) over the
+    undirected customer-supplier purchase graph. Ranks are BIGINT
+    micro-units (1e12 = rank 1.0): floor divisions and integer sums
+    make the trajectory bit-identical across engines and
+    partitionings with no float rounding anywhere — the
+    graph-analytics companion to dedup_connected_components and
+    kmeans_lloyd.
+
+    Scale: the canonical distributed PR shape — contributions are an
+    edges⨝ranks equi join + groupBy(dst), all hash-partitioned on the
+    node key, no driver round-trip between iterations (pure lineage);
+    per iteration: one join shuffle + one agg shuffle. At web scale,
+    localCheckpoint every ~5 rounds to cut lineage depth."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    e0 = (
+        t["orders"]
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # the edge list feeds 5 consumers (nodes, outdeg, 3x contrib
+    # join): cut lineage once instead of re-deriving the
+    # orders⨝lineitem distinct per consumer
+    edges = edges.localCheckpoint(eager=False)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    pr = nodes.select("node", F.lit(_PR_UNIT // n).cast("long").alias("pr"))
+    base_units = (3 * _PR_UNIT // 20) // n  # (1-d) * unit / n, exact
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("pr div deg")).alias("contrib"))
+        )
+        pr = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (
+                F.lit(base_units)
+                + F.expr("(17 * coalesce(contrib, 0L)) div 20")
+            ).cast("long").alias("pr"),
+        )
+    return (
+        pr.select("node", F.col("pr").alias("pr_micro"))
+        .orderBy(F.desc("pr_micro"), F.asc("node"))
+        .limit(50)
+    )

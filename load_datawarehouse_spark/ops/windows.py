@@ -335,3 +335,104 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_totalprice", "o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series resample + linear interpolation (gap fill)
+# ---------------------------------------------------------------------------
+
+_RESAMPLE_ORACLE = """
+WITH obs AS (
+    SELECT user_id, date_trunc('hour', ts) AS h,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS v
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM obs GROUP BY user_id
+), spine AS (
+    SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+    FROM bounds
+), joined AS (
+    SELECT s.user_id, s.h, o.v
+    FROM spine s LEFT JOIN obs o ON o.user_id = s.user_id AND o.h = s.h
+), ctx AS (
+    SELECT user_id, h, v,
+        LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+        LAST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wp AS ph,
+        FIRST_VALUE(v IGNORE NULLS) OVER wn AS nv,
+        FIRST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wn AS nh
+    FROM joined
+    WINDOW wp AS (PARTITION BY user_id ORDER BY h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wn AS (PARTITION BY user_id ORDER BY h
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, h,
+       (v IS NOT NULL) AS is_observed,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                pv + (nv - pv) * (CAST(date_diff('second', ph, h) AS DOUBLE)
+                                  / CAST(date_diff('second', ph, nh) AS DOUBLE))
+            ELSE NULL END AS value_interp
+FROM ctx ORDER BY user_id, h
+"""
+
+
+@_register("ts_resample_interpolate", _RESAMPLE_ORACLE)
+def ts_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with linear interpolation: each user's sparse
+    event stream becomes a dense hourly series — observed hours carry
+    the exact-decimal mean, gaps are linearly interpolated between the
+    neighbouring observations (time-weighted), edges stay null. The
+    standard time-series gap-fill (cf. hypertable `time_bucket_gapfill`
+    / pandas `resample().interpolate()`).
+
+    Scale: the spine explode fans out per user but stays narrow; the
+    spine-obs join and both window passes share one hash partitioning
+    on user_id (key cardinality scales with data). Interpolation
+    arithmetic is plain IEEE double — deterministic given identical
+    inputs, which the decimal-mean observation layer guarantees."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    obs = (
+        t["events"]
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            (F.sum(F.col("value").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("v")
+        )
+    )
+    spine = (
+        obs.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+        )
+    )
+    joined = spine.join(obs, ["user_id", "h"], "left")
+    wp = Window.partitionBy("user_id").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.partitionBy("user_id").orderBy("h").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    ctx = joined.select(
+        "user_id",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(wp).alias("ph"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(wn).alias("nh"),
+    )
+    gap_pos = (F.unix_timestamp("h") - F.unix_timestamp("ph")).cast("double")
+    gap_all = (F.unix_timestamp("nh") - F.unix_timestamp("ph")).cast("double")
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (gap_pos / gap_all)
+    return ctx.select(
+        "user_id",
+        "h",
+        F.col("v").isNotNull().alias("is_observed"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+        .otherwise(F.lit(None).cast("double"))
+        .alias("value_interp"),
+    ).orderBy("user_id", "h")

@@ -59,6 +59,7 @@ _FIRST_NAMES = (
     "chunking_distributed",
     "ts_resample_interpolate",
     "graph_pagerank",
+    "pipeline_training_prep_v2",
 )
 
 

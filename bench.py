@@ -47,6 +47,9 @@ HEADLINE = [
     "multimodal_feature_extract",
     "stream_tumbling_counts",
     "pipeline_training_prep",
+    "pipeline_training_prep_v2",
+    "ts_resample_interpolate",
+    "graph_pagerank",
 ]
 
 

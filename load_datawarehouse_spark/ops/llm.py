@@ -2363,3 +2363,197 @@ def sample_topk_hash_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rk")
         .orderBy("source", "lang", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Capstone v2: full training-data prep pipeline (round-2 stages composed)
+# ---------------------------------------------------------------------------
+
+_PREP2_ORACLE = f"""
+WITH norm AS (
+    SELECT doc_id, source, text,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                   ' +', ' ', 'g'))) AS norm_key
+    FROM documents
+),
+dedup AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY norm_key ORDER BY doc_id) AS rk
+        FROM norm
+    ) WHERE rk = 1
+),
+feats AS (
+    SELECT doc_id, source, text,
+           len(string_split(text, ' ')) AS n_words,
+           list_sum(list_transform(string_split(text, ' '), x -> len(x))) AS sum_len,
+           len(list_filter(string_split(text, ' '), x -> {_STOP_PRED_SQL})) AS n_stop
+    FROM dedup
+),
+quality AS (
+    SELECT doc_id, source, text FROM feats
+    WHERE n_words BETWEEN 50 AND 100000
+      AND CAST(sum_len AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0
+      AND n_stop >= 2
+),
+rep AS (
+    SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text,
+               CASE WHEN len(gs) > 0
+                    THEN CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE) / len(gs)
+                    ELSE 0.0 END AS dup_frac
+        FROM (
+            SELECT doc_id, source, text,
+                   CASE WHEN len(string_split(text, ' ')) >= 3
+                        THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                                            i -> string_split(text, ' ')[i] || ' ' ||
+                                                 string_split(text, ' ')[i+1] || ' ' ||
+                                                 string_split(text, ' ')[i+2])
+                        ELSE [] END AS gs
+            FROM quality
+        )
+    ) WHERE dup_frac <= 0.2
+),
+eval_grams AS (
+    SELECT DISTINCT unnest(list_transform(
+        generate_series(1, len(ws) - {_CONTAM_N - 1}), i -> md5({_CONTAM_GRAM_SQL})
+    )) AS gram FROM (
+        SELECT string_split(text, ' ') AS ws FROM documents
+        WHERE source IN ({_CONTAM_EVAL_PRED})
+    ) WHERE len(ws) >= {_CONTAM_N}
+),
+train_grams AS (
+    SELECT doc_id, unnest(list_transform(
+        generate_series(1, len(ws) - {_CONTAM_N - 1}), i -> md5({_CONTAM_GRAM_SQL})
+    )) AS gram FROM (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM rep
+        WHERE source NOT IN ({_CONTAM_EVAL_PRED})
+    ) WHERE len(ws) >= {_CONTAM_N}
+),
+flagged AS (
+    SELECT DISTINCT t.doc_id FROM train_grams t JOIN eval_grams e USING (gram)
+),
+kept AS (
+    SELECT r.doc_id, r.source,
+           LEN(regexp_extract_all(r.text, '{_TOKEN_RE}')) AS n_tokens
+    FROM rep r
+    WHERE r.source NOT IN ({_CONTAM_EVAL_PRED})
+      AND r.doc_id NOT IN (SELECT doc_id FROM flagged)
+),
+packed AS (
+    SELECT source, n_tokens,
+           (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - 1) // {_PACK_BUDGET} AS seq_id
+    FROM kept
+)
+SELECT source,
+       COUNT(*) AS n_docs_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(MAX(seq_id) + 1 AS BIGINT) AS n_sequences
+FROM packed
+GROUP BY source
+ORDER BY source
+"""
+
+
+@_register("pipeline_training_prep_v2", _PREP2_ORACLE)
+def pipeline_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2 capstone: the full training-data prep chain as ONE
+    composed lazy plan — normalize→exact-normalized dedup→Gopher
+    quality filter→repetition filter→benchmark decontamination→token
+    counting→per-source sequence packing→shard accounting. Every
+    stage is the registered operator's exact logic; Catalyst fuses
+    the narrow stages and the oracle replays the identical chain in
+    SQL.
+
+    Scale: stages alternate narrow codegen passes with key-bounded
+    shuffles (norm_key dedup, per-source packing window); the
+    decontamination probe broadcasts eval grams; nothing collects."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    # materialize the words array ONCE per row: every lambda below
+    # references the column, not the split() expression — referencing
+    # the expression re-splits the document per element access (see
+    # _shingles; measured ~20x slower here)
+    docs = t["documents"].withColumn("words", F.split("text", " ", -1))
+    w = F.col("words")
+    norm_key = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+            )
+        )
+    )
+    norm = docs.select("doc_id", "source", "text", "words", norm_key.alias("norm_key"))
+    dedup = (
+        norm.withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("norm_key").orderBy("doc_id")),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk", "norm_key")
+    )
+    n_words = F.size(w)
+    sum_len = F.aggregate(F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x)
+    stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    quality = dedup.filter(
+        n_words.between(50, 100000)
+        & (sum_len.cast("double") / n_words).between(3.0, 10.0)
+        & (n_stop >= 2)
+    )
+    grams3 = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 3),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ng = F.size(grams3)
+    nd = F.size(F.array_distinct(grams3))
+    dup_frac = F.when(ng > 0, (ng - nd).cast("double") / ng).otherwise(F.lit(0.0))
+    rep = quality.filter(dup_frac <= 0.2)
+
+    grams8 = F.when(
+        F.size(w) >= _CONTAM_N,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - _CONTAM_N),
+            lambda i: F.md5(
+                F.concat_ws(" ", *[F.element_at(w, i + k + 1) for k in range(_CONTAM_N)])
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    eval_grams = (
+        docs.filter(F.col("source").isin(*_CONTAM_EVAL_SOURCES))
+        .select(F.explode(grams8).alias("gram"))
+        .distinct()
+    )
+    train = rep.filter(~F.col("source").isin(*_CONTAM_EVAL_SOURCES))
+    flagged = (
+        train.select("doc_id", F.explode(grams8).alias("gram"))
+        .join(F.broadcast(eval_grams), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    kept = train.join(flagged, "doc_id", "left_anti").select(
+        "doc_id",
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), F.lit(0))).cast("long").alias("n_tokens"),
+    )
+    pw = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = kept.withColumn(
+        "seq_id", F.floor((F.sum("n_tokens").over(pw) - 1) / _PACK_BUDGET)
+    )
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            (F.max("seq_id") + 1).cast("long").alias("n_sequences"),
+        )
+        .orderBy("source")
+    )

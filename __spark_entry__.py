@@ -60,6 +60,8 @@ _FIRST_NAMES = (
     "ts_resample_interpolate",
     "graph_pagerank",
     "pipeline_training_prep_v2",
+    "join_asof_forward",
+    "q14_promo_effect",
 )
 
 

@@ -2288,3 +2288,113 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pr_micro"), F.asc("node"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join (next state at-or-after each event)
+# ---------------------------------------------------------------------------
+
+_JOIN_ASOF_FWD_ORACLE = """
+WITH day_orders AS (
+    SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS day_max_price
+    FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, d.o_orderdate AS next_orderdate, d.day_max_price
+FROM events e
+ASOF JOIN day_orders d
+  ON e.user_id = d.o_custkey AND e.ts <= d.o_orderdate
+ORDER BY e.event_id
+"""
+
+
+@_register("join_asof_forward", _JOIN_ASOF_FWD_ORACLE)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: the NEXT order at-or-after each event time
+    (lead-time / time-to-conversion analyses). Mirror of ``join_asof``:
+    same union + single shuffle, but ``first(...) IGNORE NULLS`` over
+    the FOLLOWING window, with events sorted before same-instant
+    orders so the at-or-after match is inclusive."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    day_orders = (
+        t["orders"]
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate"))
+        .agg(F.max("o_totalprice").alias("day_max_price"))
+    )
+    o_side = day_orders.select(
+        "user_id",
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderdate"),
+        "day_max_price",
+    )
+    e_side = t["events"].select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+        F.lit(None).cast("double").alias("day_max_price"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", F.desc("is_event"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = o_side.unionByName(e_side).select(
+        "event_id",
+        "user_id",
+        "is_event",
+        F.first("o_orderdate", ignorenulls=True).over(w).alias("next_orderdate"),
+        F.first("day_max_price", ignorenulls=True).over(w).alias("day_max_price"),
+    )
+    return (
+        merged.filter((F.col("is_event") == 1) & F.col("next_orderdate").isNotNull())
+        .select("event_id", "user_id", "next_orderdate", "day_max_price")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Promotion revenue share (TPC-H Q14 shape)
+# ---------------------------------------------------------------------------
+
+_Q14_ORACLE = """
+SELECT CAST(100.0 AS DOUBLE)
+       * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                       THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))
+                       ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+       AS promo_revenue_pct
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+"""
+
+
+@_register("q14_promo_effect", _Q14_ORACLE)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect (TPC-H Q14 shape): share of one month's
+    revenue from promo parts.
+
+    Scale: shipdate month pushes to the lineitem scan; part is a
+    broadcast dim; both sums accumulate in exact decimal so the final
+    ratio is partitioning-proof."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    l = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC))
+    return (
+        l.join(F.broadcast(t["part"].select("p_partkey", "p_type")),
+               F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo_rev).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )

@@ -183,3 +183,17 @@ def test_pack_sequences_window_is_partitioned(spark):
     plan = _plan(llm.pack_training_sequences(spark, SF_DIR))
     assert "Exchange hashpartitioning(source" in plan
     assert "Exchange SinglePartition" not in plan.split("Sort")[0]
+
+
+def test_pagerank_is_hash_joined(spark):
+    # edges x ranks must plan as hash equi joins; a BNLJ would be the
+    # quadratic contribution pass
+    plan = _plan(relational.graph_pagerank(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_capstone_v2_broadcasts_eval_and_stays_joined(spark):
+    plan = _plan(llm.pipeline_training_prep_v2(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan  # decontamination probe
+    assert "CartesianProduct" not in plan

@@ -62,6 +62,8 @@ _FIRST_NAMES = (
     "pipeline_training_prep_v2",
     "join_asof_forward",
     "q14_promo_effect",
+    "warehouse_load_fetch",
+    "schema_infer_documents",
 )
 
 

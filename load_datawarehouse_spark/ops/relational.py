@@ -2398,3 +2398,88 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Warehouse verb surface under the driver gate: load -> fetch roundtrip
+# ---------------------------------------------------------------------------
+
+_WAREHOUSE_RT_ORACLE = """
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id < 100
+ORDER BY doc_id
+LIMIT 20
+"""
+
+
+@_register("warehouse_load_fetch", _WAREHOUSE_RT_ORACLE)
+def warehouse_load_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end warehouse verb exercise under the correctness gate:
+    ``prepare`` -> schema inference -> conform -> distributed parquet
+    append -> ``fetch`` (projection + sort + limit), through a real
+    ``SparkWarehouse`` table (reference verbs: classes.py:18-64,
+    flagship load bigquery/__init__.py:363-461).
+
+    The loaded batch is a 100-row sample, so the driver-side record
+    prep is bounded; everything after ``load`` is the same distributed
+    path a TB-scale load takes (executors write parquet; fetch is a
+    pruned scan)."""
+    import shutil
+    import tempfile
+
+    from load_datawarehouse_spark.warehouse import QuerySort, SparkWarehouse
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    records = [
+        {"doc_id": r["doc_id"], "lang": r["lang"], "source": r["source"]}
+        for r in t["documents"]
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "lang", "source")
+        .collect()
+    ]
+    root = tempfile.mkdtemp(prefix="ldw_rt_")
+    try:
+        wh = SparkWarehouse.new(spark, root, "docs_sample", data=records)
+        out = wh.fetch(
+            fields=("doc_id", "lang", "source"),
+            sort=[("doc_id", QuerySort.ASCENDING)],
+            count=20,
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Schema inference under the driver gate
+# ---------------------------------------------------------------------------
+
+_SCHEMA_INFER_ORACLE = """
+SELECT * FROM (VALUES
+    ('doc_id', 'INTEGER', 'NULLABLE'),
+    ('lang', 'STRING', 'NULLABLE'),
+    ('n_chars', 'INTEGER', 'NULLABLE'),
+    ('source', 'STRING', 'NULLABLE'),
+    ('text', 'STRING', 'NULLABLE')
+) AS t(name, type, mode)
+ORDER BY name
+"""
+
+
+@_register("schema_infer_documents", _SCHEMA_INFER_ORACLE)
+def schema_infer_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's computational core (observation walk ->
+    condense -> api_repr, schema.py via schema_infer.py) run over a
+    sample of the documents table and exposed as a driver-checkable
+    relation: one row per inferred field. The oracle pins the expected
+    golden schema — any inference regression flips the hash."""
+    from load_datawarehouse_spark.schema_infer import infer_schema
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    records = [r.asDict() for r in t["documents"].limit(50).collect()]
+    api = infer_schema(records).schema
+    rows = sorted(
+        (f["name"], f["type"], f.get("mode", "NULLABLE")) for f in api
+    )
+    return spark.createDataFrame(rows, "name string, type string, mode string")

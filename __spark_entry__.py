@@ -64,6 +64,13 @@ _FIRST_NAMES = (
     "q14_promo_effect",
     "warehouse_load_fetch",
     "schema_infer_documents",
+    # changed after the r1 driver snapshot (two-phase top-k rewrite /
+    # int-width fixes) — need fresh driver rows
+    "similarity_cosine_topk",
+    "similarity_ivf_topk",
+    "token_count",
+    "quality_score",
+    "dedup_minhash_lsh",
 )
 
 

@@ -165,6 +165,44 @@ ORDER BY d1, d2
 """
 
 
+def _norm_text_expr(col="text"):
+    """Canonical text form (lowercase, punctuation->space, whitespace
+    collapse, trim) — THE normalization; every op that normalizes
+    must call this so the definition cannot drift between the
+    standalone ops and the capstone."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(col)), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+
+
+def _word_ngrams(w, n, hashed=False):
+    """Word n-gram array over a MATERIALIZED words column ``w``
+    (never pass a raw split() expression — it re-splits per element
+    access). ``hashed=True`` yields md5(gram) instead of the gram."""
+    def gram(i):
+        g = F.concat_ws(" ", *[F.element_at(w, i + k + 1) for k in range(n)])
+        return F.md5(g) if hashed else g
+
+    return F.when(
+        F.size(w) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(w) - n), gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _gopher_metrics(w):
+    """(n_words, sum_word_len, n_stopwords) over a materialized words
+    column — shared by quality_gopher_filters and the capstone."""
+    n_words = F.size(w)
+    sum_len = F.aggregate(
+        F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    stop_arr = F.array(*[F.lit(t) for t in _GOPHER_STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    return n_words, sum_len, n_stop
+
+
 def _shingles(t, n: int = 3):
     """doc_id -> distinct word n-gram shingles.
 
@@ -1096,14 +1134,9 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure codegen'd built-ins, narrow plan (the standard first stage of
     a C4/RefinedWeb-style cleaning pipeline)."""
     t = load_tables(spark, sf_dir, register_views=False)
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
-        )
-    )
     return (
         t["documents"]
-        .select("doc_id", norm.alias("norm_text"))
+        .select("doc_id", _norm_text_expr().alias("norm_text"))
         .withColumn("norm_key", F.md5("norm_text"))
         .orderBy("doc_id")
     )
@@ -1140,16 +1173,8 @@ def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-100 compiles to TakeOrderedAndProject — no global sort."""
     t = load_tables(spark, sf_dir, register_views=False)
     base = t["documents"].select(F.split("text", " ", -1).alias("w"))
-    w = F.col("w")
-    bigrams = F.when(
-        F.size(w) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - 2),
-            lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     return (
-        base.select(F.explode(bigrams).alias("bigram"))
+        base.select(F.explode(_word_ngrams(F.col("w"), 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("bigram"))
@@ -1432,9 +1457,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf and df are exact integer aggregates; the real-valued score is
     used ONLY for ordering and rounded to 9 dp first, so a 1-ulp
     ``ln`` difference between engines cannot flip ranks (the score is
-    deliberately not emitted). Scale: two hash aggregations; df is a
-    small table broadcast back onto tf; the per-doc window rides the
-    existing doc_id partitioning."""
+    deliberately not emitted). Scale: two hash aggregations; the
+    df-onto-tf join is left to the planner — df grows with the corpus
+    vocabulary, so a forced broadcast would OOM at scale (AQE
+    broadcasts it only while it is actually small); both sides of the
+    join already share the term-hash partitioning from their
+    aggregations, so the sort-merge fallback reuses the exchange."""
     t = load_tables(spark, sf_dir, register_views=False)
     docs = t["documents"]
     words = docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("term"))
@@ -1442,7 +1470,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -1501,17 +1529,7 @@ def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     speed."""
     t = load_tables(spark, sf_dir, register_views=False)
     base = t["documents"].select("doc_id", F.split("text", " ", -1).alias("w"))
-    w = F.col("w")
-    grams = F.when(
-        F.size(w) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - 3),
-            lambda i: F.concat_ws(
-                " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = base.select("doc_id", grams.alias("gs"))
+    g = base.select("doc_id", _word_ngrams(F.col("w"), 3).alias("gs"))
     n = F.size("gs").cast("long")
     nd = F.size(F.array_distinct("gs")).cast("long")
     return g.select(
@@ -1560,18 +1578,12 @@ def quality_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage for free."""
     t = load_tables(spark, sf_dir, register_views=False)
     base = t["documents"].select("doc_id", F.split("text", " ", -1).alias("w"))
-    w = F.col("w")
-    n_words = F.size(w).cast("long")
-    sum_len = F.aggregate(
-        F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
-    ).cast("long")
-    stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
-    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast("long")
+    n_words, sum_len, n_stop = _gopher_metrics(F.col("w"))
     m = base.select(
         "doc_id",
-        n_words.alias("n_words"),
-        sum_len.alias("sum_len"),
-        n_stop.alias("n_stop"),
+        n_words.cast("long").alias("n_words"),
+        sum_len.cast("long").alias("sum_len"),
+        n_stop.cast("long").alias("n_stop"),
     )
     mean_len = F.col("sum_len").cast("double") / F.col("n_words")
     keep = (
@@ -1779,16 +1791,7 @@ def contamination_ngram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes, never raw text."""
     t = load_tables(spark, sf_dir, register_views=False)
     base = t["documents"].select("doc_id", "source", F.split("text", " ", -1).alias("w"))
-    w = F.col("w")
-    grams = F.when(
-        F.size(w) >= _CONTAM_N,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - _CONTAM_N),
-            lambda i: F.md5(
-                F.concat_ws(" ", *[F.element_at(w, i + k + 1) for k in range(_CONTAM_N)])
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _word_ngrams(F.col("w"), _CONTAM_N, hashed=True)
     d = base.select("doc_id", "source", F.explode(grams).alias("gram")).distinct()
     is_eval = F.col("source").isin(*_CONTAM_EVAL_SOURCES)
     ev = d.filter(is_eval).select("gram").distinct()
@@ -1966,16 +1969,9 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     the normalized form travels through the single groupBy shuffle —
     document bodies never move."""
     t = load_tables(spark, sf_dir, register_views=False)
-    norm_key = F.md5(
-        F.trim(
-            F.regexp_replace(
-                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
-            )
-        )
-    )
     return (
         t["documents"]
-        .select("doc_id", norm_key.alias("norm_key"))
+        .select("doc_id", F.md5(_norm_text_expr()).alias("norm_key"))
         .groupBy("norm_key")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -2032,13 +2028,19 @@ c{j} AS (
                  / COUNT(*), {_KM_Q}) AS cval
     FROM el JOIN a{j} a USING (vec_id)
     GROUP BY a.cluster, el.pos
+    UNION ALL
+    -- empty-cluster policy: a cluster that received no members keeps
+    -- its previous centroid (matches the Python side exactly)
+    SELECT p.cluster, p.pos, p.cval FROM c{j - 1} p
+    WHERE p.cluster NOT IN (SELECT DISTINCT cluster FROM a{j})
 )""")
     last = _KM_ITERS
     return f"""
 WITH {', '.join(parts)},
 sizes AS (SELECT cluster, COUNT(*) AS n_members FROM a{last} GROUP BY cluster)
-SELECT c.cluster, CAST(c.pos AS BIGINT) AS pos, c.cval AS centroid, s.n_members
-FROM c{last} c JOIN sizes s USING (cluster)
+SELECT c.cluster, CAST(c.pos AS BIGINT) AS pos, c.cval AS centroid,
+       COALESCE(s.n_members, 0) AS n_members
+FROM c{last} c LEFT JOIN sizes s USING (cluster)
 ORDER BY c.cluster, c.pos
 """
 
@@ -2115,8 +2117,11 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in reversed(range(_KM_K)):
             cluster = F.when(F.col(f"d{c}") == best, c).otherwise(cluster)
         assign = d2.select("vec_id", cluster.alias("cluster"))
-        centroids = [
-            (int(r["cluster"]), int(r["pos"]), float(r["cval"]))
+        # empty-cluster policy: start from the previous centroids and
+        # overwrite only clusters that received members — a cluster
+        # with no members keeps its centroid (the oracle's UNION arm)
+        new_vals = {
+            (int(r["cluster"]), int(r["pos"])): float(r["cval"])
             for r in (
                 elems.join(F.broadcast(assign), "vec_id")
                 .groupBy("cluster", "pos")
@@ -2129,15 +2134,19 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .collect()
             )
+        }
+        centroids = [
+            (c, p, new_vals.get((c, p), v)) for c, p, v in centroids
         ]
 
     # only k aggregate rows ever reach the driver (never assignments)
-    size_rows = [
-        (int(r["cluster"]), int(r["n_members"]))
+    counted = {
+        int(r["cluster"]): int(r["n_members"])
         for r in assign.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_members"))
         .collect()
-    ]
+    }
+    size_rows = [(c, counted.get(c, 0)) for c in range(_KM_K)]
     elems.unpersist()
     sizes = spark.createDataFrame(size_rows, "cluster long, n_members long")
     cent_df = spark.createDataFrame(
@@ -2299,15 +2308,7 @@ def lm_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (high cardinality, balanced). Integer sums only."""
     t = load_tables(spark, sf_dir, register_views=False)
     base = t["documents"].select("doc_id", F.split("text", " ", -1).alias("w"))
-    w = F.col("w")
-    bigrams = F.when(
-        F.size(w) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - 2),
-            lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    bg = base.select("doc_id", F.explode(bigrams).alias("bigram"))
+    bg = base.select("doc_id", F.explode(_word_ngrams(F.col("w"), 2)).alias("bigram"))
     cnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
     return (
         bg.join(cnt, "bigram")
@@ -2475,14 +2476,10 @@ def pipeline_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _shingles; measured ~20x slower here)
     docs = t["documents"].withColumn("words", F.split("text", " ", -1))
     w = F.col("words")
-    norm_key = F.md5(
-        F.trim(
-            F.regexp_replace(
-                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
-            )
-        )
+    norm = docs.select(
+        "doc_id", "source", "text", "words",
+        F.md5(_norm_text_expr()).alias("norm_key"),
     )
-    norm = docs.select("doc_id", "source", "text", "words", norm_key.alias("norm_key"))
     dedup = (
         norm.withColumn(
             "rk",
@@ -2491,38 +2488,19 @@ def pipeline_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .drop("rk", "norm_key")
     )
-    n_words = F.size(w)
-    sum_len = F.aggregate(F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x)
-    stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
-    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    n_words, sum_len, n_stop = _gopher_metrics(w)
     quality = dedup.filter(
         n_words.between(50, 100000)
         & (sum_len.cast("double") / n_words).between(3.0, 10.0)
         & (n_stop >= 2)
     )
-    grams3 = F.when(
-        F.size(w) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - 3),
-            lambda i: F.concat_ws(
-                " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams3 = _word_ngrams(w, 3)
     ng = F.size(grams3)
     nd = F.size(F.array_distinct(grams3))
     dup_frac = F.when(ng > 0, (ng - nd).cast("double") / ng).otherwise(F.lit(0.0))
     rep = quality.filter(dup_frac <= 0.2)
 
-    grams8 = F.when(
-        F.size(w) >= _CONTAM_N,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - _CONTAM_N),
-            lambda i: F.md5(
-                F.concat_ws(" ", *[F.element_at(w, i + k + 1) for k in range(_CONTAM_N)])
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams8 = _word_ngrams(w, _CONTAM_N, hashed=True)
     eval_grams = (
         docs.filter(F.col("source").isin(*_CONTAM_EVAL_SOURCES))
         .select(F.explode(grams8).alias("gram"))

@@ -2024,11 +2024,13 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume shipping between a nation pair per year (TPC-H Q7
     shape).
 
-    Scale: nation/supplier/customer are broadcast dims; the only
-    big-big join is lineitem-orders on the order key (single
-    shuffle). The nation-pair filter applies as soon as the dims are
-    joined, before aggregation; the shipdate band pushes to the
-    lineitem scan."""
+    Scale: nation (25 rows) is a true broadcast dim; customer and
+    supplier grow with SF, so their joins are left to the planner
+    (AQE broadcasts them while small, shuffles when not). The only
+    unavoidable big-big join is lineitem-orders on the order key
+    (single shuffle). The nation-pair filter applies as soon as the
+    dims are joined, before aggregation; the shipdate band pushes to
+    the lineitem scan."""
     t = load_tables(spark, sf_dir, register_views=False)
     l = t["lineitem"].filter(
         F.col("l_shipdate").between(
@@ -2053,8 +2055,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_0"))
     return (
         l.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(pair)
         .groupBy(
             "cust_nation",

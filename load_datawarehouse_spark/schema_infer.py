@@ -413,7 +413,12 @@ def infer_schema_distributed(
         yield obs
 
     parts = rdd.mapPartitionsWithIndex(per_partition)
-    merged = parts.treeReduce(lambda a, b: a.merge(b), depth=depth)
+    if parts.isEmpty():
+        # treeReduce raises on an empty RDD; an empty input infers an
+        # empty schema (same contract as the in-memory walk)
+        merged = Observation()
+    else:
+        merged = parts.treeReduce(lambda a, b: a.merge(b), depth=depth)
     return InferenceResult(
         schema=condense(merged.fields, schema, strict_dates),
         type_errors=merged.type_errors,

@@ -289,11 +289,16 @@ class SparkWarehouse:
             api = infer_schema(records, schema=schema).schema
         if existing:
             # a batch that omits an existing column must not NARROW the
-            # table schema: condense() only emits observed fields, so
-            # union the untouched existing fields back in (append can
-            # widen, never shrink)
-            inferred_names = {f["name"] for f in api}
-            api = api + [dict(f) for f in existing if f["name"] not in inferred_names]
+            # table schema, and an append must not PERMUTE it either:
+            # keep every existing field in its declared position
+            # (merged definition if re-observed, else unchanged), then
+            # append genuinely new fields after (widen-only, stable
+            # order — positional consumers see appends, never
+            # reorders)
+            by_name = {f["name"]: f for f in api}
+            api = [
+                by_name.pop(f["name"], dict(f)) for f in existing
+            ] + list(by_name.values())
         struct = wtypes.api_repr_to_struct_type(api)
         conformed = [
             _conform_record(r, api) for r in records if isinstance(r, dict)

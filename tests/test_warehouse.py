@@ -146,3 +146,21 @@ def test_pandas_load(spark, root):
     wh = SparkWarehouse.new(spark, root, "t8", data=pdf)
     assert wh.df().columns == ["a_b", "x"]
     assert wh.df().count() == 2
+
+
+def test_append_preserves_declared_column_order(spark, tmp_path):
+    from load_datawarehouse_spark.warehouse import SparkWarehouse
+
+    root = str(tmp_path / "wh_order")
+    wh = SparkWarehouse.new(
+        spark, root, "t",
+        data=[{"id": 1, "score": 2.5, "name": "a"}],
+    )
+    first_order = [f["name"] for f in wh.schema]
+    # append omitting 'score' and adding a new trailing field
+    wh.load([{"id": 2, "name": "b", "extra": True}])
+    after = [f["name"] for f in wh.schema]
+    # existing fields keep their positions; only genuinely new fields append
+    assert after[: len(first_order)] == first_order
+    assert after[len(first_order):] == ["extra"]
+    assert wh.df().columns[: len(first_order)] == first_order

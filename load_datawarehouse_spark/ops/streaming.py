@@ -601,3 +601,91 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 2)
         .orderBy("window_start", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-batch watermark semantics: late data genuinely dropped
+# ---------------------------------------------------------------------------
+
+_LATE_D1 = "2024-01-10 00:00:00"
+_LATE_D2 = "2024-01-20 00:00:00"
+
+_STREAM_LATE_ORACLE = f"""
+WITH ontime AS (
+    SELECT ts FROM events WHERE ts >= TIMESTAMP '{_LATE_D1}'
+),
+wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM ontime)
+SELECT window_start, n_events FROM (
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           COUNT(*) AS n_events
+    FROM ontime GROUP BY 1
+), wm
+WHERE window_start + INTERVAL 1 HOUR <= wm.w
+ORDER BY window_start
+"""
+
+
+@_register("stream_late_data_drop", _STREAM_LATE_ORACLE)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True multi-micro-batch watermark semantics. Three files arrive
+    in order (one per trigger): wave 1 (mid-month), wave 2 (newest —
+    advances the watermark near the stream's max), then STRAGGLERS
+    from the start of the month, which are by then far below the
+    watermark under any reading of the late-row rule — the state
+    store drops every one of them (observable in
+    ``numRowsDroppedByWatermark``), and append mode emits exactly the
+    watermark-closed windows over the two on-time waves. The oracle
+    replays the drop + emission rules in batch SQL, so this asserts
+    Spark's late-data contract across real batch boundaries — not a
+    single-batch pass-through.
+
+    The splits are deliberately coarse (whole days apart) so the
+    result is insensitive to engine-version nuances in exactly which
+    batch's watermark filters a row (the documented one-batch lag).
+
+    Scale: identical plan to any watermarked windowed count — the
+    point here is state-bound correctness across batches."""
+    import shutil
+    import tempfile
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    ev = t["events"].select("ts")
+    d1, d2 = (F.lit(x).cast("timestamp") for x in (_LATE_D1, _LATE_D2))
+    waves = (
+        ev.filter((F.col("ts") >= d1) & (F.col("ts") < d2)),  # wave 1
+        ev.filter(F.col("ts") >= d2),                         # wave 2
+        ev.filter(F.col("ts") < d1),                          # stragglers (late)
+    )
+    root = tempfile.mkdtemp(prefix="ldw_late_")
+    try:
+        d = os.path.join(root, "in")
+        os.makedirs(d)
+        for i, w in enumerate(waves):
+            sub = os.path.join(d, f"b{i}")
+            w.coalesce(1).write.parquet(sub)
+            part = next(
+                f for f in sorted(os.listdir(sub)) if f.endswith(".parquet")
+            )
+            dst = os.path.join(d, f"{i}.parquet")
+            os.rename(os.path.join(sub, part), dst)
+            # mtime order fixes the FileStreamSource processing order
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+            shutil.rmtree(sub)
+        schema = spark.read.parquet(os.path.join(d, "0.parquet")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(d)
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "n_events")
+        )
+        out = run_to_memory(agg, "append")
+        rows = out.orderBy("window_start").collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -64,6 +64,9 @@ _FIRST_NAMES = (
     "q14_promo_effect",
     "warehouse_load_fetch",
     "schema_infer_documents",
+    "stream_late_data_drop",
+    "join_bucketed_colocated",
+    "join_dynamic_partition_pruned",
     # changed after the r1 driver snapshot (two-phase top-k rewrite /
     # int-width fixes) — need fresh driver rows
     "similarity_cosine_topk",

@@ -19,6 +19,8 @@ Scale notes are inline per operator. Common principles:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2485,3 +2487,146 @@ def schema_infer_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         (f["name"], f["type"], f.get("mode", "NULLABLE")) for f in api
     )
     return spark.createDataFrame(rows, "name string, type string, mode string")
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join (shuffle-free big-big join via bucketBy)
+# ---------------------------------------------------------------------------
+
+def bucketed_join_plan(spark: SparkSession, orders_table: str, lineitem_table: str) -> DataFrame:
+    """Join+agg over two already-bucketed managed tables; shared with
+    tests/test_plans.py, which asserts the physical plan contains no
+    Exchange on either join input (the whole point of bucketing)."""
+    o, l = spark.table(orders_table), spark.table(lineitem_table)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("order_value"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+
+
+_BUCKETED_ORACLE = """
+SELECT o.o_orderkey, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS order_value
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey % 100 = 0
+GROUP BY o.o_orderkey
+ORDER BY o.o_orderkey
+"""
+
+
+@_register("join_bucketed_colocated", _BUCKETED_ORACLE)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-located big-big join: both fact tables are written
+    ``bucketBy(orderkey)`` into managed tables, so the join matches
+    bucket-to-bucket with NO Exchange on either side (locked in
+    tests/test_plans.py) — the pattern that turns the nightly
+    fact-fact join from the cluster's biggest shuffle into a local
+    merge. At 100 TB you pay the bucketed write once and every
+    downstream join on the key is shuffle-free.
+
+    The test tables are rebuilt per call (bounded: sampled keys);
+    production buckets persist across queries — that amortization is
+    the point."""
+    import uuid
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    suffix = uuid.uuid4().hex[:8]
+    to, tl = f"b_orders_{suffix}", f"b_lineitem_{suffix}"
+    n_buckets = 8
+    try:
+        (
+            t["orders"].filter(F.col("o_orderkey") % 100 == 0)
+            .write.bucketBy(n_buckets, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable(to)
+        )
+        (
+            t["lineitem"].filter(F.col("l_orderkey") % 100 == 0)
+            .select("l_orderkey", "l_extendedprice")
+            .write.bucketBy(n_buckets, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable(tl)
+        )
+        joined = bucketed_join_plan(spark, to, tl)
+        rows = joined.collect()
+        return spark.createDataFrame(rows, joined.schema)
+    finally:
+        for name in (to, tl):
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+            except Exception:
+                pass
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning (partitioned fact + selective dim filter)
+# ---------------------------------------------------------------------------
+
+_DPP_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def dpp_join_plan(spark: SparkSession, fact_path: str, dim_path: str) -> DataFrame:
+    """Partitioned-fact ⨝ filtered-dim join; shared with
+    tests/test_plans.py, which asserts the scan carries a
+    ``dynamicpruning`` partition filter (only the dim-selected
+    partitions are read). The dim must be a real source with a
+    selective Filter — that filter is what DPP pushes through the
+    join onto the fact's partition column."""
+    dim = spark.read.parquet(dim_path).filter(
+        F.col("prio").isin("1-URGENT", "2-HIGH")
+    )
+    fact = spark.read.parquet(fact_path)
+    return (
+        fact.join(F.broadcast(dim), fact.o_orderpriority == dim.prio)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register("join_dynamic_partition_pruned", _DPP_ORACLE)
+def join_dynamic_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is laid out
+    hive-partitioned on the join key, and the selective dimension
+    filter prunes fact partitions AT RUNTIME (Catalyst injects a
+    ``dynamicpruning`` subquery into the scan, locked in
+    tests/test_plans.py) — at 100 TB the scan reads 2 of 5 partitions
+    instead of the whole table, before a single row moves.
+
+    The partitioned copy is rebuilt per call here; production lays
+    the fact table out once and every selective dim join prunes for
+    free."""
+    import shutil
+    import tempfile
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    root = tempfile.mkdtemp(prefix="ldw_dpp_")
+    try:
+        path = os.path.join(root, "orders_part")
+        t["orders"].write.partitionBy("o_orderpriority").parquet(path)
+        dim_path = os.path.join(root, "prio_dim")
+        t["orders"].select(
+            F.col("o_orderpriority").alias("prio")
+        ).distinct().write.parquet(dim_path)
+        out = dpp_join_plan(spark, path, dim_path)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -197,3 +197,56 @@ def test_capstone_v2_broadcasts_eval_and_stays_joined(spark):
     plan = _plan(llm.pipeline_training_prep_v2(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan  # decontamination probe
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    # bucketBy on the join key must make the fact-fact join
+    # shuffle-free: no Exchange feeding the SortMergeJoin
+    import uuid
+
+    from load_datawarehouse_spark.ops.relational import bucketed_join_plan
+
+    t = load_tables(spark, SF_DIR, register_views=False)
+    from pyspark.sql import functions as F
+
+    sfx = uuid.uuid4().hex[:8]
+    to, tl = f"pb_orders_{sfx}", f"pb_lineitem_{sfx}"
+    try:
+        t["orders"].filter(F.col("o_orderkey") % 100 == 0).write.bucketBy(
+            8, "o_orderkey"
+        ).sortBy("o_orderkey").saveAsTable(to)
+        t["lineitem"].filter(F.col("l_orderkey") % 100 == 0).select(
+            "l_orderkey", "l_extendedprice"
+        ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tl)
+        # at test scale auto-broadcast would hide the bucketed path;
+        # disable it for the plan capture only (at 100 TB neither side
+        # broadcasts and this IS the plan)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            plan = _plan(bucketed_join_plan(spark, to, tl))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        # both scans read buckets directly: the join needs NO exchange
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        before_join = plan.split("SortMergeJoin")[-1]
+        assert "Exchange hashpartitioning" not in before_join
+    finally:
+        for n in (to, tl):
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
+def test_dynamic_partition_pruning_triggers(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from load_datawarehouse_spark.ops.relational import dpp_join_plan
+
+    t = load_tables(spark, SF_DIR, register_views=False)
+    fact = str(tmp_path / "orders_part")
+    dim = str(tmp_path / "prio_dim")
+    t["orders"].write.partitionBy("o_orderpriority").parquet(fact)
+    t["orders"].select(F.col("o_orderpriority").alias("prio")).distinct().write.parquet(dim)
+    plan = _plan(dpp_join_plan(spark, fact, dim))
+    # the partitioned scan must carry a runtime pruning subquery
+    assert "dynamicpruning" in plan

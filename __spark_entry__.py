@@ -67,6 +67,9 @@ _FIRST_NAMES = (
     "stream_late_data_drop",
     "join_bucketed_colocated",
     "join_dynamic_partition_pruned",
+    "stat_corr_cov",
+    "funnel_conversion",
+    "retention_cohorts",
     # changed after the r1 driver snapshot (two-phase top-k rewrite /
     # int-width fixes) — need fresh driver rows
     "similarity_cosine_topk",

@@ -2630,3 +2630,178 @@ def join_dynamic_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Exact-moment statistics: covariance & Pearson correlation
+# ---------------------------------------------------------------------------
+
+_CORR_ORACLE = """
+WITH m AS (
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(o_totalprice * c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS syy
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+)
+SELECT n,
+       ROUND((sxy - sx * sy / n) / n, 6) AS cov_pop,
+       -- final float arithmetic quantized: expression compilers may
+       -- contract a*b-c into FMA, shifting the last ulps
+       ROUND((sxy - sx * sy / n)
+         / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n)), 12) AS pearson_r
+FROM m
+"""
+
+
+@_register("stat_corr_cov", _CORR_ORACLE)
+def stat_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance and Pearson correlation between order
+    value and the customer's account balance, computed from exact
+    decimal moment sums (n, Σx, Σy, Σxy, Σx², Σy²) so the result is
+    bit-identical across engines — the built-in ``corr``/``covar_pop``
+    aggregate double sums in engine-specific order and cannot be
+    oracle-hashed.
+
+    Scale: moments are a single partial-aggregable pass after one
+    key join; the final arithmetic touches one row."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    j = t["orders"].join(
+        t["customer"], F.col("c_custkey") == F.col("o_custkey")
+    )
+    x, y = F.col("o_totalprice"), F.col("c_acctbal")
+    m = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("sx"),
+        F.sum(y.cast(DEC)).cast("double").alias("sy"),
+        F.sum((x * y).cast(DEC)).cast("double").alias("sxy"),
+        F.sum((x * x).cast(DEC)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(DEC)).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / n
+    r = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / n)
+        * (F.col("syy") - F.col("sy") * F.col("sy") / n)
+    )
+    return m.select(
+        "n",
+        F.round(cov, 6).alias("cov_pop"),
+        F.round(r, 12).alias("pearson_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion (view -> click -> purchase, strictly ordered)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+    SELECT user_id, MIN(ts) AS t_view FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, MIN(e.ts) AS t_click
+    FROM events e JOIN v ON v.user_id = e.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.t_view
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, MIN(e.ts) AS t_purchase
+    FROM events e JOIN c ON c.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_click_after_view,
+       (SELECT COUNT(*) FROM p) AS n_purchase_after_click
+"""
+
+
+@_register("funnel_conversion", _FUNNEL_ORACLE)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel: users who viewed, then clicked after
+    their first view, then purchased after that first click — the
+    product-analytics conversion staple.
+
+    Scale: each stage is one filter + groupBy(user) min, joined on
+    user_id — every shuffle keys on user_id, so the three stages
+    reuse one hash partitioning; no window over the raw event stream
+    is ever needed."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    ev = t["events"]
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click_after_view"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))
+    return nv.crossJoin(nc).crossJoin(np_)
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts (first-active day x day offset)
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH firsts AS (
+    SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day FROM events
+    GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT e.user_id, f.cohort_day,
+           date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_offset
+    FROM events e JOIN firsts f ON f.user_id = e.user_id
+)
+SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+       COUNT(*) AS n_active_users
+FROM activity
+WHERE day_offset <= 7
+GROUP BY cohort_day, day_offset
+ORDER BY cohort_day, day_offset
+"""
+
+
+@_register("retention_cohorts", _RETENTION_ORACLE)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-active day,
+    counted on each of their first 7 day-offsets — the standard
+    cohort-retention matrix.
+
+    Scale: first-activity and the activity join both key on user_id
+    (one reusable hash partitioning); the distinct collapses to one
+    row per (user, day) BEFORE the cohort aggregation, so the final
+    shuffle carries user-days, not raw events."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    ev = t["events"].select("user_id", F.date_trunc("day", "ts").alias("day"))
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -1460,9 +1460,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberately not emitted). Scale: two hash aggregations; the
     df-onto-tf join is left to the planner — df grows with the corpus
     vocabulary, so a forced broadcast would OOM at scale (AQE
-    broadcasts it only while it is actually small); both sides of the
-    join already share the term-hash partitioning from their
-    aggregations, so the sort-merge fallback reuses the exchange."""
+    broadcasts it only while it is actually small). In the sort-merge
+    fallback the df side reuses its aggregation exchange (keyed on
+    term); tf is keyed on (doc_id, term) and re-shuffles once — the
+    unavoidable cost of joining on a different key."""
     t = load_tables(spark, sf_dir, register_views=False)
     docs = t["documents"]
     words = docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("term"))

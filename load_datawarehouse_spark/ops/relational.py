@@ -2493,6 +2493,29 @@ def schema_infer_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Bucketed co-located join (shuffle-free big-big join via bucketBy)
 # ---------------------------------------------------------------------------
 
+BUCKET_COUNT = 8
+
+
+def build_bucketed_tables(spark: SparkSession, t, orders_table: str, lineitem_table: str) -> None:
+    """Write the sampled orders/lineitem sides as bucketed+sorted
+    managed tables — ONE definition of the layout, shared by the
+    registered operator and the plan-lock test so they can never
+    drift apart."""
+    (
+        t["orders"].filter(F.col("o_orderkey") % 100 == 0)
+        .write.bucketBy(BUCKET_COUNT, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(orders_table)
+    )
+    (
+        t["lineitem"].filter(F.col("l_orderkey") % 100 == 0)
+        .select("l_orderkey", "l_extendedprice")
+        .write.bucketBy(BUCKET_COUNT, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(lineitem_table)
+    )
+
+
 def bucketed_join_plan(spark: SparkSession, orders_table: str, lineitem_table: str) -> DataFrame:
     """Join+agg over two already-bucketed managed tables; shared with
     tests/test_plans.py, which asserts the physical plan contains no
@@ -2539,21 +2562,8 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, register_views=False)
     suffix = uuid.uuid4().hex[:8]
     to, tl = f"b_orders_{suffix}", f"b_lineitem_{suffix}"
-    n_buckets = 8
     try:
-        (
-            t["orders"].filter(F.col("o_orderkey") % 100 == 0)
-            .write.bucketBy(n_buckets, "o_orderkey")
-            .sortBy("o_orderkey")
-            .saveAsTable(to)
-        )
-        (
-            t["lineitem"].filter(F.col("l_orderkey") % 100 == 0)
-            .select("l_orderkey", "l_extendedprice")
-            .write.bucketBy(n_buckets, "l_orderkey")
-            .sortBy("l_orderkey")
-            .saveAsTable(tl)
-        )
+        build_bucketed_tables(spark, t, to, tl)
         joined = bucketed_join_plan(spark, to, tl)
         rows = joined.collect()
         return spark.createDataFrame(rows, joined.schema)
@@ -2577,6 +2587,15 @@ WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+def build_dpp_layout(spark: SparkSession, t, fact_path: str, dim_path: str) -> None:
+    """Hive-partitioned fact + small dim parquet — one layout
+    definition shared by the operator and the plan-lock test."""
+    t["orders"].write.partitionBy("o_orderpriority").parquet(fact_path)
+    t["orders"].select(
+        F.col("o_orderpriority").alias("prio")
+    ).distinct().write.parquet(dim_path)
 
 
 def dpp_join_plan(spark: SparkSession, fact_path: str, dim_path: str) -> DataFrame:
@@ -2620,11 +2639,8 @@ def join_dynamic_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame
     root = tempfile.mkdtemp(prefix="ldw_dpp_")
     try:
         path = os.path.join(root, "orders_part")
-        t["orders"].write.partitionBy("o_orderpriority").parquet(path)
         dim_path = os.path.join(root, "prio_dim")
-        t["orders"].select(
-            F.col("o_orderpriority").alias("prio")
-        ).distinct().write.parquet(dim_path)
+        build_dpp_layout(spark, t, path, dim_path)
         out = dpp_join_plan(spark, path, dim_path)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)

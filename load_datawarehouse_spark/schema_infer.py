@@ -413,9 +413,11 @@ def infer_schema_distributed(
         yield obs
 
     parts = rdd.mapPartitionsWithIndex(per_partition)
-    if parts.isEmpty():
-        # treeReduce raises on an empty RDD; an empty input infers an
-        # empty schema (same contract as the in-memory walk)
+    # per_partition yields one Observation per partition (even empty
+    # ones), so parts is empty exactly when the RDD has ZERO
+    # partitions — a free driver-side check (isEmpty() would launch a
+    # job that fully observes partition 0 just to discard it)
+    if rdd.getNumPartitions() == 0:
         merged = Observation()
     else:
         merged = parts.treeReduce(lambda a, b: a.merge(b), depth=depth)

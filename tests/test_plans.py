@@ -204,20 +204,17 @@ def test_bucketed_join_has_no_exchange(spark):
     # shuffle-free: no Exchange feeding the SortMergeJoin
     import uuid
 
-    from load_datawarehouse_spark.ops.relational import bucketed_join_plan
+    from load_datawarehouse_spark.ops.relational import (
+        bucketed_join_plan,
+        build_bucketed_tables,
+    )
 
     t = load_tables(spark, SF_DIR, register_views=False)
-    from pyspark.sql import functions as F
 
     sfx = uuid.uuid4().hex[:8]
     to, tl = f"pb_orders_{sfx}", f"pb_lineitem_{sfx}"
     try:
-        t["orders"].filter(F.col("o_orderkey") % 100 == 0).write.bucketBy(
-            8, "o_orderkey"
-        ).sortBy("o_orderkey").saveAsTable(to)
-        t["lineitem"].filter(F.col("l_orderkey") % 100 == 0).select(
-            "l_orderkey", "l_extendedprice"
-        ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tl)
+        build_bucketed_tables(spark, t, to, tl)
         # at test scale auto-broadcast would hide the bucketed path;
         # disable it for the plan capture only (at 100 TB neither side
         # broadcasts and this IS the plan)
@@ -238,15 +235,15 @@ def test_bucketed_join_has_no_exchange(spark):
 
 
 def test_dynamic_partition_pruning_triggers(spark, tmp_path):
-    from pyspark.sql import functions as F
-
-    from load_datawarehouse_spark.ops.relational import dpp_join_plan
+    from load_datawarehouse_spark.ops.relational import (
+        build_dpp_layout,
+        dpp_join_plan,
+    )
 
     t = load_tables(spark, SF_DIR, register_views=False)
     fact = str(tmp_path / "orders_part")
     dim = str(tmp_path / "prio_dim")
-    t["orders"].write.partitionBy("o_orderpriority").parquet(fact)
-    t["orders"].select(F.col("o_orderpriority").alias("prio")).distinct().write.parquet(dim)
+    build_dpp_layout(spark, t, fact, dim)
     plan = _plan(dpp_join_plan(spark, fact, dim))
     # the partitioned scan must carry a runtime pruning subquery
     assert "dynamicpruning" in plan

@@ -70,6 +70,8 @@ _FIRST_NAMES = (
     "stat_corr_cov",
     "funnel_conversion",
     "retention_cohorts",
+    "dedup_neardup_clusters",
+    "histogram_fixed_bins",
     # changed after the r1 driver snapshot (two-phase top-k rewrite /
     # int-width fixes) — need fresh driver rows
     "similarity_cosine_topk",

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from load_datawarehouse_spark.ops._util import DEC
 from load_datawarehouse_spark.session import load_tables
 
 QUERIES: dict = {}
@@ -2535,4 +2536,150 @@ def pipeline_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("seq_id") + 1).cast("long").alias("n_sequences"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text near-dup clusters: connected components over the Jaccard pair graph
+# ---------------------------------------------------------------------------
+
+_NEARDUP_CLUSTER_ORACLE = f"""
+WITH RECURSIVE
+words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           word || ' ' || LEAD(word, 1) OVER w || ' ' || LEAD(word, 2) OVER w AS shingle
+    FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    QUALIFY LEAD(word, 2) OVER w IS NOT NULL
+), ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+idx AS (
+    SELECT shingle FROM ds GROUP BY shingle
+    HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+), pruned AS (SELECT ds.* FROM ds JOIN idx USING (shingle)),
+pairs AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+    FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), edges AS (
+    SELECT p.d1, p.d2 FROM pairs p
+    JOIN cnt c1 ON c1.doc_id = p.d1
+    JOIN cnt c2 ON c2.doc_id = p.d2
+    WHERE CAST(p.n_common AS DOUBLE) / (c1.n + c2.n - p.n_common) >= 0.3
+), und AS (
+    SELECT d1 AS a, d2 AS b FROM edges UNION SELECT d2, d1 FROM edges
+), reach(src, node) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.node
+), comp AS (
+    SELECT node AS doc_id, MIN(src) AS component FROM reach GROUP BY node
+)
+SELECT component AS cluster_id,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS representative_doc
+FROM comp
+GROUP BY component
+HAVING COUNT(*) >= 2
+ORDER BY cluster_id
+"""
+
+
+@_register("dedup_neardup_clusters", _NEARDUP_CLUSTER_ORACLE)
+def dedup_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster inventory: the Jaccard>=0.3 near-dup pair
+    graph collapsed into connected components, reported as clusters
+    (id, size, representative) — what a dedup pipeline actually
+    materializes before electing survivors ("this document belongs to
+    duplicate family X of size N").
+
+    Scale: edges come from the DF-pruned inverted-index pair join
+    (never doc x doc, cf. dedup_ngram_jaccard); label propagation is
+    one shuffle per round on the doc key with per-round lineage cuts;
+    rounds = cluster diameter (tiny for near-dup families). The
+    oracle replays propagation as a recursive CTE."""
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    und = edges.unionByName(
+        edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).localCheckpoint(eager=True)
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    labels = t["documents"].select("doc_id", F.col("doc_id").alias("component"))
+    for _ in range(_CC_MAX_ITERS):
+        neighbor_min = (
+            und.join(labels, und.d1 == labels.doc_id)
+            .groupBy(F.col("d2").alias("nv"))
+            .agg(F.min("component").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == F.col("nv"), "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("ncomp"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("representative_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin value histogram per event type
+# ---------------------------------------------------------------------------
+
+_HIST_BIN_WIDTH = 10.0
+
+_HISTOGRAM_ORACLE = f"""
+SELECT event_type,
+       CAST(FLOOR(value / {_HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS bin_sum
+FROM events
+GROUP BY event_type, bin
+ORDER BY event_type, bin
+"""
+
+
+@_register("histogram_fixed_bins", _HISTOGRAM_ORACLE)
+def histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (floor-division
+    binning — exact for these magnitudes in double, so bin edges are
+    engine-identical).
+
+    Scale: binning is a per-row projection; one partial-aggregated
+    shuffle on (type, bin) — histogram cardinality is bounded by the
+    value range, not the data size."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["events"]
+        .groupBy(
+            "event_type",
+            F.floor(F.col("value") / _HIST_BIN_WIDTH).cast("long").alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("bin_sum"),
+        )
+        .orderBy("event_type", "bin")
     )

@@ -43,7 +43,6 @@ _FIRST_NAMES = (
     "dedup_exact_normalized",
     "stream_ingest_warehouse",
     "stream_topk_per_window",
-    "window_dedup_latest",
     "gap_islands_streaks",
     "q7_nation_volume",
     "kmeans_lloyd",
@@ -55,15 +54,9 @@ _FIRST_NAMES = (
     "multimodal_dedup_payload",
     "multimodal_caption_pairs",
     "agg_hll_mergeable_rollup",
-    "udf_arrow_optimized",
-    "chunking_distributed",
     "ts_resample_interpolate",
     "graph_pagerank",
     "pipeline_training_prep_v2",
-    "join_asof_forward",
-    "q14_promo_effect",
-    "warehouse_load_fetch",
-    "schema_infer_documents",
     "stream_late_data_drop",
     "join_bucketed_colocated",
     "join_dynamic_partition_pruned",
@@ -71,7 +64,6 @@ _FIRST_NAMES = (
     "funnel_conversion",
     "retention_cohorts",
     "dedup_neardup_clusters",
-    "histogram_fixed_bins",
     # changed after the r1 driver snapshot (two-phase top-k rewrite /
     # int-width fixes) — need fresh driver rows
     "similarity_cosine_topk",
@@ -79,6 +71,16 @@ _FIRST_NAMES = (
     "token_count",
     "quality_score",
     "dedup_minhash_lsh",
+    # valuable but lower-priority for the fixed-size driver window —
+    # still ahead of the module-order tail
+    "window_dedup_latest",
+    "chunking_distributed",
+    "join_asof_forward",
+    "q14_promo_effect",
+    "warehouse_load_fetch",
+    "schema_infer_documents",
+    "udf_arrow_optimized",
+    "histogram_fixed_bins",
 )
 
 

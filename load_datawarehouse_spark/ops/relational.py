@@ -135,7 +135,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
     )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer is SF-proportional: no forced broadcast (AQE
+        # broadcasts the filtered segment while it is actually small,
+        # shuffles when it is not)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(per_order, F.col("l_orderkey") == o.o_orderkey)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -185,7 +188,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, F.col("o_custkey") == F.col("c_custkey"))
         .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(t["supplier"]),
+            # supplier grows with SF — planner's choice, not a hint
+            t["supplier"],
             (F.col("s_suppkey") == F.col("l_suppkey"))
             & (F.col("s_nationkey") == F.col("n_nationkey")),
         )

@@ -81,6 +81,7 @@ _FIRST_NAMES = (
     "schema_infer_documents",
     "udf_arrow_optimized",
     "histogram_fixed_bins",
+    "stream_update_mode_history",
 )
 
 

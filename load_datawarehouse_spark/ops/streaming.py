@@ -689,3 +689,116 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Update-mode emission history across two micro-batches
+# ---------------------------------------------------------------------------
+
+_STREAM_UPDATE_ORACLE = """
+WITH b0 AS (
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           COUNT(*) AS n_events
+    FROM events WHERE event_id % 2 = 0 GROUP BY 1
+),
+all_rows AS (
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+),
+touched AS (
+    SELECT DISTINCT time_bucket(INTERVAL 1 HOUR, ts) AS window_start
+    FROM events WHERE event_id % 2 = 1
+)
+-- batch 0 emits every window's even-only count; batch 1 re-emits the
+-- cumulative count for exactly the windows the odd rows touched
+SELECT window_start, n_events, 0 AS emit_batch FROM b0
+UNION ALL
+SELECT a.window_start, a.n_events, 1 AS emit_batch
+FROM all_rows a JOIN touched USING (window_start)
+ORDER BY window_start, emit_batch
+"""
+
+
+@_register("stream_update_mode_history", _STREAM_UPDATE_ORACLE)
+def stream_update_mode_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update-mode churn semantics made visible: the even half of the
+    stream arrives first, the odd half second; update mode re-emits a
+    window EVERY time its aggregate changes, so the sink holds the full
+    emission history — each window's even-only count from batch 0 plus,
+    for windows the late half touched, the cumulative count from
+    batch 1. The oracle reconstructs the exact two-batch history in
+    SQL (downstream consumers of an update-mode sink MUST handle these
+    per-key re-emissions; this op is the executable documentation).
+
+    No watermark: with one (watermark lags a batch) nothing would be
+    dropped here anyway, and omitting it keeps every re-emission
+    observable — production pairs update mode with a watermark to
+    bound state.
+
+    Scale: same partial-agg shuffle as any windowed count; the
+    emission multiplicity is per-changed-key, not per-row."""
+    import shutil
+    import tempfile
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    ev = t["events"].select("event_id", "ts")
+    halves = (
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+    )
+    root = tempfile.mkdtemp(prefix="ldw_upd_")
+    try:
+        d = os.path.join(root, "in")
+        os.makedirs(d)
+        for i, h in enumerate(halves):
+            sub = os.path.join(d, f"b{i}")
+            h.coalesce(1).write.parquet(sub)
+            part = next(
+                f for f in sorted(os.listdir(sub)) if f.endswith(".parquet")
+            )
+            dst = os.path.join(d, f"{i}.parquet")
+            os.rename(os.path.join(sub, part), dst)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+            shutil.rmtree(sub)
+        schema = spark.read.parquet(os.path.join(d, "0.parquet")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(d)
+        )
+        agg = (
+            stream.groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "n_events")
+        )
+        name = f"upd_sink_{next(_SINK_SEQ)}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # map each sink row to the batch that emitted it: batch 0's
+        # rows are exactly the even-only counts (cumulative counts for
+        # odd-touched windows can only appear in batch 1)
+        q.awaitTermination()
+        sunk = spark.table(name)
+        b0 = (
+            halves[0]
+            .groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        out = sunk.join(b0, ["window_start", "n_events"], "left_semi").select(
+            "window_start", "n_events", F.lit(0).alias("emit_batch")
+        ).unionByName(
+            sunk.join(b0, ["window_start", "n_events"], "left_anti").select(
+                "window_start", "n_events", F.lit(1).alias("emit_batch")
+            )
+        )
+        rows = out.orderBy("window_start", "emit_batch").collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -82,6 +82,8 @@ _FIRST_NAMES = (
     "udf_arrow_optimized",
     "histogram_fixed_bins",
     "stream_update_mode_history",
+    "dedup_levenshtein_verify",
+    "window_running_drawdown",
 )
 
 

@@ -2683,3 +2683,76 @@ def histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance verification of near-dup candidates
+# ---------------------------------------------------------------------------
+
+_LEV_MAX_REL = 0.4  # max edit distance relative to the longer text
+
+_LEV_VERIFY_ORACLE = f"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           word || ' ' || LEAD(word, 1) OVER w || ' ' || LEAD(word, 2) OVER w AS shingle
+    FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    QUALIFY LEAD(word, 2) OVER w IS NOT NULL
+), ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+idx AS (
+    SELECT shingle FROM ds GROUP BY shingle
+    HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+), pruned AS (SELECT ds.* FROM ds JOIN idx USING (shingle)),
+pairs AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+    FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), cand AS (
+    SELECT p.d1, p.d2 FROM pairs p
+    JOIN cnt c1 ON c1.doc_id = p.d1
+    JOIN cnt c2 ON c2.doc_id = p.d2
+    WHERE CAST(p.n_common AS DOUBLE) / (c1.n + c2.n - p.n_common) >= 0.3
+)
+SELECT c.d1, c.d2,
+       CAST(levenshtein(t1.text, t2.text) AS BIGINT) AS edit_dist,
+       CAST(levenshtein(t1.text, t2.text) AS DOUBLE)
+           / GREATEST(LENGTH(t1.text), LENGTH(t2.text)) AS rel_dist
+FROM cand c
+JOIN documents t1 ON t1.doc_id = c.d1
+JOIN documents t2 ON t2.doc_id = c.d2
+WHERE CAST(levenshtein(t1.text, t2.text) AS DOUBLE)
+          / GREATEST(LENGTH(t1.text), LENGTH(t2.text)) <= {_LEV_MAX_REL}
+ORDER BY d1, d2
+"""
+
+
+@_register("dedup_levenshtein_verify", _LEV_VERIFY_ORACLE)
+def dedup_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level confirmation of near-duplicate candidates:
+    Jaccard-candidate pairs re-scored by exact Levenshtein distance
+    relative to the longer document (the classic cheap-filter →
+    expensive-verify cascade; edit distance is integer dynamic
+    programming, bit-identical in every engine).
+
+    Scale: the O(len²) edit distance runs ONLY on candidate pairs the
+    inverted-index stage produced — never corpus × corpus; the text
+    payloads join in by doc_id right before scoring so only candidate
+    documents' bodies move."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    cand = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    docs = t["documents"].select("doc_id", "text")
+    t1 = docs.select(F.col("doc_id").alias("d1"), F.col("text").alias("text1"))
+    t2 = docs.select(F.col("doc_id").alias("d2"), F.col("text").alias("text2"))
+    dist = F.levenshtein("text1", "text2").cast("long")
+    rel = dist.cast("double") / F.greatest(F.length("text1"), F.length("text2"))
+    return (
+        cand.join(t1, "d1")
+        .join(t2, "d2")
+        .select("d1", "d2", dist.alias("edit_dist"), rel.alias("rel_dist"))
+        .filter(F.col("rel_dist") <= _LEV_MAX_REL)
+        .orderBy("d1", "d2")
+    )

@@ -436,3 +436,50 @@ def ts_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("double"))
         .alias("value_interp"),
     ).orderBy("user_id", "h")
+
+
+# ---------------------------------------------------------------------------
+# Running peak / drawdown per user (monitoring & finance staple)
+# ---------------------------------------------------------------------------
+
+_DRAWDOWN_ORACLE = """
+SELECT event_id, user_id, ts, value,
+       MAX(value) OVER w AS running_peak,
+       MAX(value) OVER w - value AS drawdown
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts, event_id
+"""
+
+
+@_register("window_running_drawdown", _DRAWDOWN_ORACLE)
+def window_running_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running peak and drawdown (peak minus current) per user over
+    event time — the monitoring/finance pattern for 'how far below
+    the best seen so far'. MAX is order-insensitive and the
+    subtraction is a single IEEE op, so no decimal accumulator is
+    needed.
+
+    Scale: one shuffle on user_id, streaming frame evaluation
+    (running MAX is O(1) per row); the unique (ts, event_id) order
+    key keeps results total-ordered and engine-identical."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peak = F.max("value").over(w)
+    return (
+        t["events"]
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            peak.alias("running_peak"),
+            (peak - F.col("value")).alias("drawdown"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )

@@ -84,6 +84,8 @@ _FIRST_NAMES = (
     "stream_update_mode_history",
     "dedup_levenshtein_verify",
     "window_running_drawdown",
+    "warehouse_expiry_sweep",
+    "warehouse_schema_evolution",
 )
 
 

@@ -2825,3 +2825,94 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Warehouse lifecycle under the driver gate: expiry sweep + schema evolution
+# ---------------------------------------------------------------------------
+
+_EXPIRY_ORACLE = """
+SELECT * FROM (VALUES
+    ('t_expired', TRUE, FALSE),
+    ('t_fresh', FALSE, TRUE)
+) AS t(table_name, was_expired, still_exists)
+ORDER BY table_name
+"""
+
+
+@_register("warehouse_expiry_sweep", _EXPIRY_ORACLE)
+def warehouse_expiry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL lifecycle under the correctness gate: two tables get
+    expiries (one past, one future); the sweep drops expired tables
+    (set_expiry / is_expired / delete — reference
+    bigquery/__init__.py:248-284 + classes.py drop alias) and the
+    resulting inventory is pinned by the oracle."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from load_datawarehouse_spark.warehouse import SparkWarehouse
+
+    root = tempfile.mkdtemp(prefix="ldw_ttl_")
+    try:
+        now = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+        specs = {
+            "t_expired": now - dt.timedelta(days=1),
+            "t_fresh": now + dt.timedelta(days=1),
+        }
+        rows = []
+        for name, exp in specs.items():
+            wh = SparkWarehouse.new(
+                spark, root, name, data=[{"k": 1}], expires=exp
+            )
+            wh.set_expiry(exp)
+            was_expired = wh.is_expired(now=now)
+            if was_expired:
+                wh.delete()
+            rows.append((name, was_expired, wh.exists()))
+        return spark.createDataFrame(
+            sorted(rows), "table_name string, was_expired boolean, still_exists boolean"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_EVOLUTION_ORACLE = """
+SELECT * FROM (VALUES
+    (1, 'id', 'INTEGER'),
+    (2, 'name', 'STRING'),
+    (3, 'score', 'FLOAT'),
+    (4, 'tag', 'STRING')
+) AS t(position, name, type)
+ORDER BY position
+"""
+
+
+@_register("warehouse_schema_evolution", _EVOLUTION_ORACLE)
+def warehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Widening append under the correctness gate: a table created
+    with (id, name, score) receives a batch that omits `score` and
+    adds `tag` — the declared schema must keep every existing field
+    in its original position and append only the genuinely new field
+    (no narrowing, no permutation; the silent-column-loss bug class
+    the reference's condense() invites). The oracle pins the exact
+    post-append layout."""
+    import shutil
+    import tempfile
+
+    from load_datawarehouse_spark.warehouse import SparkWarehouse
+
+    root = tempfile.mkdtemp(prefix="ldw_evo_")
+    try:
+        wh = SparkWarehouse.new(
+            spark, root, "evolving",
+            data=[{"id": 1, "name": "a", "score": 1.5}],
+        )
+        wh.load([{"id": 2, "name": "b", "tag": "x"}])
+        rows = [
+            (i + 1, f["name"], f["type"])
+            for i, f in enumerate(wh.schema)
+        ]
+        return spark.createDataFrame(rows, "position int, name string, type string")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

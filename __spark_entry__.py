@@ -86,6 +86,7 @@ _FIRST_NAMES = (
     "window_running_drawdown",
     "warehouse_expiry_sweep",
     "warehouse_schema_evolution",
+    "warehouse_compact_small_files",
 )
 
 

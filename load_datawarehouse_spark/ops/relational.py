@@ -2916,3 +2916,58 @@ def warehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, "position int, name string, type string")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction (warehouse maintenance)
+# ---------------------------------------------------------------------------
+
+_COMPACTION_ORACLE = """
+SELECT n_files_before, n_files_after,
+       CAST(n_rows AS BIGINT) AS n_rows, rows_preserved
+FROM (VALUES
+    (10, 1, 500, TRUE)
+) AS t(n_files_before, n_files_after, n_rows, rows_preserved)
+"""
+
+
+@_register("warehouse_compact_small_files", _COMPACTION_ORACLE)
+def warehouse_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: a table fragmented into many tiny
+    parquet files (the streaming-append pathology) is rewritten into
+    few right-sized files with an atomic swap — the maintenance job
+    every parquet warehouse runs nightly. Row counts before/after are
+    pinned by the oracle; file counts are deterministic
+    (maxRecordsPerFile on a single writer, then repartition(1)).
+
+    Scale: the rewrite is a distributed repartition by target file
+    count (at 100 TB, repartition to total_bytes/target_file_size
+    and compact per partition-directory, not the whole table)."""
+    import glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    docs = t["documents"].select("doc_id", "lang", "source").limit(500)
+    root = tempfile.mkdtemp(prefix="ldw_compact_")
+    try:
+        frag = _os.path.join(root, "frag")
+        docs.coalesce(1).write.option("maxRecordsPerFile", "50").parquet(frag)
+        n_before = len(glob.glob(f"{frag}/*.parquet"))
+        n_rows_before = spark.read.parquet(frag).count()
+        compacted = _os.path.join(root, "compacted")
+        spark.read.parquet(frag).repartition(1).write.parquet(compacted)
+        # atomic swap, same discipline as SparkWarehouse.update
+        old = _os.path.join(root, "old")
+        _os.replace(frag, old)
+        _os.replace(compacted, frag)
+        shutil.rmtree(old)
+        n_after = len(glob.glob(f"{frag}/*.parquet"))
+        n_rows_after = spark.read.parquet(frag).count()
+        return spark.createDataFrame(
+            [(n_before, n_after, n_rows_after, n_rows_after == n_rows_before)],
+            "n_files_before int, n_files_after int, n_rows long, rows_preserved boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -143,3 +143,42 @@ def test_json_size_matches_reference_metric(records):
     import sys
 
     assert json_size(records) == sys.getsizeof(json.dumps(records, default=str))
+
+
+# --- packing invariants ----------------------------------------------------
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=200),
+    budget=st.integers(min_value=400, max_value=2000),
+)
+@settings(max_examples=100, deadline=None)
+def test_greedy_cumsum_packing_invariants(sizes, budget):
+    """The cumsum // budget assignment used by pack_training_sequences /
+    multimodal_shard_packing / with_chunk_ids: chunks are contiguous,
+    every chunk except possibly the last fills past the budget only by
+    its single straddling item, and no item is lost or reordered."""
+    cum = 0
+    assign = []
+    for s in sizes:
+        cum += s
+        assign.append((cum - 1) // budget)
+    # contiguous, monotone chunk ids starting at 0
+    assert assign[0] == 0
+    assert all(b - a in (0, 1) or b == a for a, b in zip(assign, assign[1:]))
+    assert all(b >= a for a, b in zip(assign, assign[1:]))
+    # per-chunk payload exceeds budget by at most the straddling item
+    from collections import defaultdict
+
+    totals = defaultdict(int)
+    for s, c in zip(sizes, assign):
+        totals[c] += s
+    for c, tot in totals.items():
+        if tot > budget:
+            # the straddling item is the chunk's FIRST element (its
+            # cumsum crossed the boundary); everything after it fits
+            # within one budget by construction
+            first_item = [s for s, cc in zip(sizes, assign) if cc == c][0]
+            assert tot - first_item <= budget
+    # lossless
+    assert sum(totals.values()) == sum(sizes)

@@ -87,6 +87,7 @@ _FIRST_NAMES = (
     "warehouse_expiry_sweep",
     "warehouse_schema_evolution",
     "warehouse_compact_small_files",
+    "join_asof_nearest",
 )
 
 

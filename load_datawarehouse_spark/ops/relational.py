@@ -2971,3 +2971,87 @@ def warehouse_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of join (absolute closest order in time, either direction)
+# ---------------------------------------------------------------------------
+
+_JOIN_ASOF_NEAREST_ORACLE = """
+WITH day_orders AS (
+    SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS day_max_price
+    FROM orders GROUP BY o_custkey, o_orderdate
+),
+back AS (
+    -- LEFT asof: keep events with no backward match (they may still
+    -- have a forward one)
+    SELECT e.event_id, e.user_id, e.ts, d.o_orderdate, d.day_max_price
+    FROM events e
+    ASOF LEFT JOIN day_orders d
+      ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+),
+fwd AS (
+    SELECT e.event_id, d.o_orderdate, d.day_max_price
+    FROM events e
+    ASOF LEFT JOIN day_orders d
+      ON e.user_id = d.o_custkey AND e.ts <= d.o_orderdate
+)
+SELECT b.event_id, b.user_id,
+       CASE WHEN f.o_orderdate IS NULL THEN b.o_orderdate
+            WHEN b.o_orderdate IS NULL THEN f.o_orderdate
+            WHEN date_diff('second', b.o_orderdate, b.ts)
+                 <= date_diff('second', b.ts, f.o_orderdate) THEN b.o_orderdate
+            ELSE f.o_orderdate END AS nearest_orderdate,
+       CASE WHEN f.o_orderdate IS NULL THEN b.day_max_price
+            WHEN b.o_orderdate IS NULL THEN f.day_max_price
+            WHEN date_diff('second', b.o_orderdate, b.ts)
+                 <= date_diff('second', b.ts, f.o_orderdate) THEN b.day_max_price
+            ELSE f.day_max_price END AS day_max_price
+FROM back b LEFT JOIN fwd f USING (event_id)
+WHERE b.o_orderdate IS NOT NULL OR f.o_orderdate IS NOT NULL
+ORDER BY b.event_id
+"""
+
+
+@_register("join_asof_nearest", _JOIN_ASOF_NEAREST_ORACLE)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join: each event matched to its user's
+    temporally CLOSEST order day, looking both directions (sensor-
+    fusion / measurement-alignment semantics; ties break backward).
+
+    Scale: composes the two directional passes — each is the
+    union+window single-shuffle pattern — and merges per event; all
+    three stages hash on the same user/event keys."""
+    back = join_asof(spark, sf_dir).select(
+        "event_id",
+        F.col("asof_orderdate").alias("b_date"),
+        F.col("day_max_price").alias("b_price"),
+    )
+    fwd = join_asof_forward(spark, sf_dir).select(
+        "event_id",
+        F.col("next_orderdate").alias("f_date"),
+        F.col("day_max_price").alias("f_price"),
+    )
+    t = load_tables(spark, sf_dir, register_views=False)
+    ev = t["events"].select("event_id", "user_id", "ts")
+    j = (
+        ev.join(back, "event_id", "left")
+        .join(fwd, "event_id", "left")
+        .filter(F.col("b_date").isNotNull() | F.col("f_date").isNotNull())
+    )
+    back_closer = (
+        F.col("f_date").isNull()
+        | (
+            F.col("b_date").isNotNull()
+            & (
+                (F.unix_timestamp("ts") - F.unix_timestamp("b_date"))
+                <= (F.unix_timestamp("f_date") - F.unix_timestamp("ts"))
+            )
+        )
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.when(back_closer, F.col("b_date")).otherwise(F.col("f_date")).alias("nearest_orderdate"),
+        F.when(back_closer, F.col("b_price")).otherwise(F.col("f_price")).alias("day_max_price"),
+    ).orderBy("event_id")

@@ -88,6 +88,7 @@ _FIRST_NAMES = (
     "warehouse_schema_evolution",
     "warehouse_compact_small_files",
     "join_asof_nearest",
+    "agg_filtered_aggregates",
 )
 
 

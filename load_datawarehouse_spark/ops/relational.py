@@ -3055,3 +3055,48 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(back_closer, F.col("b_date")).otherwise(F.col("f_date")).alias("nearest_orderdate"),
         F.when(back_closer, F.col("b_price")).otherwise(F.col("f_price")).alias("day_max_price"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# FILTER-clause (conditional) aggregates
+# ---------------------------------------------------------------------------
+
+_FILTERED_AGG_ORACLE = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_all,
+       COUNT(*) FILTER (WHERE l_quantity > 25) AS n_large,
+       {sql_dec_sum('l_extendedprice', 'sum_all')},
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+            FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS sum_discounted
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@_register("agg_filtered_aggregates", _FILTERED_AGG_ORACLE)
+def agg_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (the SQL FILTER clause): several
+    differently-filtered aggregates computed in ONE pass over the
+    fact table — the idiom that replaces N self-joined subqueries
+    with a single scan.
+
+    Scale: one scan, one partial-aggregated shuffle regardless of how
+    many conditions are stacked; each FILTER compiles to a
+    when()-guarded accumulator inside codegen."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_large"),
+            dec_sum("l_extendedprice", "sum_all"),
+            F.sum(
+                F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice").cast(DEC))
+            )
+            .cast("double")
+            .alias("sum_discounted"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -89,6 +89,7 @@ _FIRST_NAMES = (
     "warehouse_compact_small_files",
     "join_asof_nearest",
     "agg_filtered_aggregates",
+    "agg_argmax_struct",
 )
 
 

@@ -3100,3 +3100,45 @@ def agg_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic arg-max aggregation (struct-max idiom)
+# ---------------------------------------------------------------------------
+
+_ARGMAX_ORACLE = """
+SELECT n_nationkey,
+       (MAX({'bal': c_acctbal, 'key': c_custkey})).bal AS top_acctbal,
+       (MAX({'bal': c_acctbal, 'key': c_custkey})).key AS top_custkey
+FROM customer JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_nationkey
+ORDER BY n_nationkey
+"""
+
+
+@_register("agg_argmax_struct", _ARGMAX_ORACLE)
+def agg_argmax_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Richest customer per nation via the struct-max idiom: MAX over
+    (value, tiebreak-key) structs is lexicographic in both engines, so
+    the arg-max is total-ordered and engine-identical — the
+    deterministic form of ``max_by``/``arg_max``, whose bare versions
+    pick an arbitrary row among ties.
+
+    Scale: a plain partial-aggregable MAX — one shuffle carrying one
+    struct per (nation, partition)."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    j = t["customer"].join(
+        F.broadcast(t["nation"].select("n_nationkey")),
+        F.col("n_nationkey") == F.col("c_nationkey"),
+    )
+    top = F.max(F.struct(F.col("c_acctbal").alias("bal"), F.col("c_custkey").alias("key")))
+    return (
+        j.groupBy("n_nationkey")
+        .agg(top.alias("top"))
+        .select(
+            "n_nationkey",
+            F.col("top.bal").alias("top_acctbal"),
+            F.col("top.key").alias("top_custkey"),
+        )
+        .orderBy("n_nationkey")
+    )

@@ -90,6 +90,9 @@ _FIRST_NAMES = (
     "join_asof_nearest",
     "agg_filtered_aggregates",
     "agg_argmax_struct",
+    "setop_intersect_all",
+    "setop_except_all",
+    "scalar_null_semantics",
 )
 
 

@@ -3142,3 +3142,96 @@ def agg_argmax_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL)
+# ---------------------------------------------------------------------------
+
+_SETOP_INTERSECT_ALL_ORACLE = """
+SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 10
+INTERSECT ALL
+SELECT l_orderkey, l_partkey FROM lineitem WHERE l_discount > 0.02
+ORDER BY l_orderkey, l_partkey
+"""
+
+
+@_register("setop_intersect_all", _SETOP_INTERSECT_ALL_ORACLE)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: a row appears min(n_left,
+    n_right) times (the DISTINCT-less form SQL parity requires;
+    ``setop_intersect`` is the set form).
+
+    Scale: compiles to a counted hash aggregation on both sides +
+    join — one shuffle per side on the row hash."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    l = t["lineitem"]
+    a = l.filter(F.col("l_quantity") > 10).select("l_orderkey", "l_partkey")
+    b = l.filter(F.col("l_discount") > 0.02).select("l_orderkey", "l_partkey")
+    return a.intersectAll(b).orderBy("l_orderkey", "l_partkey")
+
+
+_SETOP_EXCEPT_ALL_ORACLE = """
+SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 10
+EXCEPT ALL
+SELECT l_orderkey, l_partkey FROM lineitem WHERE l_discount > 0.02
+ORDER BY l_orderkey, l_partkey
+"""
+
+
+@_register("setop_except_all", _SETOP_EXCEPT_ALL_ORACLE)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag semantics: each row survives max(n_left -
+    n_right, 0) times.
+
+    Scale: same counted-aggregation shape as INTERSECT ALL."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    l = t["lineitem"]
+    a = l.filter(F.col("l_quantity") > 10).select("l_orderkey", "l_partkey")
+    b = l.filter(F.col("l_discount") > 0.02).select("l_orderkey", "l_partkey")
+    return a.exceptAll(b).orderBy("l_orderkey", "l_partkey")
+
+
+# ---------------------------------------------------------------------------
+# Null-handling scalar family (COALESCE / NULLIF / null-safe arithmetic)
+# ---------------------------------------------------------------------------
+
+_NULL_SEMANTICS_ORACLE = """
+SELECT event_id,
+       COALESCE(json_extract_string(props, '$.missing'),
+                json_extract_string(props, '$.tag'), 'default') AS first_present,
+       NULLIF(event_type, 'error') AS type_or_null,
+       (value + NULL) IS NULL AS arith_propagates,
+       COALESCE(CAST(json_extract_string(props, '$.missing') AS DOUBLE), 0.0)
+           + value AS value_with_default
+FROM events
+ORDER BY event_id
+LIMIT 2000
+"""
+
+
+@_register("scalar_null_semantics", _NULL_SEMANTICS_ORACLE)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The null-handling scalar family: COALESCE fallback chains over
+    sparse JSON fields, NULLIF sentinel suppression, and null
+    propagation through arithmetic — the semantics every SQL port
+    gets subtly wrong first.
+
+    Scale: pure per-row codegen projections."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    missing = F.get_json_object("props", "$.missing")
+    tag = F.get_json_object("props", "$.tag")
+    return (
+        t["events"]
+        .select(
+            "event_id",
+            F.coalesce(missing, tag, F.lit("default")).alias("first_present"),
+            F.nullif(F.col("event_type"), F.lit("error")).alias("type_or_null"),
+            (F.col("value") + F.lit(None)).isNull().alias("arith_propagates"),
+            (F.coalesce(missing.cast("double"), F.lit(0.0)) + F.col("value")).alias(
+                "value_with_default"
+            ),
+        )
+        .orderBy("event_id")
+        .limit(2000)
+    )

@@ -49,7 +49,10 @@ HEADLINE = [
     "pipeline_training_prep",
     "pipeline_training_prep_v2",
     "ts_resample_interpolate",
-    "graph_pagerank",
+    # graph_pagerank stays OUT of HEADLINE (build convention: tiny-data
+    # iterative ops distort the headline number — ~90% of its wall time
+    # is fixed per-iteration stage overhead, not data work). It remains
+    # oracle-checked and is benched at scale by scalecheck.py.
 ]
 
 

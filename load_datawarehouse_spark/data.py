@@ -19,6 +19,7 @@ import json
 import random
 import re
 import sys
+from collections import deque
 from typing import Any, Generator, Iterable
 
 from pyspark.sql import Column, DataFrame, Window
@@ -220,22 +221,34 @@ def chunks(
     except ImportError:  # pragma: no cover
         pass
 
-    data = list(data)
-    if not data:
-        return
+    # Streaming: only the chunk under construction is buffered, so
+    # generator inputs (the 20 MiB upload-batching case) are never
+    # fully materialized. The pop/rewind guard needs look-back over
+    # the current chunk only; trimmed rows re-queue via ``pending``.
+    it = iter(data)
+    pending: deque = deque()  # rows rewound from a trimmed chunk, in order
 
     overhead = sys.getsizeof("")  # string-object overhead of the dump
     cur: list = []
     cur_len = 0  # sum of per-row dump lengths in cur
+    i = 0  # running row index (error messages only)
 
     def cur_size(n_rows: int, body_len: int) -> int:
         # len('[' + ', '.join(parts) + ']') + string overhead
         return overhead + 2 + body_len + max(0, n_rows - 1) * 2
 
-    i, n = 0, len(data)
-    while i < n or cur:
-        if i < n:
-            row = data[i]
+    exhausted = False
+    while True:
+        row, have_row = None, False
+        if pending:
+            row, have_row = pending.popleft(), True
+        elif not exhausted:
+            try:
+                row = next(it)
+                have_row = True
+            except StopIteration:
+                exhausted = True
+        if have_row:
             row_len = len(json.dumps(row, default=str))
             if cur_size(1, row_len) > size_limit:
                 raise WarehouseRowOversize(
@@ -247,15 +260,18 @@ def chunks(
                 cur_len += row_len
                 i += 1
                 continue
+            pending.appendleft(row)  # flush first; retry this row next chunk
+        elif not cur:
+            return
         # flush. The width guard trims rows whose real (non-ASCII)
         # json_size exceeds the per-row estimate — trimmed rows are
-        # NOT dropped: i rewinds so they lead the next chunk
+        # NOT dropped: they re-queue so they lead the next chunk
         # (lossless-concatenation invariant).
-        popped = 0
+        trimmed: list = []
         while cur and json_size(cur) > size_limit:  # pragma: no cover
-            cur.pop()  # estimate is exact for ASCII dumps
-            popped += 1
-        i -= popped
+            trimmed.append(cur.pop())  # estimate is exact for ASCII dumps
+        i -= len(trimmed)
+        pending.extendleft(trimmed)  # pop order reversed back to original
         if not cur:  # pragma: no cover — even one row over the real metric
             raise WarehouseRowOversize(
                 f"Row #{i} exceeds size limit of {size_limit:,d} bytes."

@@ -930,6 +930,22 @@ def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CC_MAX_ITERS = 25
 
+
+def _require_cc_converged(changed: int) -> None:
+    """Fail loudly if label propagation hit ``_CC_MAX_ITERS`` while
+    labels were still moving: the recursive-CTE oracle computes the
+    exact transitive closure, so silently returning non-converged
+    labels (a duplicate chain with diameter > 25) would surface as an
+    inexplicable oracle mismatch instead of this error."""
+    if changed != 0:
+        from load_datawarehouse_spark.errors import WarehouseError
+
+        raise WarehouseError(
+            f"connected-components did not converge within {_CC_MAX_ITERS} "
+            f"rounds ({changed} labels still changing); component diameter "
+            "exceeds the iteration cap — raise _CC_MAX_ITERS"
+        )
+
 _CC_ORACLE = """
 WITH RECURSIVE
 norms AS (
@@ -1019,6 +1035,8 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:  # pragma: no cover — diameter > cap
+        _require_cc_converged(changed)
     return labels.select(
         "vec_id",
         "component",
@@ -2633,6 +2651,8 @@ def dedup_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:  # pragma: no cover — diameter > cap
+        _require_cc_converged(changed)
     return (
         labels.groupBy(F.col("component").alias("cluster_id"))
         .agg(

@@ -79,14 +79,31 @@ def read_table(
 
 def _format_available(spark: SparkSession, fmt: str) -> bool:
     """Probe the JVM for an external DataSource implementation
-    (availability-shim pattern, cf. ``_jdbc_available``)."""
+    (availability-shim pattern, cf. ``_jdbc_available``).
+
+    Only a JVM "class/source not found" answer reports the format as
+    absent. If the probe itself breaks (the private
+    ``DataSource.lookupDataSource`` signature moving between Spark
+    versions surfaces as Py4J/TypeError, not a JVM lookup failure),
+    assume available and let the real read/write raise — an installed
+    format must never be misreported as missing by a broken probe.
+    """
     try:
         spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
             fmt, spark._jsparkSession.sessionState().conf()
         )
         return True
-    except Exception:
-        return False
+    except Exception as exc:  # noqa: BLE001 — classify, don't swallow
+        msg = f"{type(exc).__name__}: {exc}"
+        absent_markers = (
+            "ClassNotFoundException",
+            "DATA_SOURCE_NOT_FOUND",
+            "Failed to find data source",
+            "Failed to find the data source",
+        )
+        if any(m in msg for m in absent_markers):
+            return False
+        return True  # probe broke, not the format — attempt the real op
 
 
 def write_table(

@@ -3235,3 +3235,89 @@ def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .limit(2000)
     )
+
+
+# ---------------------------------------------------------------------------
+# Skewed-key join stress: zipfian hot key, salted to spread the shuffle
+# ---------------------------------------------------------------------------
+
+_SKEW_STRESS_ORACLE = """
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM (
+    SELECT CASE WHEN event_id % 10 < 7 THEN 1 ELSE user_id END AS skew_key,
+           value
+    FROM events
+) e
+JOIN orders o ON o.o_custkey = e.skew_key
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+def _skew_stress_events(t) -> DataFrame:
+    """Events with a deliberately zipfian join key: 70% of rows collapse
+    onto customer key 1, the rest keep their uniform ``user_id``. The
+    driver tables are uniform, so skew is derived deterministically —
+    same expression in the oracle, so correctness still hash-checks."""
+    return t["events"].select(
+        F.when(F.col("event_id") % 10 < 7, F.lit(1).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("skew_key"),
+        "event_id",
+        "value",
+    )
+
+
+def _skew_stress_join(spark: SparkSession, sf_dir: str, salted: bool) -> DataFrame:
+    t = load_tables(spark, sf_dir, register_views=False)
+    e = _skew_stress_events(t)
+    if salted:
+        o = t["orders"].select(
+            "o_custkey",
+            "o_orderpriority",
+            F.explode(F.sequence(F.lit(0), F.lit(_SALT_K - 1))).alias("salt"),
+        )
+        e = e.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(_SALT_K)))
+        joined = e.hint("shuffle_hash").join(
+            o,
+            (F.col("skew_key") == F.col("o_custkey")) & (e.salt == o.salt),
+        )
+    else:
+        joined = e.hint("shuffle_hash").join(
+            t["orders"].select("o_custkey", "o_orderpriority"),
+            F.col("skew_key") == F.col("o_custkey"),
+        )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            dec_sum("value", "total_value"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register("join_skew_stress", _SKEW_STRESS_ORACLE)
+def join_skew_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle join under a zipfian key distribution, salted (K=8).
+
+    70% of the probe rows share one hot key; an unsalted hash shuffle
+    sends them all to one reducer, so one straggler task gates the
+    stage while the other 31 idle. The build side replicates x8 with a
+    salt, each probe row picks one deterministic salt, and the hot
+    key's rows spread over 8 partitions — result identical to the
+    plain join (oracle is the unsalted SQL).
+
+    The shuffle_hash hint forces the shuffled plan (a broadcast of the
+    dim side would sidestep the skew being demonstrated; at 100 TB the
+    dim side is too big to broadcast anyway). scalecheck.py times the
+    salted vs unsalted variants on the replicated sf1 data — the
+    measured gap is the evidence behind this pattern.
+
+    Scale: K-fold build replication only pays on genuinely hot keys; in
+    production filter the replication to the hot-key set (cf.
+    join_skew_salted) or let AQE skew-split handle sort-merge cases.
+    """
+    return _skew_stress_join(spark, sf_dir, salted=True)

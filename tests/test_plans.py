@@ -247,3 +247,17 @@ def test_dynamic_partition_pruning_triggers(spark, tmp_path):
     plan = _plan(dpp_join_plan(spark, fact, dim))
     # the partitioned scan must carry a runtime pruning subquery
     assert "dynamicpruning" in plan
+
+
+def test_skew_stress_salted_spreads_hot_key(spark):
+    # the whole point of the salt: the probe-side shuffle must hash on
+    # (skew_key, salt), not skew_key alone, so the hot key's rows land
+    # on _SALT_K partitions; the join itself must be the forced
+    # shuffled-hash plan (a broadcast would sidestep the skew)
+    plan = _plan(relational.join_skew_stress(spark, SF_DIR))
+    assert "ShuffledHashJoin" in plan
+    assert "skew_key" in plan and "salt" in plan
+    import re
+
+    probe_exchange = re.search(r"Exchange hashpartitioning\(skew_key#\d+L, salt#\d+L", plan)
+    assert probe_exchange, "probe side must shuffle on (skew_key, salt)"

@@ -802,3 +802,124 @@ def stream_update_mode_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC upsert INTO the warehouse (foreachBatch -> update verb)
+# ---------------------------------------------------------------------------
+
+_STREAM_UPSERT_ORACLE = """
+SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+       event_type AS last_event_type, value AS last_value
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+    FROM events
+)
+WHERE rk = 1
+ORDER BY user_id
+"""
+
+
+@_register("stream_upsert_warehouse", _STREAM_UPSERT_ORACLE)
+def stream_upsert_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC merge: ``foreachBatch`` upserts each micro-batch's
+    per-user latest event into a ``SparkWarehouse`` table through the
+    R3 ``update`` verb (the reference declares the verb,
+    classes.py:56-58; this is its streaming composition).
+
+    The stream is split into three micro-batches by ``event_id % 3``,
+    so every batch carries a time-MIXED slice per user — a blind
+    replace-on-key would let an older row clobber a newer one. The
+    sink therefore does a real merge: reduce the batch to its per-key
+    argmax(ts, event_id), compare against the table's current row for
+    exactly those keys (left-semi restricted), and upsert the winner.
+    Latest-per-key is associative, so the result is independent of
+    batch order — the oracle is one window query over all events.
+
+    Scale: the batch-side argmax is a partial-aggregated shuffle on
+    user_id; the existing-side read is key-restricted; the upsert
+    itself is the update verb's anti-join + union rewrite, fully
+    distributed now that ``update`` takes DataFrames (no driver
+    round-trip). With a key-partitioned table layout the rewrite
+    touches only affected partitions."""
+    import shutil
+    import tempfile
+
+    from load_datawarehouse_spark import types as wtypes
+    from load_datawarehouse_spark.warehouse import SparkWarehouse
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    ev = t["events"].select("event_id", "ts", "user_id", "event_type", "value")
+    waves = tuple(ev.filter(F.col("event_id") % 3 == i) for i in range(3))
+
+    def _latest(df: DataFrame) -> DataFrame:
+        m = F.max(
+            F.struct("last_ts", "last_event_id", "last_event_type", "last_value")
+        ).alias("m")
+        return (
+            df.groupBy("user_id")
+            .agg(m)
+            .select("user_id", "m.last_ts", "m.last_event_id", "m.last_event_type", "m.last_value")
+        )
+
+    root = tempfile.mkdtemp(prefix="ldw_upsert_")
+    try:
+        d = os.path.join(root, "in")
+        os.makedirs(d)
+        for i, w in enumerate(waves):
+            sub = os.path.join(d, f"b{i}")
+            w.coalesce(1).write.parquet(sub)
+            part = next(f for f in sorted(os.listdir(sub)) if f.endswith(".parquet"))
+            dst = os.path.join(d, f"{i}.parquet")
+            os.rename(os.path.join(sub, part), dst)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+            shutil.rmtree(sub)
+
+        tbl_struct = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("last_ts", T.TimestampType()),
+                T.StructField("last_event_id", T.LongType()),
+                T.StructField("last_event_type", T.StringType()),
+                T.StructField("last_value", T.DoubleType()),
+            ]
+        )
+        wh = SparkWarehouse.new(
+            spark,
+            root,
+            "user_latest",
+            schema=wtypes.struct_type_to_api_repr(tbl_struct),
+        )
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            b = batch_df.select(
+                "user_id",
+                F.col("ts").alias("last_ts"),
+                F.col("event_id").alias("last_event_id"),
+                F.col("event_type").alias("last_event_type"),
+                F.col("value").alias("last_value"),
+            )
+            lb = _latest(b)
+            current = wh.df().join(lb.select("user_id"), "user_id", "left_semi")
+            desired = _latest(lb.unionByName(current))
+            wh.update(desired, keys=["user_id"])
+
+        schema = spark.read.parquet(os.path.join(d, "0.parquet")).schema
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(d)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(root, "_chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # materialize before the temp dir disappears
+        out = wh.df().orderBy("user_id")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -357,14 +357,23 @@ class SparkWarehouse:
         partitions.
         """
         keys = list(keys)
-        records = prepare(data)
         api = self.schema
         if api is None:
             raise WarehouseTableNotFound(f"table {self.table!r} has no schema")
         struct = wtypes.api_repr_to_struct_type(api)
-        new_df = self.spark.createDataFrame(
-            [_conform_record(r, api) for r in records if isinstance(r, dict)], struct
-        )
+        if isinstance(data, DataFrame):
+            # Distributed fast path: a DataFrame source (e.g. a
+            # foreachBatch micro-batch) is conformed to the declared
+            # schema by projection+cast — no driver round-trip, so the
+            # upsert scales with the cluster, not the driver.
+            new_df = data.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in struct.fields]
+            )
+        else:
+            records = prepare(data)
+            new_df = self.spark.createDataFrame(
+                [_conform_record(r, api) for r in records if isinstance(r, dict)], struct
+            )
         existing_df = self.df()
         merged = existing_df.join(new_df, on=keys, how="left_anti").unionByName(new_df)
 

@@ -15,84 +15,74 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Queries whose correctness evidence is most valuable this round are
 # registered first: the driver's CORRECTNESS sweep covers a prefix of
-# the registration order, so the LLM-pipeline / streaming / multimodal
-# / UDF surface (the north-star ops) and queries whose oracles changed
-# this round must land inside that verified prefix. Relational +
-# window queries follow — they were all driver-verified in round 1.
+# the registration order (50 names), so round 4 front-loads the 56
+# queries that have never had a driver row across rounds 1-3 (the
+# r1+r2+r3 union covers 97 of 153; r3 re-verified the r2 window).
+# New round-4 operators are inserted at the very front as they land.
+# The 6 names past the window are all HEADLINE-benched every round and
+# judge-green — they lead round 5's window.
 _FIRST_NAMES = (
-    # oracles fixed / added in round 2 — need fresh driver rows
-    "join_left_outer",
-    "join_right_outer",
-    "json_extract_props",
-    "agg_approx_count_distinct",
-    "agg_approx_percentile",
-    "dedup_minhash_verified",
-    # new in round 2
-    "subq_exists_late_ship",
-    "subq_scalar_avg_qty",
-    "subq_in_groupby_having",
-    "subq_not_exists_idle_rich",
-    "scd2_order_history",
-    "rollup_hypertable",
-    "similarity_lsh_topk",
-    "doc_repetition_score",
-    "quality_gopher_filters",
-    "dedup_url_canonical",
-    "dedup_crossdoc_segments",
-    "contamination_ngram_check",
-    "dedup_exact_normalized",
-    "stream_ingest_warehouse",
-    "stream_topk_per_window",
-    "gap_islands_streaks",
-    "q7_nation_volume",
-    "kmeans_lloyd",
-    "pack_training_sequences",
-    "sample_temperature_mix",
-    "lm_commonness_score",
-    "sample_topk_hash_per_group",
-    "multimodal_shard_packing",
-    "multimodal_dedup_payload",
-    "multimodal_caption_pairs",
-    "agg_hll_mergeable_rollup",
-    "ts_resample_interpolate",
-    "graph_pagerank",
-    "pipeline_training_prep_v2",
-    "stream_late_data_drop",
-    "join_bucketed_colocated",
-    "join_dynamic_partition_pruned",
-    "stat_corr_cov",
-    "funnel_conversion",
-    "retention_cohorts",
-    "dedup_neardup_clusters",
-    # changed after the r1 driver snapshot (two-phase top-k rewrite /
-    # int-width fixes) — need fresh driver rows
-    "similarity_cosine_topk",
-    "similarity_ivf_topk",
-    "token_count",
-    "quality_score",
-    "dedup_minhash_lsh",
-    # valuable but lower-priority for the fixed-size driver window —
-    # still ahead of the module-order tail
-    "window_dedup_latest",
-    "chunking_distributed",
-    "join_asof_forward",
+    # --- new in round 4 (driver rows needed first) ---
+    # (inserted here as ops land)
+    # --- never driver-checked, rounds 1-3 ---
+    "stream_upsert_warehouse",
+    "join_skew_stress",
     "q14_promo_effect",
     "warehouse_load_fetch",
     "schema_infer_documents",
     "udf_arrow_optimized",
-    "histogram_fixed_bins",
+    "udf_pandas_vectorized",
+    "udaf_apply_in_pandas",
+    "udtf_bigrams",
+    "udf_python_scalar",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_dedup_watermark",
+    "stream_stateful_user_stats",
+    "stream_stream_join",
+    "stream_stream_left_outer_join",
     "stream_update_mode_history",
-    "dedup_levenshtein_verify",
-    "window_running_drawdown",
+    "multimodal_media_meta",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "multimodal_resize_thumbnail",
+    "multimodal_modality_stats",
     "warehouse_expiry_sweep",
     "warehouse_schema_evolution",
     "warehouse_compact_small_files",
+    "histogram_fixed_bins",
+    "dedup_levenshtein_verify",
+    "window_running_drawdown",
     "join_asof_nearest",
     "agg_filtered_aggregates",
     "agg_argmax_struct",
     "setop_intersect_all",
     "setop_except_all",
     "scalar_null_semantics",
+    "join_null_safe_eq",
+    "agg_mode",
+    "agg_string_agg",
+    "scalar_url_extract",
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard",
+    "doc_fingerprint_simhash",
+    "doc_fingerprint_rolling",
+    "lang_id_markers",
+    "dedup_embedding_neardup",
+    "dedup_connected_components",
+    "pipeline_training_prep",
+    "text_normalize",
+    "pii_scrub",
+    "sample_stratified_hash",
+    # --- past the 50-wide window: HEADLINE-benched every round,
+    # judge-green; these lead round 5 ---
+    "dedup_exact_keep_first",
+    "text_stats",
+    "ngram_lm_counts",
+    "tfidf_top_terms",
+    "embedding_label_centroids",
+    "dedup_simhash_neardup",
 )
 
 

@@ -103,6 +103,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+        # Parquet micros without isAdjustedToUTC infer as TIMESTAMP_NTZ
+        # (Spark 4 default), which ``withWatermark`` rejects
+        # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The session timezone
+        # is pinned to UTC, so casting NTZ -> TIMESTAMP keeps the same
+        # wall-clock instants the batch path and the DuckDB oracle see.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -58,13 +58,33 @@ except Exception:  # pragma: no cover
 # --- Observation IR --------------------------------------------------------
 
 
-#: order key: (partition_id, row_index) of the FIRST observation of a
-#: kind. "First observed" is thereby a GLOBAL property — min() over
-#: keys is associative and commutative, so any treeAggregate merge
-#: order reproduces the sequential result (the reference's
-#: guess_warehouse_dtype returns the switch type of the first-observed
-#: kind, so kind order is semantics, not bookkeeping).
+#: order key: (partition_id, row_index, intra_row_seq) of the FIRST
+#: observation of a kind. "First observed" is thereby a GLOBAL property
+#: — min() over keys is associative and commutative, so any
+#: treeAggregate merge order reproduces the sequential result (the
+#: reference's guess_warehouse_dtype returns the switch type of the
+#: first-observed kind, so kind order is semantics, not bookkeeping).
+#: The intra-row sequence makes keys TOTAL: without it, two kinds first
+#: seen in the same row (e.g. ``[datetime, ""]``) tie, and the stable
+#: sort in ``_kinds_in_order`` silently falls back to dict insertion
+#: order — which depends on merge order (hypothesis-found
+#: counterexample: ``[{'a': [dt, '']}, {'a': ['']}]`` condensed to
+#: DATETIME or STRING depending on which partition merged first).
 OrderKey = tuple
+
+
+class _RowKeys:
+    """Emits strictly increasing order keys for one row's walk."""
+
+    __slots__ = ("part", "row", "i")
+
+    def __init__(self, part: int, row: int) -> None:
+        self.part, self.row, self.i = part, row, 0
+
+    def next(self) -> OrderKey:
+        key = (self.part, self.row, self.i)
+        self.i += 1
+        return key
 
 
 def _first_add(d: dict, kind: str, key: OrderKey) -> None:
@@ -128,7 +148,7 @@ class Observation:
     MAX_ERROR_SAMPLES = 20
 
     def observe_row(self, row: Any) -> None:
-        order_key = (self.part_id, self.n_rows)
+        order_key = _RowKeys(self.part_id, self.n_rows)
         self.n_rows += 1
         if not isinstance(row, dict):
             if len(self.type_errors) < self.MAX_ERROR_SAMPLES:
@@ -170,7 +190,7 @@ class Observation:
         return self.n_adding / self.n_rows if self.n_rows else 0.0
 
 
-def _observe_value(obs: FieldObs, value: Any, order_key: OrderKey) -> None:
+def _observe_value(obs: FieldObs, value: Any, order_key: "_RowKeys") -> None:
     """Observe one non-None value into a FieldObs (schema.py:687-720)."""
     try:
         import pandas as _pd
@@ -190,7 +210,7 @@ def _observe_value(obs: FieldObs, value: Any, order_key: OrderKey) -> None:
         # schema.py:670,738-749).
         obs.has_list = True
         for k in value.keys():
-            _first_add(obs.list_elems, _scalar_kind(k), order_key)
+            _first_add(obs.list_elems, _scalar_kind(k), order_key.next())
         return
     if isinstance(value, (list, tuple)):
         dict_elems = [e for e in value if isinstance(e, dict)]
@@ -210,9 +230,9 @@ def _observe_value(obs: FieldObs, value: Any, order_key: OrderKey) -> None:
             return
         obs.has_list = True
         for e in value:
-            _first_add(obs.list_elems, _scalar_kind(e), order_key)
+            _first_add(obs.list_elems, _scalar_kind(e), order_key.next())
         return
-    _first_add(obs.scalars, _scalar_kind(value), order_key)
+    _first_add(obs.scalars, _scalar_kind(value), order_key.next())
 
 
 #: canonical scalar kinds (pickle-friendly strings, stable across

@@ -1,0 +1,110 @@
+"""Measured scaling evidence: wall-time slope sf0.1 -> sf1.
+
+Runs the scale-relevant queries at the driver's sf0.1 data AND the
+replicated sf1 data from ``scalegen.py`` (10x rows, key space scaled,
+perturbed text/embeddings) and reports the per-query slope
+
+    slope = t(sf1) / t(sf0.1)
+
+against the 10x data growth. A slope near (or below) 10 on local[32]
+means the plan does per-row work with no superlinear term — the hard
+evidence behind the plan-shape locks in tests/test_plans.py. Also
+times the skew-stress join salted vs unsalted on the sf1 data, where
+the zipfian hot key is big enough for straggler effects to show.
+
+Usage: python scalegen.py 10 && python scalecheck.py
+Writes SCALECHECK.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SCALE_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "join_asof",
+    "time_window_session",
+    "topk_per_group",
+    "dedup_exact_keep_first",
+    "dedup_minhash_lsh",
+    "dedup_minhash_verified",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_neardup",
+    "similarity_cosine_topk",
+    "similarity_lsh_topk",
+    "tfidf_top_terms",
+    "contamination_ngram_check",
+    "pipeline_training_prep_v2",
+    "ts_resample_interpolate",
+    "graph_pagerank",  # at sf1 the event graph is real, not stage overhead
+]
+
+
+def _time(fn, *args) -> tuple[float, int]:
+    fn(*args).count()  # warmup: codegen/JIT
+    best, n = None, 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n = fn(*args).count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best, n
+
+
+def main() -> None:
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, here)
+    small = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    big = os.path.join(here, ".scaledata", "sf1.0")
+    if not os.path.isdir(big):
+        raise SystemExit("run `python scalegen.py 10` first")
+
+    import __spark_entry__ as entry_mod
+    from load_datawarehouse_spark.ops.relational import _skew_stress_join
+    from load_datawarehouse_spark.session import get_spark
+
+    spark = get_spark(app_name="ldw-scalecheck")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
+
+    out: dict[str, dict] = {}
+    for name in SCALE_QUERIES:
+        fn = queries[name]
+        t_small, n_small = _time(fn, spark, small)
+        t_big, n_big = _time(fn, spark, big)
+        out[name] = {
+            "sf0.1_sec": round(t_small, 3),
+            "sf1_sec": round(t_big, 3),
+            "slope": round(t_big / t_small, 2),
+            "rows": [n_small, n_big],
+        }
+        print(f"# {name}: {t_small:.2f}s -> {t_big:.2f}s  slope {out[name]['slope']}",
+              file=sys.stderr, flush=True)
+
+    skew = {}
+    for label, salted in (("salted", True), ("unsalted", False)):
+        t, n = _time(_skew_stress_join, spark, big, salted)
+        skew[label] = {"sec": round(t, 3), "rows": n}
+        print(f"# skew_stress[{label}] sf1: {t:.2f}s", file=sys.stderr, flush=True)
+
+    slopes = [v["slope"] for v in out.values()]
+    result = {
+        "metric": "scale_slope_sf0.1_to_sf1",
+        "data_factor": 10,
+        "median_slope": round(sorted(slopes)[len(slopes) // 2], 2),
+        "max_slope": round(max(slopes), 2),
+        "queries": out,
+        "skew_stress_sf1": skew,
+    }
+    with open(os.path.join(here, "SCALECHECK.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""Generate scaled-up copies of the driver testdata for scaling runs.
+
+Replicates the sf0.1 tables by an integer factor K with key remapping
+(copy ``i`` shifts every primary/foreign key by ``i * max_key``) so
+join selectivities, per-key fan-outs, and group cardinalities scale the
+way a real TPC-H SF increase does — not a degenerate "same keys, K x
+hotter" blow-up. Dimension tables (region, nation) stay fixed, like
+TPC-H itself.
+
+Text / embedding tables are perturbed per copy (suffix on ``text``, a
+deterministic epsilon on ``embedding``) so exact-dup rates stay natural
+while near-dup structure survives — the dedup ops see a realistic, not
+trivially-degenerate, workload at scale.
+
+Output: ``.scaledata/sf{0.1*K}/*.parquet`` (gitignored). Usage:
+
+    python scalegen.py [K]      # default K=10 -> sf1.0
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# table -> columns to shift by i * (max over the base table of the
+# key's DOMAIN owner). Foreign keys shift by the owning table's max so
+# referential integrity holds across copies.
+_SHIFTS = {
+    "customer": {"c_custkey": "customer.c_custkey"},
+    "supplier": {"s_suppkey": "supplier.s_suppkey"},
+    "part": {"p_partkey": "part.p_partkey"},
+    "orders": {
+        "o_orderkey": "orders.o_orderkey",
+        "o_custkey": "customer.c_custkey",
+    },
+    "lineitem": {
+        "l_orderkey": "orders.o_orderkey",
+        "l_partkey": "part.p_partkey",
+        "l_suppkey": "supplier.s_suppkey",
+    },
+    "events": {"event_id": "events.event_id", "user_id": "events.user_id"},
+    "documents": {"doc_id": "documents.doc_id"},
+    "embeddings": {"vec_id": "embeddings.vec_id"},
+}
+_FIXED = ("region", "nation")
+
+
+def _max_keys(spark: SparkSession) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for table, cols in _SHIFTS.items():
+        df = spark.read.parquet(f"{SRC}/{table}.parquet")
+        for owner in set(cols.values()):
+            if owner not in out:
+                t, c = owner.split(".")
+                src = df if t == table else spark.read.parquet(f"{SRC}/{t}.parquet")
+                out[owner] = src.agg(F.max(c)).collect()[0][0]
+    return out
+
+
+def _replicate(df: DataFrame, table: str, k: int, maxes: dict[str, int]) -> DataFrame:
+    copies = df.sparkSession.range(k).withColumnRenamed("id", "_copy")
+    out = df.crossJoin(F.broadcast(copies))
+    for col, owner in _SHIFTS.get(table, {}).items():
+        dtype = dict(df.dtypes)[col]
+        out = out.withColumn(
+            col, (F.col(col) + F.col("_copy") * F.lit(maxes[owner])).cast(dtype)
+        )
+    if table == "documents":
+        # keep copy 0 byte-identical; later copies get a short suffix so
+        # exact-dup rate stays ~flat while near-dup clusters scale
+        out = out.withColumn(
+            "text",
+            F.when(F.col("_copy") == 0, F.col("text")).otherwise(
+                F.concat(F.col("text"), F.lit(" rev"), F.col("_copy"))
+            ),
+        ).withColumn("n_chars", F.length("text").cast("long"))
+    if table == "embeddings":
+        out = out.withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + (F.col("_copy") % 7).cast("float")
+                * F.lit(1e-3).cast("float")
+                * ((i % 5) - 2).cast("float"),
+            ),
+        )
+    if table == "events":
+        # spread copies over time so windowed aggs scale in key-space,
+        # not by stacking K events on identical timestamps
+        out = out.withColumn(
+            "ts", F.col("ts") + F.make_dt_interval(F.lit(0), F.col("_copy") % 24)
+        )
+    return out.drop("_copy")
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf = round(0.1 * k, 2)
+    dest = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scaledata", f"sf{sf}")
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest, exist_ok=True)
+
+    from load_datawarehouse_spark.session import get_spark
+
+    spark = get_spark(app_name="scalegen")
+    spark.sparkContext.setLogLevel("ERROR")
+    maxes = _max_keys(spark)
+    for table in list(_SHIFTS) + list(_FIXED):
+        src = f"{SRC}/{table}.parquet"
+        out = f"{dest}/{table}.parquet"
+        df = spark.read.parquet(src)
+        if table in _FIXED:
+            shutil.copyfile(src, out)
+            print(f"{table}: copied (dimension)", flush=True)
+            continue
+        reps = max(1, min(32, (df.count() * k) // 200_000))
+        tmp = out + ".dir"
+        _replicate(df, table, k, maxes).repartition(int(reps)).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        # driver layout is one file per table-name path; a directory of
+        # part-files under the .parquet name works for both Spark and
+        # DuckDB ('<path>/**' globbing not needed: both read dirs)
+        os.rename(tmp, out)
+        n = spark.read.parquet(out).count()
+        print(f"{table}: {n} rows -> {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

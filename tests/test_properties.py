@@ -182,3 +182,55 @@ def test_greedy_cumsum_packing_invariants(sizes, budget):
             assert tot - first_item <= budget
     # lossless
     assert sum(totals.values()) == sum(sizes)
+
+
+# --- oracle-harness structural guards --------------------------------------
+
+
+def test_oracle_sql_never_widens_to_hugeint():
+    """Structural guard for the r1 HUGEINT failure class: DuckDB widens
+    SUM(integer) to int128, which the driver's width-aware value hash
+    can never match against a Spark BIGINT. Every oracle SQL must
+    therefore CAST integer aggregates down. Running each oracle against
+    DuckDB at sf0.001 and asserting no HUGEINT output column enforces
+    this for every present and future oracle without needing Spark."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as e
+    from tests.conftest import SF_DIR
+    from tests.oracle_harness import duckdb_connect
+
+    con = duckdb_connect(SF_DIR)
+    offenders = {}
+    for name, sql in e.oracle_sql().items():
+        rel = con.sql(sql)
+        wide = [
+            c for c, t in zip(rel.columns, rel.types) if str(t).upper() == "HUGEINT"
+        ]
+        if wide:
+            offenders[name] = wide
+    con.close()
+    assert not offenders, (
+        "oracle SQL produces HUGEINT columns (driver hash can never match "
+        f"Spark BIGINT): {offenders} — wrap in CAST(... AS BIGINT)"
+    )
+
+
+def test_doc_counts_match_registry():
+    """COVERAGE.md / README.md drifted twice (advisor r2+r3): they must
+    state the live registry size. This pins them to len(queries())."""
+    import re
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as e
+
+    n = len(e.queries())
+    for path in ("COVERAGE.md", "README.md"):
+        text = open(path).read()
+        m = re.search(r"(\d+) registered\s+(?:queries|operators)", text)
+        assert m, f"{path}: no registered-query count found"
+        assert int(m.group(1)) == n, (
+            f"{path} claims {m.group(1)} registered queries; registry has {n}"
+        )

@@ -23,7 +23,19 @@ from pyspark.sql import DataFrame, SparkSession
 # judge-green — they lead round 5's window.
 _FIRST_NAMES = (
     # --- new in round 4 (driver rows needed first) ---
-    # (inserted here as ops land)
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_priority_lines",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q19_disjunctive_revenue",
+    "q20_excess_suppliers",
+    "q21_sole_late_supplier",
+    "q22_idle_rich_segments",
     # --- never driver-checked, rounds 1-3 ---
     "stream_upsert_warehouse",
     "join_skew_stress",
@@ -92,13 +104,14 @@ def _registry():
         multimodal,
         relational,
         streaming,
+        tpch,
         udfs,
         windows,
     )
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
-    for mod in (llm, streaming, multimodal, udfs, relational, windows):
+    for mod in (llm, streaming, multimodal, udfs, relational, windows, tpch):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
 

@@ -23,6 +23,9 @@ from pyspark.sql import DataFrame, SparkSession
 # judge-green — they lead round 5's window.
 _FIRST_NAMES = (
     # --- new in round 4 (driver rows needed first) ---
+    "multimodal_decode_image_real",
+    "contamination_bloom_prefilter",
+    "stream_static_enrich",
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q8_market_share",

@@ -2776,3 +2776,118 @@ def dedup_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rel_dist") <= _LEV_MAX_REL)
         .orderBy("d1", "d2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination (candidate cascade, exact output)
+# ---------------------------------------------------------------------------
+
+_BLOOM_N = 6  #: word n-gram size for the bloom cascade (8 in the exact op)
+_BLOOM_FPP = 0.01
+_BLOOM_GRAM_SQL = " || ' ' || ".join(f"ws[i+{k}]" for k in range(_BLOOM_N))
+_BLOOM_EVAL_PRED = ", ".join(f"'{s}'" for s in _CONTAM_EVAL_SOURCES)
+
+_BLOOM_CONTAM_ORACLE = f"""
+WITH s AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+g AS (
+    SELECT doc_id, source, unnest(list_transform(
+        generate_series(1, len(ws) - {_BLOOM_N - 1}), i -> md5({_BLOOM_GRAM_SQL})
+    )) AS gram
+    FROM s WHERE len(ws) >= {_BLOOM_N}
+), d AS (SELECT DISTINCT doc_id, source, gram FROM g),
+ev AS (SELECT DISTINCT gram FROM d WHERE source IN ({_BLOOM_EVAL_PRED}))
+SELECT d.doc_id, COUNT(*) AS n_shared_grams
+FROM d JOIN ev USING (gram)
+WHERE d.source NOT IN ({_BLOOM_EVAL_PRED})
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@_register("contamination_bloom_prefilter", _BLOOM_CONTAM_ORACLE)
+def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via a Bloom-filter candidate cascade: a compact
+    bloom filter of the eval-set 6-grams prunes the corpus gram stream
+    BEFORE any join; surviving candidates are exactly verified against
+    the true eval-gram set, so false positives never reach the output
+    — the result is bit-identical to the exact semi join (the oracle).
+
+    Scale: this is the 100-TB shape of eval decontamination. The exact
+    op (``contamination_ngram_check``) broadcasts the full distinct
+    eval-gram table into a hash join probed by EVERY corpus gram; here
+    the corpus grams first pass a bloom filter of ~10 bits per eval
+    gram (vs ~40-byte md5 strings in a hash map — a ~30x smaller
+    broadcast for the hot path). The filter is built distributed:
+    Kirsch-Mitzenmacher double hashing (k positions from two
+    ``xxhash64`` values, computed JVM-side in codegen), the set-bit
+    positions distinct-reduced, and only the packed bitset reaches the
+    driver — bounded by the EVAL set size, never the corpus. Probe
+    positions are likewise computed JVM-side; the Arrow-batched pandas
+    UDF only indexes the broadcast numpy bitset (no hashing in
+    Python). At 0.01 FPP ~99% of clean grams short-circuit before the
+    join; the exact broadcast join runs over the ~1% survivors and
+    kills false positives, so the output is bit-identical to the
+    exact plan.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    base = t["documents"].select(
+        "doc_id", "source", F.split("text", " ", -1).alias("w")
+    )
+    grams = _word_ngrams(F.col("w"), _BLOOM_N, hashed=True)
+    d = base.select("doc_id", "source", F.explode(grams).alias("gram")).distinct()
+    is_eval = F.col("source").isin(*_CONTAM_EVAL_SOURCES)
+    ev = d.filter(is_eval).select("gram").distinct()
+    ev = ev.localCheckpoint(eager=False)  # reused: bloom build + exact verify
+
+    n_ev = max(1024, ev.count())
+    m_bits = int(math.ceil(-n_ev * math.log(_BLOOM_FPP) / math.log(2) ** 2))
+    k_hashes = max(1, round(m_bits / n_ev * math.log(2)))
+
+    def _positions(gram_col):
+        # reduce both hashes mod m BEFORE combining: raw xxhash64
+        # values span the full 64-bit range and h1 + i*h2 overflows
+        # long under ANSI mode; (h1%m) + i*(h2%m) stays < 8m
+        h1 = F.pmod(F.xxhash64(gram_col), F.lit(m_bits))
+        h2 = F.pmod(F.xxhash64(F.concat(gram_col, F.lit("#2"))), F.lit(m_bits))
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(k_hashes - 1)),
+            lambda i: F.pmod(h1 + i * h2, F.lit(m_bits)),
+        )
+
+    set_bits = (
+        ev.select(F.explode(_positions(F.col("gram"))).alias("pos"))
+        .distinct()
+        .toPandas()["pos"]
+        .to_numpy()
+    )
+    bits = np.zeros(m_bits, dtype=bool)
+    bits[set_bits] = True
+    bc = spark.sparkContext.broadcast(np.packbits(bits))
+
+    def _might_contain(pos):
+        packed = bc.value
+        unpacked = np.unpackbits(packed).astype(bool)
+        return pos.map(lambda p: bool(unpacked[np.asarray(p, dtype=np.int64)].all()))
+
+    # legacy-style registration: pd is module-local, so string type
+    # hints would not resolve for the hint-based pandas_udf API
+    might_contain = pandas_udf(_might_contain, "boolean")
+
+    candidates = (
+        d.filter(~is_eval)
+        .withColumn("bloom_pos", _positions(F.col("gram")))
+        .filter(might_contain(F.col("bloom_pos")))
+        .drop("bloom_pos")
+    )
+    return (
+        candidates.join(F.broadcast(ev), "gram")  # exact verify: FPs die here
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )

@@ -6,15 +6,18 @@ surface for a training-data pipeline: media as opaque ``binary``
 columns with a typed metadata struct, processed by Arrow-batched
 pandas functions over ``mapInPandas``.
 
-The container ships no image/audio codecs, so the *real* decoders are
-gated behind import-tries that raise ``NotImplementedError`` with a
-clear marker (see ``decode_image_real``); every registered operator
-instead runs a **deterministic fake decode** over the binary payload
-(byte histograms, byte-grid thumbnails, fixed-width frame sampling).
-The Spark-side plumbing — binary schema, metadata struct, mapInPandas
-signature, Arrow batch shape, partition behavior — is real and
-oracle-checked: the test corpus's payloads are ASCII, so byte semantics
-can be replayed in DuckDB SQL character-wise.
+Image decode is REAL: ``decode_image_real`` prefers Pillow when
+installed and otherwise falls back to a pure-stdlib PNG decoder
+(zlib inflate + scanline unfilter, all five filter types), exercised
+end-to-end by ``multimodal_decode_image_real`` — genuine PNG bytes are
+encoded, parsed, and pixel-checksummed against an arithmetic DuckDB
+oracle. Audio decode remains gated behind an import-try
+(``decode_audio_real``: soundfile/librosa, absent here). The
+byte-level operators (histograms, byte-grid thumbnails, fixed-width
+frame sampling) use a deterministic fake codec so their oracles can
+replay byte semantics in DuckDB SQL character-wise; the Spark-side
+plumbing — binary schema, metadata struct, mapInPandas signature,
+Arrow batch shape, partition behavior — is shared with the real path.
 
 Scale notes:
 
@@ -117,24 +120,128 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def decode_image_real(content: bytes, meta: dict) -> "object":
-    """STUB — real image decode.
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-    Would decode ``content`` (PNG/JPEG) to an HxWxC uint8 array via
-    Pillow. The container has no imaging libraries, so this raises;
-    the deterministic fake path (`_byte_histogram` et al.) carries the
-    pipeline instead. Swap in the real body on a cluster image with
-    codecs installed — the mapInPandas plumbing does not change.
+
+def encode_png(arr) -> bytes:
+    """Minimal real PNG encoder (public spec, RFC 2083): 8-bit
+    grayscale/RGB/RGBA, filter 0 scanlines, one zlib IDAT. Used to
+    materialize genuine PNG payloads in-container (no Pillow needed)
+    for the real-decode round-trip operator and its tests."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, c: int):
+    """Reverse the per-scanline PNG filters (types 0-4 incl. Paeth)."""
+    import numpy as np
+
+    stride = w * c
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
+        pos += 1 + stride
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            out[y] = line
+        elif ftype == 2:  # Up
+            out[y] = line + prev
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left pixel
+            cur = out[y]
+            for x in range(stride):
+                left = int(cur[x - c]) if x >= c else 0
+                up = int(prev[x])
+                ul = int(prev[x - c]) if x >= c else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else up if pb <= pc else ul
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unsupported PNG filter type {ftype}")
+    return out.reshape(h, w, c)
+
+
+def decode_image_real(content: bytes, meta: dict | None = None) -> "object":
+    """Real image decode to an HxWxC uint8 array.
+
+    Prefers Pillow when installed (any format it supports). Without
+    Pillow, falls back to a pure-stdlib PNG decoder (zlib + struct:
+    8-bit grayscale/RGB/RGBA, non-interlaced, all five scanline
+    filters) — so the real-decode path runs even in codec-less
+    containers for the most common training-data format. Non-PNG
+    payloads without Pillow raise ``NotImplementedError`` (availability
+    probe pattern, cf. ``sources._format_available``).
     """
     try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:
+        from PIL import Image
+        import io
+
+        import numpy as np
+
+        return np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
+    except ImportError:
+        pass
+    if not content.startswith(_PNG_SIG):
         raise NotImplementedError(
-            "image decode requires Pillow, which is not available in "
-            "this environment; the registered operators use the "
-            "deterministic fake codec instead"
-        ) from exc
-    raise NotImplementedError("real decode path not exercised in tests")
+            "non-PNG image decode requires Pillow, which is not "
+            "available in this environment"
+        )
+    import struct
+    import zlib
+
+    pos, ihdr, idat = len(_PNG_SIG), None, b""
+    while pos < len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        tag = content[pos + 4 : pos + 8]
+        payload = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace:
+        raise NotImplementedError("only 8-bit non-interlaced PNG supported")
+    channels = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {color_type} not supported")
+    return _png_unfilter(zlib.decompress(idat), h, w, channels)
 
 
 def decode_audio_real(content: bytes, meta: dict) -> "object":
@@ -524,5 +631,80 @@ def multimodal_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         m.join(cap, m.doc_id == cap.cap_doc_id)
         .select("doc_id", "media_type", "n_bytes", "caption_words")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_decode_image_real — genuine PNG codec round-trip
+# ---------------------------------------------------------------------------
+
+_DECODE_REAL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("px_sum", T.LongType()),
+    ]
+)
+
+
+def _decode_real_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode each doc's deterministic pixel grid to a real PNG
+    (zlib DEFLATE + CRC chunks), decode it back through
+    ``decode_image_real`` (Pillow when installed, else the pure-stdlib
+    PNG reader), and fingerprint the decoded pixels. A lossy or broken
+    codec surfaces as ``px_sum = -1`` -> oracle mismatch."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {"doc_id": [], "width": [], "height": [], "px_sum": []}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = d % 8 + 2, d % 5 + 2
+            i = np.arange(w * h * 3, dtype=np.int64)
+            arr = ((d * 7 + i * 13) % 256).astype(np.uint8).reshape(h, w, 3)
+            dec = np.asarray(decode_image_real(encode_png(arr)))
+            ok = dec.shape == (h, w, 3) and np.array_equal(dec, arr)
+            out["doc_id"].append(d)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["px_sum"].append(int(dec.sum()) if ok else -1)
+        yield pd.DataFrame(out)
+
+
+_DECODE_REAL_ORACLE = """
+SELECT doc_id,
+       CAST(doc_id % 8 + 2 AS BIGINT) AS width,
+       CAST(doc_id % 5 + 2 AS BIGINT) AS height,
+       CAST(list_sum(list_transform(
+            range(0, (doc_id % 8 + 2) * (doc_id % 5 + 2) * 3),
+            i -> (doc_id * 7 + i * 13) % 256)) AS BIGINT) AS px_sum
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@_register("multimodal_decode_image_real", _DECODE_REAL_ORACLE)
+def multimodal_decode_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, end to end: every document gets a genuine
+    PNG payload (encoded in the same Arrow batch), which is then
+    parsed chunk-by-chunk, zlib-inflated, unfiltered, and reduced to
+    a pixel checksum the DuckDB oracle recomputes arithmetically.
+
+    This replaces the round-2/3 honest stub: the decode path executes
+    a real public image format in-container (PNG via stdlib zlib;
+    Pillow is preferred when installed and covers JPEG et al.), not a
+    byte-histogram fake. Lossless round-trip is asserted per image —
+    any codec defect poisons ``px_sum`` and fails the oracle.
+
+    Scale: narrow ``mapInPandas`` — decode runs where the split is
+    read, no shuffle; Arrow batch size bounds peak memory. For MB-size
+    real media lower ``arrow.maxRecordsPerBatch`` (module docstring).
+    """
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    return (
+        docs.select("doc_id")
+        .mapInPandas(_decode_real_batches, schema=_DECODE_REAL_SCHEMA)
         .orderBy("doc_id")
     )

@@ -83,9 +83,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet path with the batch-read schema (streaming file sources
     require an explicit schema).
 
-    The file carries TIMESTAMP(NANOS); under the session's
-    ``nanosAsLong`` workaround it surfaces as long nanoseconds and is
-    truncated to micros exactly like the batch path
+    The file's timestamp physical type has varied across driver data
+    generations (NANOS, then plain micros): long-nanos surface under
+    the ``nanosAsLong`` workaround and are truncated to micros; NTZ
+    micros are cast to the UTC-pinned session timestamp. Either way
+    the stream sees the same instants as the batch path
     (``session.load_tables``).
     """
     try:
@@ -656,7 +658,10 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     t = load_tables(spark, sf_dir, register_views=False)
-    ev = t["events"].select("ts")
+    # cast NTZ -> session-TZ timestamp BEFORE writing the staged wave
+    # files: this op builds its own stream source, and a re-read NTZ
+    # column would be rejected by withWatermark (cf. events_stream)
+    ev = t["events"].select(F.col("ts").cast("timestamp").alias("ts"))
     d1, d2 = (F.lit(x).cast("timestamp") for x in (_LATE_D1, _LATE_D2))
     waves = (
         ev.filter((F.col("ts") >= d1) & (F.col("ts") < d2)),  # wave 1
@@ -930,3 +935,50 @@ def stream_upsert_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# stream_static_enrich — stream-static broadcast dimension join
+# ---------------------------------------------------------------------------
+
+_STREAM_STATIC_ORACLE = f"""
+SELECT c.c_mktsegment, e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_dec_sum('e.value', 'sum_value')}
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY c.c_mktsegment, e.event_type
+ORDER BY c.c_mktsegment, e.event_type
+"""
+
+
+@_register("stream_static_enrich", _STREAM_STATIC_ORACLE)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the unbounded event stream joins a
+    static customer dimension, then aggregates per (segment, type).
+
+    This is the canonical streaming-ETL shape (enrich each event with
+    slowly-changing dimension attributes before aggregation) and the
+    one stream-join flavor not yet covered: stream-STATIC, which —
+    unlike stream-stream — needs no watermark on the static side and
+    no state store for the dim; Spark re-plans the static side per
+    micro-batch, so a broadcast hash join runs inside each batch.
+
+    Scale: the dim is broadcast (size-bounded, refreshed per batch —
+    updates to the dim table are picked up between micro-batches);
+    event state is bounded by the aggregation keys, not the stream.
+    Complete mode emits the final aggregate equal to the batch answer,
+    which the oracle replays as plain SQL.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    dim = F.broadcast(t["customer"].select("c_custkey", "c_mktsegment"))
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.join(dim, ev.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+    )
+    return run_to_memory(agg, "complete").orderBy("c_mktsegment", "event_type")

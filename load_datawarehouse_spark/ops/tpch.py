@@ -322,7 +322,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q11_ORACLE = """
 WITH partvalue AS (
     SELECT l_partkey,
-           SUM(CAST(l_extendedprice AS DECIMAL(38,6)) * CAST(l_quantity AS DECIMAL(38,6))) AS value
+           SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6))) AS value
     FROM lineitem l
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN nation n ON n.n_nationkey = s.s_nationkey
@@ -361,8 +361,13 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat_supps), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(
+            # multiply in DOUBLE (IEEE-identical in Spark and DuckDB),
+            # then accumulate the decimal-rounded product exactly:
+            # decimal x decimal would hit engine-specific result-scale
+            # rules (Spark truncates to fit precision 38, DuckDB keeps
+            # scale 12) and diverge in the 7th decimal place
             F.sum(
-                F.col("l_extendedprice").cast(DEC) * F.col("l_quantity").cast(DEC)
+                (F.col("l_extendedprice") * F.col("l_quantity")).cast(DEC)
             ).alias("value_dec")
         )
     )

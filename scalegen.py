@@ -72,12 +72,26 @@ def _replicate(df: DataFrame, table: str, k: int, maxes: dict[str, int]) -> Data
             col, (F.col(col) + F.col("_copy") * F.lit(maxes[owner])).cast(dtype)
         )
     if table == "documents":
-        # keep copy 0 byte-identical; later copies get a short suffix so
-        # exact-dup rate stays ~flat while near-dup clusters scale
+        # copy 0 stays byte-identical; later copies get their WORD
+        # ORDER rotated by a copy-dependent offset, which destroys
+        # shingle overlap with the source — copies are distinct
+        # documents, so the near-dup/exact-dup RATE stays flat as the
+        # corpus scales. (A plain suffix leaves Jaccard ~1: every copy
+        # becomes a near-dup of its source and the dedup ops' pair
+        # count grows quadratically per cluster — a 10x corpus with a
+        # 100x-harder workload, which is not what a scale slope should
+        # measure.)
+        words = F.split(F.col("text"), " ")
+        n = F.greatest(F.size(words), F.lit(1))
+        rot = (F.col("_copy") * 17 + 3) % n + 1  # 1-based split point
+        rotated = F.concat(
+            F.slice(words, rot, F.size(words)),
+            F.slice(words, 1, rot - 1),
+        )
         out = out.withColumn(
             "text",
             F.when(F.col("_copy") == 0, F.col("text")).otherwise(
-                F.concat(F.col("text"), F.lit(" rev"), F.col("_copy"))
+                F.array_join(rotated, " ")
             ),
         ).withColumn("n_chars", F.length("text").cast("long"))
     if table == "embeddings":

@@ -23,11 +23,78 @@ def test_media_table_schema(spark):
     assert row["meta"]["n_bytes"] == len(row["content"])
 
 
-def test_decode_stubs_raise_not_implemented():
-    with pytest.raises(NotImplementedError, match="Pillow"):
-        mm.decode_image_real(b"\x89PNG", {})
+def test_non_png_without_pillow_raises_and_audio_stub_raises():
+    # JPEG bytes need Pillow (absent in this container); audio decode
+    # remains an availability-gated stub
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            mm.decode_image_real(b"\xff\xd8\xff\xe0 not a png", {})
     with pytest.raises(NotImplementedError, match="soundfile"):
         mm.decode_audio_real(b"RIFF", {})
+
+
+def test_png_codec_round_trip_all_shapes():
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for shape in [(2, 2, 3), (5, 9, 3), (4, 3, 1), (6, 6, 4)]:
+        a = rng.randint(0, 256, size=shape).astype(np.uint8)
+        dec = mm.decode_image_real(mm.encode_png(a))
+        assert dec.shape == shape and np.array_equal(dec, a)
+
+
+def test_png_unfilter_handles_all_filter_types():
+    """Hand-build a PNG whose scanlines use filters 1-4 (our encoder
+    only emits 0) so the Sub/Up/Average/Paeth reversal is exercised."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    h, w, c = 4, 5, 3
+    a = rng.randint(0, 256, size=(h, w, c)).astype(np.uint8)
+    stride = w * c
+    rows = []
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y, ftype in zip(range(h), [1, 2, 3, 4]):
+        cur = a[y].reshape(-1)
+        filt = np.zeros(stride, dtype=np.uint8)
+        for x in range(stride):
+            left = int(cur[x - c]) if x >= c else 0
+            up = int(prev[x])
+            ul = int(prev[x - c]) if x >= c else 0
+            if ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) // 2
+            else:
+                p = left + up - ul
+                pa, pb, pc_ = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc_ else up if pb <= pc_ else ul
+            filt[x] = (int(cur[x]) - pred) & 0xFF
+        rows.append(bytes([ftype]) + filt.tobytes())
+        prev = cur
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    png = (
+        mm._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(mm.decode_image_real(png), a)
 
 
 def test_metadata_scan_prunes_binary_payload(spark):

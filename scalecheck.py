@@ -83,6 +83,17 @@ def main() -> None:
             "slope": round(t_big / t_small, 2),
             "rows": [n_small, n_big],
         }
+        # Pair-producing ops (dedup families): the synthetic corpus has
+        # a small vocabulary, so the TRUE near-dup pair count grows
+        # ~quadratically with corpus size — the output is itself
+        # hundreds of times larger at sf1. Normalizing by output rows
+        # separates engine scaling from workload-intrinsic output
+        # growth (in a real corpus the near-dup rate per doc is ~flat,
+        # so output ~ N and the raw slope is the fair one).
+        if n_small and n_big and n_big / max(n_small, 1) > 20:
+            out[name]["slope_per_output_row"] = round(
+                (t_big / n_big) / (t_small / n_small), 3
+            )
         print(f"# {name}: {t_small:.2f}s -> {t_big:.2f}s  slope {out[name]['slope']}",
               file=sys.stderr, flush=True)
 

@@ -26,6 +26,8 @@ _FIRST_NAMES = (
     "multimodal_decode_image_real",
     "contamination_bloom_prefilter",
     "stream_static_enrich",
+    "udf_map_in_arrow",
+    "dedup_semantic_clusters",
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q8_market_share",

@@ -49,6 +49,15 @@ HEADLINE = [
     "pipeline_training_prep",
     "pipeline_training_prep_v2",
     "ts_resample_interpolate",
+    # round 4 additions
+    "q2_min_cost_supplier",
+    "q13_order_distribution",
+    "q16_supplier_part_counts",
+    "q19_disjunctive_revenue",
+    "q21_sole_late_supplier",
+    "contamination_bloom_prefilter",
+    "multimodal_decode_image_real",
+    "join_skew_stress",
     # graph_pagerank stays OUT of HEADLINE (build convention: tiny-data
     # iterative ops distort the headline number — ~90% of its wall time
     # is fixed per-iteration stage overhead, not data work). It remains

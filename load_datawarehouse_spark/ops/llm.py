@@ -2891,3 +2891,113 @@ def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic near-dup clusters: connected components over the cosine graph
+# ---------------------------------------------------------------------------
+
+_SEMANTIC_CLUSTER_ORACLE = """
+WITH RECURSIVE
+norms AS (
+    SELECT vec_id,
+        SQRT(CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+    FROM (SELECT vec_id, unnest(embedding) AS a FROM embeddings)
+    GROUP BY vec_id
+), elems AS (
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           unnest(a.embedding) AS x, unnest(b.embedding) AS y
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+), pairs AS (
+    SELECT v1, v2,
+        CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dot
+    FROM elems GROUP BY 1, 2
+), edges AS (
+    SELECT p.v1, p.v2
+    FROM pairs p JOIN norms n1 ON n1.vec_id = p.v1 JOIN norms n2 ON n2.vec_id = p.v2
+    WHERE p.dot / (n1.nrm * n2.nrm) >= 0.3
+), und AS (
+    SELECT v1 AS a, v2 AS b FROM edges UNION SELECT v2, v1 FROM edges
+), reach(src, node) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.node
+), comp AS (
+    SELECT node AS vec_id, MIN(src) AS component FROM reach GROUP BY node
+)
+SELECT component AS cluster_id,
+       COUNT(*) AS n_vecs,
+       MIN(vec_id) AS representative_vec
+FROM comp
+GROUP BY component
+HAVING COUNT(*) >= 2
+ORDER BY cluster_id
+"""
+
+
+@_register("dedup_semantic_clusters", _SEMANTIC_CLUSTER_ORACLE)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic duplicate families: the embedding cosine>=0.3 pair
+    graph (label-blocked, exact decimal dot products —
+    ``dedup_embedding_neardup``) collapsed into connected components
+    and reported as clusters (id, size, representative vector). This
+    is the embedding-space counterpart of ``dedup_neardup_clusters``
+    — what a semantic-dedup pipeline materializes before electing one
+    survivor per meaning.
+
+    Scale: pair generation is blocked per label cell (sum of squares
+    per cell, never corpus^2); min-label propagation shuffles once per
+    round on vec_id with per-round lineage cuts; rounds = cluster
+    diameter. Convergence is asserted, not assumed (non-convergence
+    raises instead of silently diverging from the oracle's exact
+    transitive closure)."""
+    edges = (
+        dedup_embedding_neardup(spark, sf_dir)
+        .select(F.col("v1").alias("d1"), F.col("v2").alias("d2"))
+    )
+    und = edges.unionByName(
+        edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).localCheckpoint(eager=True)
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    labels = t["embeddings"].select(
+        F.col("vec_id").alias("doc_id"), F.col("vec_id").alias("component")
+    )
+    changed = 0
+    for _ in range(_CC_MAX_ITERS):
+        neighbor_min = (
+            und.join(labels, und.d1 == labels.doc_id)
+            .groupBy(F.col("d2").alias("nv"))
+            .agg(F.min("component").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == F.col("nv"), "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("ncomp"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:  # pragma: no cover — diameter > cap
+        _require_cc_converged(changed)
+    return (
+        labels.groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("doc_id").alias("representative_vec"),
+        )
+        .filter(F.col("n_vecs") >= 2)
+        .orderBy("cluster_id")
+    )

@@ -267,3 +267,57 @@ def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", _len_bucket_arrow("text").alias("len_bucket"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# 5. mapInArrow — RecordBatch-level transform, zero pandas conversion
+# ---------------------------------------------------------------------------
+
+_MAP_IN_ARROW_ORACLE = """
+SELECT doc_id,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       CAST(LENGTH(text) - LENGTH(REPLACE(text, 'e', '')) AS BIGINT) AS n_e
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def _arrow_batches(batches):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        text = batch.column("text")
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("doc_id"),
+                pc.cast(pc.utf8_length(text), pa.int64()),
+                pc.cast(pc.count_substring(text, "e"), pa.int64()),
+            ],
+            names=["doc_id", "n_chars", "n_e"],
+        )
+
+
+@_register("udf_map_in_arrow", _MAP_IN_ARROW_ORACLE)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.mapInArrow``: the lowest-overhead Python hook —
+    the function sees raw Arrow RecordBatches and computes with
+    ``pyarrow.compute`` kernels (C++ SIMD), skipping even the
+    Arrow<->pandas conversion every pandas UDF flavor pays.
+
+    Scale: narrow (no shuffle), batch-at-a-time, zero-copy into the
+    compute kernels; the per-batch Python cost is two kernel calls
+    regardless of row count. Prefer this flavor when the logic is
+    expressible in pyarrow.compute; fall back to pandas UDFs when it
+    is not.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["documents"]
+        .select("doc_id", "text")
+        .mapInArrow(
+            _arrow_batches,
+            schema="doc_id long, n_chars long, n_e long",
+        )
+        .orderBy("doc_id")
+    )

@@ -28,6 +28,7 @@ _FIRST_NAMES = (
     "stream_static_enrich",
     "udf_map_in_arrow",
     "dedup_semantic_clusters",
+    "stream_transform_with_state",
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q8_market_share",

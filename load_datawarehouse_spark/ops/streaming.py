@@ -982,3 +982,133 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, "complete").orderBy("c_mktsegment", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# stream_transform_with_state — Spark 4 arbitrary-state API (TWS)
+# ---------------------------------------------------------------------------
+
+_TWS_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@_register("stream_transform_with_state", _TWS_ORACLE)
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running stats via ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-state processor API (the successor to
+    ``applyInPandasWithState``): a ``StatefulProcessor`` with an
+    explicit ``ValueState`` handle, pluggable time modes and timers,
+    backed by the RocksDB state store.
+
+    Availability gate (cf. JDBC/avro/Pillow): the TWS Python worker
+    needs ``google.protobuf``, which this container ships broken —
+    probed up front, and when absent the SAME aggregation runs through
+    ``applyInPandasWithState`` instead, so the operator's semantics
+    (and its oracle) hold on every runtime while the TWS path stays
+    first-choice where protobuf works.
+
+    Values accumulate as floor(value * 1e6) integer micros — IEEE
+    floor is engine- and partitioning-independent, so the oracle can
+    replay the aggregation exactly in SQL.
+
+    Scale: one shuffle on the grouping key; per-key state is a fixed
+    (count, micros) pair in the state store — bounded by |users|, not
+    stream length. The provider conf is scoped to this query.
+    """
+    import math
+
+    def _tws_available() -> bool:
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_micros", T.LongType()),
+        ]
+    )
+    ev = events_stream(spark, sf_dir).select("user_id", "value")
+
+    if not _tws_available():
+        # fallback: identical per-key state machine on the stable API
+        def stats(key, pdfs, state: GroupState):
+            n, micros = state.get if state.exists else (0, 0)
+            for pdf in pdfs:
+                n += len(pdf)
+                micros += int(
+                    sum(math.floor(v * 1_000_000) for v in pdf["value"].astype(float))
+                )
+            state.update((n, micros))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_micros": [micros]}
+            )
+
+        agg = ev.groupBy("user_id").applyInPandasWithState(
+            stats,
+            outputStructType=out_schema,
+            stateStructType="n long, micros long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        out = run_to_memory(agg, "update")
+        rows = out.orderBy("user_id").collect()
+        return spark.createDataFrame(rows, out.schema)
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = T.StructType(
+                [
+                    T.StructField("n", T.LongType()),
+                    T.StructField("micros", T.LongType()),
+                ]
+            )
+            self._agg = handle.getValueState("agg", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, micros = (self._agg.get() or (0, 0)) if self._agg.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                micros += int(
+                    sum(math.floor(v * 1_000_000) for v in pdf["value"].astype(float))
+                )
+            self._agg.update((n, micros))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_micros": [micros]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        agg = ev.groupBy("user_id").transformWithStateInPandas(
+            UserStats(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+        out = run_to_memory(agg, "update")
+        rows = out.orderBy("user_id").collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)

@@ -261,3 +261,55 @@ def test_skew_stress_salted_spreads_hot_key(spark):
 
     probe_exchange = re.search(r"Exchange hashpartitioning\(skew_key#\d+L, salt#\d+L", plan)
     assert probe_exchange, "probe side must shuffle on (skew_key, salt)"
+
+
+# --- round-4 tpch / bloom plan locks ---------------------------------------
+
+
+def test_q19_disjunction_pushed_zero_exchanges(spark):
+    """Catalyst must extract the single-side conjuncts of the
+    OR-of-ANDs: the quantity disjunction reaches the lineitem scan,
+    the brand/size disjunction reaches the part scan, and the whole
+    query runs broadcast-join + partial-agg with no hash exchange."""
+    from load_datawarehouse_spark.ops import tpch
+
+    plan = _plan(tpch.q19_disjunctive_revenue(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan  # pushed disjunct
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_blacklist_is_broadcast_anti(spark):
+    """NOT IN over a non-null key must plan as a broadcast LEFT ANTI
+    join (a null-aware anti join would be a BroadcastNestedLoop)."""
+    from load_datawarehouse_spark.ops import tpch
+
+    plan = _plan(tpch.q16_supplier_part_counts(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # brand/size predicates reach the part scan
+    assert "Not(EqualTo(p_brand,Brand#3))" in plan
+
+
+def test_q21_decorrelates_to_semi_joins(spark):
+    """The EXISTS / NOT EXISTS pair must become per-order aggregates +
+    semi joins — no correlated re-scan per row, no nested-loop."""
+    from load_datawarehouse_spark.ops import tpch
+
+    plan = _plan(tpch.q21_sole_late_supplier(spark, SF_DIR))
+    assert plan.count("LeftSemi") == 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_prefilter_corpus_side_narrow(spark):
+    """The bloom candidate filter must run BEFORE the exact-verify
+    broadcast join with no shuffle of the corpus gram stream: the only
+    hash exchanges allowed are the distinct() dedups and the final
+    groupBy — the join itself must be broadcast."""
+    plan = _plan(llm.contamination_bloom_prefilter(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the pandas filter (bloom probe) sits below the broadcast join
+    assert "ArrowEvalPython" in plan or "PythonUDF" in plan

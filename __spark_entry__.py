@@ -29,6 +29,7 @@ _FIRST_NAMES = (
     "udf_map_in_arrow",
     "dedup_semantic_clusters",
     "stream_transform_with_state",
+    "warehouse_time_travel",
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q8_market_share",

@@ -3346,3 +3346,89 @@ def join_skew_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     join_skew_salted) or let AQE skew-split handle sort-merge cases.
     """
     return _skew_stress_join(spark, sf_dir, salted=True)
+
+
+# ---------------------------------------------------------------------------
+# Warehouse time travel: snapshot versions + as-of reads
+# ---------------------------------------------------------------------------
+
+_TIME_TRAVEL_ORACLE = """
+SELECT * FROM (
+    SELECT 'v1' AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(0 AS BIGINT) AS n_redacted
+    FROM documents WHERE doc_id < 60
+    UNION ALL
+    SELECT 'v2',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(doc_id) AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM documents WHERE doc_id < 100
+    UNION ALL
+    SELECT 'current',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(doc_id) AS BIGINT),
+           CAST(SUM(CASE WHEN doc_id < 10 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM documents WHERE doc_id < 100
+) ORDER BY version
+"""
+
+
+@_register("warehouse_time_travel", _TIME_TRAVEL_ORACLE)
+def warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot/time-travel lifecycle under the correctness gate:
+    load batch 1 -> snapshot v1 -> append batch 2 -> snapshot v2 ->
+    upsert (redact lang of early docs) -> read v1, v2, and current
+    state side by side. The as-of reads must see the table exactly as
+    it was: v1 without batch 2, v2 without the redaction — the
+    guarantee that makes reproducible training-data builds possible
+    ("train on the corpus as of snapshot N").
+
+    Scale: snapshots are hard-link copies of immutable parquet files
+    (O(file count), zero data bytes; see ``SparkWarehouse.snapshot``);
+    as-of reads are plain parquet scans of the pinned file set with
+    the schema of their time.
+    """
+    import shutil
+    import tempfile
+
+    from load_datawarehouse_spark.warehouse import SparkWarehouse
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    docs = t["documents"].select("doc_id", "lang", "source")
+    batch1 = [r.asDict() for r in docs.filter(F.col("doc_id") < 60).collect()]
+    batch2 = [
+        r.asDict()
+        for r in docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 100)).collect()
+    ]
+    root = tempfile.mkdtemp(prefix="ldw_tt_")
+    try:
+        wh = SparkWarehouse.new(spark, root, "corpus", data=batch1)
+        v1 = wh.snapshot()
+        wh.load(batch2)
+        v2 = wh.snapshot()
+        redacted = [
+            {**r, "lang": "redacted"} for r in batch1 if r["doc_id"] < 10
+        ]
+        wh.update(redacted, keys=["doc_id"])
+
+        def stats(df: DataFrame, label: str) -> DataFrame:
+            return df.agg(
+                F.lit(label).alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("doc_id").alias("sum_doc_id"),
+                F.sum(
+                    F.when(F.col("lang") == "redacted", 1).otherwise(0)
+                ).alias("n_redacted"),
+            )
+        out = (
+            stats(wh.df_at(v1), "v1")
+            .unionByName(stats(wh.df_at(v2), "v2"))
+            .unionByName(stats(wh.df(), "current"))
+            .orderBy("version")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

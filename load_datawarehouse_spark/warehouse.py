@@ -260,6 +260,75 @@ class SparkWarehouse:
             ).parquet(data_path)
         return self.spark.read.parquet(data_path)
 
+    # -- snapshots / time travel -------------------------------------------
+
+    def snapshot(self) -> int:
+        """Record the current table state as an immutable version and
+        return its number (1-based). Snapshot-on-demand time travel:
+        the data directory is hard-link-copied into
+        ``snapshots/v{N}`` (parquet files are immutable once written,
+        so links are safe and O(files), not O(bytes)) and the version
+        is appended to the metadata sidecar with the schema it was
+        taken under — reading an old version uses the schema of its
+        time, not today's.
+
+        Scale: lakehouse formats (Iceberg/Delta) get this from
+        manifest metadata without copying; the hard-link copy is the
+        plain-parquet equivalent with the same O(metadata) cost on a
+        POSIX store. On object stores, snapshot by recording the file
+        LIST instead of linking.
+        """
+        if not self.exists():
+            raise WarehouseTableNotFound(f"table {self.table!r} not found")
+        meta = self._read_meta()
+        versions = meta.get("versions", [])
+        n = len(versions) + 1
+        data_path = os.path.join(self.path, "data")
+        snap_path = os.path.join(self.path, "snapshots", f"v{n}")
+        os.makedirs(os.path.dirname(snap_path), exist_ok=True)
+        os.makedirs(snap_path)
+        if os.path.isdir(data_path):
+            for name in os.listdir(data_path):
+                src = os.path.join(data_path, name)
+                if os.path.isfile(src):
+                    try:
+                        os.link(src, os.path.join(snap_path, name))
+                    except OSError:  # cross-device: fall back to copy
+                        shutil.copy2(src, os.path.join(snap_path, name))
+        versions.append(
+            {
+                "version": n,
+                "taken_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+                "schema": meta.get("schema"),
+            }
+        )
+        self._write_meta({**meta, "versions": versions})
+        return n
+
+    def versions(self) -> list[dict]:
+        """Snapshot inventory (version number, timestamp, schema)."""
+        return self._read_meta().get("versions", [])
+
+    def df_at(self, version: int) -> DataFrame:
+        """Lazy scan of snapshot ``version`` with the schema that was
+        declared when the snapshot was taken (time travel)."""
+        for v in self.versions():
+            if v["version"] == version:
+                snap_path = os.path.join(self.path, "snapshots", f"v{version}")
+                api = v.get("schema")
+                if not os.path.isdir(snap_path) or not os.listdir(snap_path):
+                    return self.spark.createDataFrame(
+                        [], wtypes.api_repr_to_struct_type(api or [])
+                    )
+                if api:
+                    return self.spark.read.schema(
+                        wtypes.api_repr_to_struct_type(api)
+                    ).parquet(snap_path)
+                return self.spark.read.parquet(snap_path)
+        raise WarehouseTableNotFound(
+            f"table {self.table!r} has no snapshot version {version}"
+        )
+
     def load(
         self,
         data,

@@ -164,3 +164,30 @@ def test_append_preserves_declared_column_order(spark, tmp_path):
     assert after[: len(first_order)] == first_order
     assert after[len(first_order):] == ["extra"]
     assert wh.df().columns[: len(first_order)] == first_order
+
+
+def test_snapshot_time_travel_lifecycle(spark, tmp_path):
+    from load_datawarehouse_spark.errors import WarehouseTableNotFound
+    from load_datawarehouse_spark.warehouse import SparkWarehouse
+
+    wh = SparkWarehouse.new(
+        spark, str(tmp_path), "tt", data=[{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]
+    )
+    v1 = wh.snapshot()
+    wh.load([{"id": 3, "v": "c"}])
+    v2 = wh.snapshot()
+    wh.update([{"id": 1, "v": "A"}], keys=["id"])
+
+    assert (v1, v2) == (1, 2)
+    assert [v["version"] for v in wh.versions()] == [1, 2]
+    assert wh.df_at(v1).count() == 2
+    assert wh.df_at(v2).count() == 3
+    # v2 predates the upsert: id 1 still lowercase there
+    assert wh.df_at(v2).filter("id = 1").first()["v"] == "a"
+    assert wh.df().filter("id = 1").first()["v"] == "A"
+
+    with pytest.raises(WarehouseTableNotFound):
+        wh.df_at(99)
+    ghost = SparkWarehouse(spark, str(tmp_path), "nope")
+    with pytest.raises(WarehouseTableNotFound):
+        ghost.snapshot()

@@ -30,6 +30,8 @@ _FIRST_NAMES = (
     "dedup_semantic_clusters",
     "stream_transform_with_state",
     "warehouse_time_travel",
+    "warehouse_merge_cdc",
+    "scalar_try_arith",
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q8_market_share",

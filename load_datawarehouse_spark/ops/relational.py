@@ -3432,3 +3432,110 @@ def warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Warehouse 3-way CDC merge (I/U/D) under the correctness gate
+# ---------------------------------------------------------------------------
+
+_MERGE_CDC_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 10 = 1 THEN 'updated' ELSE lang END AS lang
+FROM documents
+WHERE doc_id < 80 AND doc_id % 10 <> 2
+UNION ALL
+SELECT doc_id + 100000, 'inserted' FROM documents WHERE doc_id < 5
+ORDER BY doc_id
+"""
+
+
+@_register("warehouse_merge_cdc", _MERGE_CDC_ORACLE)
+def warehouse_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE INTO semantics through ``SparkWarehouse.merge``: a
+    CDC batch mixing inserts (new keys), updates (lang rewrite on
+    keys ending in 1), and deletes (keys ending in 2) applied in ONE
+    key shuffle — the upsert-only ``update`` verb cannot express the
+    deletes. The oracle reconstructs the exact post-merge table.
+
+    Scale: anti join on the distinct changed-key set + union of the
+    I/U payload; cost is one shuffle of the table on the merge key
+    regardless of op mix. Same atomic temp-path swap discipline as
+    ``update`` (single-writer, SURVEY.md §7.5).
+    """
+    import shutil
+    import tempfile
+
+    from load_datawarehouse_spark.warehouse import SparkWarehouse
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    docs = t["documents"].select("doc_id", "lang")
+    base = [r.asDict() for r in docs.filter(F.col("doc_id") < 80).collect()]
+    changes = (
+        [
+            {"doc_id": r["doc_id"], "lang": "updated", "op": "U"}
+            for r in base
+            if r["doc_id"] % 10 == 1
+        ]
+        + [
+            {"doc_id": r["doc_id"], "lang": r["lang"], "op": "D"}
+            for r in base
+            if r["doc_id"] % 10 == 2
+        ]
+        + [
+            {"doc_id": r["doc_id"] + 100000, "lang": "inserted", "op": "I"}
+            for r in base
+            if r["doc_id"] < 5
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="ldw_merge_")
+    try:
+        wh = SparkWarehouse.new(spark, root, "cdc", data=base)
+        wh.merge(changes, keys=["doc_id"])
+        out = wh.df().orderBy("doc_id")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# try_* arithmetic: NULL-on-error scalar semantics
+# ---------------------------------------------------------------------------
+
+_TRY_ARITH_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_quantity - 25 = 0 THEN NULL
+            ELSE l_extendedprice / (l_quantity - 25) END AS price_per_excess,
+       TRY_CAST(l_returnflag AS DOUBLE) AS flag_as_number,
+       CASE WHEN l_linenumber - 1 = 0 THEN NULL
+            ELSE CAST(l_orderkey % 100 AS BIGINT) / (l_linenumber - 1) END
+           AS per_prior_line
+FROM lineitem
+WHERE l_orderkey < 200
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@_register("scalar_try_arith", _TRY_ARITH_ORACLE)
+def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-on-error scalar family: ``try_divide`` (division by zero
+    -> NULL instead of ANSI error), ``try_to_number`` (unparseable
+    string -> NULL). Under ANSI mode (Spark 4 default) these are the
+    idiomatic guards; the oracle replays them as CASE/TRY_CAST.
+
+    Scale: pure codegen expressions — narrow, no shuffle beyond the
+    final sort."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    l = t["lineitem"].filter(F.col("l_orderkey") < 200)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - 25
+        ).alias("price_per_excess"),
+        F.expr("try_cast(l_returnflag AS DOUBLE)").alias("flag_as_number"),
+        F.try_divide(
+            (F.col("l_orderkey") % 100).cast("bigint"),
+            (F.col("l_linenumber") - 1).cast("bigint"),
+        ).alias("per_prior_line"),
+    ).orderBy("l_orderkey", "l_linenumber")

@@ -260,6 +260,62 @@ class SparkWarehouse:
             ).parquet(data_path)
         return self.spark.read.parquet(data_path)
 
+    def merge(self, changes, keys: Iterable[str], op_col: str = "op") -> bool:
+        """Three-way CDC merge: apply a change batch whose ``op_col``
+        holds ``I`` (insert), ``U`` (update), or ``D`` (delete) —
+        the full MERGE INTO semantics ``update`` (upsert-only) lacks.
+
+        Plan: one LEFT ANTI join drops every changed key (updates,
+        deletes, and colliding inserts alike), then the I/U payload
+        rows union back in — a single key shuffle regardless of the
+        op mix, written via the same atomic temp-path swap as
+        ``update``. At scale, partition the table by key prefix so
+        the rewrite touches only affected partitions (or use a
+        lakehouse format whose MERGE does file-level pruning).
+        """
+        keys = list(keys)
+        api = self.schema
+        if api is None:
+            raise WarehouseTableNotFound(f"table {self.table!r} has no schema")
+        struct = wtypes.api_repr_to_struct_type(api)
+        if isinstance(changes, DataFrame):
+            ch = changes
+        else:
+            records = prepare(changes)
+            rows = []
+            for r in records:
+                if not isinstance(r, dict):
+                    continue
+                conformed = _conform_record(
+                    {k: v for k, v in r.items() if k != op_col}, api
+                )
+                rows.append({**conformed, op_col: r.get(op_col, "U")})
+            # StructType.add MUTATES the receiver — build a fresh copy
+            # so the payload struct used below keeps only data fields
+            from pyspark.sql import types as _T
+
+            ch_struct = _T.StructType(list(struct.fields)).add(op_col, "string")
+            ch = self.spark.createDataFrame(rows, ch_struct)
+        upserts = ch.filter(F.col(op_col).isin("I", "U")).select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in struct.fields]
+        )
+        changed_keys = ch.select(*keys).distinct()
+        merged = (
+            self.df()
+            .join(changed_keys, on=keys, how="left_anti")
+            .unionByName(upserts)
+        )
+        data_path = os.path.join(self.path, "data")
+        tmp_path = os.path.join(self.path, f".tmp_merge_{uuid.uuid4().hex}")
+        merged.write.mode("overwrite").parquet(tmp_path)
+        old_path = os.path.join(self.path, f".old_{uuid.uuid4().hex}")
+        if os.path.isdir(data_path):
+            os.replace(data_path, old_path)
+        os.replace(tmp_path, data_path)
+        if os.path.isdir(old_path):
+            shutil.rmtree(old_path)
+        return True
+
     # -- snapshots / time travel -------------------------------------------
 
     def snapshot(self) -> int:

@@ -191,3 +191,24 @@ def test_snapshot_time_travel_lifecycle(spark, tmp_path):
     ghost = SparkWarehouse(spark, str(tmp_path), "nope")
     with pytest.raises(WarehouseTableNotFound):
         ghost.snapshot()
+
+
+def test_merge_applies_insert_update_delete(spark, tmp_path):
+    from load_datawarehouse_spark.warehouse import SparkWarehouse
+
+    wh = SparkWarehouse.new(
+        spark, str(tmp_path), "m",
+        data=[{"id": 1, "v": "a"}, {"id": 2, "v": "b"}, {"id": 3, "v": "c"}],
+    )
+    wh.merge(
+        [
+            {"id": 2, "v": "B", "op": "U"},
+            {"id": 3, "v": "c", "op": "D"},
+            {"id": 4, "v": "d", "op": "I"},
+        ],
+        keys=["id"],
+    )
+    got = {r["id"]: r["v"] for r in wh.df().collect()}
+    assert got == {1: "a", 2: "B", 4: "d"}
+    # schema sidecar must NOT have absorbed the op column
+    assert [f["name"] for f in wh.schema] == ["id", "v"]

@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 # judge-green — they lead round 5's window.
 _FIRST_NAMES = (
     # --- new in round 4 (driver rows needed first) ---
+    "q17_small_qty_revenue",
+    "q18_large_volume_customer",
     "multimodal_decode_image_real",
     "contamination_bloom_prefilter",
     "stream_static_enrich",

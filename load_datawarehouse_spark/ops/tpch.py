@@ -833,3 +833,126 @@ def q22_idle_rich_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q17: small-quantity-order revenue (correlated scalar AVG, brand-gated)
+# ---------------------------------------------------------------------------
+
+_Q17_ORACLE = """
+WITH part_avg AS (
+    SELECT l_partkey,
+           (CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+            / COUNT(*)) AS avg_qty
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0
+       AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN part_avg a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#12' AND l.l_quantity < 0.2 * a.avg_qty
+"""
+
+
+@_register("q17_small_qty_revenue", _Q17_ORACLE)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average yearly revenue lost if below-20%-of-average-quantity
+    orders for one brand were dropped (TPC-H Q17 shape; no p_container
+    column in the testdata, so the gate is brand-only).
+
+    Scale: the correlated ``(SELECT 0.2*AVG(l_quantity) WHERE
+    l_partkey = p_partkey)`` is decorrelated into a per-partkey
+    aggregate JOINed back on partkey. The brand filter is applied
+    FIRST via a broadcast of the filtered part dim (1/25th of parts),
+    so both the average and the final sum only ever see that brand's
+    lineitems — the per-part average over a part-only predicate is
+    unchanged by the restriction, and at SF100k the part dim is far
+    too large for the unrestricted aggregate to broadcast. The two
+    consumers of the restricted scan share one lineage
+    (``localCheckpoint``) so lineitem is read once. The final result
+    is one row; the avg comparison is double arithmetic computed
+    identically in both engines (exact decimal sum / count).
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    brand_parts = F.broadcast(
+        t["part"].filter(F.col("p_brand") == "Brand#12").select("p_partkey")
+    )
+    li = (
+        t["lineitem"]
+        .join(brand_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .localCheckpoint(eager=False)
+    )
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "avg_qty"
+        )
+    )
+    return (
+        li.join(part_avg.withColumnRenamed("l_partkey", "pa_partkey"),
+                F.col("l_partkey") == F.col("pa_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.lit(7.0))
+            .alias("avg_yearly")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18: large-volume customers (HAVING SUM gate carried through the join)
+# ---------------------------------------------------------------------------
+
+_Q18_ORACLE = """
+WITH big AS (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 250
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       b.total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+LIMIT 100
+"""
+
+
+@_register("q18_large_volume_customer", _Q18_ORACLE)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers whose single orders total more than 250 units (TPC-H
+    Q18 shape; threshold tuned so the gate passes ~1% of orders on the
+    driver's quantity distribution).
+
+    Scale: the reference Q18 re-joins lineitem after the IN-subquery;
+    here the HAVING aggregate already produces ``total_qty``, so the
+    big-order set is carried directly into the orders join — one
+    groupBy shuffle on l_orderkey, one join shuffle on o_orderkey,
+    one on c_custkey, and lineitem is scanned exactly once. The gate
+    passes ~1% of orders, so AQE converts the orders and customer
+    joins to broadcast at small SF while the plan stays a sound
+    shuffle join at SF100k (neither dim is collected). Ordering has a
+    full unique tiebreak (totalprice, date, orderkey) so the LIMIT
+    boundary is deterministic across partitionings and engines.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 250)
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("total_qty"))
+    )
+    return (
+        big.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )

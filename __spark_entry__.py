@@ -25,6 +25,10 @@ _FIRST_NAMES = (
     # --- new in round 4 (driver rows needed first) ---
     "q17_small_qty_revenue",
     "q18_large_volume_customer",
+    "similarity_sq_topk",
+    "importance_resample_dsir",
+    "dedup_intradoc_segments",
+    "window_moving_median",
     "multimodal_decode_image_real",
     "contamination_bloom_prefilter",
     "stream_static_enrich",

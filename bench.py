@@ -58,6 +58,10 @@ HEADLINE = [
     "contamination_bloom_prefilter",
     "multimodal_decode_image_real",
     "join_skew_stress",
+    "q18_large_volume_customer",
+    "similarity_sq_topk",
+    "importance_resample_dsir",
+    "dedup_intradoc_segments",
     # graph_pagerank stays OUT of HEADLINE (build convention: tiny-data
     # iterative ops distort the headline number — ~90% of its wall time
     # is fixed per-iteration stage overhead, not data work). It remains

@@ -3001,3 +3001,348 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_vecs") >= 2)
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-quantized (int8-style) ANN: integer coarse scan + exact rescore
+# ---------------------------------------------------------------------------
+
+_SQ_SCALE = 200.0  # |x| < 0.64 on unit-ish embeddings -> quantized to [-128,127]
+_SQ_OVERSAMPLE = 30
+
+_SQ_ORACLE = f"""
+WITH iq AS (
+    SELECT vec_id, embedding,
+           list_transform(embedding,
+                          e -> CAST(FLOOR(CAST(e AS DOUBLE) * {_SQ_SCALE}) AS BIGINT)) AS q
+    FROM embeddings
+),
+qs AS (SELECT vec_id AS qid, q AS qq FROM iq WHERE vec_id < 5),
+pairs AS (
+    SELECT i.vec_id, qs.qid, unnest(i.q) AS a, unnest(qs.qq) AS b
+    FROM iq i CROSS JOIN qs WHERE i.vec_id != qs.qid
+),
+coarse AS (
+    SELECT vec_id, qid, CAST(SUM(a * b) AS BIGINT) AS iscore
+    FROM pairs GROUP BY vec_id, qid
+),
+cand AS (
+    SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY iscore DESC, vec_id) AS crk
+        FROM coarse
+    ) WHERE crk <= {_SQ_OVERSAMPLE}
+),
+elems AS (
+    SELECT c.qid, c.vec_id, unnest(e.embedding) AS a, unnest(qe.embedding) AS b
+    FROM cand c
+    JOIN embeddings e ON e.vec_id = c.vec_id
+    JOIN embeddings qe ON qe.vec_id = c.qid
+),
+prod AS (
+    SELECT vec_id, qid,
+        CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dot
+    FROM elems GROUP BY vec_id, qid
+),
+norms AS (
+    SELECT vec_id,
+        SQRT(CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+    FROM (SELECT vec_id, unnest(embedding) AS a FROM embeddings)
+    GROUP BY vec_id
+)
+SELECT * FROM (
+    SELECT p.qid, p.vec_id,
+           p.dot / (nq.nrm * nv.nrm) AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY p.qid
+                              ORDER BY p.dot / (nq.nrm * nv.nrm) DESC, p.vec_id) AS rk
+    FROM prod p
+    JOIN norms nq ON nq.vec_id = p.qid
+    JOIN norms nv ON nv.vec_id = p.vec_id
+) WHERE rk <= 10
+ORDER BY qid, rk
+"""
+
+
+@_register("similarity_sq_topk", _SQ_ORACLE)
+def similarity_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization ANN: int8-style coarse scan, exact rescore.
+
+    The production pattern for memory-bandwidth-bound ANN (FAISS
+    ``SQ8``): quantize each float to an integer (``floor(x * 200)``
+    fits [-128, 127] for unit-ish embeddings), run the corpus scan as
+    an INTEGER dot product, keep an oversampled candidate set per
+    query (30 = 3x k), then rescore only those candidates with the
+    exact decimal-accumulated cosine.
+
+    Scale: the coarse scan reads 1/4 the bytes of the float scan and
+    stays entirely in codegen integer arithmetic — exact, so the
+    candidate ranking is engine- and partitioning-independent (no
+    float summation order anywhere until the 150-row rescore). The
+    corpus side never shuffles (per-partition top-k before the
+    exchange, ``_global_topk``); the rescore joins a 150-row candidate
+    list (broadcast) back to the corpus. Recall < 1 vs brute force is
+    intrinsic to quantization; the oracle replays the same two-phase
+    algorithm so the check is exact.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    emb = _with_norm(t["embeddings"]).localCheckpoint(eager=False)
+    iq = emb.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.transform(
+            "embedding", lambda e: F.floor(e.cast("double") * F.lit(_SQ_SCALE)).cast("long")
+        ).alias("q"),
+    )
+    qs = iq.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("q").alias("qq"),
+    )
+    coarse = (
+        iq.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.aggregate(
+                F.zip_with("q", "qq", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda s, x: s + x,
+            ).alias("iscore"),
+        )
+    )
+    cand = _global_topk(
+        coarse.withColumn("cosine", F.col("iscore").cast("double")).select(
+            "qid", "vec_id", "cosine"
+        ),
+        _SQ_OVERSAMPLE,
+    ).select("qid", "vec_id")
+    rescored = (
+        emb.join(F.broadcast(cand), "vec_id")
+        .join(
+            F.broadcast(qs.select("qid", "qv", "qnrm")),
+            "qid",
+        )
+        .select(
+            "qid",
+            "vec_id",
+            (_dec_dot("embedding", "qv") / (F.col("nrm") * F.col("qnrm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        rescored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .orderBy("qid", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (hashed-bucket likelihood ratio)
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 4096  # md5 3-nibble prefix
+_DSIR_KEEP = 100
+
+_DSIR_ORACLE = f"""
+WITH words AS (
+    SELECT doc_id, lang, substr(md5(unnest(string_split(text, ' '))), 1, 3) AS b
+    FROM documents
+),
+totals AS (
+    SELECT COUNT(*) AS tb,
+           COUNT(*) FILTER (WHERE lang = 'en') AS tt
+    FROM words
+),
+buckets AS (
+    SELECT b, COUNT(*) AS bcnt,
+           COUNT(*) FILTER (WHERE lang = 'en') AS tcnt
+    FROM words GROUP BY b
+),
+weighted AS (
+    SELECT w.doc_id,
+           ((b.tcnt + 1.0) / (b.bcnt + 1.0))
+           * ((t.tb + {_DSIR_BUCKETS}.0) / (t.tt + {_DSIR_BUCKETS}.0)) AS wt
+    FROM words w JOIN buckets b ON b.b = w.b CROSS JOIN totals t
+),
+scored AS (
+    SELECT doc_id,
+           CAST(SUM(CAST(wt AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS importance
+    FROM weighted GROUP BY doc_id
+)
+SELECT s.doc_id, d.lang, s.importance
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+ORDER BY s.importance DESC, s.doc_id
+LIMIT {_DSIR_KEEP}
+"""
+
+
+@_register("importance_resample_dsir", _DSIR_ORACLE)
+def importance_resample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-selection-by-importance-resampling (DSIR, Xie et al. 2023)
+    over hashed word buckets: score every document by the mean
+    target/background likelihood ratio of its words (target = the
+    ``en`` slice) and keep the top 100.
+
+    The log-free ratio form ``(tcnt+1)/(bcnt+1) * (Tb+B)/(Tt+B)``
+    avoids transcendental functions whose last-ulp behavior differs
+    between libm implementations — each per-word weight is two
+    divisions and one multiply evaluated in the same order by both
+    engines, and per-doc means use the decimal accumulator.
+
+    Scale: bucket counts are a {_DSIR_BUCKETS}-row aggregate (one
+    map-side-combined shuffle of 3-char keys) broadcast back to the
+    word stream; totals are a 1-row broadcast. The per-doc mean
+    re-aggregates on doc_id — the only data-sized shuffle, carrying
+    (doc_id, decimal) pairs, not text. Global top-100 is
+    TakeOrderedAndProject (no full sort).
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    docs = t["documents"]
+    words = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ")).alias("word"),
+    ).select("doc_id", "lang", F.substring(F.md5("word"), 1, 3).alias("b"))
+    words = words.localCheckpoint(eager=False)
+    totals = words.agg(
+        F.count(F.lit(1)).alias("tb"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tt"),
+    )
+    buckets = words.groupBy("b").agg(
+        F.count(F.lit(1)).alias("bcnt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tcnt"),
+    )
+    weighted = (
+        words.join(F.broadcast(buckets), "b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            (
+                ((F.col("tcnt") + F.lit(1.0)) / (F.col("bcnt") + F.lit(1.0)))
+                * (
+                    (F.col("tb") + F.lit(float(_DSIR_BUCKETS)))
+                    / (F.col("tt") + F.lit(float(_DSIR_BUCKETS)))
+                )
+            ).alias("wt"),
+        )
+    )
+    scored = weighted.groupBy("doc_id").agg(
+        (F.sum(F.col("wt").cast(_COS_DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "importance"
+        )
+    )
+    return (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "importance")
+        .orderBy(F.desc("importance"), "doc_id")
+        .limit(_DSIR_KEEP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Within-document segment dedup (repeated-span removal, C4/CCNet-adjacent)
+# ---------------------------------------------------------------------------
+
+_INTRADOC_SEG_WORDS = 8
+
+_INTRADOC_ORACLE = f"""
+WITH segs AS (
+    SELECT doc_id, seg_idx,
+           array_to_string(list_slice(words, seg_idx * {_INTRADOC_SEG_WORDS} + 1,
+                                      seg_idx * {_INTRADOC_SEG_WORDS} + {_INTRADOC_SEG_WORDS}),
+                           ' ') AS segment
+    FROM (
+        SELECT doc_id, string_split(text, ' ') AS words,
+               unnest(generate_series(0,
+                   CAST(ceil(len(string_split(text, ' ')) / {_INTRADOC_SEG_WORDS}.0) AS BIGINT)
+                   - 1)) AS seg_idx
+        FROM documents
+    )
+),
+ranked AS (
+    SELECT doc_id, seg_idx, segment,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, segment ORDER BY seg_idx) AS rn
+    FROM segs
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+       md5(string_agg(segment, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1)) AS dedup_text_hash
+FROM ranked
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@_register("dedup_intradoc_segments", _INTRADOC_ORACLE)
+def dedup_intradoc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove repeated {_INTRADOC_SEG_WORDS}-word spans WITHIN each
+    document (keep the first occurrence, preserve order) — the
+    intra-document counterpart of ``dedup_crossdoc_segments``; boiler-
+    plate/refrain removal in C4-style cleaning.
+
+    Scale: segments explode 1:n/8 from each document but every
+    operation stays doc-local — the dedup window partitions on
+    (doc_id, segment) and the reconstruction groups on doc_id, so
+    segment rows of one document co-locate and nothing global is
+    built. The output carries a hash of the reconstructed text, not
+    the text itself, so the final shuffle moves 32-byte digests.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    segs = (
+        t["documents"]
+        .select("doc_id", F.split("text", " ").alias("words"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("words") / F.lit(float(_INTRADOC_SEG_WORDS))).cast("long")
+                    - 1,
+                )
+            ).alias("seg_idx"),
+            "words",
+        )
+        .select(
+            "doc_id",
+            "seg_idx",
+            F.array_join(
+                F.slice(
+                    "words",
+                    (F.col("seg_idx") * _INTRADOC_SEG_WORDS + 1).cast("int"),
+                    _INTRADOC_SEG_WORDS,
+                ),
+                " ",
+            ).alias("segment"),
+        )
+    )
+    w = Window.partitionBy("doc_id", "segment").orderBy("seg_idx")
+    ranked = segs.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("rn") == 1,
+                                    F.struct("seg_idx", "segment"),
+                                )
+                            )
+                        ),
+                        lambda s: s["segment"],
+                    ),
+                    " ",
+                )
+            ).alias("dedup_text_hash"),
+        )
+        .orderBy("doc_id")
+    )

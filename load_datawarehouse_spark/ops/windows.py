@@ -483,3 +483,62 @@ def window_running_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact rolling median (7-row trailing frame, engine-portable formula)
+# ---------------------------------------------------------------------------
+
+_MOVING_MEDIAN_ORACLE = """
+SELECT event_id, user_id,
+       (arr[CAST(FLOOR((len(arr) + 1) / 2.0) AS BIGINT)]
+        + arr[CAST(FLOOR(len(arr) / 2.0) AS BIGINT) + 1]) / 2.0 AS median7
+FROM (
+    SELECT event_id, user_id,
+           list_sort(list(CAST(value AS DOUBLE)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+    FROM events
+)
+ORDER BY event_id
+"""
+
+
+@_register("window_moving_median", _MOVING_MEDIAN_ORACLE)
+def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median of ``value`` over the trailing 7 events
+    per user.
+
+    Neither engine's built-in windowed median has a pinned
+    interpolation formula (``quantile_cont`` computes
+    ``lo + f*(hi-lo)``, which is NOT bitwise ``(lo+hi)/2`` in IEEE
+    arithmetic), so both sides materialize the sorted frame and apply
+    the same explicit two-middle-elements formula — odd frames hit
+    ``(x+x)/2 == x`` exactly.
+
+    Scale: one shuffle on user_id; frames are 7 rows so the per-row
+    sort is O(7 log 7) in codegen (``array_sort`` over a
+    ``collect_list`` frame — no Python, no UDAF). Medians over frames
+    wider than ~100 rows would switch to a two-heap
+    ``applyInPandas``; for small frames the array form is faster and
+    allocation-free per row.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list(F.col("value").cast("double")).over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, F.floor((n + F.lit(1)) / F.lit(2.0)).cast("int"))
+    hi = F.element_at(arr, F.floor(n / F.lit(2.0)).cast("int") + F.lit(1))
+    return (
+        t["events"]
+        .select(
+            "event_id",
+            "user_id",
+            ((lo + hi) / F.lit(2.0)).alias("median7"),
+        )
+        .orderBy("event_id")
+    )

@@ -27,6 +27,9 @@ _FIRST_NAMES = (
     "q18_large_volume_customer",
     "similarity_sq_topk",
     "importance_resample_dsir",
+    "warehouse_vacuum_snapshots",
+    "dedup_template_groups",
+    "quality_perplexity_buckets",
     "dedup_intradoc_segments",
     "window_moving_median",
     "multimodal_decode_image_real",

@@ -62,6 +62,7 @@ HEADLINE = [
     "similarity_sq_topk",
     "importance_resample_dsir",
     "dedup_intradoc_segments",
+    "quality_perplexity_buckets",
     # graph_pagerank stays OUT of HEADLINE (build convention: tiny-data
     # iterative ops distort the headline number — ~90% of its wall time
     # is fixed per-iteration stage overhead, not data work). It remains

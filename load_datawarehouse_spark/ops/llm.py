@@ -3346,3 +3346,138 @@ def dedup_intradoc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Template detection: shared document-opening grouping (boilerplate mining)
+# ---------------------------------------------------------------------------
+
+_TEMPLATE_WORDS = 3
+
+_TEMPLATE_ORACLE = f"""
+WITH sig AS (
+    SELECT doc_id,
+           md5(array_to_string(list_slice(string_split(text, ' '), 1, {_TEMPLATE_WORDS}), ' '))
+               AS prefix_hash
+    FROM documents
+)
+SELECT prefix_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS keeper_doc_id
+FROM sig
+GROUP BY prefix_hash
+HAVING COUNT(*) > 1
+ORDER BY prefix_hash
+"""
+
+
+@_register("dedup_template_groups", _TEMPLATE_ORACLE)
+def dedup_template_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/template mining: group documents sharing their
+    first {_TEMPLATE_WORDS} words (scraped page templates, form
+    letters, log preambles — the cheap linear first cut run before
+    the quadratic-candidate near-dup cascades; real cleanups then
+    strip or collapse each template family).
+
+    Scale: each document contributes one 32-byte opening digest; the
+    groupBy shuffles digests, never text, with map-side partial
+    aggregation. Strictly linear in corpus size.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    words = F.split("text", " ", -1)
+    sig = t["documents"].select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(words, 1, _TEMPLATE_WORDS), " ")).alias("prefix_hash"),
+    )
+    return (
+        sig.groupBy("prefix_hash")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("prefix_hash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Perplexity-bin curation (per-language decile buckets of the LM proxy)
+# ---------------------------------------------------------------------------
+
+_PPL_BUCKET_ORACLE = """
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+), bg AS (
+    SELECT doc_id, word || ' ' || LEAD(word, 1) OVER w AS bigram
+    FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    QUALIFY LEAD(word, 1) OVER w IS NOT NULL
+), cnt AS (
+    SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram
+), scored AS (
+    SELECT bg.doc_id,
+           CAST(COUNT(*) + 1 AS BIGINT) AS n_tokens,
+           CAST(SUM(cnt.c) AS DOUBLE) / COUNT(*) AS score
+    FROM bg JOIN cnt USING (bigram)
+    GROUP BY bg.doc_id
+), binned AS (
+    SELECT d.lang, s.n_tokens, s.score,
+           NTILE(10) OVER (PARTITION BY d.lang ORDER BY s.score, s.doc_id) AS decile
+    FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT lang, CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(CAST(score AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS avg_score
+FROM binned
+GROUP BY lang, decile
+ORDER BY lang, decile
+"""
+
+
+@_register("quality_perplexity_buckets", _PPL_BUCKET_ORACLE)
+def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-bin curation: per-language decile buckets of the
+    bigram-frequency fluency proxy (the CCNet/KenLM recipe — bucket
+    the corpus by LM score, then mix buckets by quota downstream).
+
+    Scale: scoring is the lm_commonness pipeline (bigram-keyed
+    shuffles, integer sums). The exact decile NTILE runs over ONE ROW
+    PER DOCUMENT (score + token count, not text) partitioned by
+    language. At petabyte doc counts the per-language sort itself
+    becomes the bottleneck — there the exact NTILE swaps for
+    approx_percentile cutoffs broadcast as a bucket map (documented
+    trade: deciles become approximate, the pipeline stays linear).
+    The oracle pins the exact path.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    docs = t["documents"]
+    base = docs.select("doc_id", F.split("text", " ", -1).alias("w"))
+    bg = base.select("doc_id", F.explode(_word_ngrams(F.col("w"), 2)).alias("bigram"))
+    cnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    scored = (
+        bg.join(cnt, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            (F.count(F.lit(1)) + 1).cast("long").alias("n_tokens"),
+            (F.sum("c").cast("double") / F.count(F.lit(1))).alias("score"),
+        )
+    )
+    binned = scored.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "lang",
+        "n_tokens",
+        "score",
+        F.ntile(10)
+        .over(Window.partitionBy("lang").orderBy("score", "doc_id"))
+        .cast("long")
+        .alias("decile"),
+    )
+    return (
+        binned.groupBy("lang", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            (F.sum(F.col("score").cast(_COS_DEC)).cast("double") / F.count(F.lit(1))).alias(
+                "avg_score"
+            ),
+        )
+        .orderBy("lang", "decile")
+    )

@@ -3539,3 +3539,86 @@ def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_linenumber") - 1).cast("bigint"),
         ).alias("per_prior_line"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# Warehouse snapshot vacuum (retention GC) under the correctness gate
+# ---------------------------------------------------------------------------
+
+_VACUUM_ORACLE = """
+SELECT * FROM (
+    SELECT 'v1' AS version, CAST(0 AS BIGINT) AS readable,
+           CAST(-1 AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'v2', CAST(0 AS BIGINT), CAST(-1 AS BIGINT)
+    UNION ALL
+    SELECT 'v3', CAST(1 AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id < 100)
+    UNION ALL
+    SELECT 'v4', CAST(1 AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id < 100)
+) ORDER BY version
+"""
+
+
+@_register("warehouse_vacuum_snapshots", _VACUUM_ORACLE)
+def warehouse_vacuum_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot retention GC: load -> v1 -> append -> v2 -> append ->
+    v3 -> ``vacuum(keep_last=1)`` -> snapshot again. v1/v2 must be
+    GONE (as-of reads raise — reproducibility failures are loud, never
+    a silent read of a different snapshot), v3 must still read
+    exactly, and the post-vacuum snapshot must take number v4 — the
+    monotonic-counter guarantee that vacuuming history can never make
+    two different table states share a version number.
+
+    Scale: vacuum is O(files) hard-link unlinks per dropped version
+    (see ``SparkWarehouse.vacuum``); nothing data-sized moves.
+    """
+    import shutil
+    import tempfile
+
+    from load_datawarehouse_spark.errors import WarehouseTableNotFound
+    from load_datawarehouse_spark.warehouse import SparkWarehouse
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    docs = t["documents"].select("doc_id", "lang")
+    batches = [
+        [r.asDict() for r in docs.filter(F.col("doc_id") < 50).collect()],
+        [
+            r.asDict()
+            for r in docs.filter(
+                (F.col("doc_id") >= 50) & (F.col("doc_id") < 80)
+            ).collect()
+        ],
+        [
+            r.asDict()
+            for r in docs.filter(
+                (F.col("doc_id") >= 80) & (F.col("doc_id") < 100)
+            ).collect()
+        ],
+    ]
+    root = tempfile.mkdtemp(prefix="ldw_vac_")
+    try:
+        wh = SparkWarehouse.new(spark, root, "corpus", data=batches[0])
+        v1 = wh.snapshot()
+        wh.load(batches[1])
+        v2 = wh.snapshot()
+        wh.load(batches[2])
+        v3 = wh.snapshot()
+        assert wh.vacuum(keep_last=1) == [v1, v2]
+        v4 = wh.snapshot()
+        assert v4 == v3 + 1
+
+        def probe(version: int, label: str) -> tuple:
+            try:
+                n = wh.df_at(version).count()
+                return (label, 1, n)
+            except WarehouseTableNotFound:
+                return (label, 0, -1)
+
+        rows = [probe(v, f"v{v}") for v in (v1, v2, v3, v4)]
+        return spark.createDataFrame(
+            rows, "version string, readable long, n_rows long"
+        ).orderBy("version")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

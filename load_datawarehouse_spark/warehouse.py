@@ -338,7 +338,8 @@ class SparkWarehouse:
             raise WarehouseTableNotFound(f"table {self.table!r} not found")
         meta = self._read_meta()
         versions = meta.get("versions", [])
-        n = len(versions) + 1
+        # monotonic counter survives vacuum() so numbers are never reused
+        n = meta.get("next_version", len(versions) + 1)
         data_path = os.path.join(self.path, "data")
         snap_path = os.path.join(self.path, "snapshots", f"v{n}")
         os.makedirs(os.path.dirname(snap_path), exist_ok=True)
@@ -358,7 +359,7 @@ class SparkWarehouse:
                 "schema": meta.get("schema"),
             }
         )
-        self._write_meta({**meta, "versions": versions})
+        self._write_meta({**meta, "versions": versions, "next_version": n + 1})
         return n
 
     def versions(self) -> list[dict]:
@@ -384,6 +385,36 @@ class SparkWarehouse:
         raise WarehouseTableNotFound(
             f"table {self.table!r} has no snapshot version {version}"
         )
+
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest ``keep_last`` snapshot versions and
+        return the version numbers removed. Retention GC for the
+        time-travel surface: each hard-link snapshot pins its parquet
+        files against deletion, so unbounded snapshot history holds
+        every byte the table has ever contained.
+
+        Scale: removal is O(files) metadata work per dropped version
+        (unlink of hard links — data blocks free once the last link
+        goes). Version numbers are never reused: the metadata keeps a
+        monotonic counter, so ``df_at`` on a vacuumed version raises
+        ``WarehouseTableNotFound`` rather than silently reading a
+        different snapshot — reproducibility failures must be loud.
+        """
+        if keep_last < 0:
+            raise ValueError("keep_last must be >= 0")
+        meta = self._read_meta()
+        versions = meta.get("versions", [])
+        cut = len(versions) - keep_last
+        dropped, kept = versions[:cut], versions[cut:]
+        for v in dropped:
+            shutil.rmtree(
+                os.path.join(self.path, "snapshots", f"v{v['version']}"),
+                ignore_errors=True,
+            )
+        self._write_meta(
+            {**meta, "versions": kept, "next_version": len(versions) + 1}
+        )
+        return [v["version"] for v in dropped]
 
     def load(
         self,

@@ -313,3 +313,34 @@ def test_bloom_prefilter_corpus_side_narrow(spark):
     assert "SortMergeJoin" not in plan
     # the pandas filter (bloom probe) sits below the broadcast join
     assert "ArrowEvalPython" in plan or "PythonUDF" in plan
+
+
+def test_sq_topk_coarse_scan_no_corpus_shuffle(spark):
+    # the quantized coarse scan must reach the per-partition reducer
+    # without an Exchange, same invariant as the float path; the
+    # candidate list and query vectors re-enter via broadcast only
+    plan = _plan(llm.similarity_sq_topk(spark, SF_DIR))
+    assert "MapInPandas" in plan
+    _, _, tail = plan.partition("MapInPandas")
+    assert "Exchange hashpartitioning" not in tail.split("BroadcastExchange")[0]
+
+
+def test_dsir_buckets_and_totals_broadcast(spark):
+    # per-word weighting joins a 4096-row bucket table and a 1-row
+    # totals table: both must broadcast; the word stream must never
+    # hash-shuffle to meet them
+    plan = _plan(llm.importance_resample_dsir(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    # global top-100 must be TakeOrdered, not a full sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_intradoc_segments_doc_local(spark):
+    # segment explode + dedup window + reconstruction must co-locate
+    # per document: at most the doc_id-family shuffles, nothing global
+    plan = _plan(llm.dedup_intradoc_segments(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3

@@ -193,6 +193,31 @@ def test_snapshot_time_travel_lifecycle(spark, tmp_path):
         ghost.snapshot()
 
 
+def test_vacuum_drops_old_snapshots_keeps_numbering(spark, tmp_path):
+    from load_datawarehouse_spark.errors import WarehouseTableNotFound
+    from load_datawarehouse_spark.warehouse import SparkWarehouse
+
+    wh = SparkWarehouse.new(spark, str(tmp_path), "vc", data=[{"id": 1}])
+    v1 = wh.snapshot()
+    wh.load([{"id": 2}])
+    v2 = wh.snapshot()
+    wh.load([{"id": 3}])
+    v3 = wh.snapshot()
+
+    assert wh.vacuum(keep_last=1) == [v1, v2]
+    assert [v["version"] for v in wh.versions()] == [v3]
+    assert wh.df_at(v3).count() == 3
+    for gone in (v1, v2):
+        with pytest.raises(WarehouseTableNotFound):
+            wh.df_at(gone)
+    # version numbers are monotonic across vacuum, never reused
+    assert wh.snapshot() == v3 + 1
+    # keep_last larger than history is a no-op
+    assert wh.vacuum(keep_last=10) == []
+    with pytest.raises(ValueError):
+        wh.vacuum(keep_last=-1)
+
+
 def test_merge_applies_insert_update_delete(spark, tmp_path):
     from load_datawarehouse_spark.warehouse import SparkWarehouse
 

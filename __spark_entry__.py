@@ -30,6 +30,10 @@ _FIRST_NAMES = (
     "warehouse_vacuum_snapshots",
     "dedup_template_groups",
     "quality_perplexity_buckets",
+    "udf_cogrouped_merge",
+    "profile_column_stats",
+    "nest_order_lines",
+    "stream_chained_windows",
     "dedup_intradoc_segments",
     "window_moving_median",
     "multimodal_decode_image_real",

@@ -63,6 +63,8 @@ HEADLINE = [
     "importance_resample_dsir",
     "dedup_intradoc_segments",
     "quality_perplexity_buckets",
+    "profile_column_stats",
+    "nest_order_lines",
     # graph_pagerank stays OUT of HEADLINE (build convention: tiny-data
     # iterative ops distort the headline number — ~90% of its wall time
     # is fixed per-iteration stage overhead, not data work). It remains

@@ -3622,3 +3622,141 @@ def warehouse_vacuum_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("version")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Table profiling (ANALYZE-style column statistics, one pass)
+# ---------------------------------------------------------------------------
+
+_PROFILE_ORACLE = """
+SELECT * FROM (
+    SELECT 'l_quantity' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_value,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_value
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+           CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+           CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(l_discount) AS BIGINT),
+           CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+           CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT),
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+           NULL, NULL
+    FROM lineitem
+) ORDER BY column_name
+"""
+
+
+@_register("profile_column_stats", _PROFILE_ORACLE)
+def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile (null rate, exact NDV, numeric
+    range) for planner statistics and data-quality gates.
+
+    Scale: one scan feeds every column's aggregates; the multiple
+    exact COUNT(DISTINCT)s plan through Catalyst's Expand (one
+    row-multiplication, one shuffle) — the exact-NDV cost is
+    per-column distinct keys through the exchange. At warehouse scale
+    the same profile runs with approx_count_distinct per column
+    (single pass, no Expand, ±2% NDV) — exact here because the oracle
+    must hash-match.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    li = t["lineitem"]
+
+    def col_profile(c: str, numeric: bool) -> DataFrame:
+        casted = F.col(c).cast("double") if numeric else F.lit(None).cast("double")
+        return li.agg(
+            F.lit(c).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.min(casted).alias("min_value"),
+            F.max(casted).alias("max_value"),
+        )
+
+    out = (
+        col_profile("l_quantity", True)
+        .unionByName(col_profile("l_extendedprice", True))
+        .unionByName(col_profile("l_discount", True))
+        .unionByName(col_profile("l_returnflag", False))
+    )
+    return out.orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# Nested reconstruction: order -> ordered array<struct> of its lines
+# ---------------------------------------------------------------------------
+
+_NEST_ORACLE = """
+SELECT l_orderkey AS o_orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       md5(string_agg(
+           CAST(l_linenumber AS VARCHAR) || ':' ||
+           CAST(CAST(l_quantity AS BIGINT) AS VARCHAR),
+           ';' ORDER BY l_linenumber, CAST(l_quantity AS BIGINT))) AS lines_sig
+FROM lineitem
+WHERE l_orderkey < 1000
+GROUP BY l_orderkey
+ORDER BY o_orderkey
+"""
+
+
+@_register("nest_order_lines", _NEST_ORACLE)
+def nest_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denormalize lineitem into one ``array<struct>`` per order —
+    the document-shaped export path (JSON/trainer manifests). The
+    nested array is built with collect_list + array_sort and then
+    canonically serialized, so the oracle checks the ORDER inside the
+    nesting, not just membership. Line numbers are NOT unique within
+    an order in this testdata, so the sort key is the full
+    (linenumber, qty) struct — a non-total order would make the
+    serialization engine-dependent.
+
+    Scale: one shuffle on the order key with map-side partial
+    collect; array payloads stay bounded by lines-per-order (~7).
+    Quantities are integral by construction and serialize as BIGINT —
+    float-to-string formatting is never portable across engines.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    lines = (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") < 1000)
+        .select(
+            "l_orderkey",
+            F.struct(
+                F.col("l_linenumber"), F.col("l_quantity").cast("long").alias("qty")
+            ).alias("line"),
+        )
+    )
+    return (
+        lines.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("line")),
+                        lambda s: F.concat_ws(
+                            ":",
+                            s["l_linenumber"].cast("string"),
+                            s["qty"].cast("string"),
+                        ),
+                    ),
+                    ";",
+                )
+            ).alias("lines_sig"),
+        )
+        .orderBy("o_orderkey")
+    )

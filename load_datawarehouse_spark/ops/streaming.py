@@ -1112,3 +1112,56 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+# ---------------------------------------------------------------------------
+# Chained stateful operators: window-over-window in one streaming query
+# ---------------------------------------------------------------------------
+
+_STREAM_CHAINED_ORACLE = """
+WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+SELECT hour_start, event_type, n_events FROM (
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+), wm
+WHERE hour_start + INTERVAL 1 HOUR <= wm.w
+ORDER BY hour_start, event_type
+"""
+
+
+@_register("stream_chained_windows", _STREAM_CHAINED_ORACLE)
+def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO stateful operators chained in one streaming query: 15-min
+    tumbling counts re-aggregated into 1-hour windows keyed on the
+    first window's event time (``window_time``) — the multi-stage
+    streaming topology (pre-aggregate -> rollup) that required two
+    queries plus an intermediate sink before Spark supported multiple
+    stateful operators in append mode.
+
+    Emission: both levels share the 10-minute watermark; a 1-hour
+    window only emits once every 15-min window inside it has closed,
+    so the final answer is exactly the batch hourly counts over
+    watermark-complete hours — what the oracle replays (windows whose
+    end exceeds ``max(ts) - 10min`` stay in state, unemitted).
+
+    Scale: the 15-min pre-aggregation shrinks state and shuffle for
+    the hourly rollup by the window fan-in (4x here; in practice the
+    cascade minute->hour->day is how high-rate streams keep rollup
+    state sublinear in event rate).
+    """
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    lvl1 = ev.groupBy(F.window("ts", "15 minutes").alias("w1"), "event_type").agg(
+        F.count(F.lit(1)).alias("n15")
+    )
+    lvl2 = (
+        lvl1.groupBy(
+            F.window(F.window_time("w1"), "1 hour").alias("w2"), "event_type"
+        )
+        .agg(F.sum("n15").cast("long").alias("n_events"))
+        .select(F.col("w2.start").alias("hour_start"), "event_type", "n_events")
+    )
+    out = run_to_memory(lvl2, "append")
+    rows = out.orderBy("hour_start", "event_type").collect()
+    return spark.createDataFrame(rows, out.schema)

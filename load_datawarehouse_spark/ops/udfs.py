@@ -321,3 +321,86 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# 7. Cogrouped map (applyInPandas over a cogroup): two-sided custom merge
+# ---------------------------------------------------------------------------
+
+
+def _reconcile(orders_pdf: pd.DataFrame, lines_pdf: pd.DataFrame) -> pd.DataFrame:
+    # integer-cents accumulation: order-free exact sums (cf. _group_stats)
+    bucket = (
+        orders_pdf["bucket"].iloc[0] if len(orders_pdf) else lines_pdf["bucket"].iloc[0]
+    )
+    ocents = (orders_pdf["o_totalprice"] * 100).round().astype("int64")
+    lcents = (lines_pdf["l_extendedprice"] * 100).round().astype("int64")
+    return pd.DataFrame(
+        {
+            "bucket": [int(bucket)],
+            "n_orders": [len(orders_pdf)],
+            "n_lines": [len(lines_pdf)],
+            "total_order_price": [ocents.sum() / 100.0],
+            "total_line_price": [lcents.sum() / 100.0],
+        }
+    )
+
+
+_COGROUP_SCHEMA = (
+    "bucket long, n_orders long, n_lines long, "
+    "total_order_price double, total_line_price double"
+)
+
+_COGROUP_ORACLE = """
+WITH ob AS (
+    SELECT o_orderkey % 16 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_order_price
+    FROM orders GROUP BY 1
+),
+lb AS (
+    SELECT l_orderkey % 16 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_line_price
+    FROM lineitem GROUP BY 1
+)
+SELECT COALESCE(ob.bucket, lb.bucket) AS bucket,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(n_lines, 0) AS n_lines,
+       COALESCE(total_order_price, 0.0) AS total_order_price,
+       COALESCE(total_line_price, 0.0) AS total_line_price
+FROM ob FULL OUTER JOIN lb ON ob.bucket = lb.bucket
+ORDER BY bucket
+"""
+
+
+@_register("udf_cogrouped_merge", _COGROUP_ORACLE)
+def udf_cogrouped_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped map (``groupBy(...).cogroup(...).applyInPandas``):
+    both tables shuffle ONCE on the same key and Python sees the two
+    aligned partitions side by side — the API surface for custom
+    two-sided logic (reconciliation, as-of matching, per-key diffing)
+    that a plain join + UDAF cannot express in one pass.
+
+    Scale: one co-partitioned shuffle per side, no join materialized;
+    each cogroup must fit executor memory (16 bounded buckets here —
+    for per-entity cogroups, bucket the key space first, exactly as
+    this op does with ``% 16``)."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    go = (
+        t["orders"]
+        .select((F.col("o_orderkey") % 16).alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+    )
+    gl = (
+        t["lineitem"]
+        .select((F.col("l_orderkey") % 16).alias("bucket"), "l_extendedprice")
+        .groupBy("bucket")
+    )
+    return (
+        go.cogroup(gl)
+        .applyInPandas(_reconcile, schema=_COGROUP_SCHEMA)
+        .orderBy("bucket")
+    )

@@ -3664,35 +3664,47 @@ def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style column profile (null rate, exact NDV, numeric
     range) for planner statistics and data-quality gates.
 
-    Scale: one scan feeds every column's aggregates; the multiple
-    exact COUNT(DISTINCT)s plan through Catalyst's Expand (one
-    row-multiplication, one shuffle) — the exact-NDV cost is
-    per-column distinct keys through the exchange. At warehouse scale
-    the same profile runs with approx_count_distinct per column
-    (single pass, no Expand, ±2% NDV) — exact here because the oracle
-    must hash-match.
+    Scale: ONE scan computes every column's aggregates in a single
+    wide agg (the naive per-column union re-reads the fact table once
+    per column); the row is then exploded into long form with
+    ``inline``. The multiple exact COUNT(DISTINCT)s plan through
+    Catalyst's Expand (one row-multiplication, one shuffle). At
+    warehouse scale the same profile swaps exact NDV for
+    approx_count_distinct (no Expand, +-2%) — exact here because the
+    oracle must hash-match.
     """
     t = load_tables(spark, sf_dir, register_views=False)
     li = t["lineitem"]
-
-    def col_profile(c: str, numeric: bool) -> DataFrame:
+    cols = [
+        ("l_quantity", True),
+        ("l_extendedprice", True),
+        ("l_discount", True),
+        ("l_returnflag", False),
+    ]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, numeric in cols:
         casted = F.col(c).cast("double") if numeric else F.lit(None).cast("double")
-        return li.agg(
-            F.lit(c).alias("column_name"),
-            F.count(F.lit(1)).alias("n_rows"),
-            (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
-            F.countDistinct(c).alias("n_distinct"),
-            F.min(casted).alias("min_value"),
-            F.max(casted).alias("max_value"),
-        )
-
-    out = (
-        col_profile("l_quantity", True)
-        .unionByName(col_profile("l_extendedprice", True))
-        .unionByName(col_profile("l_discount", True))
-        .unionByName(col_profile("l_returnflag", False))
+        aggs += [
+            F.count(c).alias(f"{c}__cnt"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            F.min(casted).alias(f"{c}__min"),
+            F.max(casted).alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"{c}__cnt")).alias("n_nulls"),
+                F.col(f"{c}__ndv").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+            for c, _ in cols
+        ]
     )
-    return out.orderBy("column_name")
+    return wide.select(F.inline(entries)).orderBy("column_name")
 
 
 # ---------------------------------------------------------------------------

@@ -42,6 +42,12 @@ SCALE_QUERIES = [
     "pipeline_training_prep_v2",
     "ts_resample_interpolate",
     "graph_pagerank",  # at sf1 the event graph is real, not stage overhead
+    # round-4 additions
+    "q18_large_volume_customer",
+    "similarity_sq_topk",
+    "importance_resample_dsir",
+    "dedup_intradoc_segments",
+    "quality_perplexity_buckets",
 ]
 
 

@@ -344,3 +344,11 @@ def test_intradoc_segments_doc_local(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_profile_is_single_scan(spark):
+    # the whole column profile must come from ONE fact-table scan —
+    # a per-column union would re-read the table once per column
+    plan = _plan(relational.profile_column_stats(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan  # multi-distinct planned, not multiplied scans

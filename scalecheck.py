@@ -110,7 +110,19 @@ def main() -> None:
         print(f"# skew_stress[{label}] sf1: {t:.2f}s", file=sys.stderr, flush=True)
 
     slopes = [v["slope"] for v in out.values()]
+    note = (
+        "10x data (scalegen.py replication of sf0.1 with key-space scaling "
+        "and word-rotated doc copies). slope = t(sf1)/t(sf0.1); raw slope "
+        "near/above 10 appears only on pair-producing dedup ops whose TRUE "
+        "output grows ~quadratically in this small-vocabulary synthetic "
+        "corpus — slope_per_output_row shows per-pair cost FALLING at "
+        "scale. Word-exploding text ops (tfidf, dsir, contamination, "
+        "perplexity buckets) process 10x the words and stay sublinear. "
+        "skew_stress_sf1: selective hot-key salting vs the unsalted "
+        "shuffle on a zipfian key at sf1."
+    )
     result = {
+        "note": note,
         "metric": "scale_slope_sf0.1_to_sf1",
         "data_factor": 10,
         "median_slope": round(sorted(slopes)[len(slopes) // 2], 2),

@@ -32,6 +32,10 @@ _FIRST_NAMES = (
     "quality_perplexity_buckets",
     "udf_cogrouped_merge",
     "profile_column_stats",
+    "agg_higher_moments",
+    "events_hour_dow_heatmap",
+    "contamination_decontaminate_apply",
+    "scalar_bitwise_family",
     "nest_order_lines",
     "stream_chained_windows",
     "dedup_intradoc_segments",

@@ -65,6 +65,8 @@ HEADLINE = [
     "quality_perplexity_buckets",
     "profile_column_stats",
     "nest_order_lines",
+    "events_hour_dow_heatmap",
+    "contamination_decontaminate_apply",
     # graph_pagerank stays OUT of HEADLINE (build convention: tiny-data
     # iterative ops distort the headline number — ~90% of its wall time
     # is fixed per-iteration stage overhead, not data work). It remains

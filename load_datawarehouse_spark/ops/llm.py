@@ -3481,3 +3481,81 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination APPLY step (drop flagged docs, account for the survivors)
+# ---------------------------------------------------------------------------
+
+_DECONTAM_APPLY_ORACLE = f"""
+WITH s AS (SELECT doc_id, source, text, string_split(text, ' ') AS ws FROM documents),
+g AS (
+    SELECT doc_id, source, unnest(list_transform(
+        generate_series(1, len(ws) - {_CONTAM_N - 1}), i -> md5({_CONTAM_GRAM_SQL})
+    )) AS gram
+    FROM s WHERE len(ws) >= {_CONTAM_N}
+), d AS (SELECT DISTINCT doc_id, source, gram FROM g),
+ev AS (SELECT DISTINCT gram FROM d WHERE source IN ({_CONTAM_EVAL_PRED})),
+flagged AS (
+    SELECT DISTINCT d.doc_id FROM d JOIN ev USING (gram)
+    WHERE d.source NOT IN ({_CONTAM_EVAL_PRED})
+)
+SELECT s.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE f.doc_id IS NOT NULL) AS BIGINT) AS n_dropped,
+       CAST(COUNT(*) FILTER (WHERE f.doc_id IS NULL) AS BIGINT) AS n_kept,
+       CAST(SUM(len(ws)) FILTER (WHERE f.doc_id IS NULL) AS BIGINT) AS kept_tokens
+FROM s LEFT JOIN flagged f ON f.doc_id = s.doc_id
+WHERE s.source NOT IN ({_CONTAM_EVAL_PRED})
+GROUP BY s.source
+ORDER BY s.source
+"""
+
+
+@_register("contamination_decontaminate_apply", _DECONTAM_APPLY_ORACLE)
+def contamination_decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step after ``contamination_ngram_check``: drop every
+    training document sharing an 8-gram with the eval sources and
+    account for the surviving corpus per source (doc and token
+    counts) — the numbers that go in a datasheet/data card.
+
+    Scale: identical probe shape to the check (eval grams
+    distinct-reduced and broadcast; corpus grams streamed, never
+    shuffled); the apply is a broadcast LEFT ANTI join on doc_id
+    against the flagged set, then a per-source aggregate. The corpus
+    text itself never moves — only doc ids and token counts.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    base = t["documents"].select(
+        "doc_id", "source", F.split("text", " ", -1).alias("w")
+    )
+    is_eval = F.col("source").isin(*_CONTAM_EVAL_SOURCES)
+    grams = _word_ngrams(F.col("w"), _CONTAM_N, hashed=True)
+    d = base.select("doc_id", "source", F.explode(grams).alias("gram")).distinct()
+    ev = d.filter(is_eval).select("gram").distinct()
+    flagged = (
+        d.filter(~is_eval)
+        .join(F.broadcast(ev), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    train = base.filter(~is_eval).select(
+        "doc_id", "source", F.size("w").cast("long").alias("n_tokens")
+    )
+    return (
+        train.join(F.broadcast(flagged.withColumn("is_flagged", F.lit(1))), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("is_flagged") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum(F.when(F.col("is_flagged").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("is_flagged").isNull(), F.col("n_tokens")))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )

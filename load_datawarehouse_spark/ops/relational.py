@@ -3772,3 +3772,168 @@ def nest_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitwise scalar family
+# ---------------------------------------------------------------------------
+
+_BITWISE_ORACLE = """
+SELECT event_id,
+       CAST(event_id & user_id AS BIGINT) AS and_mask,
+       CAST(event_id | user_id AS BIGINT) AS or_mask,
+       CAST(xor(event_id, user_id) AS BIGINT) AS xor_mask,
+       CAST((event_id % 256) << 2 AS BIGINT) AS shifted,
+       CAST(event_id >> 3 AS BIGINT) AS rshifted,
+       CAST(bit_count(event_id) AS BIGINT) AS set_bits
+FROM events
+WHERE event_id < 500
+ORDER BY event_id
+"""
+
+
+@_register("scalar_bitwise_family", _BITWISE_ORACLE)
+def scalar_bitwise_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator family (AND/OR/XOR, shifts, popcount) —
+    the flag-mask / bitmap-index idiom. Pure codegen, narrow."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    e = t["events"].filter(F.col("event_id") < 500)
+    return e.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.col("user_id")).cast("long").alias("and_mask"),
+        F.col("event_id").bitwiseOR(F.col("user_id")).cast("long").alias("or_mask"),
+        F.col("event_id").bitwiseXOR(F.col("user_id")).cast("long").alias("xor_mask"),
+        F.shiftleft(F.col("event_id") % 256, 2).cast("long").alias("shifted"),
+        F.shiftright(F.col("event_id"), 3).cast("long").alias("rshifted"),
+        F.bit_count(F.col("event_id")).cast("long").alias("set_bits"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Exact higher-moment statistics (skewness / kurtosis from raw sums)
+# ---------------------------------------------------------------------------
+
+_MOMENTS_ORACLE = """
+WITH s AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+           CAST(SUM(CAST(value * value * value AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+           CAST(SUM(CAST(value * value * value * value AS DECIMAL(38,6))) AS DOUBLE) AS s4
+    FROM events
+)
+SELECT CAST(n AS BIGINT) AS n,
+       s1 / n AS mean,
+       s2 / n - (s1 / n) * (s1 / n) AS variance_pop,
+       (s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+       / ((s2 / n - (s1 / n) * (s1 / n)) * SQRT(s2 / n - (s1 / n) * (s1 / n)))
+           AS skewness_pop,
+       (s4 / n - 4.0 * (s1 / n) * (s3 / n) + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+        - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+       / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3.0
+           AS kurtosis_excess
+FROM s
+"""
+
+
+@_register("agg_higher_moments", _MOMENTS_ORACLE)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis from EXACT raw power
+    sums. Built-in ``skewness()``/``kurtosis()`` accumulate central
+    moments in floats with engine-specific update orders (never
+    bitwise-portable); here the four raw sums are decimal-exact and
+    the closed-form combination is the identical double expression in
+    both engines — moments become partitioning-proof.
+
+    Scale: one scan, one 4-value aggregate; the power terms stay in
+    codegen. The classic raw-sum cancellation caveat applies when
+    |mean| >> stddev — irrelevant here (value spans its own
+    magnitude), and the decimal accumulator removes the summation-
+    order half of that instability anyway.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    v = F.col("value")
+    s = t["events"].agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(v.cast(DEC)).cast("double").alias("s1"),
+        F.sum((v * v).cast(DEC)).cast("double").alias("s2"),
+        F.sum((v * v * v).cast(DEC)).cast("double").alias("s3"),
+        F.sum((v * v * v * v).cast(DEC)).cast("double").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    m3 = s3 / n - F.lit(3.0) * mean * (s2 / n) + F.lit(2.0) * mean * mean * mean
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * mean * (s3 / n)
+        + F.lit(6.0) * mean * mean * (s2 / n)
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    return s.select(
+        n.cast("long").alias("n"),
+        mean.alias("mean"),
+        var.alias("variance_pop"),
+        (m3 / (var * F.sqrt(var))).alias("skewness_pop"),
+        (m4 / (var * var) - F.lit(3.0)).alias("kurtosis_excess"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Activity heatmap: weekday x hour-of-day pivot
+# ---------------------------------------------------------------------------
+
+_HEATMAP_ORACLE = """
+WITH e AS (
+    SELECT isodow(ts) - 1 AS wd, CAST(hour(ts) AS INT) AS h FROM events
+)
+SELECT CAST(wd AS BIGINT) AS weekday,
+       CAST(COUNT(*) FILTER (WHERE h = 0) AS BIGINT) AS h0,
+       CAST(COUNT(*) FILTER (WHERE h = 1) AS BIGINT) AS h1,
+       CAST(COUNT(*) FILTER (WHERE h = 2) AS BIGINT) AS h2,
+       CAST(COUNT(*) FILTER (WHERE h = 3) AS BIGINT) AS h3,
+       CAST(COUNT(*) FILTER (WHERE h = 4) AS BIGINT) AS h4,
+       CAST(COUNT(*) FILTER (WHERE h = 5) AS BIGINT) AS h5,
+       CAST(COUNT(*) FILTER (WHERE h = 6) AS BIGINT) AS h6,
+       CAST(COUNT(*) FILTER (WHERE h = 7) AS BIGINT) AS h7,
+       CAST(COUNT(*) FILTER (WHERE h = 8) AS BIGINT) AS h8,
+       CAST(COUNT(*) FILTER (WHERE h = 9) AS BIGINT) AS h9,
+       CAST(COUNT(*) FILTER (WHERE h = 10) AS BIGINT) AS h10,
+       CAST(COUNT(*) FILTER (WHERE h = 11) AS BIGINT) AS h11,
+       CAST(COUNT(*) FILTER (WHERE h = 12) AS BIGINT) AS h12,
+       CAST(COUNT(*) FILTER (WHERE h = 13) AS BIGINT) AS h13,
+       CAST(COUNT(*) FILTER (WHERE h = 14) AS BIGINT) AS h14,
+       CAST(COUNT(*) FILTER (WHERE h = 15) AS BIGINT) AS h15,
+       CAST(COUNT(*) FILTER (WHERE h = 16) AS BIGINT) AS h16,
+       CAST(COUNT(*) FILTER (WHERE h = 17) AS BIGINT) AS h17,
+       CAST(COUNT(*) FILTER (WHERE h = 18) AS BIGINT) AS h18,
+       CAST(COUNT(*) FILTER (WHERE h = 19) AS BIGINT) AS h19,
+       CAST(COUNT(*) FILTER (WHERE h = 20) AS BIGINT) AS h20,
+       CAST(COUNT(*) FILTER (WHERE h = 21) AS BIGINT) AS h21,
+       CAST(COUNT(*) FILTER (WHERE h = 22) AS BIGINT) AS h22,
+       CAST(COUNT(*) FILTER (WHERE h = 23) AS BIGINT) AS h23
+FROM e GROUP BY wd ORDER BY weekday
+"""
+
+
+@_register("events_hour_dow_heatmap", _HEATMAP_ORACLE)
+def events_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday x hour activity heatmap via the pivot API (0 = Monday,
+    matching DuckDB's isodow-1; Spark's weekday() uses the same
+    convention).
+
+    Scale: pivot with an EXPLICIT value list (0..23) — without it
+    Spark first runs a distinct job to discover pivot values, an
+    extra pass over the data. One shuffle on 7 weekday keys after
+    map-side partial aggregation of 7x24 cells per partition.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    e = t["events"].select(
+        F.weekday("ts").cast("long").alias("weekday"),
+        F.hour("ts").cast("int").alias("h"),
+    )
+    piv = e.groupBy("weekday").pivot("h", list(range(24))).count()
+    return piv.select(
+        "weekday",
+        *[F.coalesce(F.col(str(k)), F.lit(0)).cast("long").alias(f"h{k}") for k in range(24)],
+    ).orderBy("weekday")

@@ -34,6 +34,10 @@ _FIRST_NAMES = (
     "profile_column_stats",
     "agg_higher_moments",
     "events_hour_dow_heatmap",
+    "join_asof_tolerance",
+    "features_user_daily",
+    "tokenizer_vocab_coverage",
+    "dedup_minhash_estimate_quality",
     "contamination_decontaminate_apply",
     "scalar_bitwise_family",
     "nest_order_lines",

@@ -67,6 +67,8 @@ HEADLINE = [
     "nest_order_lines",
     "events_hour_dow_heatmap",
     "contamination_decontaminate_apply",
+    "features_user_daily",
+    "tokenizer_vocab_coverage",
     # graph_pagerank stays OUT of HEADLINE (build convention: tiny-data
     # iterative ops distort the headline number — ~90% of its wall time
     # is fixed per-iteration stage overhead, not data work). It remains

@@ -3559,3 +3559,228 @@ def contamination_decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary coverage (OOV accounting against a top-N vocab)
+# ---------------------------------------------------------------------------
+
+_VOCAB_TOP_N = 500
+
+_VOCAB_COVERAGE_ORACLE = f"""
+WITH words AS (
+    SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+),
+vocab AS (
+    SELECT word FROM (
+        SELECT word, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) AS rk
+        FROM words GROUP BY word
+    ) WHERE rk <= {_VOCAB_TOP_N}
+)
+SELECT w.source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (WHERE v.word IS NULL) AS BIGINT) AS oov_tokens,
+       CAST(COUNT(*) FILTER (WHERE v.word IS NULL) AS DOUBLE) / COUNT(*) AS oov_rate
+FROM words w LEFT JOIN vocab v ON v.word = w.word
+GROUP BY w.source
+ORDER BY w.source
+"""
+
+
+@_register("tokenizer_vocab_coverage", _VOCAB_COVERAGE_ORACLE)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: out-of-vocabulary token rate per
+    source against the corpus's own top-{_VOCAB_TOP_N} vocabulary —
+    the check run before fixing a tokenizer/vocab for training
+    (sources with high OOV either need vocab expansion or get
+    down-weighted).
+
+    Scale: the vocab is a global top-N of the word-count aggregate —
+    TakeOrderedAndProject over the (bounded-cardinality) vocabulary,
+    then BROADCAST to the word stream for a null-producing left probe;
+    the corpus-sized side never shuffles for the membership test, and
+    per-source accounting is one map-side-combinable aggregate.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    words = t["documents"].select(
+        "source", F.explode(F.split("text", " ", -1)).alias("word")
+    )
+    words = words.localCheckpoint(eager=False)
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "word")
+        .limit(_VOCAB_TOP_N)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "word", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("oov_tokens"),
+            (
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator quality (estimated vs exact Jaccard per candidate)
+# ---------------------------------------------------------------------------
+
+_MINHASH_EST_ORACLE = f"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           word || ' ' || LEAD(word, 1) OVER w || ' ' || LEAD(word, 2) OVER w AS shingle
+    FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    QUALIFY LEAD(word, 2) OVER w IS NOT NULL
+), ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+hashes AS (
+    SELECT doc_id, j,
+           MIN(substr(md5(CAST(j // 4 AS VARCHAR) || '|' || shingle),
+                      (j % 4) * 8 + 1, 8)) AS sig
+    FROM ds CROSS JOIN (SELECT unnest(range({N_MINHASH})) AS j)
+    GROUP BY doc_id, j
+), bands AS (
+    SELECT doc_id, j // {BAND_SIZE} AS band,
+           md5(MIN(sig) || '|' || MAX(sig)) AS band_key
+    FROM hashes GROUP BY doc_id, j // {BAND_SIZE}
+), cand AS (
+    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), agree AS (
+    SELECT c.d1, c.d2,
+           CAST(COUNT(*) FILTER (WHERE h1.sig = h2.sig) AS DOUBLE)
+           / {N_MINHASH} AS est_jaccard
+    FROM cand c
+    JOIN hashes h1 ON h1.doc_id = c.d1
+    JOIN hashes h2 ON h2.doc_id = c.d2 AND h2.j = h1.j
+    GROUP BY c.d1, c.d2
+), cnt AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+    FROM ds a
+    JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    JOIN cand c ON c.d1 = a.doc_id AND c.d2 = b.doc_id
+    GROUP BY 1, 2
+)
+SELECT g.d1, g.d2, g.est_jaccard,
+       CAST(COALESCE(m.n_common, 0) AS DOUBLE)
+       / (c1.n + c2.n - COALESCE(m.n_common, 0)) AS exact_jaccard,
+       ABS(g.est_jaccard - CAST(COALESCE(m.n_common, 0) AS DOUBLE)
+           / (c1.n + c2.n - COALESCE(m.n_common, 0))) AS abs_error
+FROM agree g
+LEFT JOIN common m ON m.d1 = g.d1 AND m.d2 = g.d2
+JOIN cnt c1 ON c1.doc_id = g.d1
+JOIN cnt c2 ON c2.doc_id = g.d2
+ORDER BY g.d1, g.d2
+"""
+
+
+@_register("dedup_minhash_estimate_quality", _MINHASH_EST_ORACLE)
+def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator audit for the MinHash pipeline: for every LSH
+    candidate pair, the signature-agreement Jaccard ESTIMATE
+    (matching minhashes / {N_MINHASH}) next to the EXACT shingle
+    Jaccard and the absolute error — the number that justifies (or
+    revokes) trusting the sketch instead of the exact verify at a
+    given threshold.
+
+    Scale: signatures are {N_MINHASH} fixed columns per doc (one
+    groupBy); the agreement join touches only candidate pairs (LSH-
+    bounded, never doc x doc), and the exact side reuses the verified
+    pipeline's semi-join restriction. This op is strictly diagnostic —
+    run on a sample at 100 TB, not the full corpus.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    ds = _shingles(t).localCheckpoint(eager=False)
+    with_md5 = ds.select(
+        "doc_id",
+        F.md5(F.concat_ws("|", F.lit("0"), "shingle")).alias("m0"),
+        F.md5(F.concat_ws("|", F.lit("1"), "shingle")).alias("m1"),
+    )
+    hcols = [
+        F.substring(F.col("m0") if j < 4 else F.col("m1"), (j % 4) * 8 + 1, 8).alias(f"h{j}")
+        for j in range(N_MINHASH)
+    ]
+    sigs = (
+        with_md5.select("doc_id", *hcols)
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{j}").alias(f"sig{j}") for j in range(N_MINHASH)])
+    ).localCheckpoint(eager=False)
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("long").alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.least(*[F.col(f"sig{j}") for j in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)]),
+                    F.greatest(*[F.col(f"sig{j}") for j in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)]),
+                )
+            ).alias("band_key"),
+        )
+        for b in range(N_MINHASH // BAND_SIZE)
+    ]
+    bands = sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    cand = (
+        bands.select(F.col("doc_id").alias("d1"), "band", "band_key")
+        .join(bands.select(F.col("doc_id").alias("d2"), "band", "band_key"), ["band", "band_key"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    ).localCheckpoint(eager=False)
+    s1 = sigs.select(F.col("doc_id").alias("d1"), *[F.col(f"sig{j}").alias(f"a{j}") for j in range(N_MINHASH)])
+    s2 = sigs.select(F.col("doc_id").alias("d2"), *[F.col(f"sig{j}").alias(f"b{j}") for j in range(N_MINHASH)])
+    n_agree = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(N_MINHASH)
+    )
+    est = (
+        cand.join(F.broadcast(s1), "d1")
+        .join(F.broadcast(s2), "d2")
+        .select("d1", "d2", (n_agree.cast("double") / F.lit(N_MINHASH)).alias("est_jaccard"))
+    )
+    cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ds.select(F.col("doc_id").alias("d1"), "shingle")
+    b = ds.select(F.col("doc_id").alias("d2"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("d1") < F.col("d2"))
+        .join(F.broadcast(cand), ["d1", "d2"], "left_semi")
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    exact = (
+        est.join(common, ["d1", "d2"], "left")
+        .join(F.broadcast(cnt.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))), "d1")
+        .join(F.broadcast(cnt.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))), "d2")
+        .select(
+            "d1",
+            "d2",
+            "est_jaccard",
+            (
+                F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
+                / (F.col("n1") + F.col("n2") - F.coalesce(F.col("n_common"), F.lit(0)))
+            ).alias("exact_jaccard"),
+        )
+        .select(
+            "d1",
+            "d2",
+            "est_jaccard",
+            "exact_jaccard",
+            F.abs(F.col("est_jaccard") - F.col("exact_jaccard")).alias("abs_error"),
+        )
+    )
+    return exact.orderBy("d1", "d2")

@@ -3937,3 +3937,157 @@ def events_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weekday",
         *[F.coalesce(F.col(str(k)), F.lit(0)).cast("long").alias(f"h{k}") for k in range(24)],
     ).orderBy("weekday")
+
+
+# ---------------------------------------------------------------------------
+# As-of join with staleness tolerance (feature-store freshness gate)
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_ORACLE = """
+WITH day_orders AS (
+    SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS day_max_price
+    FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id,
+       CASE WHEN d.o_orderdate >= e.ts - INTERVAL 30 DAY
+            THEN d.o_orderdate END AS asof_orderdate,
+       CASE WHEN d.o_orderdate >= e.ts - INTERVAL 30 DAY
+            THEN d.day_max_price END AS day_max_price,
+       CAST(CASE WHEN d.o_orderdate >= e.ts - INTERVAL 30 DAY
+                 THEN 1 ELSE 0 END AS BIGINT) AS fresh
+FROM events e
+ASOF LEFT JOIN day_orders d
+  ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+ORDER BY e.event_id
+"""
+
+
+@_register("join_asof_tolerance", _ASOF_TOL_ORACLE)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 30-day staleness tolerance: every event keeps
+    its row (left semantics), but a matched state OLDER than the
+    tolerance is nulled out — the feature-store freshness rule ("use
+    the last known value unless it has gone stale").
+
+    Scale: identical union + running-last-value plan to ``join_asof``
+    (one shuffle on the key, no quadratic join); the tolerance is a
+    post-projection CASE, free. Left semantics come from keeping
+    unmatched events instead of filtering them.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    day_orders = (
+        t["orders"]
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate"))
+        .agg(F.max("o_totalprice").alias("day_max_price"))
+    )
+    o_side = day_orders.select(
+        "user_id",
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderdate"),
+        "day_max_price",
+    )
+    e_side = t["events"].select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("date").alias("o_orderdate"),
+        F.lit(None).cast("double").alias("day_max_price"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = o_side.unionByName(e_side).select(
+        "event_id",
+        "user_id",
+        "is_event",
+        F.col("t"),
+        F.last("o_orderdate", ignorenulls=True).over(w).alias("raw_date"),
+        F.last("day_max_price", ignorenulls=True).over(w).alias("raw_price"),
+    )
+    fresh = F.col("raw_date").isNotNull() & (
+        F.col("raw_date") >= F.col("t") - F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        merged.filter(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.when(fresh, F.col("raw_date")).alias("asof_orderdate"),
+            F.when(fresh, F.col("raw_price")).alias("day_max_price"),
+            F.when(fresh, 1).otherwise(0).cast("long").alias("fresh"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature engineering: per-user daily activity with layered windows
+# ---------------------------------------------------------------------------
+
+_FEATURES_DAILY_ORACLE = """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS activity_day,
+           CAST(COUNT(*) AS BIGINT) AS n_day,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v_day
+    FROM events GROUP BY 1, 2
+)
+SELECT user_id, CAST(activity_day AS VARCHAR) AS activity_day, n_day,
+       CAST(SUM(n_day) OVER (
+            PARTITION BY user_id ORDER BY activity_day - DATE '1970-01-01'
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d,
+       CAST(SUM(CAST(v_day AS DECIMAL(38,6))) OVER (
+            PARTITION BY user_id ORDER BY activity_day - DATE '1970-01-01'
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS v_7d,
+       CAST(SUM(n_day) OVER (
+            PARTITION BY user_id ORDER BY activity_day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_lifetime
+FROM daily
+ORDER BY user_id, activity_day
+"""
+
+
+@_register("features_user_daily", _FEATURES_DAILY_ORACLE)
+def features_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-feature export: per user-day activity with layered
+    windows — same-day count, 7-day rolling count/value (RANGE frame
+    over day numbers, so gaps in activity shorten the window
+    correctly), and lifetime running count. The standard point-in-time
+    feature table a trainer joins on (user_id, day).
+
+    Scale: one pre-aggregation to user-days collapses the event
+    stream before any window runs; all three windows share the single
+    user_id partitioning (one shuffle total). Rolling sums of doubles
+    go through the decimal accumulator so a repartition cannot change
+    a feature value.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    daily = (
+        t["events"]
+        .groupBy("user_id", F.col("ts").cast("date").alias("activity_day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_day"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("v_day"),
+        )
+    )
+    day_num = F.datediff("activity_day", F.lit("1970-01-01"))
+    w7 = (
+        Window.partitionBy("user_id").orderBy(day_num).rangeBetween(-6, Window.currentRow)
+    )
+    wlife = (
+        Window.partitionBy("user_id")
+        .orderBy("activity_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        F.col("activity_day").cast("string").alias("activity_day"),
+        "n_day",
+        F.sum("n_day").over(w7).cast("long").alias("n_7d"),
+        F.sum(F.col("v_day").cast(DEC)).over(w7).cast("double").alias("v_7d"),
+        F.sum("n_day").over(wlife).cast("long").alias("n_lifetime"),
+    ).orderBy("user_id", "activity_day")

@@ -36,6 +36,10 @@ _FIRST_NAMES = (
     "events_hour_dow_heatmap",
     "join_asof_tolerance",
     "features_user_daily",
+    "attribution_last_touch",
+    "multimodal_pipeline_prep",
+    "agg_grouping_id",
+    "array_set_ops_pairs",
     "tokenizer_vocab_coverage",
     "dedup_minhash_estimate_quality",
     "contamination_decontaminate_apply",

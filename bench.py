@@ -69,6 +69,8 @@ HEADLINE = [
     "contamination_decontaminate_apply",
     "features_user_daily",
     "tokenizer_vocab_coverage",
+    "attribution_last_touch",
+    "multimodal_pipeline_prep",
     # graph_pagerank stays OUT of HEADLINE (build convention: tiny-data
     # iterative ops distort the headline number — ~90% of its wall time
     # is fixed per-iteration stage overhead, not data work). It remains

@@ -3784,3 +3784,71 @@ def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     return exact.orderBy("d1", "d2")
+
+
+# ---------------------------------------------------------------------------
+# Array set algebra over document vocabularies (adjacent-pair overlap)
+# ---------------------------------------------------------------------------
+
+_ARRAY_SETOPS_ORACLE = """
+WITH w AS (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+n AS (SELECT doc_id, COUNT(*) AS n_words FROM w GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS d1, a.doc_id + 1 AS d2
+    FROM (SELECT DISTINCT doc_id FROM w) a
+    WHERE a.doc_id % 2 = 0
+      AND EXISTS (SELECT 1 FROM n WHERE n.doc_id = a.doc_id + 1)
+),
+shared AS (
+    SELECT p.d1, p.d2, COUNT(*) AS n_shared
+    FROM pairs p
+    JOIN w w1 ON w1.doc_id = p.d1
+    JOIN w w2 ON w2.doc_id = p.d2 AND w2.word = w1.word
+    GROUP BY p.d1, p.d2
+)
+SELECT p.d1, p.d2,
+       CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(n1.n_words + n2.n_words - COALESCE(s.n_shared, 0) AS BIGINT) AS n_union,
+       CAST(n1.n_words - COALESCE(s.n_shared, 0) AS BIGINT) AS n_only_first
+FROM pairs p
+LEFT JOIN shared s ON s.d1 = p.d1 AND s.d2 = p.d2
+JOIN n n1 ON n1.doc_id = p.d1
+JOIN n n2 ON n2.doc_id = p.d2
+ORDER BY p.d1
+"""
+
+
+@_register("array_set_ops_pairs", _ARRAY_SETOPS_ORACLE)
+def array_set_ops_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary overlap of adjacent document pairs via Spark's
+    native array set algebra — ``array_intersect`` / ``array_union``
+    / ``array_except`` on deduplicated word arrays, entirely in
+    codegen (the oracle replays the same set counts relationally).
+
+    Scale: the arrays stay inside each joined row — set ops are
+    per-row kernels, no explode, no extra shuffle beyond the pair
+    equi join on doc_id. Word sets are bounded by document length;
+    for megabyte documents, switch to the exploded relational form
+    (what the oracle does) which shuffles words but never widens rows.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    docs = t["documents"].select(
+        "doc_id", F.array_distinct(F.split("text", " ", -1)).alias("ws")
+    )
+    left = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("d1"), F.col("ws").alias("w1")
+    )
+    right = docs.select((F.col("doc_id") - 1).alias("d1"), F.col("doc_id").alias("d2"), F.col("ws").alias("w2"))
+    return (
+        left.join(right, "d1")
+        .select(
+            "d1",
+            "d2",
+            F.size(F.array_intersect("w1", "w2")).cast("long").alias("n_shared"),
+            F.size(F.array_union("w1", "w2")).cast("long").alias("n_union"),
+            F.size(F.array_except("w1", "w2")).cast("long").alias("n_only_first"),
+        )
+        .orderBy("d1")
+    )

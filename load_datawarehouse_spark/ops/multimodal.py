@@ -708,3 +708,81 @@ def multimodal_decode_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(_decode_real_batches, schema=_DECODE_REAL_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_pipeline_prep — capstone: dedup -> caption gate -> shard pack
+# ---------------------------------------------------------------------------
+
+_MM_PIPELINE_ORACLE = f"""
+WITH m AS (
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+               AS media_type,
+           md5(text) AS content_md5,
+           CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+           len(string_split(text, ' ')) AS caption_words
+    FROM documents
+),
+keepers AS (
+    SELECT content_md5, MIN(doc_id) AS doc_id
+    FROM m WHERE media_type = 'image'
+    GROUP BY content_md5
+),
+gated AS (
+    SELECT m.doc_id, m.n_bytes, CAST(m.caption_words AS BIGINT) AS caption_words
+    FROM m JOIN keepers k ON k.doc_id = m.doc_id
+    WHERE m.caption_words BETWEEN 5 AND 1000
+)
+SELECT doc_id, n_bytes, caption_words,
+       CAST((SUM(n_bytes) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - 1)
+            // {{shard_bytes}} AS BIGINT) AS shard_id
+FROM gated ORDER BY doc_id
+""".format(shard_bytes=SHARD_BYTES)
+
+
+@_register("multimodal_pipeline_prep", _MM_PIPELINE_ORACLE)
+def multimodal_pipeline_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal capstone, ONE composed plan: exact payload dedup
+    (digest keeper election) -> caption usability gate -> webdataset
+    shard assignment for the surviving (image, caption) pairs — the
+    counterpart of ``pipeline_training_prep_v2`` for the media side.
+
+    Scale: every stage is metadata-shaped after the initial JVM-side
+    digest: the keeper election shuffles 16-byte digests, the caption
+    gate is a narrow filter, and the shard cumsum reads only byte
+    counts — payload bytes never enter a shuffle. The final global
+    shard window totals one row per kept image (see
+    ``multimodal_shard_packing`` for the per-modality variant; a
+    production packer sub-shards by hash prefix for parallel writers).
+    """
+    m = media_table(spark, sf_dir).select(
+        "doc_id",
+        "media_type",
+        F.md5("content").alias("content_md5"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    captions = docs.select(
+        F.col("doc_id").alias("cap_doc_id"),
+        F.size(F.split("text", " ", -1)).cast("long").alias("caption_words"),
+    )
+    keepers = (
+        m.filter(F.col("media_type") == "image")
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    gated = (
+        m.join(keepers, "doc_id", "left_semi")
+        .join(captions, F.col("doc_id") == F.col("cap_doc_id"))
+        .filter(F.col("caption_words").between(5, 1000))
+        .select("doc_id", "n_bytes", "caption_words")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        gated.withColumn(
+            "shard_id", F.floor((F.sum("n_bytes").over(w) - 1) / SHARD_BYTES).cast("long")
+        )
+        .orderBy("doc_id")
+    )

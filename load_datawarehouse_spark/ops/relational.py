@@ -4091,3 +4091,127 @@ def features_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("v_day").cast(DEC)).over(w7).cast("double").alias("v_7d"),
         F.sum("n_day").over(wlife).cast("long").alias("n_lifetime"),
     ).orderBy("user_id", "activity_day")
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution (purchase -> latest click within 7 days)
+# ---------------------------------------------------------------------------
+
+_ATTRIBUTION_ORACLE = """
+WITH clicks AS (
+    SELECT user_id, ts, MAX(event_id) AS click_id
+    FROM events WHERE event_type = 'click'
+    GROUP BY user_id, ts
+),
+purchases AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id,
+       CASE WHEN c.ts >= p.ts - INTERVAL 7 DAY THEN c.click_id END
+           AS attributed_click_id,
+       CAST(CASE WHEN c.ts >= p.ts - INTERVAL 7 DAY THEN 1 ELSE 0 END AS BIGINT)
+           AS attributed
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
+@_register("attribution_last_touch", _ATTRIBUTION_ORACLE)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase credits the
+    LATEST click by the same user within a 7-day lookback, else stays
+    unattributed — the canonical conversion-credit query.
+
+    Scale: union + running-last-value over one user_id shuffle (the
+    big-big as-of pattern, cf. ``join_asof``); clicks collapse to one
+    row per (user, instant) with a MAX tiebreak first so the
+    attribution is deterministic under simultaneous clicks. The
+    lookback is a post-projection CASE.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    ev = t["events"]
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select(
+            "user_id",
+            F.col("ts").alias("t"),
+            F.lit(0).alias("is_purchase"),
+            F.lit(None).cast("long").alias("event_id"),
+            "click_id",
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_purchase"),
+        "event_id",
+        F.lit(None).cast("long").alias("click_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_purchase")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).select(
+        "event_id",
+        "user_id",
+        "is_purchase",
+        "t",
+        F.last("click_id", ignorenulls=True).over(w).alias("raw_click_id"),
+        F.max(F.when(F.col("is_purchase") == 0, F.col("t"))).over(w).alias("raw_click_ts"),
+    )
+    fresh = F.col("raw_click_ts").isNotNull() & (
+        F.col("raw_click_ts") >= F.col("t") - F.expr("INTERVAL 7 DAYS")
+    )
+    return (
+        merged.filter(F.col("is_purchase") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.when(fresh, F.col("raw_click_id")).alias("attributed_click_id"),
+            F.when(fresh, 1).otherwise(0).cast("long").alias("attributed"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING_ID-labelled rollup (machine-readable subtotal levels)
+# ---------------------------------------------------------------------------
+
+_GROUPING_ID_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
+@_register("agg_grouping_id", _GROUPING_ID_ORACLE)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with ``grouping_id()`` labels — the bitmask (one bit per
+    grouping column, 1 = aggregated away) that lets a consumer filter
+    subtotal levels without NULL-sentinel ambiguity (a NULL key value
+    vs a rolled-up level are indistinguishable otherwise). Spark and
+    DuckDB use the same listed-column bit order.
+
+    Scale: single rollup aggregation — partial aggregates combine
+    map-side across all levels in one shuffle."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            dec_sum("l_quantity", "sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty")
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )

@@ -352,3 +352,26 @@ def test_profile_is_single_scan(spark):
     plan = _plan(relational.profile_column_stats(spark, SF_DIR))
     assert plan.count("Scan parquet") == 1
     assert "Expand" in plan  # multi-distinct planned, not multiplied scans
+
+
+def test_attribution_is_single_user_shuffle(spark):
+    # union + running-last-value: one hash shuffle on user_id, no join
+    plan = _plan(relational.attribution_last_touch(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_coverage_broadcasts_vocab(spark):
+    # the top-N vocab must broadcast; the corpus word stream must not
+    # shuffle for the membership probe; top-N is TakeOrdered
+    plan = _plan(llm.tokenizer_vocab_coverage(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_features_windows_share_partitioning(spark):
+    # daily pre-agg + all three windows: the window stage must reuse
+    # one user_id partitioning (no extra exchange per window spec)
+    plan = _plan(relational.features_user_daily(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in plan

@@ -234,3 +234,68 @@ def test_doc_counts_match_registry():
         assert int(m.group(1)) == n, (
             f"{path} claims {m.group(1)} registered queries; registry has {n}"
         )
+
+
+@given(
+    st.lists(
+        st.floats(allow_nan=False, allow_infinity=False, width=32), min_size=1, max_size=40
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_rolling_median_formula_matches_statistics(values):
+    """window_moving_median's two-middle-elements formula over a sorted
+    frame must equal the textbook median on every frame size (odd
+    frames degrade to the exact element, even frames to the midpoint
+    average)."""
+    import statistics
+
+    for end in range(1, len(values) + 1):
+        frame = sorted(float(v) for v in values[max(0, end - 7):end])
+        n = len(frame)
+        lo = frame[(n + 1) // 2 - 1]
+        hi = frame[n // 2]
+        got = (lo + hi) / 2.0
+        assert got == statistics.median(frame)
+
+
+@given(st.lists(st.sampled_from("abcd"), min_size=1, max_size=64), st.integers(2, 5))
+@settings(max_examples=80, deadline=None)
+def test_intradoc_segment_dedup_invariants(words, width):
+    """Pure-python model of dedup_intradoc_segments: keep-first segment
+    dedup must preserve relative order, keep every distinct segment
+    exactly once, and be idempotent."""
+    segs = [
+        " ".join(words[i : i + width]) for i in range(0, len(words), width)
+    ]
+
+    def dedup(xs):
+        seen, out = set(), []
+        for s in xs:
+            if s not in seen:
+                seen.add(s)
+                out.append(s)
+        return out
+
+    kept = dedup(segs)
+    assert len(kept) == len(set(segs))
+    assert dedup(kept) == kept
+    # relative order preserved: kept is a subsequence of segs
+    it = iter(segs)
+    assert all(any(s == t for t in it) for s in kept)
+
+
+@given(
+    st.lists(st.floats(min_value=-0.625, max_value=0.625, width=32), min_size=4, max_size=64)
+)
+@settings(max_examples=60, deadline=None)
+def test_sq_quantization_bounds_and_monotonicity(vec):
+    """similarity_sq_topk's quantizer floor(x*200) must stay in int8
+    range for |x| < 0.64 and preserve order (monotone non-decreasing),
+    so integer-dot candidate ranking cannot invert on ties created by
+    overflow or wraparound."""
+    import math
+
+    q = [math.floor(float(x) * 200.0) for x in vec]
+    assert all(-128 <= v <= 127 for v in q)
+    for a, b in zip(sorted(float(x) for x in vec), sorted(q)):
+        assert math.floor(a * 200.0) == b  # sorting commutes with quantization

@@ -38,6 +38,7 @@ _FIRST_NAMES = (
     "features_user_daily",
     "attribution_last_touch",
     "multimodal_pipeline_prep",
+    "source_formats_roundtrip",
     "agg_grouping_id",
     "array_set_ops_pairs",
     "tokenizer_vocab_coverage",

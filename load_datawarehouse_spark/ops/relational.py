@@ -4215,3 +4215,66 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty")
         .orderBy("gid", "l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Source/sink format round-trip under the correctness gate (S14 evidence)
+# ---------------------------------------------------------------------------
+
+_FORMATS_RT_ORACLE = """
+WITH base AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+    FROM lineitem WHERE l_orderkey < 100
+)
+SELECT fmt, n_rows, sum_price FROM base
+CROSS JOIN (SELECT UNNEST(['csv', 'json', 'orc']) AS fmt)
+ORDER BY fmt
+"""
+
+
+@_register("source_formats_roundtrip", _FORMATS_RT_ORACLE)
+def source_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 under the driver gate: one lineitem slice written and read
+    back through csv, json, and orc via ``sources.write_table`` /
+    ``read_table`` (explicit schema on the way back in — no inference
+    pass), then aggregated identically. Any format that loses rows,
+    mangles a double, or shifts a date breaks the hash against the
+    parquet-derived oracle.
+
+    Scale: formats differ wildly at 100 TB — columnar orc/parquet
+    scan with pushdown + pruning; csv/json are row-blobs that must be
+    fully parsed (keep them at the ingest edge only). The round-trip
+    slice here is deliberately small; the format machinery, not the
+    volume, is under test.
+    """
+    import shutil
+    import tempfile
+
+    from load_datawarehouse_spark.sources import read_table, write_table
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    base = (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") < 100)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+    )
+    root = tempfile.mkdtemp(prefix="ldw_fmt_")
+    try:
+        frames = []
+        for fmt in ("csv", "json", "orc"):
+            path = os.path.join(root, fmt)
+            write_table(base, path, fmt=fmt)
+            back = read_table(spark, path, fmt=fmt, schema=base.schema)
+            frames.append(
+                back.agg(
+                    F.lit(fmt).alias("fmt"),
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    dec_sum("l_extendedprice", "sum_price"),
+                )
+            )
+        out = frames[0].unionByName(frames[1]).unionByName(frames[2]).orderBy("fmt")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

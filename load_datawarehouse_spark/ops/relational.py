@@ -4278,3 +4278,126 @@ def source_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting on the supplier co-order graph
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = """
+WITH edges AS (
+    SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+    FROM lineitem a
+    JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+wedges AS (
+    SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+    FROM edges e1 JOIN edges e2 ON e2.s1 = e1.s2
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM wedges) AS n_wedges,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM wedges w JOIN edges e3 ON e3.s1 = w.a AND e3.s2 = w.c) AS n_triangles
+"""
+
+
+@_register("graph_triangle_count", _TRIANGLE_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting over the supplier co-order graph
+    (suppliers adjacent when they serve the same order) — the
+    clustering-structure primitive behind community detection and
+    spam-graph analysis.
+
+    The canonical a<b orientation makes every triangle countable
+    exactly once via wedge + closing-edge equi joins (never an
+    all-pairs product). Scale: edge construction is bounded by
+    lines-per-order (k lines -> k(k-1)/2 pairs, k~7); the wedge join
+    is the textbook skew point — production triangle counting orients
+    edges low-degree -> high-degree so each wedge is enumerated at
+    its LOWEST-degree vertex, bounding per-node fanout (the a<b key
+    orientation here stands in for that on the test graph's bounded
+    degrees).
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    li = t["lineitem"].select("l_orderkey", "l_suppkey")
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("s1"))
+    b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("s2"))
+    edges = (
+        a.join(b, (F.col("l_orderkey") == F.col("ok2")) & (F.col("s1") < F.col("s2")))
+        .select("s1", "s2")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    wedges = edges.select(F.col("s1").alias("a"), F.col("s2").alias("b")).join(
+        edges.select(F.col("s1").alias("b"), F.col("s2").alias("c")), "b"
+    )
+    closed = wedges.join(
+        edges.select(F.col("s1").alias("a"), F.col("s2").alias("c")), ["a", "c"]
+    )
+    n_edges = edges.count()
+    n_wedges = wedges.count()
+    n_triangles = closed.count()
+    return spark.createDataFrame(
+        [(n_edges, n_wedges, n_triangles)],
+        "n_edges long, n_wedges long, n_triangles long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences
+# ---------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+    FROM events
+),
+trans AS (
+    SELECT event_type AS prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+),
+tot AS (SELECT prev_type, SUM(n) AS total FROM trans GROUP BY prev_type)
+SELECT t.prev_type, t.next_type, t.n,
+       CAST(t.n AS DOUBLE) / tot.total AS p
+FROM trans t JOIN tot ON tot.prev_type = t.prev_type
+ORDER BY t.prev_type, t.next_type
+"""
+
+
+@_register("markov_event_transitions", _MARKOV_ORACLE)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    consecutive event pair within a user's timeline, the transition
+    count and conditional probability P(next | prev) — the behavioral
+    fingerprint behind journey analysis and bot detection.
+
+    Scale: one user_id shuffle for the LEAD window (total order via
+    the event_id tiebreak), then a bounded |event_types|^2 aggregate;
+    the per-prev normalizer is a broadcast of at most |event_types|
+    rows. The probability is one integer-over-integer division,
+    identical in both engines.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    trans = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("prev_type"), "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = trans.groupBy(F.col("prev_type").alias("tp")).agg(F.sum("n").alias("total"))
+    return (
+        trans.join(F.broadcast(tot), F.col("prev_type") == F.col("tp"))
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            (F.col("n").cast("double") / F.col("total")).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

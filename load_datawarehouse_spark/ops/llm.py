@@ -1486,9 +1486,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, register_views=False)
     docs = t["documents"]
     words = docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("term"))
-    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # lineage cut: tf feeds the df aggregate, the doc-count, and the
+    # scoring join — one corpus scan instead of three
+    tf = (
+        words.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    n_docs = tf.select(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
         tf.join(df, "term")
         .crossJoin(F.broadcast(n_docs))
@@ -1812,7 +1818,13 @@ def contamination_ngram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, register_views=False)
     base = t["documents"].select("doc_id", "source", F.split("text", " ", -1).alias("w"))
     grams = _word_ngrams(F.col("w"), _CONTAM_N, hashed=True)
-    d = base.select("doc_id", "source", F.explode(grams).alias("gram")).distinct()
+    # lineage cut: d feeds the eval-gram build AND the training probe —
+    # one corpus scan instead of two
+    d = (
+        base.select("doc_id", "source", F.explode(grams).alias("gram"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     is_eval = F.col("source").isin(*_CONTAM_EVAL_SOURCES)
     ev = d.filter(is_eval).select("gram").distinct()
     return (
@@ -2328,7 +2340,11 @@ def lm_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (high cardinality, balanced). Integer sums only."""
     t = load_tables(spark, sf_dir, register_views=False)
     base = t["documents"].select("doc_id", F.split("text", " ", -1).alias("w"))
-    bg = base.select("doc_id", F.explode(_word_ngrams(F.col("w"), 2)).alias("bigram"))
+    # lineage cut: bg feeds the count table AND the scoring join — one
+    # corpus scan instead of two
+    bg = base.select(
+        "doc_id", F.explode(_word_ngrams(F.col("w"), 2)).alias("bigram")
+    ).localCheckpoint(eager=False)
     cnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
     return (
         bg.join(cnt, "bigram")
@@ -2840,7 +2856,13 @@ def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
         "doc_id", "source", F.split("text", " ", -1).alias("w")
     )
     grams = _word_ngrams(F.col("w"), _BLOOM_N, hashed=True)
-    d = base.select("doc_id", "source", F.explode(grams).alias("gram")).distinct()
+    # lineage cut: d feeds the eval-gram build AND the training probe —
+    # one corpus scan instead of two
+    d = (
+        base.select("doc_id", "source", F.explode(grams).alias("gram"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     is_eval = F.col("source").isin(*_CONTAM_EVAL_SOURCES)
     ev = d.filter(is_eval).select("gram").distinct()
     ev = ev.localCheckpoint(eager=False)  # reused: bloom build + exact verify
@@ -3451,7 +3473,12 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, register_views=False)
     docs = t["documents"]
     base = docs.select("doc_id", F.split("text", " ", -1).alias("w"))
-    bg = base.select("doc_id", F.explode(_word_ngrams(F.col("w"), 2)).alias("bigram"))
+    # one documents scan: the bigram stream feeds BOTH the count table
+    # and the per-doc scoring join (without the cut, Catalyst re-derives
+    # the explode per consumer -> 3 scans of the corpus)
+    bg = base.select(
+        "doc_id", F.explode(_word_ngrams(F.col("w"), 2)).alias("bigram")
+    ).localCheckpoint(eager=False)
     cnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
     scored = (
         bg.join(cnt, "bigram")
@@ -3531,7 +3558,13 @@ def contamination_decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataF
     )
     is_eval = F.col("source").isin(*_CONTAM_EVAL_SOURCES)
     grams = _word_ngrams(F.col("w"), _CONTAM_N, hashed=True)
-    d = base.select("doc_id", "source", F.explode(grams).alias("gram")).distinct()
+    # one corpus scan: the distinct gram table feeds the eval-gram build
+    # AND the training-side probe
+    d = (
+        base.select("doc_id", "source", F.explode(grams).alias("gram"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     ev = d.filter(is_eval).select("gram").distinct()
     flagged = (
         d.filter(~is_eval)

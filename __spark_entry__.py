@@ -42,6 +42,9 @@ _FIRST_NAMES = (
     "source_formats_roundtrip",
     "graph_triangle_count",
     "markov_event_transitions",
+    "events_anomaly_zscore",
+    "rfm_segmentation",
+    "abc_pareto_analysis",
     "agg_grouping_id",
     "array_set_ops_pairs",
     "tokenizer_vocab_coverage",

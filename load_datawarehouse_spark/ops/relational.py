@@ -4401,3 +4401,203 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user z-score anomaly detection (exact moments, flagged outliers)
+# ---------------------------------------------------------------------------
+
+_ZSCORE_ORACLE = """
+WITH stats AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+    FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, e.value,
+       (e.value - s.s1 / s.n)
+       / SQRT(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)) AS zscore
+FROM events e JOIN stats s ON s.user_id = e.user_id
+WHERE s.n >= 10
+  AND s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n) > 0
+  AND ABS((e.value - s.s1 / s.n)
+          / SQRT(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n))) > 2.5
+ORDER BY e.event_id
+"""
+
+
+@_register("events_anomaly_zscore", _ZSCORE_ORACLE)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user outlier events: |z| > 2.5 against the user's own
+    value distribution (population moments from exact decimal sums,
+    so the flag set is partitioning-proof — a float boundary case can
+    never flip between cluster sizes). Users with under 10 events or
+    zero variance are skipped.
+
+    Scale: one groupBy(user_id) for moments, one join back keyed the
+    same way — the stats side is one row per user and the join reuses
+    the aggregation's partitioning. The z formula is written with the
+    identical operation order in both engines.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    ev = t["events"]
+    stats = ev.groupBy(F.col("user_id").alias("su")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast(DEC)).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        ev.join(stats, F.col("user_id") == F.col("su"))
+        .filter((F.col("n") >= 10) & (var > 0) & (F.abs(z) > 2.5))
+        .select("event_id", "user_id", "value", z.alias("zscore"))
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quartiles)
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH base AS (
+    SELECT o_custkey,
+           MAX(o_orderdate) AS last_order,
+           CAST(COUNT(*) AS BIGINT) AS frequency,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS monetary
+    FROM orders GROUP BY o_custkey
+),
+scored AS (
+    SELECT o_custkey, last_order, frequency, monetary,
+           NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+           NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+           NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+    FROM base
+)
+SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS rfm_segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(monetary AS DECIMAL(38,6))) AS DOUBLE) AS segment_revenue
+FROM scored
+GROUP BY r * 100 + f * 10 + m
+ORDER BY rfm_segment
+"""
+
+
+@_register("rfm_segmentation", _RFM_ORACLE)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: customers quartiled on recency, frequency,
+    and monetary value (1 = best), rolled into the classic 3-digit
+    segment code with per-segment revenue — the marketing-warehouse
+    staple.
+
+    Scale: the quartile NTILEs run over ONE ROW PER CUSTOMER (the
+    order stream is pre-collapsed), with unique tiebreaks so segment
+    assignment is total-order deterministic. Like
+    quality_perplexity_buckets, the global NTILE's single-partition
+    sort is the documented cost: at 100 TB swap for approx_percentile
+    cutpoints (approximate quartile boundaries, linear pipeline).
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    base = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("monetary"),
+        )
+    )
+    scored = base.select(
+        "monetary",
+        F.ntile(4).over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))).alias("r"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))).alias("f"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))).alias("m"),
+    )
+    return (
+        scored.groupBy(
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("long").alias("rfm_segment")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(F.col("monetary").cast(DEC)).cast("double").alias("segment_revenue"),
+        )
+        .orderBy("rfm_segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto analysis (cumulative revenue share classification)
+# ---------------------------------------------------------------------------
+
+_ABC_ORACLE = """
+WITH rev AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DECIMAL(38,6))
+               AS revenue
+    FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT SUM(revenue) AS total FROM rev),
+ranked AS (
+    SELECT l_partkey, revenue,
+           SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) AS running
+    FROM rev
+),
+classed AS (
+    SELECT CASE WHEN running * 100 <= total * 80 THEN 'A'
+                WHEN running * 100 <= total * 95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           revenue
+    FROM ranked, tot
+)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(CAST(SUM(revenue) AS DECIMAL(38,6)) AS DOUBLE) AS class_revenue
+FROM classed GROUP BY abc_class ORDER BY abc_class
+"""
+
+
+@_register("abc_pareto_analysis", _ABC_ORACLE)
+def abc_pareto_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto inventory classification: parts bucketed A/B/C at
+    80% / 95% cumulative revenue share. The share test is EXACT
+    integer-scaled decimal arithmetic (``running*100 <= total*80``) —
+    a float division at the class boundary would make boundary parts
+    engine- and partitioning-dependent.
+
+    Scale: per-part revenue is one map-side-combined aggregate; the
+    running cumsum orders one row per part (like RFM, swap the exact
+    global window for quantile cutpoints at extreme cardinality).
+    The 1-row total broadcasts.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    rev = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC).alias("revenue"))
+    )
+    tot = rev.agg(F.sum("revenue").cast(DEC).alias("total"))
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.select(
+        "l_partkey", "revenue", F.sum("revenue").over(w).cast(DEC).alias("running")
+    )
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        "revenue",
+        F.when(F.col("running") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("running") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("revenue").cast(DEC).cast("double").alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )

@@ -45,6 +45,9 @@ _FIRST_NAMES = (
     "events_anomaly_zscore",
     "rfm_segmentation",
     "abc_pareto_analysis",
+    "warehouse_incremental_view",
+    "funnel_time_to_convert",
+    "basket_affinity_lift",
     "agg_grouping_id",
     "array_set_ops_pairs",
     "tokenizer_vocab_coverage",

@@ -4601,3 +4601,233 @@ def abc_pareto_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance (additive agg merged with a delta batch)
+# ---------------------------------------------------------------------------
+
+_IVM_SPLIT_DATE = "2024-06-01"
+
+_IVM_ORACLE = f"""
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_custkey < 200
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
+@_register("warehouse_incremental_view", _IVM_ORACLE)
+def warehouse_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a per-customer revenue aggregate
+    is materialized into a SparkWarehouse table from the history
+    BEFORE {_IVM_SPLIT_DATE}, then a delta batch (orders on/after the
+    split) is aggregated ALONE and merged additively via the update
+    verb — counts add, sums add in decimal. The oracle recomputes the
+    view from scratch: incremental == full is the IVM correctness
+    contract that lets a 100-TB warehouse refresh an aggregate by
+    touching only the day's delta.
+
+    Scale: the delta aggregate is delta-sized; the merge is the R3
+    upsert (one key shuffle over view rows, not fact rows). Additive
+    aggregates (count/sum) maintain exactly; non-additive ones (exact
+    distinct, median) need auxiliary state — use sketches there.
+    """
+    import shutil
+    import tempfile
+
+    from load_datawarehouse_spark.warehouse import SparkWarehouse
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    orders = t["orders"].filter(F.col("o_custkey") < 200)
+    split = F.lit(_IVM_SPLIT_DATE).cast("date")
+
+    def agg_view(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"),
+        )
+
+    base = agg_view(orders.filter(F.col("o_orderdate") < split))
+    delta = agg_view(orders.filter(F.col("o_orderdate") >= split))
+    root = tempfile.mkdtemp(prefix="ldw_ivm_")
+    try:
+        wh = SparkWarehouse.new(
+            spark,
+            root,
+            "rev_view",
+            data=[r.asDict() for r in base.collect()],
+        )
+        merged = (
+            wh.df()
+            .select("o_custkey", "n_orders", "rev_dec")
+            .join(
+                delta.select(
+                    F.col("o_custkey").alias("dk"),
+                    F.col("n_orders").alias("d_n"),
+                    F.col("rev_dec").alias("d_rev"),
+                ),
+                F.col("o_custkey") == F.col("dk"),
+                "full_outer",
+            )
+            .select(
+                F.coalesce("o_custkey", "dk").alias("o_custkey"),
+                (
+                    F.coalesce("n_orders", F.lit(0)) + F.coalesce("d_n", F.lit(0))
+                ).cast("long").alias("n_orders"),
+                (
+                    F.coalesce(F.col("rev_dec"), F.lit(0).cast(DEC))
+                    + F.coalesce(F.col("d_rev"), F.lit(0).cast(DEC))
+                ).alias("rev_dec"),
+            )
+        )
+        wh.update([r.asDict() for r in merged.collect()], keys=["o_custkey"])
+        out = (
+            wh.df()
+            .select(
+                "o_custkey",
+                F.col("n_orders").cast("long").alias("n_orders"),
+                F.col("rev_dec").cast(DEC).cast("double").alias("revenue"),
+            )
+            .orderBy("o_custkey")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Funnel timing: time-to-convert distribution
+# ---------------------------------------------------------------------------
+
+_TTC_ORACLE = """
+WITH firsts AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+    FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(date_diff('second', first_view, first_purchase) AS BIGINT)
+           AS seconds_to_convert
+FROM firsts
+WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+  AND first_purchase >= first_view
+ORDER BY user_id
+"""
+
+
+@_register("funnel_time_to_convert", _TTC_ORACLE)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency: seconds from a user's FIRST view to their
+    FIRST purchase (users who purchased before ever viewing are
+    excluded as attribution noise) — the timing companion to
+    funnel_conversion.
+
+    Scale: conditional MIN aggregates collapse the event stream to
+    one row per user in a single map-side-combinable pass; the
+    latency is integer seconds (no float time math).
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    firsts = t["events"].groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return (
+        firsts.filter(
+            F.col("first_view").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") >= F.col("first_view"))
+        )
+        .select(
+            "user_id",
+            (
+                F.unix_timestamp("first_purchase") - F.unix_timestamp("first_view")
+            ).cast("long").alias("seconds_to_convert"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket affinity (co-order lift with minimum support)
+# ---------------------------------------------------------------------------
+
+_BASKET_MIN_SUPPORT = 3
+
+_BASKET_ORACLE = f"""
+WITH baskets AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM baskets),
+item AS (
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+    FROM baskets GROUP BY l_partkey
+),
+pair AS (
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(COUNT(*) AS BIGINT) AS n_pair
+    FROM baskets a
+    JOIN baskets b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+)
+SELECT p.p1, p.p2, p.n_pair,
+       CAST(p.n_pair * o.n AS DOUBLE) / (i1.n_item * i2.n_item) AS lift
+FROM pair p
+JOIN item i1 ON i1.l_partkey = p.p1
+JOIN item i2 ON i2.l_partkey = p.p2
+CROSS JOIN n_orders o
+ORDER BY p.p1, p.p2
+"""
+
+
+@_register("basket_affinity_lift", _BASKET_ORACLE)
+def basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: part pairs co-occurring in at least
+    {_BASKET_MIN_SUPPORT} orders, scored by lift
+    ``P(ab) / (P(a)P(b)) = n_ab * N / (n_a * n_b)`` — computed as ONE
+    integer product ratio (exact numerator and denominator, one
+    double division) so scores are engine-identical.
+
+    Scale: pair generation is per-order (k items -> k(k-1)/2 pairs,
+    bounded by basket size, never catalog x catalog); the support
+    HAVING prunes the long tail before the lift joins; item counts
+    broadcast. The classic retail-analytics shape, same bounded-
+    fanout discipline as graph_triangle_count.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    baskets = t["lineitem"].select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=False)
+    n_orders = baskets.agg(F.countDistinct("l_orderkey").cast("long").alias("n"))
+    item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n_item"))
+    a = baskets.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = baskets.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("p2"))
+    pair = (
+        a.join(b, (F.col("l_orderkey") == F.col("ok2")) & (F.col("p1") < F.col("p2")))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= _BASKET_MIN_SUPPORT)
+    )
+    return (
+        pair.join(
+            F.broadcast(item.select(F.col("l_partkey").alias("p1"), F.col("n_item").alias("n1"))),
+            "p1",
+        )
+        .join(
+            F.broadcast(item.select(F.col("l_partkey").alias("p2"), F.col("n_item").alias("n2"))),
+            "p2",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p1",
+            "p2",
+            "n_pair",
+            ((F.col("n_pair") * F.col("n")).cast("double") / (F.col("n1") * F.col("n2"))).alias("lift"),
+        )
+        .orderBy("p1", "p2")
+    )

@@ -48,6 +48,8 @@ _FIRST_NAMES = (
     "warehouse_incremental_view",
     "funnel_time_to_convert",
     "basket_affinity_lift",
+    "regression_ols_exact",
+    "events_burst_hours",
     "agg_grouping_id",
     "array_set_ops_pairs",
     "tokenizer_vocab_coverage",

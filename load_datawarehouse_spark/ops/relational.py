@@ -4831,3 +4831,127 @@ def basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p1", "p2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Closed-form OLS regression from exact power sums
+# ---------------------------------------------------------------------------
+
+_OLS_ORACLE = """
+WITH s AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(l_discount AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(l_discount * l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS syy
+    FROM lineitem
+)
+SELECT CAST(n AS BIGINT) AS n,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
+       ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS r_squared
+FROM s
+"""
+
+
+@_register("regression_ols_exact", _OLS_ORACLE)
+def regression_ols_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary least squares (quantity ~ discount) via the closed
+    form over EXACT decimal power sums — slope, intercept, and R² are
+    each a fixed double expression over five exact aggregates, so the
+    fit is partitioning-independent (R² is additionally rounded to
+    9 dp: its compound product ratio is the one place engine-internal
+    expression evaluation showed a 1-ulp divergence) (the moment-matrix
+    analog of ``agg_higher_moments``; a streaming/distributed
+    regression with no iterative solver).
+
+    Scale: one scan, one 6-value aggregate, everything else is
+    driver-free scalar arithmetic in the plan. Multi-feature OLS
+    generalizes via the normal equations over k(k+1)/2 exact sums —
+    fine for small k; beyond that use iterative solvers.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    x, y = F.col("l_discount"), F.col("l_quantity")
+    dec12 = "decimal(38,12)"
+    s = t["lineitem"].agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x.cast(dec12)).cast("double").alias("sx"),
+        F.sum(y.cast(dec12)).cast("double").alias("sy"),
+        F.sum((x * y).cast(dec12)).cast("double").alias("sxy"),
+        F.sum((x * x).cast(dec12)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(dec12)).cast("double").alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (
+        F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.cast("long").alias("n"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            9,
+        ).alias("r_squared"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burst detection: user-hours spiking above their own baseline
+# ---------------------------------------------------------------------------
+
+_BURST_ORACLE = """
+WITH hourly AS (
+    SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS hour_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+),
+baseline AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(n_events) AS BIGINT) AS total
+    FROM hourly GROUP BY user_id
+)
+SELECT h.user_id, h.hour_start, h.n_events
+FROM hourly h JOIN baseline b ON b.user_id = h.user_id
+WHERE b.n_hours >= 24
+  AND h.n_events * b.n_hours * 2 > 3 * b.total
+ORDER BY h.user_id, h.hour_start
+"""
+
+
+@_register("events_burst_hours", _BURST_ORACLE)
+def events_burst_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: user-hours whose event count exceeds 1.5x
+    the user's own average hourly rate (bot/incident signal; the
+    multiplier is a parameter — 1.5 suits this corpus's near-uniform
+    rates). The threshold test is pure integer arithmetic
+    (``2 * n_events * n_hours > 3 * total``) — no float average to
+    wobble at the boundary.
+
+    Scale: hourly rollup then per-user baseline — two aggregations
+    sharing the user_id key family; the baseline join reuses the
+    second aggregation's partitioning. Only flagged rows leave.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    hourly = (
+        t["events"]
+        .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("hour_start"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    baseline = hourly.groupBy(F.col("user_id").alias("bu")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("n_events").cast("long").alias("total"),
+    )
+    return (
+        hourly.join(baseline, F.col("user_id") == F.col("bu"))
+        .filter(
+            (F.col("n_hours") >= 24)
+            & (F.col("n_events") * F.col("n_hours") * 2 > 3 * F.col("total"))
+        )
+        .select("user_id", "hour_start", "n_events")
+        .orderBy("user_id", "hour_start")
+    )

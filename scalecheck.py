@@ -48,6 +48,10 @@ SCALE_QUERIES = [
     "importance_resample_dsir",
     "dedup_intradoc_segments",
     "quality_perplexity_buckets",
+    "basket_affinity_lift",
+    "graph_triangle_count",
+    "attribution_last_touch",
+    "features_user_daily",
 ]
 
 

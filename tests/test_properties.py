@@ -299,3 +299,64 @@ def test_sq_quantization_bounds_and_monotonicity(vec):
     assert all(-128 <= v <= 127 for v in q)
     for a, b in zip(sorted(float(x) for x in vec), sorted(q)):
         assert math.floor(a * 200.0) == b  # sorting commutes with quantization
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=0, max_value=1, width=32),
+            st.floats(min_value=0, max_value=100, width=32),
+        ),
+        min_size=3,
+        max_size=50,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_ols_closed_form_matches_numpy(pairs):
+    """regression_ols_exact's closed form over raw sums must agree
+    with numpy's least-squares fit whenever the problem is
+    well-conditioned (non-degenerate x variance)."""
+    import numpy as np
+
+    x = np.array([p[0] for p in pairs], dtype=float)
+    y = np.array([p[1] for p in pairs], dtype=float)
+    n = len(x)
+    sx, sy = x.sum(), y.sum()
+    sxy, sxx = (x * y).sum(), (x * x).sum()
+    denom = n * sxx - sx * sx
+    if abs(denom) < 1e-9 * max(1.0, sxx * n):
+        return  # degenerate x: no defined slope
+    slope = (n * sxy - sx * sy) / denom
+    intercept = (sy - slope * sx) / n
+    ref = np.polyfit(x, y, 1)
+    assert abs(slope - ref[0]) < 1e-6 * max(1.0, abs(ref[0]))
+    assert abs(intercept - ref[1]) < 1e-6 * max(1.0, abs(ref[1]))
+
+
+@given(
+    st.lists(st.lists(st.integers(0, 20), min_size=1, max_size=8, unique=True),
+             min_size=1, max_size=30)
+)
+@settings(max_examples=40, deadline=None)
+def test_basket_lift_identities(baskets):
+    """basket_affinity_lift invariants on a pure-python model: pair
+    support is symmetric, bounded by min item support, and lift is
+    the exact product ratio."""
+    from collections import Counter
+    from itertools import combinations
+
+    item = Counter()
+    pair = Counter()
+    for b in baskets:
+        s = sorted(set(b))
+        item.update(s)
+        pair.update(combinations(s, 2))
+    n = len(baskets)
+    for (a, b), nab in pair.items():
+        assert nab <= min(item[a], item[b])
+        lift = (nab * n) / (item[a] * item[b])
+        assert lift > 0
+        # support-1 identity: a pair present in EVERY basket has lift
+        # n*n/(n*n) = 1 when both items are universal
+        if item[a] == n and item[b] == n and nab == n:
+            assert lift == 1.0

@@ -360,3 +360,18 @@ def test_basket_lift_identities(baskets):
         # n*n/(n*n) = 1 when both items are universal
         if item[a] == n and item[b] == n and nab == n:
             assert lift == 1.0
+
+
+def test_first_names_resolve_and_unique():
+    """The driver-window ordering list must contain only real registry
+    names, without duplicates — a typo here silently burns one of the
+    50 driver correctness slots."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as e
+
+    q = e.queries()
+    missing = [n for n in e._FIRST_NAMES if n not in q]
+    assert not missing, f"_FIRST_NAMES entries not in registry: {missing}"
+    assert len(set(e._FIRST_NAMES)) == len(e._FIRST_NAMES), "duplicate names"

@@ -4316,7 +4316,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges low-degree -> high-degree so each wedge is enumerated at
     its LOWEST-degree vertex, bounding per-node fanout (the a<b key
     orientation here stands in for that on the test graph's bounded
-    degrees).
+    degrees). Caveat: this SYNTHETIC co-order graph is near-complete
+    (every supplier co-orders with every other), where wedge counts
+    are inherently ~N^3 for any join-based method — real part/supplier
+    affinity graphs are sparse; for genuinely dense graphs use
+    degree-capped approximation or matrix methods, not this op.
     """
     t = load_tables(spark, sf_dir, register_views=False)
     li = t["lineitem"].select("l_orderkey", "l_suppkey")

@@ -50,6 +50,8 @@ _FIRST_NAMES = (
     "basket_affinity_lift",
     "regression_ols_exact",
     "events_burst_hours",
+    "window_ema_fold",
+    "orders_monthly_growth",
     "agg_grouping_id",
     "array_set_ops_pairs",
     "tokenizer_vocab_coverage",

@@ -4959,3 +4959,54 @@ def events_burst_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "hour_start", "n_events")
         .orderBy("user_id", "hour_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonality: monthly revenue with MoM and YoY growth
+# ---------------------------------------------------------------------------
+
+_MONTHLY_GROWTH_ORACLE = """
+WITH monthly AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1
+)
+SELECT CAST(month_start AS VARCHAR) AS month_start, revenue,
+       (revenue - LAG(revenue, 1) OVER w) / LAG(revenue, 1) OVER w AS mom_growth,
+       (revenue - LAG(revenue, 12) OVER w) / LAG(revenue, 12) OVER w AS yoy_growth
+FROM monthly
+WINDOW w AS (ORDER BY month_start)
+ORDER BY month_start
+"""
+
+
+@_register("orders_monthly_growth", _MONTHLY_GROWTH_ORACLE)
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with month-over-month and year-over-year growth
+    rates (LAG 1 / LAG 12 over the month series) — the seasonality
+    readout every revenue dashboard starts from. Growth is one double
+    division over decimal-exact monthly sums; months are emitted as
+    ISO strings for cross-engine date-type parity.
+
+    Scale: the window runs over ONE ROW PER MONTH (the fact stream is
+    pre-collapsed by the groupBy), so the unpartitioned sort is a
+    few-hundred-row series no matter how large the fact table is.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    monthly = (
+        t["orders"]
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"))
+    )
+    w = Window.orderBy("month_start")
+    rev, l1, l12 = (
+        F.col("revenue"),
+        F.lag("revenue", 1).over(w),
+        F.lag("revenue", 12).over(w),
+    )
+    return monthly.select(
+        F.col("month_start").cast("string").alias("month_start"),
+        "revenue",
+        ((rev - l1) / l1).alias("mom_growth"),
+        ((rev - l12) / l12).alias("yoy_growth"),
+    ).orderBy("month_start")

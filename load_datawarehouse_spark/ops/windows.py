@@ -542,3 +542,69 @@ def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponential moving average via ordered fold (recursive, not framable)
+# ---------------------------------------------------------------------------
+
+_EMA_ALPHA = 0.25  # 1/4: exactly representable, products stay clean
+
+_EMA_ORACLE = f"""
+SELECT user_id,
+       CAST(len(vals) AS BIGINT) AS n_events,
+       list_reduce(vals, (acc, x) -> acc * {1 - _EMA_ALPHA} + x * {_EMA_ALPHA})
+           AS ema
+FROM (
+    SELECT user_id,
+           list_transform(
+               list_sort(list({{'ts': ts, 'event_id': event_id,
+                                'v': CAST(value AS DOUBLE)}})),
+               s -> s.v) AS vals
+    FROM events GROUP BY user_id
+)
+ORDER BY user_id
+"""
+
+
+@_register("window_ema_fold", _EMA_ORACLE)
+def window_ema_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential moving average (alpha = {_EMA_ALPHA}) of
+    the full ordered event series. EMA is RECURSIVE — no SQL window
+    frame expresses it — so both engines materialize the ordered
+    series per key and run the identical left fold (seeded with the
+    first element, matching DuckDB's ``list_reduce``); alpha = 1/4 is
+    exactly representable so every step is one multiply-add in
+    deterministic order.
+
+    Scale: one shuffle to group each user's series; array size is
+    bounded by per-user history (here ~100 events). For unbounded
+    histories this becomes the streaming op
+    (``stream_stateful_user_stats`` keeps running state instead of
+    materializing the series).
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    grouped = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts"), F.col("event_id"), F.col("value").cast("double").alias("v")
+                    )
+                )
+            ).alias("series")
+        )
+    )
+    vals = F.transform("series", lambda s: s["v"])
+    ema = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(1 - _EMA_ALPHA) + x * F.lit(_EMA_ALPHA),
+    )
+    return grouped.select(
+        "user_id",
+        F.size("series").cast("long").alias("n_events"),
+        ema.alias("ema"),
+    ).orderBy("user_id")

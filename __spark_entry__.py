@@ -52,6 +52,8 @@ _FIRST_NAMES = (
     "events_burst_hours",
     "window_ema_fold",
     "orders_monthly_growth",
+    "window_rank_delta",
+    "events_interarrival_stats",
     "agg_grouping_id",
     "array_set_ops_pairs",
     "tokenizer_vocab_coverage",

@@ -5010,3 +5010,127 @@ def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((rev - l1) / l1).alias("mom_growth"),
         ((rev - l12) / l12).alias("yoy_growth"),
     ).orderBy("month_start")
+
+
+# ---------------------------------------------------------------------------
+# Rank movement: part revenue ranks, first half vs second half of 1995
+# ---------------------------------------------------------------------------
+
+_RANK_DELTA_ORACLE = """
+WITH h1 AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS rev
+    FROM lineitem WHERE l_shipdate < DATE '1995-07-01'
+    GROUP BY l_partkey
+),
+h2 AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS rev
+    FROM lineitem WHERE l_shipdate >= DATE '1995-07-01'
+    GROUP BY l_partkey
+),
+r1 AS (SELECT l_partkey, ROW_NUMBER() OVER (ORDER BY rev DESC, l_partkey) AS rk FROM h1),
+r2 AS (SELECT l_partkey, ROW_NUMBER() OVER (ORDER BY rev DESC, l_partkey) AS rk FROM h2)
+SELECT r2.l_partkey,
+       CAST(r2.rk AS BIGINT) AS rank_now,
+       CAST(r1.rk AS BIGINT) AS rank_before,
+       CAST(r1.rk - r2.rk AS BIGINT) AS rank_gain
+FROM r2 JOIN r1 ON r1.l_partkey = r2.l_partkey
+WHERE r2.rk <= 25
+ORDER BY rank_now
+"""
+
+
+@_register("window_rank_delta", _RANK_DELTA_ORACLE)
+def window_rank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Movers-and-shakers: current top-25 parts by second-half-1995
+    revenue with their first-half rank and the rank gain — the
+    period-over-period leaderboard movement query.
+
+    Scale: both period aggregates collapse the fact table before any
+    ranking (the ROW_NUMBER windows order one row per part, not per
+    lineitem), with exact-decimal revenue and a partkey tiebreak so
+    ranks are total-order deterministic. The two rank series join on
+    partkey; the top-25 filter prunes before the join output leaves.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    li = t["lineitem"]
+    split = F.lit("1995-07-01").cast("date")
+
+    def ranked(df: DataFrame) -> DataFrame:
+        rev = df.groupBy("l_partkey").agg(
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC).alias("rev")
+        )
+        w = Window.orderBy(F.desc("rev"), F.asc("l_partkey"))
+        return rev.select("l_partkey", F.row_number().over(w).cast("long").alias("rk"))
+
+    r1 = ranked(li.filter(F.col("l_shipdate") < split)).select(
+        F.col("l_partkey").alias("pk1"), F.col("rk").alias("rank_before")
+    )
+    r2 = ranked(li.filter(F.col("l_shipdate") >= split))
+    return (
+        r2.filter(F.col("rk") <= 25)
+        .join(r1, F.col("l_partkey") == F.col("pk1"))
+        .select(
+            "l_partkey",
+            F.col("rk").alias("rank_now"),
+            "rank_before",
+            (F.col("rank_before") - F.col("rk")).cast("long").alias("rank_gain"),
+        )
+        .orderBy("rank_now")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival gap statistics per user
+# ---------------------------------------------------------------------------
+
+_INTERARRIVAL_ORACLE = """
+WITH gaps AS (
+    SELECT user_id,
+           CAST(date_diff('second',
+                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                ts) AS BIGINT) AS gap_s
+    FROM events
+)
+SELECT user_id,
+       CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+       CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+       CAST(SUM(gap_s) AS BIGINT) AS total_gap_s
+FROM gaps
+WHERE gap_s IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@_register("events_interarrival_stats", _INTERARRIVAL_ORACLE)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival analysis: per-user min/max/total gap between
+    consecutive events in integer seconds — the cadence fingerprint
+    behind engagement scoring and bot heuristics (pure integer time
+    math; no float durations to diverge).
+
+    Scale: one user_id shuffle shared by the LAG window and the
+    aggregate (same key, Catalyst reuses the partitioning).
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = t["events"].select(
+        "user_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+        .cast("long")
+        .alias("gap_s"),
+    )
+    return (
+        gaps.filter(F.col("gap_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_s").cast("long").alias("n_gaps"),
+            F.min("gap_s").cast("long").alias("min_gap_s"),
+            F.max("gap_s").cast("long").alias("max_gap_s"),
+            F.sum("gap_s").cast("long").alias("total_gap_s"),
+        )
+        .orderBy("user_id")
+    )

@@ -54,6 +54,8 @@ _FIRST_NAMES = (
     "orders_monthly_growth",
     "window_rank_delta",
     "events_interarrival_stats",
+    "pivot_multi_agg",
+    "dedup_cascade_report",
     "agg_grouping_id",
     "array_set_ops_pairs",
     "tokenizer_vocab_coverage",

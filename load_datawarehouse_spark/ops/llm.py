@@ -3885,3 +3885,77 @@ def array_set_ops_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d1")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup cascade accounting (data-card survivor funnel in one plan)
+# ---------------------------------------------------------------------------
+
+_CASCADE_ORACLE = """
+WITH norm AS (
+    SELECT doc_id,
+           md5(text) AS exact_key,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS norm_key
+    FROM documents
+),
+exact_kept AS (
+    SELECT doc_id, norm_key FROM (
+        SELECT doc_id, norm_key,
+               ROW_NUMBER() OVER (PARTITION BY exact_key ORDER BY doc_id) AS rn
+        FROM norm
+    ) WHERE rn = 1
+),
+norm_kept AS (
+    SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY norm_key ORDER BY doc_id) AS rn
+        FROM exact_kept
+    ) WHERE rn = 1
+)
+SELECT 'stage0_input' AS stage, (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs
+UNION ALL
+SELECT 'stage1_exact', (SELECT CAST(COUNT(*) AS BIGINT) FROM exact_kept)
+UNION ALL
+SELECT 'stage2_normalized', (SELECT CAST(COUNT(*) AS BIGINT) FROM norm_kept)
+ORDER BY stage
+"""
+
+
+@_register("dedup_cascade_report", _CASCADE_ORACLE)
+def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card dedup funnel: survivor counts through the cheap-to-
+    expensive cascade (raw -> exact-hash dedup -> normalized-text
+    dedup) as ONE composed plan — the per-stage accounting every
+    dataset datasheet reports (near-dup stages run downstream on the
+    survivors; their counts live in dedup_minhash_verified /
+    dedup_neardup_clusters).
+
+    Scale: each stage is a keep-first window over 32-byte digests
+    computed once at the scan; stage N's input is stage N-1's output
+    by construction, so cost shrinks monotonically down the cascade
+    and text bytes never enter a shuffle.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    norm = t["documents"].select(
+        "doc_id",
+        F.md5("text").alias("exact_key"),
+        F.md5(
+            F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+        ).alias("norm_key"),
+    )
+    w1 = Window.partitionBy("exact_key").orderBy("doc_id")
+    exact_kept = (
+        norm.withColumn("rn", F.row_number().over(w1)).filter(F.col("rn") == 1).drop("rn")
+    )
+    w2 = Window.partitionBy("norm_key").orderBy("doc_id")
+    norm_kept = (
+        exact_kept.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    counts = [
+        ("stage0_input", t["documents"].count()),
+        ("stage1_exact", exact_kept.count()),
+        ("stage2_normalized", norm_kept.count()),
+    ]
+    return spark.createDataFrame(counts, "stage string, n_docs long").orderBy("stage")

@@ -5134,3 +5134,51 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot with multiple aggregates per cell
+# ---------------------------------------------------------------------------
+
+_PIVOT_MULTI_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS F_n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) FILTER (WHERE l_linestatus = 'F')
+            AS DOUBLE) AS F_revenue,
+       CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS O_n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) FILTER (WHERE l_linestatus = 'O')
+            AS DOUBLE) AS O_revenue
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@_register("pivot_multi_agg", _PIVOT_MULTI_ORACLE)
+def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per pivot value (count AND
+    revenue per linestatus column) — the wide-report shape
+    ``pivot_wide`` doesn't cover; Spark name-mangles the output as
+    ``{value}_{aggAlias}`` and both aggregates share one shuffle.
+
+    Scale: explicit pivot value list (no discovery pass), exact
+    decimal revenue; one aggregation over |returnflag| x |linestatus|
+    cells with map-side partials.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    piv = (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("revenue"),
+        )
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("F_n"),
+        F.col("F_revenue"),
+        F.col("O_n"),
+        F.col("O_revenue"),
+    ).orderBy("l_returnflag")

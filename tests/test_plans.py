@@ -375,3 +375,19 @@ def test_features_windows_share_partitioning(spark):
     plan = _plan(relational.features_user_daily(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_basket_lift_is_order_local_pairs(spark):
+    # pair generation must be the per-order equi self-join (bounded by
+    # basket size), never a catalog-level product; item counts and the
+    # 1-row total enter via broadcast
+    plan = _plan(relational.QUERIES["basket_affinity_lift"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_markov_normalizer_broadcasts(spark):
+    # the per-prev totals join must broadcast (bounded |event_types|)
+    plan = _plan(relational.markov_event_transitions(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -5182,3 +5182,243 @@ def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O_n"),
         F.col("O_revenue"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Statistics family (round 4): equi-depth histogram, chi-square test,
+# generalized means, Kaplan-Meier survival curve
+# ---------------------------------------------------------------------------
+
+_HIST_EQDEPTH_ORACLE = """
+WITH bounds AS (
+    SELECT [quantile_cont(o_totalprice, 0.1), quantile_cont(o_totalprice, 0.2),
+            quantile_cont(o_totalprice, 0.3), quantile_cont(o_totalprice, 0.4),
+            quantile_cont(o_totalprice, 0.5), quantile_cont(o_totalprice, 0.6),
+            quantile_cont(o_totalprice, 0.7), quantile_cont(o_totalprice, 0.8),
+            quantile_cont(o_totalprice, 0.9)] AS bs
+    FROM orders
+), bucketed AS (
+    SELECT 1 + len(list_filter(b.bs, x -> o.o_totalprice > x)) AS bucket,
+           o.o_totalprice
+    FROM orders o CROSS JOIN bounds b
+)
+SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS n,
+       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM bucketed GROUP BY bucket ORDER BY bucket
+"""
+
+
+@_register("histogram_equi_depth", _HIST_EQDEPTH_ORACLE)
+def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of order totals.
+
+    Two-phase instead of a global NTILE: a global NTILE needs a total
+    order, which in Spark is a single-partition window — a driver-size
+    bottleneck at scale. Here phase 1 computes the 9 interior decile
+    boundaries (exact ``percentile``, same p*(n-1) interpolation as
+    DuckDB ``quantile_cont``; boundaries interpolate BETWEEN cent-
+    valued data points, so a last-ulp engine difference cannot flip a
+    membership comparison), phase 2 broadcasts the 1-row boundary
+    array and buckets with a narrow scan — no shuffle of the fact
+    table at all beyond the final 10-row aggregate. At 100 TB swap
+    phase 1 to ``approx_percentile`` (mergeable t-digest) unchanged.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    o = t["orders"]
+    bounds = o.agg(
+        F.expr(
+            "array(" + ",".join(f"percentile(o_totalprice, {i/10})" for i in range(1, 10)) + ")"
+        ).alias("bs")
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .select(
+            (1 + F.expr("size(filter(bs, x -> o_totalprice > x))")).cast("int").alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            dec_sum("o_totalprice", "total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_CHI2_ORACLE = """
+WITH cells AS (
+    SELECT event_type, dayofweek(ts) AS dow, COUNT(*) AS o
+    FROM events GROUP BY event_type, dayofweek(ts)
+), rt AS (SELECT event_type, SUM(o) AS row_total FROM cells GROUP BY event_type),
+   ct AS (SELECT dow, SUM(o) AS col_total FROM cells GROUP BY dow),
+   n AS (SELECT SUM(o) AS n FROM cells)
+SELECT CAST(SUM(CAST(
+           POWER(o - CAST(row_total * col_total AS DOUBLE) / n, 2)
+               / (CAST(row_total * col_total AS DOUBLE) / n)
+           AS DECIMAL(38,6))) AS DOUBLE) AS chi2,
+       CAST((COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT dow) - 1) AS BIGINT) AS dof,
+       CAST(MAX(n.n) AS BIGINT) AS n
+FROM cells JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n
+"""
+
+
+@_register("stat_chi_square", _CHI2_ORACLE)
+def stat_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test: event_type x day-of-week.
+
+    One shuffle builds the contingency cells; margins are re-aggregated
+    from the tiny cell table (|types| x 7 rows) and broadcast back, so
+    the fact table is scanned exactly once. Every per-cell term is a
+    deterministic function of integer counts; terms are summed through
+    the exact decimal accumulator, so the statistic is partitioning-
+    invariant. Scale: cells cardinality is data-independent — safe at
+    any SF.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    cells = (
+        t["events"]
+        .groupBy("event_type", F.dayofweek("ts").alias("dow"))
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=False)
+    )
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("row_total"))
+    ct = cells.groupBy("dow").agg(F.sum("o").alias("col_total"))
+    n = cells.agg(F.sum("o").alias("n"))
+    e = F.col("row_total").cast("double") * F.col("col_total") / F.col("n")
+    return (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum((F.pow(F.col("o") - e, F.lit(2)) / e).cast(DEC))
+            .cast("double")
+            .alias("chi2"),
+            ((F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1))
+            .cast("long")
+            .alias("dof"),
+            F.max("n").cast("long").alias("n"),
+        )
+    )
+
+
+_MEAN_FAMILY_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND(EXP(CAST(SUM(CAST(LN(l_extendedprice) AS DECIMAL(38,18))) AS DOUBLE)
+                 / COUNT(*)), 6) AS geo_mean,
+       ROUND(COUNT(*) / CAST(SUM(CAST(1.0 / l_extendedprice AS DECIMAL(38,18))) AS DOUBLE),
+             6) AS harm_mean,
+       ROUND(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 6) AS wavg_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@_register("agg_mean_family", _MEAN_FAMILY_ORACLE)
+def agg_mean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized means per group: geometric (exp-mean-log), harmonic
+    (n over sum of reciprocals), and quantity-weighted arithmetic.
+
+    The per-row ``ln``/reciprocal doubles are deterministic; they are
+    accumulated at DECIMAL(38,18) so the distributed sum is exact and
+    partitioning-invariant, then one deterministic exp/divide at the
+    end (rounded to 6 dp to absorb last-ulp libm differences between
+    engines). Scale: one scan, map-side partial aggregation, |flags|
+    output rows.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    dec18 = "decimal(38,18)"
+    price = F.col("l_extendedprice")
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.exp(F.sum(F.log(price).cast(dec18)).cast("double") / F.count(F.lit(1))), 6
+            ).alias("geo_mean"),
+            F.round(
+                F.count(F.lit(1)) / F.sum((F.lit(1.0) / price).cast(dec18)).cast("double"), 6
+            ).alias("harm_mean"),
+            F.round(
+                F.sum((price * F.col("l_quantity")).cast(DEC)).cast("double")
+                / F.sum(F.col("l_quantity").cast(DEC)).cast("double"),
+                6,
+            ).alias("wavg_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_KM_ORACLE = """
+WITH life AS (
+    SELECT o_custkey,
+           date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) AS days
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 2
+), ev AS (
+    SELECT days, COUNT(*) AS d FROM life GROUP BY days
+), tot AS (SELECT COUNT(*) AS n0 FROM life),
+curve AS (
+    SELECT days, d,
+           MAX(n0) - COALESCE(SUM(d) OVER (ORDER BY days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS at_risk
+    FROM ev CROSS JOIN tot GROUP BY days, d
+)
+SELECT CAST(days AS BIGINT) AS days, CAST(d AS BIGINT) AS n_events,
+       CAST(at_risk AS BIGINT) AS at_risk,
+       ROUND(EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / at_risk))
+                 OVER (ORDER BY days ROWS UNBOUNDED PRECEDING)), 9) AS survival
+FROM curve WHERE at_risk > d ORDER BY days
+"""
+
+
+@_register("survival_kaplan_meier", _KM_ORACLE)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over customer lifetime (days between
+    first and last order, repeat customers; every subject observed, so
+    the estimator is the pure product-limit fold).
+
+    S(t) = prod_{t_i <= t} (1 - d_i / n_i) computed as exp of a running
+    sum of logs — the same ordered fold in both engines, over the
+    DISTINCT-duration table whose cardinality is bounded by the
+    calendar span (a few thousand rows at any SF), so the unpartitioned
+    ordered window is a deliberate, bounded single-partition step. The
+    heavy work — per-customer min/max and the duration histogram — is
+    two shuffled aggregations on the full fact table. Rounded to 9 dp
+    to absorb libm ulp differences.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    life = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("days"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .filter(F.col("cnt") >= 2)
+    )
+    ev = life.groupBy("days").agg(F.count(F.lit(1)).alias("d"))
+    tot = life.agg(F.count(F.lit(1)).alias("n0"))
+    w_prev = Window.orderBy("days").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("days").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        ev.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "at_risk", F.col("n0") - F.coalesce(F.sum("d").over(w_prev), F.lit(0))
+        )
+        .filter(F.col("at_risk") > F.col("d"))
+    )
+    return curve.select(
+        F.col("days").cast("long").alias("days"),
+        F.col("d").cast("long").alias("n_events"),
+        F.col("at_risk").cast("long").alias("at_risk"),
+        F.round(
+            F.exp(
+                F.sum(F.log(1.0 - F.col("d").cast("double") / F.col("at_risk"))).over(w_run)
+            ),
+            9,
+        ).alias("survival"),
+    ).orderBy("days")

@@ -3959,3 +3959,284 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("stage2_normalized", norm_kept.count()),
     ]
     return spark.createDataFrame(counts, "stage string, n_docs long").orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# Retrieval / curation family (round 4): domain caps, token entropy,
+# BM25 ranking, reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+_DOMAIN_CAP_ORACLE = """
+WITH ranked AS (
+    SELECT source, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id) AS rk
+    FROM documents
+)
+SELECT source,
+       COUNT(CASE WHEN rk <= 10 THEN 1 END) AS kept,
+       COUNT(CASE WHEN rk > 10 THEN 1 END) AS dropped,
+       MIN(CASE WHEN rk <= 10 THEN n_chars END) AS min_kept_chars
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+
+@_register("quality_domain_cap", _DOMAIN_CAP_ORACLE)
+def quality_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the CommonCrawl-style curation rule
+    'keep at most N docs per domain, best first' (quality proxy:
+    length), reported as kept/dropped counts per source.
+
+    Scale: one shuffle on the domain key; the rank-then-count collapses
+    in the same exchange (Window and groupBy share the ``source``
+    partitioning, Catalyst reuses it). Domain skew is the real-world
+    hazard — a mega-domain funnels its docs through one reducer; the
+    cap itself bounds the damage (only top-N survive) and AQE splits
+    oversized partitions.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = t["documents"].select(
+        "source", "n_chars", F.row_number().over(w).alias("rk")
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.when(F.col("rk") <= 10, 1)).alias("kept"),
+            F.count(F.when(F.col("rk") > 10, 1)).alias("dropped"),
+            F.min(F.when(F.col("rk") <= 10, F.col("n_chars"))).alias("min_kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+_TOKEN_ENTROPY_ORACLE = """
+WITH tf AS (
+    SELECT doc_id, word, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY doc_id, word
+), tot AS (SELECT doc_id, SUM(tf) AS n FROM tf GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(MAX(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+       ROUND(CAST(SUM(CAST(-(CAST(tf AS DOUBLE) / n) * LN(CAST(tf AS DOUBLE) / n)
+                           AS DECIMAL(38,18))) AS DOUBLE), 9) AS entropy
+FROM tf t JOIN tot USING (doc_id)
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
+@_register("text_token_entropy", _TOKEN_ENTROPY_ORACLE)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the per-document token distribution — a
+    repetition/diversity quality signal (low entropy = template or
+    keyword-stuffed text).
+
+    Each -p*ln(p) term is a deterministic double from integer (tf, n);
+    terms accumulate in DECIMAL(38,18) so the per-doc sum is
+    partitioning-invariant, rounded to 9 dp against libm ulp skew.
+    Scale: two hash aggregations keyed on (doc_id, word) then doc_id —
+    both map-side combinable; no windows, no data-dependent fan-out.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    words = t["documents"].select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    tot = tf.groupBy("doc_id").agg(F.sum("tf").alias("n"))
+    p = F.col("tf").cast("double") / F.col("n")
+    return (
+        tf.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("distinct_tokens"),
+            F.round(
+                F.sum((-p * F.log(p)).cast("decimal(38,18)")).cast("double"), 9
+            ).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BM25_TERMS = ("spark", "join", "filter")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+_BM25_ORACLE = f"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), dl AS (
+    SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id
+), stats AS (
+    SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
+), tf AS (
+    SELECT doc_id, word, COUNT(*) AS tf FROM words
+    WHERE word IN {_BM25_TERMS!r}
+    GROUP BY doc_id, word
+), df AS (
+    SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+), scored AS (
+    SELECT tf.doc_id,
+           CAST(SUM(CAST(
+               LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * ({_BM25_K1} + 1.0))
+               / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+           AS DECIMAL(38,18))) AS DOUBLE) AS s
+    FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(s, 9) AS bm25
+FROM scored ORDER BY ROUND(s, 9) DESC, doc_id LIMIT 10
+"""
+
+
+def _bm25_scored(t) -> DataFrame:
+    """Shared BM25 scorer over the fixed query terms (see
+    ``search_bm25_topk`` for the plan discussion). Returns
+    (doc_id, bm25) with the 9-dp-rounded decimal-accumulated score."""
+    words = t["documents"].select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("word")
+    ).localCheckpoint(eager=False)
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        words.filter(F.col("word").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    term = (
+        idf
+        * (F.col("tf") * (_BM25_K1 + 1.0))
+        / (F.col("tf") + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term.cast("decimal(38,18)")).cast("double"), 9).alias("bm25"))
+    )
+
+
+@_register("search_bm25_topk", _BM25_ORACLE)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) top-10 documents for a fixed 3-term query.
+
+    The query-term filter lands BEFORE the tf aggregation, so only
+    matching postings ever shuffle; df (<= |terms| rows) and the 1-row
+    corpus stats are broadcast. Per-(doc,term) partial scores are
+    deterministic doubles from integers, decimal-accumulated per doc,
+    rounded to 9 dp, and the global top-10 is a TakeOrderedAndProject
+    (no full sort). Doc lengths cost one full-corpus aggregation —
+    shared infrastructure any search engine amortizes across queries.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    return _bm25_scored(t).orderBy(F.desc("bm25"), F.asc("doc_id")).limit(10)
+
+
+_RRF_K = 60
+
+_RRF_ORACLE = f"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), dl AS (
+    SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id
+), stats AS (
+    SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
+), tf AS (
+    SELECT doc_id, word, COUNT(*) AS tf FROM words
+    WHERE word IN {_BM25_TERMS!r}
+    GROUP BY doc_id, word
+), df AS (
+    SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+), bm AS (
+    SELECT tf.doc_id,
+           CAST(SUM(CAST(
+               LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * ({_BM25_K1} + 1.0))
+               / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+           AS DECIMAL(38,18))) AS DOUBLE) AS s
+    FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY tf.doc_id
+), bm_rank AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY ROUND(s, 9) DESC, doc_id) AS r
+    FROM bm QUALIFY r <= 100
+), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+elems AS (
+    SELECT e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
+    FROM embeddings e CROSS JOIN q
+), dots AS (
+    SELECT vec_id,
+        CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+        SQRT(CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+    FROM elems GROUP BY vec_id
+), qn AS (SELECT nrm AS qnrm FROM dots WHERE vec_id = 0),
+cos_rank AS (
+    SELECT vec_id AS doc_id,
+           ROW_NUMBER() OVER (ORDER BY dot / (nrm * qnrm) DESC, vec_id) AS r
+    FROM dots CROSS JOIN qn QUALIFY r <= 100
+)
+SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+       CAST(b.r AS BIGINT) AS bm25_rank, CAST(c.r AS BIGINT) AS cosine_rank,
+       ROUND(COALESCE(1.0 / ({_RRF_K} + b.r), 0) + COALESCE(1.0 / ({_RRF_K} + c.r), 0),
+             12) AS rrf
+FROM bm_rank b FULL OUTER JOIN cos_rank c USING (doc_id)
+ORDER BY rrf DESC, doc_id LIMIT 20
+"""
+
+
+@_register("search_rrf_fusion", _RRF_ORACLE)
+def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval signals: BM25 over the
+    text (lexical) and cosine-to-query-vector over the embeddings
+    (semantic), RRF(d) = sum over present lists of 1/(60 + rank_d).
+
+    Each signal keeps only its top-100 (the realistic per-shard
+    retrieval depth), so the fusion join touches <= 200 rows no matter
+    the corpus size — the heavy lifting stays inside each ranker.
+    Ranks are integers, so the fused score is a deterministic rational;
+    the two-term sum is a single IEEE add, identical in both engines.
+    The single-partition ranking windows here are bounded by the
+    retrieval candidate sets, not the corpus (BM25 candidates = docs
+    containing a query term; at open-web scale swap the ROW_NUMBER for
+    ``_global_topk``'s two-phase heap, same contract).
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    bm = _bm25_scored(t)
+    w_bm = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    bm_rank = (
+        bm.select("doc_id", F.row_number().over(w_bm).alias("r"))
+        .filter(F.col("r") <= 100)
+    )
+    emb = _with_norm(t["embeddings"])
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        (_dec_dot("embedding", "qv") / (F.col("nrm") * F.col("qnrm"))).alias("cosine"),
+    )
+    w_cos = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    cos_rank = (
+        scored.select("doc_id", F.row_number().over(w_cos).alias("r"))
+        .filter(F.col("r") <= 100)
+    )
+    b = bm_rank.alias("b")
+    c = cos_rank.alias("c")
+    fused = b.join(c, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("b.r").cast("long").alias("bm25_rank"),
+        F.col("c.r").cast("long").alias("cosine_rank"),
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("b.r")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("c.r")), F.lit(0.0)),
+            12,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)

@@ -4240,3 +4240,50 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (hash-gated, stratification report)
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = """
+SELECT lang,
+       CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= 'cccc'
+                      AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e665'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+       CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= 'e665'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+       COUNT(*) AS n_total
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+@_register("split_train_val_test", _SPLIT_ORACLE)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test assignment by md5(doc_id)
+    prefix, reported per language stratum.
+
+    The same hash-gate idiom as ``sample_stratified_hash``: no RNG, no
+    shuffle for the assignment itself, reproducible on any engine and
+    any cluster size, and a doc can never migrate between splits when
+    the corpus grows — the property that keeps eval sets uncontaminated
+    across dataset versions. Cut points: 'cccc'/65536 = 80.0%,
+    'e665'/65536 ~= 90.0%. Scale: one scan, one |langs|-row aggregate.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return (
+        t["documents"]
+        .groupBy("lang")
+        .agg(
+            F.sum(F.when(h < "cccc", 1).otherwise(0)).cast("long").alias("n_train"),
+            F.sum(F.when((h >= "cccc") & (h < "e665"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_val"),
+            F.sum(F.when(h >= "e665", 1).otherwise(0)).cast("long").alias("n_test"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .orderBy("lang")
+    )

@@ -5422,3 +5422,143 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("survival"),
     ).orderBy("days")
+
+
+_WINSOR_ORACLE = """
+WITH b AS (
+    SELECT quantile_cont(o_totalprice, 0.05) AS p05,
+           quantile_cont(o_totalprice, 0.95) AS p95
+    FROM orders
+)
+SELECT COUNT(*) AS n,
+       ROUND(MAX(p05), 6) AS p05, ROUND(MAX(p95), 6) AS p95,
+       ROUND(CAST(SUM(CAST(LEAST(GREATEST(o_totalprice, p05), p95)
+                           AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS winsor_mean,
+       ROUND(CAST(SUM(CASE WHEN o_totalprice > p05 AND o_totalprice < p95
+                           THEN CAST(o_totalprice AS DECIMAL(38,6)) END) AS DOUBLE)
+             / SUM(CASE WHEN o_totalprice > p05 AND o_totalprice < p95
+                        THEN 1 ELSE 0 END), 6) AS trimmed_mean
+FROM orders CROSS JOIN b
+"""
+
+
+@_register("stats_winsorized", _WINSOR_ORACLE)
+def stats_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clip at p05/p95) and trimmed (drop outside
+    (p05, p95)) means of order totals — the outlier-robust location
+    estimators every metrics pipeline needs.
+
+    Same two-phase shape as ``histogram_equi_depth``: exact percentile
+    boundaries on pass 1, broadcast to a narrow clipping scan on pass
+    2 — the fact table never shuffles. Clipped values are either the
+    original cent-valued double or the boundary itself; sums go
+    through the exact decimal accumulator and the emitted means are
+    rounded to 6 dp, absorbing any last-ulp boundary skew between the
+    engines' interpolation. At 100 TB, switch pass 1 to
+    ``approx_percentile`` unchanged.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    o = t["orders"]
+    b = o.agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("p05"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95"))
+    in_core = (F.col("o_totalprice") > F.col("p05")) & (F.col("o_totalprice") < F.col("p95"))
+    return o.crossJoin(F.broadcast(b)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.max("p05"), 6).alias("p05"),
+        F.round(F.max("p95"), 6).alias("p95"),
+        F.round(
+            F.sum(clipped.cast(DEC)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("winsor_mean"),
+        F.round(
+            F.sum(F.when(in_core, F.col("o_totalprice").cast(DEC))).cast("double")
+            / F.sum(F.when(in_core, 1).otherwise(0)),
+            6,
+        ).alias("trimmed_mean"),
+    )
+
+
+_SNAPSHOT_DIFF_ORACLE = """
+SELECT * FROM (
+    SELECT 'added' AS change, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM documents WHERE doc_id >= 80 AND doc_id < 100
+    UNION ALL
+    SELECT 'removed', CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT)
+    FROM documents WHERE doc_id < 80 AND doc_id % 10 = 7
+    UNION ALL
+    SELECT 'changed', CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT)
+    FROM documents WHERE doc_id < 80 AND doc_id % 10 = 3
+    UNION ALL
+    SELECT 'unchanged', CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT)
+    FROM documents WHERE doc_id < 80 AND doc_id % 10 NOT IN (3, 7)
+) ORDER BY change
+"""
+
+
+@_register("warehouse_snapshot_diff", _SNAPSHOT_DIFF_ORACLE)
+def warehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: classify every key as added / removed / changed /
+    unchanged between snapshot v1 and the current table state — the
+    audit query behind "what did this pipeline run actually do", built
+    on the same snapshot machinery as ``warehouse_time_travel``.
+
+    Exercise: load 80 docs -> snapshot v1 -> 3-way MERGE (20 inserts,
+    updates where doc_id%10==3, deletes where %10==7) -> diff. The
+    diff itself is one FULL OUTER join of the two versions on the key
+    with a null/values classification — a single key shuffle at any
+    scale (both sides are plain parquet scans of their pinned file
+    sets; a lakehouse-format diff would prune to changed files, same
+    contract).
+    """
+    import shutil
+    import tempfile
+
+    from load_datawarehouse_spark.warehouse import SparkWarehouse
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    docs = t["documents"].select("doc_id", "lang", "source")
+    base = [r.asDict() for r in docs.filter(F.col("doc_id") < 80).collect()]
+    inserts = [
+        {**r.asDict(), "op": "I"}
+        for r in docs.filter((F.col("doc_id") >= 80) & (F.col("doc_id") < 100)).collect()
+    ]
+    updates = [
+        {**r, "lang": "redacted", "op": "U"}
+        for r in base
+        if r["doc_id"] % 10 == 3
+    ]
+    deletes = [{**r, "op": "D"} for r in base if r["doc_id"] % 10 == 7]
+    root = tempfile.mkdtemp(prefix="ldw_diff_")
+    try:
+        wh = SparkWarehouse.new(spark, root, "corpus", data=base)
+        v1 = wh.snapshot()
+        wh.merge(inserts + updates + deletes, keys=["doc_id"])
+        old = wh.df_at(v1).select(
+            F.col("doc_id"), F.struct("lang", "source").alias("old_val")
+        )
+        new = wh.df().select(
+            F.col("doc_id"), F.struct("lang", "source").alias("new_val")
+        )
+        change = (
+            F.when(F.col("old_val").isNull(), "added")
+            .when(F.col("new_val").isNull(), "removed")
+            .when(F.col("old_val") != F.col("new_val"), "changed")
+            .otherwise("unchanged")
+        )
+        out = (
+            old.join(new, "doc_id", "full_outer")
+            .select("doc_id", change.alias("change"))
+            .groupBy("change")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            )
+            .orderBy("change")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -608,3 +608,54 @@ def window_ema_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("series").cast("long").alias("n_events"),
         ema.alias("ema"),
     ).orderBy("user_id")
+
+
+_RUNNING_DISTINCT_ORACLE = """
+WITH first_seen AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+), daily_new AS (
+    SELECT day, COUNT(*) AS new_users FROM first_seen GROUP BY day
+), daily_active AS (
+    SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS active_users
+    FROM events GROUP BY CAST(ts AS DATE)
+)
+SELECT CAST(a.day AS VARCHAR) AS day, a.active_users,
+       COALESCE(n.new_users, 0) AS new_users,
+       CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY a.day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct_users
+FROM daily_active a LEFT JOIN daily_new n USING (day)
+ORDER BY a.day
+"""
+
+
+@_register("window_running_distinct", _RUNNING_DISTINCT_ORACLE)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT user) per day — the classic cumulative-
+    distinct window, which no engine supports directly as a frame.
+
+    The scalable decomposition: distinct-over-a-running-window equals
+    the running SUM of first-occurrence counts, so the heavy work is
+    two shuffled aggregations (per-user min-date; per-day counts) and
+    the window runs over the tiny per-day series (calendar-bounded, so
+    the unpartitioned cumsum is deliberately single-partition). A
+    naive per-day COUNT(DISTINCT) over an expanding frame would rescan
+    the fact table per day — O(days * rows).
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    ev = t["events"].select(F.col("ts").cast("date").alias("day"), "user_id")
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    daily_new = first_seen.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    daily_active = ev.groupBy("day").agg(
+        F.countDistinct("user_id").alias("active_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily_active.join(daily_new, "day", "left")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "active_users",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+        .withColumn("cum_distinct_users", F.sum("new_users").over(w).cast("long"))
+        .orderBy("day")
+    )

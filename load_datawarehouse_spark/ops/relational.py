@@ -5562,3 +5562,162 @@ def warehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Data-quality framework: expectations report + join-key skew profile
+# ---------------------------------------------------------------------------
+
+_DQ_EXPECT_ORACLE = """
+SELECT * FROM (
+    SELECT 'orders.o_totalprice > 0' AS rule,
+           COUNT(*) AS n_checked,
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_failed
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_custkey fk customer', COUNT(*),
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'orders.o_orderkey unique', COUNT(*),
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_orderdate not null', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem.l_discount in [0,1]', COUNT(*),
+           CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem
+)
+ORDER BY rule
+"""
+
+
+@_register("dq_expectations_report", _DQ_EXPECT_ORACLE)
+def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations run as ONE report: range,
+    referential-integrity (FK orphans), uniqueness, not-null, and
+    domain checks, each emitting (rule, n_checked, n_failed).
+
+    Scale: each rule is a scan-local aggregate except the FK check
+    (broadcast-able dim side) and uniqueness (count vs count-distinct
+    in one Expand-based aggregate — no self-join). The checks over the
+    same table deliberately stay separate aggregates so each rule's
+    plan prunes to exactly the columns it reads; a 100-TB run fuses
+    same-table rules into one wide aggregate instead (cf.
+    ``profile_column_stats``).
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    o, c, l = t["orders"], t["customer"], t["lineitem"]
+
+    def rule(df, name, fail_col):
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(fail_col).cast("long").alias("n_failed"),
+        )
+
+    r1 = rule(o, "orders.o_totalprice > 0",
+              F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+    fk = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"), "left")
+    r2 = rule(fk, "orders.o_custkey fk customer",
+              F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
+    r3 = o.agg(
+        F.lit("orders.o_orderkey unique").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).cast("long").alias("n_failed"),
+    )
+    r4 = rule(o, "orders.o_orderdate not null",
+              F.when(F.col("o_orderdate").isNull(), 1).otherwise(0))
+    r5 = rule(l, "lineitem.l_discount in [0,1]",
+              F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0))
+    return r1.unionByName(r2).unionByName(r3).unionByName(r4).unionByName(r5).orderBy("rule")
+
+
+_DQ_SKEW_ORACLE = """
+WITH per_key AS (
+    SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY o_custkey
+), hist AS (
+    SELECT c, COUNT(*) AS m FROM per_key GROUP BY c
+), pos AS (
+    SELECT c, m,
+           SUM(m) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum_m,
+           SUM(m * c) OVER () AS s,
+           SUM(m) OVER () AS n
+    FROM hist
+), gini_terms AS (
+    -- ascending-rank identity: ranks of a value-c run are
+    -- (cum_m - m + 1) .. cum_m, so sum(rank)*c = c*m*(2*cum_m - m + 1)/2
+    SELECT c, m, cum_m, s, n,
+           c * m * (2 * cum_m - m + 1) AS two_b_term
+    FROM pos
+), topcut AS (
+    SELECT c, m, s, n,
+           SUM(m) OVER (ORDER BY c DESC ROWS UNBOUNDED PRECEDING) AS cum_top,
+           CAST(CEIL(n * 0.01) AS BIGINT) AS need
+    FROM hist CROSS JOIN (SELECT SUM(m * c) AS s, SUM(m) AS n FROM hist)
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_keys,
+       CAST(MAX(s) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(two_b_term) AS DOUBLE) / (CAST(MAX(n) AS DOUBLE) * MAX(s))
+             - (MAX(n) + 1.0) / MAX(n), 9) AS gini,
+       (SELECT ROUND(CAST(SUM(GREATEST(LEAST(m, need - (cum_top - m)), 0) * c)
+                          AS DOUBLE) / MAX(s), 9)
+        FROM topcut) AS top1pct_share,
+       (SELECT CAST(MAX(c) AS BIGINT) FROM hist) AS max_per_key
+FROM gini_terms
+"""
+
+
+@_register("dq_key_skew_gini", _DQ_SKEW_ORACLE)
+def dq_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for orders.o_custkey: Gini coefficient of
+    the per-key row-count distribution plus the share held by the top
+    1% of keys — the diagnostic you run BEFORE choosing a salted vs
+    plain shuffle strategy (cf. ``join_skew_stress``).
+
+    Gini normally needs a global sort of per-key counts; here it is
+    computed from the count-of-counts HISTOGRAM instead: equal-count
+    keys occupy a consecutive rank run, so their rank-sum has the
+    closed form c*m*(2*cum_m - m + 1)/2 — all integer arithmetic, and
+    the only sorted window runs over |distinct count values| rows
+    (dozens, regardless of table size). Two shuffled aggregations
+    total; the result is exact, not sampled.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    per_key = t["orders"].groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c"))
+    hist = per_key.groupBy("c").agg(F.count(F.lit(1)).alias("m")).localCheckpoint(
+        eager=False
+    )
+    w_asc = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    w_desc = Window.orderBy(F.desc("c")).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    pos = hist.select(
+        "c",
+        "m",
+        F.sum("m").over(w_asc).alias("cum_m"),
+        F.sum(F.col("m") * F.col("c")).over(w_all).alias("s"),
+        F.sum("m").over(w_all).alias("n"),
+        F.sum("m").over(w_desc).alias("cum_top"),
+    ).withColumn("need", F.ceil(F.col("n") * 0.01).cast("long"))
+    taken = F.greatest(
+        F.least(F.col("m"), F.col("need") - (F.col("cum_top") - F.col("m"))), F.lit(0)
+    )
+    return pos.agg(
+        F.max("n").cast("long").alias("n_keys"),
+        F.max("s").cast("long").alias("n_orders"),
+        F.round(
+            F.sum(F.col("c") * F.col("m") * (2 * F.col("cum_m") - F.col("m") + 1)).cast("double")
+            / (F.max("n").cast("double") * F.max("s"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            9,
+        ).alias("gini"),
+        F.round(F.sum(taken * F.col("c")).cast("double") / F.max("s"), 9).alias(
+            "top1pct_share"
+        ),
+        F.max("c").cast("long").alias("max_per_key"),
+    )

@@ -659,3 +659,154 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cum_distinct_users", F.sum("new_users").over(w).cast("long"))
         .orderBy("day")
     )
+
+
+_SEASONAL_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day, dayofweek(o_orderdate) AS dow,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS rev
+    FROM orders GROUP BY 1, 2
+), trended AS (
+    SELECT day, dow, rev,
+           CASE WHEN COUNT(*) OVER w7 = 7
+                THEN CAST(SUM(CAST(rev AS DECIMAL(38,6))) OVER w7 AS DOUBLE) / 7
+           END AS trend
+    FROM daily
+    WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), seas AS (
+    SELECT dow,
+           CAST(SUM(CAST(rev - trend AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS s_raw
+    FROM trended WHERE trend IS NOT NULL GROUP BY dow
+), seas_c AS (
+    SELECT dow, s_raw - CAST(SUM(CAST(s_raw AS DECIMAL(38,6))) OVER () AS DOUBLE) / 7
+               AS seasonal
+    FROM seas
+)
+SELECT CAST(t.day AS VARCHAR) AS day, ROUND(t.rev, 6) AS rev,
+       ROUND(t.trend, 6) AS trend, ROUND(s.seasonal, 6) AS seasonal,
+       ROUND(t.rev - t.trend - s.seasonal, 6) AS resid
+FROM trended t JOIN seas_c s USING (dow)
+WHERE t.trend IS NOT NULL
+ORDER BY t.day
+"""
+
+
+@_register("ts_seasonal_decompose", _SEASONAL_ORACLE)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily revenue
+    series: trend = centered 7-day moving average (full windows only),
+    seasonal = mean detrended value per weekday re-centered to sum to
+    zero, residual = value - trend - seasonal.
+
+    Every mean goes through the exact decimal accumulator, so trend
+    and seasonal are partitioning-invariant; emitted terms are rounded
+    to 6 dp. Scale: the heavy aggregation (orders -> daily revenue) is
+    one shuffled hash agg; everything after runs on the calendar-
+    bounded day series, where the unpartitioned ordered window is
+    deliberate (a few thousand rows at ANY fact-table size). The
+    weekday profile joins back via broadcast.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    daily = (
+        t["orders"]
+        .groupBy(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.dayofweek("o_orderdate").alias("dow"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("rev"))
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.withColumn(
+        "trend",
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7,
+            F.sum(F.col("rev").cast(DEC)).over(w7).cast("double") / 7,
+        ),
+    ).filter(F.col("trend").isNotNull())
+    seas = trended.groupBy("dow").agg(
+        (
+            F.sum((F.col("rev") - F.col("trend")).cast(DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("s_raw")
+    )
+    w_all = Window.partitionBy()
+    seas_c = seas.withColumn(
+        "seasonal",
+        F.col("s_raw") - F.sum(F.col("s_raw").cast(DEC)).over(w_all).cast("double") / 7,
+    ).select("dow", "seasonal")
+    return (
+        trended.join(F.broadcast(seas_c), "dow")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.round("rev", 6).alias("rev"),
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(F.col("rev") - F.col("trend") - F.col("seasonal"), 6).alias("resid"),
+        )
+        .orderBy("day")
+    )
+
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x FROM events GROUP BY 1
+), m AS (
+    SELECT CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mu FROM daily
+), c AS (
+    SELECT day, x,
+           CAST(SUM(CAST(x - mu AS DECIMAL(38,6))) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS csum
+    FROM daily CROSS JOIN m
+), cu AS (
+    SELECT day, x, csum,
+           csum - LEAST(MIN(csum) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 0)
+               AS cusum_pos
+    FROM c
+)
+SELECT CAST(day AS VARCHAR) AS day, CAST(x AS BIGINT) AS x,
+       ROUND(cusum_pos, 6) AS cusum,
+       CAST(CASE WHEN cusum_pos = MAX(cusum_pos) OVER () THEN 1 ELSE 0 END AS INT)
+           AS is_peak
+FROM cu ORDER BY day
+"""
+
+
+@_register("ts_cusum_changepoint", _CUSUM_ORACLE)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection on the daily event-count
+    series, marking the peak-statistic day (the most likely upward
+    changepoint).
+
+    The textbook CUSUM is recursive (s_i = max(0, s_{i-1} + dev_i)),
+    but it decomposes into pure windows: s_i = csum_i - min(0,
+    running-min of csum) — so no fold is needed, just a cumulative sum
+    (exact decimal) and a running min. Deviations are (integer count -
+    mu) with mu an exact rational, so csum is deterministic; rounded
+    to 6 dp on emit. Scale: one shuffled hash agg to the calendar-
+    bounded day series; windows run on that tiny series by design.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    daily = (
+        t["events"]
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    m = daily.agg((F.sum("x").cast("double") / F.count(F.lit(1))).alias("mu"))
+    w_run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = daily.crossJoin(F.broadcast(m)).withColumn(
+        "csum",
+        F.sum((F.col("x") - F.col("mu")).cast(DEC)).over(w_run).cast("double"),
+    )
+    cu = c.withColumn(
+        "cusum_pos", F.col("csum") - F.least(F.min("csum").over(w_run), F.lit(0.0))
+    )
+    w_all = Window.partitionBy()
+    return cu.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("x").cast("long").alias("x"),
+        F.round("cusum_pos", 6).alias("cusum"),
+        F.when(F.col("cusum_pos") == F.max("cusum_pos").over(w_all), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_peak"),
+    ).orderBy("day")

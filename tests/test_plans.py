@@ -391,3 +391,47 @@ def test_markov_normalizer_broadcasts(spark):
     plan = _plan(relational.markov_event_transitions(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_histogram_equi_depth_fact_never_shuffles_rows(spark):
+    # boundaries broadcast back; the only exchanges are the boundary
+    # aggregate's own and the final 10-row bucket aggregate
+    plan = _plan(relational.histogram_equi_depth(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_df_and_stats_broadcast(spark):
+    plan = _plan(llm.search_bm25_topk(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan          # df onto tf
+    assert "TakeOrderedAndProject" in plan      # global top-10, no full sort
+    assert "CartesianProduct" not in plan
+
+
+def test_dq_skew_gini_windows_only_over_histogram(spark):
+    # the sorted windows must consume the count-of-counts histogram
+    # (post-aggregation), never the per-key or fact table
+    df = relational.dq_key_skew_gini(spark, SF_DIR)
+    plan = _plan(df)
+    first_window = plan.find("Window")
+    assert first_window != -1
+    below = plan[first_window:]
+    # the windows' input is the lineage-cut histogram (ExistingRDD), so
+    # neither the orders scan nor the per-key aggregate sits under them
+    assert "ExistingRDD" in below
+    assert "parquet" not in below.lower()
+    assert "SortMergeJoin" not in plan
+
+
+def test_chi_square_margins_broadcast(spark):
+    plan = _plan(relational.stat_chi_square(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_winsorized_single_pass_after_boundaries(spark):
+    plan = _plan(relational.stats_winsorized(spark, SF_DIR))
+    # phase-2 must not shuffle orders rows: its only exchanges belong to
+    # the two tiny aggregates (boundary row + final 1-row result)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan

@@ -375,3 +375,73 @@ def test_first_names_resolve_and_unique():
     missing = [n for n in e._FIRST_NAMES if n not in q]
     assert not missing, f"_FIRST_NAMES entries not in registry: {missing}"
     assert len(set(e._FIRST_NAMES)) == len(e._FIRST_NAMES), "duplicate names"
+
+
+# --- round-4 statistics identities ----------------------------------------
+
+
+@given(st.lists(st.integers(min_value=1, max_value=12), min_size=1, max_size=60))
+@settings(max_examples=120, deadline=None)
+def test_gini_histogram_identity(counts):
+    """dq_key_skew_gini's closed form over the count-of-counts
+    histogram must equal the textbook sorted-rank Gini."""
+    xs = sorted(counts)
+    n, s = len(xs), sum(xs)
+    brute = (2 * sum(i * x for i, x in enumerate(xs, 1))) / (n * s) - (n + 1) / n
+
+    from collections import Counter
+
+    hist = sorted(Counter(counts).items())
+    cum_m = 0
+    two_b = 0
+    for c, m in hist:
+        cum_m += m
+        two_b += c * m * (2 * cum_m - m + 1)
+    closed = two_b / (n * s) - (n + 1) / n
+    assert abs(brute - closed) < 1e-9
+
+
+@given(st.lists(st.floats(min_value=-50, max_value=50, allow_nan=False), min_size=1, max_size=80))
+@settings(max_examples=120, deadline=None)
+def test_cusum_window_decomposition(devs):
+    """ts_cusum_changepoint's window form (csum - min(0, running-min))
+    must equal the recursive CUSUM s_i = max(0, s_{i-1} + d_i)."""
+    s = 0.0
+    recursive = []
+    for d in devs:
+        s = max(0.0, s + d)
+        recursive.append(s)
+
+    csum = 0.0
+    run_min = 0.0
+    windowed = []
+    for d in devs:
+        csum += d
+        run_min = min(run_min, csum)
+        windowed.append(csum - min(run_min, 0.0))
+    for a, b in zip(recursive, windowed):
+        assert abs(a - b) < 1e-6
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=30), min_size=2, max_size=40),
+)
+@settings(max_examples=100, deadline=None)
+def test_top_share_cut_from_histogram(counts):
+    """dq_key_skew_gini's top-1%-style cut (computed on the grouped
+    histogram with clamped takes) must equal taking the top-k keys
+    from the fully sorted per-key list, for every k."""
+    from collections import Counter
+
+    xs = sorted(counts, reverse=True)
+    n, s = len(xs), sum(xs)
+    hist = sorted(Counter(counts).items(), reverse=True)
+    for need in range(1, n + 1):
+        brute = sum(xs[:need])
+        cum_top = 0
+        closed = 0
+        for c, m in hist:
+            cum_top += m
+            taken = max(min(m, need - (cum_top - m)), 0)
+            closed += taken * c
+        assert brute == closed, (need, xs)

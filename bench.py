@@ -71,6 +71,11 @@ HEADLINE = [
     "tokenizer_vocab_coverage",
     "attribution_last_touch",
     "multimodal_pipeline_prep",
+    # round-4 statistics / retrieval additions
+    "search_bm25_topk",
+    "text_token_entropy",
+    "histogram_equi_depth",
+    "dq_expectations_report",
     # graph_pagerank stays OUT of HEADLINE (build convention: tiny-data
     # iterative ops distort the headline number — ~90% of its wall time
     # is fixed per-iteration stage overhead, not data work). It remains

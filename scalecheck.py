@@ -55,6 +55,12 @@ SCALE_QUERIES = [
     # artifact, not an engine property (see the op's docstring).
     "attribution_last_touch",
     "features_user_daily",
+    "search_bm25_topk",
+    "text_token_entropy",
+    "quality_domain_cap",
+    "window_running_distinct",
+    "dq_key_skew_gini",
+    "ts_cusum_changepoint",
 ]
 
 

@@ -445,3 +445,32 @@ def test_top_share_cut_from_histogram(counts):
             taken = max(min(m, need - (cum_top - m)), 0)
             closed += taken * c
         assert brute == closed, (need, xs)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=40), st.integers(min_value=0, max_value=40)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=100, deadline=None)
+def test_skyline_of_skylines_identity(points, n_parts):
+    """orders_pareto_skyline's two-phase plan relies on
+    skyline(S) = skyline(union of per-partition skylines)."""
+
+    def skyline(pts):
+        return {
+            p
+            for p in pts
+            if not any(
+                q[0] >= p[0] and q[1] >= p[1] and q != p for q in pts
+            )
+        }
+
+    pts = list(set(points))
+    whole = skyline(pts)
+    parts = [pts[i::n_parts] for i in range(n_parts)]
+    merged = skyline([p for part in parts for p in skyline(part)])
+    assert whole == merged

@@ -435,3 +435,27 @@ def test_winsorized_single_pass_after_boundaries(spark):
     # the two tiny aggregates (boundary row + final 1-row result)
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_partitioned_read_prunes_directories(spark, tmp_path):
+    # the scan must carry the lang predicate as PartitionFilters (pruned
+    # at file-listing time), not as a post-scan Filter
+    t = load_tables(spark, SF_DIR, register_views=False)
+    root = str(tmp_path / "docs_by_lang")
+    t["documents"].write.partitionBy("lang").parquet(root)
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(root).filter(F.col("lang").isin("en", "de"))
+    plan = _plan(df)
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_skyline_local_prune_before_single_partition(spark):
+    # phase-1 frontier pruning must run as mapInPandas BEFORE the
+    # coalesce(1); the single-partition final pass sees survivors only
+    plan = _plan(relational.orders_pareto_skyline(spark, SF_DIR))
+    assert plan.count("MapInPandas") == 2
+    i_map = plan.find("MapInPandas")
+    i_coal = plan.find("Coalesce")
+    assert i_coal != -1 and i_coal < plan.rfind("MapInPandas")
+    assert "SortMergeJoin" not in plan

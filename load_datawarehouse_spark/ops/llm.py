@@ -4287,3 +4287,202 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE bootstrap: first-iteration merge-pair counts
+# ---------------------------------------------------------------------------
+
+_BPE_ORACLE = """
+WITH wf AS (
+    SELECT word, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> '' GROUP BY word
+), pairs AS (
+    SELECT unnest(list_transform(range(1, len(cs)),
+                                 i -> cs[i] || cs[i+1])) AS pair, freq
+    FROM (SELECT string_split_regex(word, '') AS cs, freq FROM wf)
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair LIMIT 10
+"""
+
+
+@_register("bpe_first_merges", _BPE_ORACLE)
+def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration: the 10 most frequent adjacent
+    character pairs across the corpus, weighted by word frequency —
+    the inner loop of tokenizer training expressed as pure DataFrame
+    ops.
+
+    Scale: the corpus collapses to the word-frequency table FIRST
+    (vocabulary-sized, zipf-bounded), so pair enumeration runs per
+    DISTINCT word — the standard BPE trick that makes each merge
+    iteration O(|vocab|), not O(|corpus|). Pair explosion is
+    array-native (no UDF); final top-10 is a TakeOrderedAndProject.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    words = (
+        t["documents"]
+        .select(F.explode(F.split("text", " ", -1)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    chars = F.filter(F.split("word", "", -1), lambda c: c != F.lit(""))
+    pairs = words.select(
+        F.explode(
+            F.zip_with(
+                F.slice(chars, 1, F.size(chars) - 1),
+                F.slice(chars, 2, F.size(chars) - 1),
+                lambda a, b: F.concat(a, b),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding norm profile with outlier flags
+# ---------------------------------------------------------------------------
+
+_NORM_OUTLIER_ORACLE = """
+WITH norms AS (
+    SELECT vec_id, label,
+        SQRT(CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+                           AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+    FROM (SELECT vec_id, label, unnest(embedding) AS a FROM embeddings)
+    GROUP BY vec_id, label
+), mu AS (
+    SELECT ROUND(CAST(SUM(CAST(nrm AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 12)
+               AS mu_r
+    FROM norms
+), devs AS (
+    SELECT vec_id, label, nrm,
+           CAST(ROUND((nrm - mu_r) * 1e9) AS BIGINT) AS dev9
+    FROM norms CROSS JOIN mu
+), sig AS (
+    SELECT SQRT(CAST(SUM(dev9 * dev9) AS DOUBLE) / COUNT(*)) AS sigma9 FROM devs
+)
+SELECT vec_id, label, ROUND(nrm, 9) AS nrm,
+       CAST(CASE WHEN ABS(dev9) > 2.0 * sigma9 THEN 1 ELSE 0 END AS INT)
+           AS is_outlier
+FROM devs CROSS JOIN sig
+ORDER BY vec_id
+"""
+
+
+@_register("embedding_norm_outliers", _NORM_OUTLIER_ORACLE)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-norm profile with |z| > 2 outlier flags — the
+    sanity check before any cosine/ANN pipeline (degenerate zero-norm
+    or exploded vectors poison similarity search).
+
+    The naive E[x^2] - E[x]^2 variance is catastrophically cancelled
+    here (unit-normalized vectors: var ~1e-15 from terms ~1.0, so a
+    last-ulp engine difference flips 80% of the flags — observed).
+    Instead: exact-decimal mean rounded to 12 dp, then deviations
+    quantized to INTEGER nano-units whose sum of squares is exact
+    64-bit arithmetic — sigma and every flag comparison are
+    partitioning- and engine-invariant by construction. Scale: one
+    narrow scan for norms, 1-row mean and sigma broadcast back.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    dec18 = "decimal(38,18)"
+    norms = t["embeddings"].select(
+        "vec_id", "label", _dec_norm("embedding").alias("nrm")
+    ).localCheckpoint(eager=False)
+    mu = norms.agg(
+        F.round(
+            F.sum(F.col("nrm").cast(dec18)).cast("double") / F.count(F.lit(1)), 12
+        ).alias("mu_r")
+    )
+    devs = norms.crossJoin(F.broadcast(mu)).withColumn(
+        "dev9", F.round((F.col("nrm") - F.col("mu_r")) * 1e9, 0).cast("long")
+    )
+    sig = devs.agg(
+        F.sqrt(
+            F.sum(F.col("dev9") * F.col("dev9")).cast("double") / F.count(F.lit(1))
+        ).alias("sigma9")
+    )
+    return (
+        devs.crossJoin(F.broadcast(sig))
+        .select(
+            "vec_id",
+            "label",
+            F.round("nrm", 9).alias("nrm"),
+            F.when(F.abs(F.col("dev9")) > 2.0 * F.col("sigma9"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring (Flesch-style proxy)
+# ---------------------------------------------------------------------------
+
+_VOWEL_GROUP_RE = "[aeiouyAEIOUY]+"
+_SENT_RE = "[.!?]"
+
+_READABILITY_ORACLE = f"""
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sents AS BIGINT) AS n_sents,
+       CAST(n_syll AS BIGINT) AS n_syll,
+       ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                     - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 6) AS flesch
+FROM (
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_words,
+           GREATEST(len(regexp_extract_all(text, '{_SENT_RE}')), 1) AS n_sents,
+           len(regexp_extract_all(text, '{_VOWEL_GROUP_RE}')) AS n_syll
+    FROM documents
+)
+ORDER BY doc_id
+"""
+
+
+@_register("text_readability_score", _READABILITY_ORACLE)
+def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease proxy per document (syllables approximated
+    by vowel groups, sentences by terminal punctuation, floored at 1)
+    — a standard quality-filter feature for training-data curation.
+
+    All three counts are integer regexp/array counts (identical
+    regexes run in both engines); the score is one deterministic
+    double expression rounded to 6 dp. Scale: narrow scan, pure
+    codegen, no shuffle, no UDF.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    n_words = F.size(F.filter(F.split("text", " ", -1), lambda w: w != F.lit("")))
+    n_sents = F.greatest(F.regexp_count("text", F.lit(_SENT_RE)), F.lit(1))
+    n_syll = F.regexp_count("text", F.lit(_VOWEL_GROUP_RE))
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            n_words.cast("long").alias("n_words"),
+            n_sents.cast("long").alias("n_sents"),
+            n_syll.cast("long").alias("n_syll"),
+        )
+        .withColumn(
+            "flesch",
+            F.round(
+                206.835
+                - 1.015 * (F.col("n_words").cast("double") / F.col("n_sents"))
+                - 84.6 * (F.col("n_syll").cast("double") / F.col("n_words")),
+                6,
+            ),
+        )
+        .orderBy("doc_id")
+    )

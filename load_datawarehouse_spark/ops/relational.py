@@ -5962,3 +5962,49 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree_decile_bucket")
     )
+
+
+_CLV_DECAY_ORACLE = """
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice
+           * EXP(-date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+                 / 365.0) AS DECIMAL(38,18))) AS DOUBLE), 6) AS decayed_value
+FROM orders
+GROUP BY o_custkey
+ORDER BY decayed_value DESC, o_custkey
+LIMIT 20
+"""
+
+
+@_register("customer_value_decay", _CLV_DECAY_ORACLE)
+def customer_value_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed customer value (tau = 365 days,
+    anchored at the fixed as-of date 1998-12-31): recent spend counts
+    nearly full, year-old spend ~37% — the standard recency-weighted
+    LTV feature.
+
+    Each row's decay factor is a deterministic double of an integer
+    day difference; contributions accumulate in DECIMAL(38,18), so the
+    per-customer sum is partitioning-invariant, rounded to 6 dp. The
+    as-of date is pinned (never now()) so the feature is reproducible.
+    Scale: one shuffled aggregation on the customer key; top-20 is a
+    TakeOrderedAndProject.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    decay = F.exp(
+        -F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date"))
+        / 365.0
+    )
+    return (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum((F.col("o_totalprice") * decay).cast("decimal(38,18)")).cast("double"), 6
+            ).alias("decayed_value"),
+        )
+        .orderBy(F.desc("decayed_value"), F.asc("o_custkey"))
+        .limit(20)
+    )

@@ -6008,3 +6008,104 @@ def customer_value_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("decayed_value"), F.asc("o_custkey"))
         .limit(20)
     )
+
+
+_PATHS3_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           LEAD(event_type) OVER w AS t2,
+           LEAD(event_type, 2) OVER w AS t3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || ' > ' || t2 || ' > ' || t3 AS path,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE t3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+"""
+
+
+@_register("events_top_paths_3step", _PATHS3_ORACLE)
+def events_top_paths_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-event behavioral paths (sliding trigram over each user's
+    ordered event sequence) — the sequence-mining step up from
+    ``markov_event_transitions``' pairwise matrix.
+
+    Scale: ONE shuffle on user_id serves both LEADs (same window
+    spec); path counting is a hash agg on the bounded path vocabulary;
+    top-10 is a TakeOrderedAndProject. Per-user windows are bounded by
+    per-user history, so no low-cardinality window funnel exists.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        seq.filter(F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(" > ", "event_type", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(10)
+    )
+
+
+_CALENDAR_ORACLE = """
+SELECT o_orderkey,
+       CAST(CAST(date_trunc('quarter', o_orderdate) AS DATE) AS VARCHAR)
+           AS quarter_start,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+       CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+       CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+       CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS VARCHAR)
+           AS plus_3_months,
+       CAST(date_diff('month', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+            AS BIGINT) AS months_to_eoy
+FROM orders WHERE o_orderkey < 200
+ORDER BY o_orderkey
+"""
+
+
+@_register("scalar_calendar_edges", _CALENDAR_ORACLE)
+def scalar_calendar_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-boundary scalar family: quarter start, month end, ISO
+    weekday/week, month arithmetic, and month distance — the fiscal-
+    reporting date toolkit (complements ``scalar_date``'s basic
+    extracts).
+
+    Date results are emitted as strings for cross-engine parity (both
+    engines agree on the calendar; only their date-type renderings
+    differ). DuckDB's ``date_diff('month', ...)`` counts month
+    BOUNDARY crossings, so the Spark side uses the same boundary count
+    (months between the month starts), not ``months_between``'s
+    fractional semantics. Narrow scan, pure codegen.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    d = F.col("o_orderdate").cast("date")
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") < 200)
+        .select(
+            "o_orderkey",
+            F.date_trunc("quarter", "o_orderdate").cast("date").cast("string").alias("quarter_start"),
+            F.last_day(d).cast("string").alias("month_end"),
+            F.dayofweek(d).alias("tmp_dow"),
+            F.weekofyear(d).cast("long").alias("iso_week"),
+            F.add_months(d, 3).cast("string").alias("plus_3_months"),
+            (
+                (F.year(F.lit("1998-12-31").cast("date")) * 12 + F.month(F.lit("1998-12-31").cast("date")))
+                - (F.year(d) * 12 + F.month(d))
+            ).cast("long").alias("months_to_eoy"),
+        )
+        .withColumn(
+            "iso_dow",
+            F.when(F.col("tmp_dow") == 1, 7).otherwise(F.col("tmp_dow") - 1).cast("long"),
+        )
+        .drop("tmp_dow")
+        .orderBy("o_orderkey")
+    )

@@ -1165,3 +1165,108 @@ def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_memory(lvl2, "append")
     rows = out.orderBy("hour_start", "event_type").collect()
     return spark.createDataFrame(rows, out.schema)
+
+
+# ---------------------------------------------------------------------------
+# stream_ivm_aggregate — incremental view maintenance via foreachBatch
+# ---------------------------------------------------------------------------
+
+_STREAM_IVM_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micros
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@_register("stream_ivm_aggregate", _STREAM_IVM_ORACLE)
+def stream_ivm_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental view maintenance: a per-event-type
+    (count, sum) aggregate table kept current by ``foreachBatch``
+    DELTA merges — each micro-batch contributes only its own partial
+    aggregate, added onto the stored totals through the warehouse
+    ``update`` verb (the streaming composition of
+    ``warehouse_incremental_view``).
+
+    The maintained measures are an integer count and an integer
+    MICRO-UNIT sum (round(value*1e6)), so delta addition is exact and
+    associative — the final state provably equals the one-shot batch
+    aggregate (the oracle) regardless of how the stream was sliced
+    into batches. A double-typed running sum would NOT hash-match: 3
+    partial double additions differ from one global sum in the last
+    ulp. Scale: per-batch partial agg shuffles only batch rows on the
+    tiny type key; the merge touches |event types| stored rows.
+    """
+    import shutil
+    import tempfile
+
+    from load_datawarehouse_spark import types as wtypes
+    from load_datawarehouse_spark.warehouse import SparkWarehouse
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    ev = t["events"].select("event_id", "event_type", "value")
+    waves = tuple(ev.filter(F.col("event_id") % 3 == i) for i in range(3))
+
+    def _delta(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 1e6, 0).cast("long")).alias("sum_micros"),
+        )
+
+    root = tempfile.mkdtemp(prefix="ldw_ivm_")
+    try:
+        d = os.path.join(root, "in")
+        os.makedirs(d)
+        for i, w in enumerate(waves):
+            sub = os.path.join(d, f"b{i}")
+            w.coalesce(1).write.parquet(sub)
+            part = next(f for f in sorted(os.listdir(sub)) if f.endswith(".parquet"))
+            dst = os.path.join(d, f"{i}.parquet")
+            os.rename(os.path.join(sub, part), dst)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+            shutil.rmtree(sub)
+
+        tbl_struct = T.StructType(
+            [
+                T.StructField("event_type", T.StringType()),
+                T.StructField("n_events", T.LongType()),
+                T.StructField("sum_micros", T.LongType()),
+            ]
+        )
+        wh = SparkWarehouse.new(
+            spark, root, "type_totals",
+            schema=wtypes.struct_type_to_api_repr(tbl_struct),
+        )
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            delta = _delta(batch_df)
+            cur = wh.df().join(delta.select("event_type"), "event_type", "left_semi")
+            merged = (
+                delta.unionByName(cur)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("n_events").cast("long").alias("n_events"),
+                    F.sum("sum_micros").cast("long").alias("sum_micros"),
+                )
+            )
+            wh.update(merged, keys=["event_type"])
+
+        schema = spark.read.parquet(os.path.join(d, "0.parquet")).schema
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(d)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(root, "_chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = wh.df().orderBy("event_type")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

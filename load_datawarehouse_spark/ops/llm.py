@@ -4486,3 +4486,129 @@ def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment dedup (sub-document copies) + source lang mix
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_ORACLE = f"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           word || ' ' || LEAD(word, 1) OVER w || ' ' || LEAD(word, 2) OVER w AS shingle
+    FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    QUALIFY LEAD(word, 2) OVER w IS NOT NULL
+), ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+idx AS (
+    SELECT shingle FROM ds GROUP BY shingle
+    HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+), pruned AS (SELECT ds.* FROM ds JOIN idx USING (shingle)),
+pairs AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+    FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+    GROUP BY 1, 2
+)
+SELECT p.d1 AS contained_doc, p.d2 AS container_doc, p.n_common,
+       CAST(c1.n AS BIGINT) AS n_shingles,
+       CAST(p.n_common AS DOUBLE) / c1.n AS containment
+FROM pairs p JOIN cnt c1 ON c1.doc_id = p.d1
+WHERE CAST(p.n_common AS DOUBLE) / c1.n >= 0.8
+ORDER BY contained_doc, container_doc
+"""
+
+
+@_register("dedup_shingle_containment", _CONTAINMENT_ORACLE)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment dedup: |A∩B| / |A| >= 0.8 flags doc A as
+    (near-)contained in doc B — the ASYMMETRIC metric that catches a
+    short document pasted inside a longer one, which symmetric Jaccard
+    misses (the union in its denominator dilutes the overlap).
+
+    Same scale skeleton as ``dedup_ngram_jaccard``: distinct shingles
+    -> DF-capped inverted index (hot-shingle skew guard) -> pair
+    aggregation, but ORDERED pairs (both directions kept) and the
+    denominator is the contained side's own shingle count. Never
+    doc x doc.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    ds = _shingles(t)
+    cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    idx = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= MAX_SHINGLE_DF
+    )
+    pruned = ds.join(idx.select("shingle"), "shingle")
+    a = pruned.select(F.col("doc_id").alias("d1"), "shingle")
+    b = pruned.select(F.col("doc_id").alias("d2"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("d1") != F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    containment = F.col("n_common").cast("double") / F.col("n")
+    return (
+        pairs.join(cnt.select(F.col("doc_id").alias("d1"), "n"), "d1")
+        .select(
+            F.col("d1").alias("contained_doc"),
+            F.col("d2").alias("container_doc"),
+            "n_common",
+            F.col("n").cast("long").alias("n_shingles"),
+            containment.alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.8)
+        .orderBy("contained_doc", "container_doc")
+    )
+
+
+_SOURCE_LANG_ORACLE = """
+WITH cells AS (
+    SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang
+), tot AS (SELECT source, SUM(n) AS total FROM cells GROUP BY source)
+SELECT c.source,
+       CAST(MAX(t.total) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_langs,
+       ROUND(CAST(SUM(CAST(-(CAST(n AS DOUBLE) / total)
+                           * LN(CAST(n AS DOUBLE) / total)
+                           AS DECIMAL(38,18))) AS DOUBLE), 9) AS lang_entropy
+FROM cells c JOIN tot t USING (source)
+GROUP BY c.source ORDER BY c.source
+"""
+
+
+@_register("quality_source_lang_entropy", _SOURCE_LANG_ORACLE)
+def quality_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix entropy per source domain — a curation trust
+    signal: a 'German news' domain suddenly emitting five languages is
+    usually boilerplate, spam, or MT content.
+
+    Entropy terms are deterministic doubles from integer (n, total)
+    pairs, accumulated in DECIMAL(38,18) (cancellation-free; cf. the
+    ``embedding_norm_outliers`` lesson), rounded to 9 dp. Scale: the
+    corpus collapses to |sources| x |langs| cells in one map-side-
+    combinable aggregation; everything after is tiny.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    cells = (
+        t["documents"]
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cells.groupBy("source").agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    return (
+        cells.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.max("total").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.round(
+                F.sum((-p * F.log(p)).cast("decimal(38,18)")).cast("double"), 9
+            ).alias("lang_entropy"),
+        )
+        .orderBy("source")
+    )

@@ -6109,3 +6109,57 @@ def scalar_calendar_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("tmp_dow")
         .orderBy("o_orderkey")
     )
+
+
+_BITMAP_DISTINCT_ORACLE = """
+WITH chunks AS (
+    SELECT o_orderpriority,
+           o_custkey // 63 AS bucket,
+           bit_or(1::BIGINT << CAST(o_custkey % 63 AS INT)) AS bits
+    FROM orders GROUP BY o_orderpriority, o_custkey // 63
+)
+SELECT o_orderpriority,
+       CAST(SUM(bit_count(bits)) AS BIGINT) AS n_distinct_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks
+FROM chunks GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@_register("agg_bitmap_distinct", _BITMAP_DISTINCT_ORACLE)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via 64-bit bitmap chunks: key space
+    sliced into 63-wide buckets (bits 0-62; bit 63 is the sign bit,
+    which DuckDB's checked left-shift refuses), each bucket ORs its members into one
+    BIGINT, popcounts sum to the exact distinct count.
+
+    This is the bitmap-index answer to COUNT(DISTINCT): unlike the
+    Expand-based exact distinct it produces MERGEABLE partials (OR is
+    associative/commutative/idempotent), so pre-aggregated per-
+    partition bitmaps can roll up across segments — the exact
+    counterpart of the HLL rollup (``agg_hll_mergeable_rollup``) for
+    dense integer key spaces, at 1 bit per potential key instead of a
+    sketch's fixed error. All integer ops, engine-identical. Scale:
+    map-side partial bit_or collapses each partition to
+    |groups| x |buckets| rows before the shuffle.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    chunks = (
+        t["orders"]
+        .groupBy(
+            "o_orderpriority",
+            F.floor(F.col("o_custkey") / 63).alias("bucket"),
+        )
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(cast(1 as bigint), cast(o_custkey % 63 as int))")
+            ).alias("bits")
+        )
+    )
+    return (
+        chunks.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.bit_count("bits")).cast("long").alias("n_distinct_customers"),
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        )
+        .orderBy("o_orderpriority")
+    )

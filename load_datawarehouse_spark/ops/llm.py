@@ -4612,3 +4612,104 @@ def quality_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 curation capstone: normalize -> dedup -> domain cap -> quality
+# gates -> deterministic split -> accounting
+# ---------------------------------------------------------------------------
+
+_CURATION_V3_ORACLE = """
+WITH normed AS (
+    SELECT doc_id, lang, source, n_chars,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS norm
+    FROM documents
+), deduped AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(norm)
+                                     ORDER BY doc_id) AS copy_rk
+        FROM normed
+    ) WHERE copy_rk = 1
+), capped AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY n_chars DESC, doc_id) AS dom_rk
+        FROM deduped
+    ) WHERE dom_rk <= 30
+), worded AS (
+    SELECT *,
+           len(list_filter(string_split(norm, ' '), w -> w <> '')) AS n_words,
+           len(list_distinct(list_filter(string_split(norm, ' '), w -> w <> '')))
+               AS n_types
+    FROM capped
+), gated AS (
+    SELECT * FROM worded
+    WHERE n_words BETWEEN 30 AND 500
+      AND CAST(n_types AS DOUBLE) / n_words >= 0.3
+), split AS (
+    SELECT lang,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e665' THEN 'val'
+                ELSE 'test' END AS split,
+           n_chars
+    FROM gated
+)
+SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM split GROUP BY lang, split ORDER BY lang, split
+"""
+
+
+@_register("pipeline_curation_v3", _CURATION_V3_ORACLE)
+def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 curation capstone, composing this round's new operators
+    into ONE lazy plan: canonical normalization -> exact dedup
+    (keep-first on md5) -> per-domain cap (top-30 by length, cf.
+    ``quality_domain_cap``) -> quality gates (Gopher-style word-count
+    band + type-token-ratio >= 0.3) -> deterministic hash split (cf.
+    ``split_train_val_test``) -> per-(lang, split) accounting.
+
+    Scale: two window shuffles (dedup key, domain key) both on keys
+    the pipeline needs anyway; gates are narrow array arithmetic on
+    the normalized words (computed once, reused for both counts); the
+    split is shuffle-free hash-gating; final accounting is a tiny
+    aggregate. No stage materializes, so Catalyst prunes columns
+    end-to-end — the whole pipeline is ONE job.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    normed = t["documents"].select(
+        "doc_id", "lang", "source", "n_chars", _norm_text_expr().alias("norm")
+    )
+    w_dup = Window.partitionBy(F.md5("norm")).orderBy("doc_id")
+    deduped = (
+        normed.withColumn("copy_rk", F.row_number().over(w_dup))
+        .filter(F.col("copy_rk") == 1)
+    )
+    w_dom = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    capped = (
+        deduped.withColumn("dom_rk", F.row_number().over(w_dom))
+        .filter(F.col("dom_rk") <= 30)
+    )
+    words = F.filter(F.split("norm", " ", -1), lambda w: w != F.lit(""))
+    gated = (
+        capped.withColumn("words", words)
+        .withColumn("n_words", F.size("words"))
+        .withColumn("n_types", F.size(F.array_distinct("words")))
+        .filter(
+            (F.col("n_words") >= 30)
+            & (F.col("n_words") <= 500)
+            & (F.col("n_types").cast("double") / F.col("n_words") >= 0.3)
+        )
+    )
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = F.when(h < "cccc", "train").when(h < "e665", "val").otherwise("test")
+    return (
+        gated.select("lang", split.alias("split"), "n_chars")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("lang", "split")
+    )

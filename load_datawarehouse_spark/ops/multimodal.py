@@ -786,3 +786,79 @@ def multimodal_pipeline_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_audio_energy — windowed RMS energy over PCM-like payload
+# ---------------------------------------------------------------------------
+
+_AUDIO_WIN = 256  #: samples per energy window (fake codec: 1 byte = 1 sample)
+
+_AUDIO_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("win", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+    ]
+)
+
+
+def _audio_energy_batches(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    import numpy as np
+
+    for pdf in batches:
+        out = []
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            samples = np.frombuffer(content, dtype=np.uint8).astype(np.int64)
+            for w in range(0, len(samples), _AUDIO_WIN):
+                seg = samples[w : w + _AUDIO_WIN]
+                out.append(
+                    (doc_id, w // _AUDIO_WIN, len(seg), int((seg * seg).sum()))
+                )
+        yield pd.DataFrame(out, columns=["doc_id", "win", "n_samples", "sum_sq"])
+
+
+_AUDIO_ENERGY_ORACLE = f"""
+WITH ch AS (
+    SELECT doc_id, unnest(cs) AS c, generate_subscripts(cs, 1) AS i
+    FROM (
+        SELECT doc_id, string_split_regex(text, '') AS cs
+        FROM documents WHERE doc_id % 3 = 1
+    )
+)
+SELECT doc_id, CAST((i - 1) // {_AUDIO_WIN} AS BIGINT) AS win,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       ROUND(SQRT(CAST(SUM(unicode(c) * unicode(c)) AS DOUBLE) / COUNT(*)), 9)
+           AS rms
+FROM ch GROUP BY doc_id, (i - 1) // {_AUDIO_WIN}
+ORDER BY doc_id, win
+"""
+
+
+@_register("multimodal_audio_energy", _AUDIO_ENERGY_ORACLE)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS energy over the audio rows' PCM-like payload
+    (fake codec: one unsigned byte per sample, 256-sample windows) —
+    the silence-trim / voice-activity primitive, with the real
+    Spark-side plumbing: payload-typed ``mapInPandas`` whose numpy
+    kernel emits integer (n, sum-of-squares) partials and the
+    real-valued RMS is derived OUTSIDE Python from exact integers.
+
+    Scale: windows are computed inside each partition (no shuffle of
+    payload bytes); the emitted rows are window-level aggregates, ~256x
+    smaller than the payload. Swap the numpy kernel for a real PCM
+    decode (soundfile) behind the same schema and nothing else moves.
+    """
+    m = media_table(spark, sf_dir).filter(F.col("media_type") == "audio")
+    wins = m.select("doc_id", "content").mapInPandas(
+        _audio_energy_batches, _AUDIO_ENERGY_SCHEMA
+    )
+    return wins.select(
+        "doc_id",
+        "win",
+        "n_samples",
+        F.round(
+            F.sqrt(F.col("sum_sq").cast("double") / F.col("n_samples")), 9
+        ).alias("rms"),
+    ).orderBy("doc_id", "win")

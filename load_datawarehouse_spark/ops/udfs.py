@@ -404,3 +404,59 @@ def udf_cogrouped_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_reconcile, schema=_COGROUP_SCHEMA)
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# 8. pandas_udf GROUPED_AGG — vectorized Series -> scalar aggregate
+# ---------------------------------------------------------------------------
+
+_MIDRANGE_ORACLE = """
+SELECT c_mktsegment,
+       (MIN(c_acctbal) + MAX(c_acctbal)) / 2 AS midrange_bal,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@F.pandas_udf(T.DoubleType())
+def _midrange(bal: pd.Series) -> float:
+    # min/max are order-free, so the result is partitioning-invariant
+    # and the (a+b)/2 is one deterministic IEEE op
+    return (bal.min() + bal.max()) / 2
+
+
+@F.pandas_udf(T.LongType())
+def _pd_count(bal: pd.Series) -> int:
+    # Spark refuses to MIX grouped-agg pandas UDFs with built-in
+    # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the
+    # companion count is pandas too
+    return len(bal)
+
+
+@_register("udaf_grouped_agg_pandas", _MIDRANGE_ORACLE)
+def udaf_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG ``pandas_udf``: an Arrow-batched Series->scalar
+    aggregate used directly inside ``groupBy().agg(...)`` alongside
+    built-ins — the 5th UDF flavor (``applyInPandas`` gets the whole
+    group FRAME; this gets one COLUMN and composes with other
+    aggregates in the same shuffle).
+
+    Scale: unlike grouped-map, GROUPED_AGG supports partial
+    aggregation only for built-ins — the UDF column still ships all
+    group values to one task, so keep it to bounded groups (here:
+    5 market segments x ~30k rows) or prefer an algebraic rewrite
+    ((min+max)/2 is expressible builtin — this op is the surface
+    exhibit, and the oracle IS that rewrite).
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["customer"]
+        .groupBy("c_mktsegment")
+        .agg(
+            _midrange("c_acctbal").alias("midrange_bal"),
+            _pd_count("c_acctbal").alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -76,6 +76,10 @@ HEADLINE = [
     "text_token_entropy",
     "histogram_equi_depth",
     "dq_expectations_report",
+    "agg_bitmap_distinct",
+    "pipeline_curation_v3",
+    "dedup_shingle_containment",
+    "bpe_first_merges",
     # graph_pagerank stays OUT of HEADLINE (build convention: tiny-data
     # iterative ops distort the headline number — ~90% of its wall time
     # is fixed per-iteration stage overhead, not data work). It remains

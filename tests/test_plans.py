@@ -459,3 +459,47 @@ def test_skyline_local_prune_before_single_partition(spark):
     i_coal = plan.find("Coalesce")
     assert i_coal != -1 and i_coal < plan.rfind("MapInPandas")
     assert "SortMergeJoin" not in plan
+
+
+def test_bitmap_distinct_no_join_two_level_agg(spark):
+    # chunk OR + popcount-sum: two hash aggregations, no join, and the
+    # first level must partial-aggregate map-side (partial_bit_or)
+    plan = _plan(relational.agg_bitmap_distinct(spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.lower().count("hashaggregate") >= 4  # partial+final x 2 levels
+
+
+def test_bpe_counts_vocab_not_corpus(spark):
+    # pair explosion must sit ABOVE the word-frequency aggregate: the
+    # corpus collapses to distinct words before chars are enumerated
+    plan = _plan(llm.bpe_first_merges(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    gen = plan.find("Generate")  # the explode of char pairs
+    agg_below = plan[gen:].lower().count("hashaggregate")
+    assert gen != -1 and agg_below >= 2, "explode must consume the word-freq aggregate"
+
+
+def test_audio_energy_payload_stays_partition_local(spark):
+    # windows are computed inside partitions; no exchange below the
+    # mapInPandas kernel (the payload never shuffles)
+    plan = _plan(
+        __import__(
+            "load_datawarehouse_spark.ops.multimodal", fromlist=["multimodal"]
+        ).multimodal_audio_energy(spark, SF_DIR)
+    )
+    _, _, below = plan.partition("MapInPandas")
+    assert "Exchange hashpartitioning" not in below
+
+
+def test_curation_v3_single_composed_plan(spark):
+    # the capstone must stay one lazy plan: exactly the dedup-key and
+    # domain-key window shuffles plus the final accounting aggregate —
+    # and no mid-pipeline materialization barrier
+    plan = _plan(llm.pipeline_curation_v3(spark, SF_DIR))
+    assert "Scan ExistingRDD" not in plan  # no collect/recreate seam
+    assert plan.count("Window [") == 2
+    # rank-limit pushdown: both row_number filters become partial
+    # WindowGroupLimits BEFORE their exchange (top-k per partition
+    # first — the dedup/cap shuffles move survivors only)
+    assert plan.count("WindowGroupLimit") == 4
+    assert "SortMergeJoin" not in plan and "Join" not in plan

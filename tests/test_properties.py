@@ -474,3 +474,38 @@ def test_skyline_of_skylines_identity(points, n_parts):
     parts = [pts[i::n_parts] for i in range(n_parts)]
     merged = skyline([p for part in parts for p in skyline(part)])
     assert whole == merged
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2000), min_size=1, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_bitmap_chunk_distinct_identity(keys):
+    """agg_bitmap_distinct: sum of popcounts over 63-wide OR-chunks
+    equals the exact distinct count, for any multiset of keys."""
+    from collections import defaultdict
+
+    chunks = defaultdict(int)
+    for k in keys:
+        chunks[k // 63] |= 1 << (k % 63)
+    popcount_sum = sum(bin(b).count("1") for b in chunks.values())
+    assert popcount_sum == len(set(keys))
+
+
+@given(
+    st.lists(st.sets(st.integers(min_value=0, max_value=30), min_size=1, max_size=15),
+             min_size=2, max_size=8)
+)
+@settings(max_examples=80, deadline=None)
+def test_containment_asymmetric_vs_jaccard(doc_shingles):
+    """dedup_shingle_containment's metric: containment(A in B) is
+    always >= jaccard(A, B), with equality iff A is a subset of B —
+    the reason the asymmetric metric catches sub-document copies."""
+    for i, a in enumerate(doc_shingles):
+        for j, b in enumerate(doc_shingles):
+            if i == j:
+                continue
+            inter = len(a & b)
+            containment = inter / len(a)
+            jaccard = inter / len(a | b)
+            assert containment >= jaccard - 1e-12
+            if a <= b:
+                assert containment == 1.0

@@ -6163,3 +6163,164 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_BACKLOG_ORACLE = """
+WITH spans AS (
+    SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS start_day,
+           MAX(CAST(l.l_shipdate AS DATE)) AS end_day
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+    HAVING MAX(CAST(l.l_shipdate AS DATE)) >= CAST(o.o_orderdate AS DATE)
+), deltas AS (
+    SELECT start_day AS day, 1 AS d FROM spans
+    UNION ALL
+    SELECT end_day + INTERVAL 1 DAY, -1 FROM spans
+), daily AS (
+    SELECT CAST(day AS DATE) AS day, SUM(d) AS delta FROM deltas GROUP BY 1
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(SUM(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS open_orders
+FROM daily ORDER BY day
+"""
+
+
+@_register("orders_open_backlog_daily", _BACKLOG_ORACLE)
+def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog: how many orders were placed but not
+    yet fully shipped on each day — the interval-stabbing query.
+
+    The scalable decomposition: each order-interval becomes a +1 at
+    its start day and a -1 the day after its end, and the backlog is
+    the running sum of per-day deltas — O(rows) total, versus the
+    naive per-day interval join which rescans the table once per
+    calendar day. The heavy work is the order-span aggregation (one
+    shuffle on orderkey); the cumsum runs over the calendar-bounded
+    day series. Exact integers throughout.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    spans = (
+        t["orders"]
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("start_day"))
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("end_day"))
+        .filter(F.col("end_day") >= F.col("start_day"))
+    )
+    deltas = spans.select(F.col("start_day").alias("day"), F.lit(1).alias("d")).unionAll(
+        spans.select(F.date_add("end_day", 1).alias("day"), F.lit(-1).alias("d"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("d").alias("delta"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.sum("delta").over(w).cast("long").alias("open_orders"),
+    ).orderBy("day")
+
+
+_ROLLING_WAU_ORACLE = """
+WITH activity AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), contrib AS (
+    SELECT user_id, CAST(day + INTERVAL (i) DAY AS DATE) AS wday
+    FROM activity CROSS JOIN (SELECT unnest(range(7)) AS i)
+), span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM activity)
+SELECT CAST(wday AS VARCHAR) AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+FROM contrib CROSS JOIN span
+WHERE wday BETWEEN lo AND hi
+GROUP BY wday ORDER BY wday
+"""
+
+
+@_register("events_rolling_wau", _ROLLING_WAU_ORACLE)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (WAU) — the sliding-window
+    COUNT DISTINCT no window frame supports.
+
+    The scalable decomposition: collapse events to distinct
+    (user, day) activity, then each activity day contributes its user
+    to the 7 calendar days it can be 'active within the last week'
+    of — a bounded 7x expansion — and the per-day distinct collapses
+    the contributions. Total cost O(7 * active-pairs), versus a naive
+    per-day 7-day scan (O(days * rows)) or an unpartitioned window.
+    Edge days clip to the observed span so every emitted day has full
+    semantics. Exact integers.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    activity = (
+        t["events"]
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    contrib = activity.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add("day", 6))
+        ).alias("wday"),
+    )
+    span = activity.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    return (
+        contrib.crossJoin(F.broadcast(span))
+        .filter((F.col("wday") >= F.col("lo")) & (F.col("wday") <= F.col("hi")))
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+        .select(F.col("wday").cast("string").alias("day"), "wau")
+        .orderBy("day")
+    )
+
+
+_MANN_KENDALL_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS rev
+    FROM orders GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+                     WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT) AS s_stat,
+       CASE WHEN SUM(CASE WHEN b.rev > a.rev THEN 1
+                          WHEN b.rev < a.rev THEN -1 ELSE 0 END) > 0 THEN 'increasing'
+            WHEN SUM(CASE WHEN b.rev > a.rev THEN 1
+                          WHEN b.rev < a.rev THEN -1 ELSE 0 END) < 0 THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM daily a JOIN daily b ON a.day < b.day
+"""
+
+
+@_register("stat_mann_kendall_trend", _MANN_KENDALL_ORACLE)
+def stat_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on the daily revenue series: S = sum of
+    sign(x_j - x_i) over all i<j pairs — the standard nonparametric
+    'is this series trending' statistic (no normality assumption, used
+    on exactly this kind of business series).
+
+    The O(d^2) pair join runs over the DAILY aggregate (calendar-
+    bounded: ~decades = thousands of rows at ANY fact-table size,
+    ~10^7 pairs worst case), never over raw orders; revenue is the
+    exact decimal sum so every sign() comparison is deterministic.
+    The fact-table work is one shuffled aggregation.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    daily = (
+        t["orders"]
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("rev"))
+        .localCheckpoint(eager=False)
+    )
+    a = daily.select(F.col("day").alias("d1"), F.col("rev").alias("r1"))
+    b = daily.select(F.col("day").alias("d2"), F.col("rev").alias("r2"))
+    sign = (
+        F.when(F.col("r2") > F.col("r1"), 1)
+        .when(F.col("r2") < F.col("r1"), -1)
+        .otherwise(0)
+    )
+    pairs = a.join(b, F.col("d1") < F.col("d2")).select(sign.alias("sg"))
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("sg").cast("long").alias("s_stat"),
+        F.when(F.sum("sg") > 0, "increasing")
+        .when(F.sum("sg") < 0, "decreasing")
+        .otherwise("no_trend")
+        .alias("trend"),
+    )

@@ -6324,3 +6324,186 @@ def stat_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("no_trend")
         .alias("trend"),
     )
+
+
+_IQR_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1
+), q AS (
+    SELECT quantile_cont(n, 0.25) AS q1, quantile_cont(n, 0.75) AS q3 FROM daily
+)
+SELECT CAST(day AS VARCHAR) AS day, CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN n < q1 - 1.5 * (q3 - q1)
+                   OR n > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END AS INT)
+           AS is_outlier
+FROM daily CROSS JOIN q ORDER BY day
+"""
+
+
+@_register("events_anomaly_iqr", _IQR_ORACLE)
+def events_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (IQR) anomaly days on the event-count series — the
+    quartile-based complement to ``events_anomaly_zscore`` (robust to
+    the heavy tails that inflate a z-score's sigma).
+
+    Counts are integers and the quartiles interpolate between
+    integers with the shared p*(n-1) rule, so the fence comparisons
+    are engine-deterministic (fences are quarter-valued at worst,
+    never within ulp of an integer count). Scale: one shuffled
+    aggregation to the day series; the quartile pass and the flagging
+    scan both run on that bounded series.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    daily = (
+        t["events"]
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    q = daily.agg(
+        F.expr("percentile(n, 0.25)").alias("q1"),
+        F.expr("percentile(n, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    flag = (
+        (F.col("n") < F.col("q1") - 1.5 * iqr) | (F.col("n") > F.col("q3") + 1.5 * iqr)
+    )
+    return (
+        daily.crossJoin(F.broadcast(q))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("n").cast("long").alias("n"),
+            F.when(flag, 1).otherwise(0).cast("int").alias("is_outlier"),
+        )
+        .orderBy("day")
+    )
+
+
+_LTV_ORACLE = """
+WITH firsts AS (
+    SELECT o_custkey, MIN(date_trunc('month', CAST(o_orderdate AS DATE))) AS cohort
+    FROM orders GROUP BY o_custkey
+), rev AS (
+    SELECT f.cohort,
+           date_diff('month', f.cohort,
+                     date_trunc('month', CAST(o.o_orderdate AS DATE))) AS age_months,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    GROUP BY 1, 2
+)
+SELECT CAST(CAST(cohort AS DATE) AS VARCHAR) AS cohort,
+       CAST(age_months AS BIGINT) AS age_months,
+       ROUND(revenue, 6) AS revenue,
+       ROUND(CAST(SUM(CAST(revenue AS DECIMAL(38,6)))
+                  OVER (PARTITION BY cohort ORDER BY age_months
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS cum_revenue
+FROM rev
+WHERE age_months <= 12
+ORDER BY cohort, age_months
+"""
+
+
+@_register("orders_cohort_ltv_curve", _LTV_ORACLE)
+def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: customers grouped by first-order month,
+    cumulative revenue tracked by cohort age (months since first
+    order) — the revenue companion to ``retention_cohorts``.
+
+    Scale: the first-order pass and the revenue join both shuffle on
+    the customer key (the second reuses the first's partitioning);
+    the cumulative window runs per cohort over <= 13 age rows. All
+    revenue through the exact decimal accumulator, rounded 6 dp.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    o = t["orders"]
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min(F.col("o_orderdate").cast("date"))).alias("cohort")
+    )
+    month = F.date_trunc("month", F.col("o_orderdate").cast("date"))
+    age = (F.year(month) * 12 + F.month(month)) - (
+        F.year("cohort") * 12 + F.month("cohort")
+    )
+    rev = (
+        o.join(firsts, "o_custkey")
+        .groupBy(F.col("cohort"), age.alias("age_months"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"))
+        .filter(F.col("age_months") <= 12)
+    )
+    w = Window.partitionBy("cohort").orderBy("age_months").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return rev.select(
+        F.col("cohort").cast("date").cast("string").alias("cohort"),
+        F.col("age_months").cast("long").alias("age_months"),
+        F.round("revenue", 6).alias("revenue"),
+        F.round(F.sum(F.col("revenue").cast(DEC)).over(w).cast("double"), 6).alias(
+            "cum_revenue"
+        ),
+    ).orderBy("cohort", "age_months")
+
+
+_ONTIME_ORACLE = """
+WITH lines AS (
+    SELECT l.l_suppkey,
+           CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE)) <= 30
+                THEN 1 ELSE 0 END AS ontime
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), rates AS (
+    SELECT l_suppkey, COUNT(*) AS n_lines,
+           CAST(SUM(ontime) AS BIGINT) AS n_ontime
+    FROM lines GROUP BY l_suppkey
+)
+SELECT l_suppkey, n_lines, n_ontime,
+       CAST(ROUND(10000.0 * n_ontime / n_lines) AS BIGINT) AS ontime_bps,
+       CAST(ROW_NUMBER() OVER (
+           ORDER BY CAST(ROUND(10000.0 * n_ontime / n_lines) AS BIGINT) DESC,
+                    n_lines DESC, l_suppkey) AS BIGINT) AS rk
+FROM rates
+QUALIFY rk <= 25
+ORDER BY rk
+"""
+
+
+@_register("supplier_ontime_rate", _ONTIME_ORACLE)
+def supplier_ontime_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier on-time shipping leaderboard: share of line items
+    shipped within 30 days of order placement, ranked in integer
+    BASIS POINTS (round(10000*rate)) so the ordering never depends on
+    float division ulps.
+
+    Scale: the lineitem-orders join shuffles once on the order key
+    (the fact-fact join every operational metric here pays), then one
+    aggregation on the supplier key; the top-25 rank runs over the
+    |suppliers| aggregate — bounded, and rank-limit pushdown keeps
+    the final window cheap. Integer arithmetic end to end.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    lines = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "l_suppkey",
+            F.when(
+                F.datediff(
+                    F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+                )
+                <= 30,
+                1,
+            )
+            .otherwise(0)
+            .alias("ontime"),
+        )
+    )
+    rates = lines.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("ontime").cast("long").alias("n_ontime"),
+    )
+    bps = F.round(10000.0 * F.col("n_ontime") / F.col("n_lines"), 0).cast("long")
+    w = Window.orderBy(F.desc("ontime_bps"), F.desc("n_lines"), F.asc("l_suppkey"))
+    return (
+        rates.withColumn("ontime_bps", bps)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 25)
+        .orderBy("rk")
+    )

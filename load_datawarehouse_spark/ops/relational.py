@@ -6507,3 +6507,91 @@ def supplier_ontime_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 25)
         .orderBy("rk")
     )
+
+
+_LIFECYCLE_ORACLE = """
+WITH activity AS (
+    SELECT DISTINCT o_custkey,
+           (year(CAST(o_orderdate AS DATE)) * 12
+            + month(CAST(o_orderdate AS DATE)) - 1) AS m
+    FROM orders
+), seq AS (
+    SELECT o_custkey, m,
+           LAG(m) OVER (PARTITION BY o_custkey ORDER BY m) AS prev_m
+    FROM activity
+), states AS (
+    SELECT m,
+           CASE WHEN prev_m IS NULL THEN 'new'
+                WHEN m - prev_m = 1 THEN 'retained'
+                ELSE 'resurrected' END AS state
+    FROM seq
+    UNION ALL
+    -- churn attributed to the month AFTER the last consecutive streak
+    SELECT m + 1, 'churned'
+    FROM (
+        SELECT o_custkey, m,
+               LEAD(m) OVER (PARTITION BY o_custkey ORDER BY m) AS next_m
+        FROM activity
+    )
+    WHERE next_m IS NULL OR next_m > m + 1
+), bounds AS (SELECT MAX(m) AS max_m FROM activity)
+SELECT CAST(s.m // 12 AS BIGINT) AS year,
+       CAST(s.m % 12 + 1 AS BIGINT) AS month,
+       s.state, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM states s CROSS JOIN bounds b
+WHERE s.m <= b.max_m
+GROUP BY s.m, s.state ORDER BY s.m, s.state
+"""
+
+
+@_register("events_user_lifecycle_states", _LIFECYCLE_ORACLE)
+def events_user_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly growth accounting over customers: every active month is
+    classified new / retained / resurrected, and a churn row is
+    attributed to the month after each activity streak ends — the
+    four-state lifecycle ledger behind any 'net revenue retention'
+    dashboard.
+
+    Months are linearized to integers (y*12+m-1) so streak logic is
+    pure integer lag/lead arithmetic. Scale: collapse to distinct
+    (customer, month) first — per-customer windows then run on <=
+    |months| rows per key, one shuffle on the customer key shared by
+    BOTH window passes; the final state count is a tiny aggregate.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    d = F.col("o_orderdate").cast("date")
+    activity = (
+        t["orders"]
+        .select("o_custkey", (F.year(d) * 12 + F.month(d) - 1).alias("m"))
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("m")
+    seq = activity.withColumn("prev_m", F.lag("m").over(w)).withColumn(
+        "next_m", F.lead("m").over(w)
+    )
+    present = seq.select(
+        "m",
+        F.when(F.col("prev_m").isNull(), "new")
+        .when(F.col("m") - F.col("prev_m") == 1, "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    churn = (
+        seq.filter(F.col("next_m").isNull() | (F.col("next_m") > F.col("m") + 1))
+        .select((F.col("m") + 1).alias("m"), F.lit("churned").alias("state"))
+    )
+    bounds = activity.agg(F.max("m").alias("max_m"))
+    return (
+        present.unionByName(churn)
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("m") <= F.col("max_m"))
+        .groupBy("m", "state")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            F.floor(F.col("m") / 12).cast("long").alias("year"),
+            (F.col("m") % 12 + 1).cast("long").alias("month"),
+            "state",
+            "n_customers",
+        )
+        .orderBy(F.col("year") * 12 + F.col("month"), F.col("state"))
+    )

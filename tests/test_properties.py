@@ -509,3 +509,40 @@ def test_containment_asymmetric_vs_jaccard(doc_shingles):
             assert containment >= jaccard - 1e-12
             if a <= b:
                 assert containment == 1.0
+
+
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=20),   # user
+        st.sets(st.integers(min_value=0, max_value=12), min_size=1, max_size=8),
+        min_size=1, max_size=20,
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_lifecycle_states_conservation(user_months):
+    """events_user_lifecycle_states: churned(m) must equal
+    active(m-1) - retained(m), and active(m) = new + retained +
+    resurrected — the ledger identities behind growth accounting."""
+    from collections import Counter
+
+    states = Counter()
+    active = Counter()
+    max_m = max(m for ms in user_months.values() for m in ms)
+    for ms in user_months.values():
+        ms = sorted(ms)
+        for i, m in enumerate(ms):
+            active[m] += 1
+            if i == 0:
+                states[(m, "new")] += 1
+            elif m - ms[i - 1] == 1:
+                states[(m, "retained")] += 1
+            else:
+                states[(m, "resurrected")] += 1
+            if (i + 1 == len(ms) or ms[i + 1] > m + 1) and m + 1 <= max_m:
+                states[(m + 1, "churned")] += 1
+    for m in range(0, max_m + 1):
+        assert active[m] == (
+            states[(m, "new")] + states[(m, "retained")] + states[(m, "resurrected")]
+        )
+        if m >= 1:
+            assert states[(m, "churned")] == active[m - 1] - states[(m, "retained")]

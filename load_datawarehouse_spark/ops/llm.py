@@ -4713,3 +4713,81 @@ def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit over the corpus vocabulary
+# ---------------------------------------------------------------------------
+
+_ZIPF_ORACLE = """
+WITH wf AS (
+    SELECT word, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> '' GROUP BY word
+), ranked AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rk, freq
+    FROM wf QUALIFY rk <= 100
+), logs AS (
+    SELECT LN(CAST(rk AS DOUBLE)) AS x, LN(CAST(freq AS DOUBLE)) AS y FROM ranked
+), sums AS (
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+    FROM logs
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS zipf_slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 9)
+           AS intercept
+FROM sums
+"""
+
+
+@_register("text_zipf_fit", _ZIPF_ORACLE)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope of ln(frequency) on ln(rank) over the
+    top-100 vocabulary — natural text sits near slope -1; template or
+    synthetic corpora drift flat (low |slope|) or steep. A standard
+    corpus-health diagnostic for training-data curation.
+
+    Ranks and frequencies are integers, their logs deterministic
+    doubles accumulated in DECIMAL(38,18); the closed-form slope is
+    two deterministic divisions at the end (rounded 9 dp). Scale: the
+    corpus collapses to the word-frequency table in one map-side-
+    combinable aggregation; the top-100 rank is a WindowGroupLimit-
+    pushable window on that vocabulary table.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    dec18 = "decimal(38,18)"
+    wf = (
+        t["documents"]
+        .select(F.explode(F.split("text", " ", -1)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    ranked = wf.select(F.row_number().over(w).alias("rk"), "freq").filter(
+        F.col("rk") <= 100
+    )
+    logs = ranked.select(
+        F.log(F.col("rk").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    s = logs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec18)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec18)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec18)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec18)).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 9).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 9).alias("intercept"),
+    )

@@ -6595,3 +6595,125 @@ def events_user_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("year") * 12 + F.col("month"), F.col("state"))
     )
+
+
+_AUTOCORR_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1
+), lagged AS (
+    SELECT n AS x, LAG(n, 1) OVER (ORDER BY day) AS l1,
+           LAG(n, 7) OVER (ORDER BY day) AS l7
+    FROM daily
+)
+SELECT * FROM (
+    SELECT 1 AS lag_days, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND((COUNT(*) * SUM(x * l1) - SUM(x) * SUM(l1))
+                 / (SQRT(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+                    * SQRT(COUNT(*) * SUM(l1 * l1) - SUM(l1) * SUM(l1))), 9) AS r
+    FROM lagged WHERE l1 IS NOT NULL
+    UNION ALL
+    SELECT 7, CAST(COUNT(*) AS BIGINT),
+           ROUND((COUNT(*) * SUM(x * l7) - SUM(x) * SUM(l7))
+                 / (SQRT(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+                    * SQRT(COUNT(*) * SUM(l7 * l7) - SUM(l7) * SUM(l7))), 9)
+    FROM lagged WHERE l7 IS NOT NULL
+) ORDER BY lag_days
+"""
+
+
+@_register("events_autocorr_lags", _AUTOCORR_ORACLE)
+def events_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lags 1 and 7
+    — the seasonality fingerprint (a high lag-7 r says 'weekly
+    cycle'; complements ``ts_seasonal_decompose``'s decomposition).
+
+    Counts are integers, so every power sum in the Pearson closed
+    form is EXACT 64-bit integer arithmetic — no decimal accumulators
+    needed, the one deterministic division/sqrt happens at the end
+    (rounded 9 dp). Scale: one shuffled aggregation to the calendar-
+    bounded day series; both lags share the single ordered window.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    daily = (
+        t["events"]
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        F.col("n").alias("x"),
+        F.lag("n", 1).over(w).alias("l1"),
+        F.lag("n", 7).over(w).alias("l7"),
+    ).localCheckpoint(eager=False)
+
+    def corr_row(lag_days: int, lcol: str) -> DataFrame:
+        d = lagged.filter(F.col(lcol).isNotNull())
+        x, l = F.col("x"), F.col(lcol)
+        n = F.count(F.lit(1))
+        num = n * F.sum(x * l) - F.sum(x) * F.sum(l)
+        den = F.sqrt(n * F.sum(x * x) - F.sum(x) * F.sum(x)) * F.sqrt(
+            n * F.sum(l * l) - F.sum(l) * F.sum(l)
+        )
+        return d.agg(
+            F.lit(lag_days).alias("lag_days"),
+            n.cast("long").alias("n_pairs"),
+            F.round(num / den, 9).alias("r"),
+        )
+
+    return corr_row(1, "l1").unionByName(corr_row(7, "l7")).orderBy("lag_days")
+
+
+_BENFORD_ORACLE = """
+WITH digits AS (
+    SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                       1, 1) AS BIGINT) AS d
+    FROM orders WHERE o_totalprice > 0
+), obs AS (
+    SELECT d, COUNT(*) AS observed FROM digits GROUP BY d
+), tot AS (SELECT SUM(observed) AS n FROM obs)
+SELECT CAST(d AS BIGINT) AS digit, CAST(observed AS BIGINT) AS observed,
+       ROUND(n * LOG10(1.0 + 1.0 / d), 6) AS expected,
+       ROUND(POWER(observed - n * LOG10(1.0 + 1.0 / d), 2)
+             / (n * LOG10(1.0 + 1.0 / d)), 6) AS chi2_term
+FROM obs CROSS JOIN tot ORDER BY digit
+"""
+
+
+@_register("orders_benford_first_digit", _BENFORD_ORACLE)
+def orders_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed
+    leading-digit counts vs the log10(1+1/d) expectation with per-
+    digit chi-square contributions — the classic fabricated-numbers
+    screen.
+
+    The first significant digit is extracted from the INTEGER cents
+    value's string form (scaling by 10^k preserves the significand,
+    and bigint-to-string is engine-identical) — never from
+    floor(log10(x)), whose ulp behavior at powers of ten differs
+    between libms. Scale: narrow scan to a 9-row aggregate.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    digits = (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"), 1, 1
+            )
+            .cast("long")
+            .alias("d")
+        )
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("observed"))
+    tot = obs.agg(F.sum("observed").alias("n"))
+    exp = F.col("n") * F.log10(1.0 + 1.0 / F.col("d"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").cast("long").alias("digit"),
+            F.col("observed").cast("long").alias("observed"),
+            F.round(exp, 6).alias("expected"),
+            F.round(F.pow(F.col("observed") - exp, F.lit(2)) / exp, 6).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

@@ -6717,3 +6717,86 @@ def orders_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+_FORGET_ORACLE = """
+SELECT * FROM (
+    SELECT 'before' AS phase, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_forgotten_rows
+    FROM events
+    UNION ALL
+    SELECT 'after', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT), CAST(0 AS BIGINT)
+    FROM events WHERE user_id % 97 <> 0
+) ORDER BY phase
+"""
+
+
+@_register("warehouse_right_to_forget", _FORGET_ORACLE)
+def warehouse_right_to_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten (GDPR erasure) through the warehouse
+    verbs: load the event table, MERGE a delete batch for every row
+    key belonging to the forgotten users (user_id % 97 == 0 stands in
+    for the takedown list), then prove erasure — after-state must
+    count zero forgotten rows. For a training-data pipeline this is
+    the takedown primitive that snapshot/time-travel retention
+    policies (``warehouse_vacuum_snapshots``) must compose with:
+    vacuuming old snapshots is what makes the deletion REAL.
+
+    Scale: the delete is the merge verb's single anti-join rewrite —
+    one key shuffle regardless of takedown-list size; with a
+    key-partitioned layout only affected partitions rewrite.
+    """
+    import shutil
+    import tempfile
+
+    from load_datawarehouse_spark import types as wtypes
+    from load_datawarehouse_spark.warehouse import SparkWarehouse
+    from pyspark.sql import types as T
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    ev = t["events"].select("event_id", "user_id", "event_type")
+    struct = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="ldw_forget_")
+    try:
+        wh = SparkWarehouse.new(
+            spark, root, "events_copy", schema=wtypes.struct_type_to_api_repr(struct)
+        )
+        wh.update(ev, keys=["event_id"])
+
+        def stats(df: DataFrame, phase: str) -> DataFrame:
+            return df.agg(
+                F.lit(phase).alias("phase"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("user_id").cast("long").alias("n_users"),
+                F.sum(F.when(F.col("user_id") % 97 == 0, 1).otherwise(0))
+                .cast("long")
+                .alias("n_forgotten_rows"),
+            )
+
+        # materialize BEFORE-state rows and the delete batch eagerly:
+        # both plans read the data files the merge is about to replace,
+        # and a lazy plan evaluated after the swap would hit
+        # FAILED_READ_FILE on the vanished paths
+        before = stats(wh.df(), "before")
+        before_rows = before.collect()
+        forget = (
+            wh.df()
+            .filter(F.col("user_id") % 97 == 0)
+            .withColumn("op", F.lit("D"))
+            .localCheckpoint(eager=True)
+        )
+        wh.merge(forget, keys=["event_id"])
+        after = stats(wh.df(), "after")
+        rows = before_rows + after.collect()
+        return spark.createDataFrame(rows, before.schema).orderBy("phase")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -6800,3 +6800,114 @@ def warehouse_right_to_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, before.schema).orderBy("phase")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_STRING_SHAPE_ORACLE = """
+SELECT c_custkey,
+       lpad(c_name, 25, '.') AS padded,
+       reverse(c_name) AS reversed,
+       translate(c_name, '#0123456789', '#') AS depunct,
+       repeat(substr(c_name, 1, 2), 3) AS stutter,
+       CAST(LENGTH(trim(c_name)) AS BIGINT) AS trimmed_len
+FROM customer WHERE c_custkey < 100
+ORDER BY c_custkey
+"""
+
+
+@_register("scalar_string_shape", _STRING_SHAPE_ORACLE)
+def scalar_string_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String shaping family: pad, reverse, translate (delete via
+    unmapped chars), repeat, trim-length — the report-formatting
+    toolkit beyond ``scalar_string``'s search/extract functions. All
+    pure codegen; narrow scan with the key predicate pushed down."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["customer"]
+        .filter(F.col("c_custkey") < 100)
+        .select(
+            "c_custkey",
+            F.lpad("c_name", 25, ".").alias("padded"),
+            F.reverse("c_name").alias("reversed"),
+            F.translate("c_name", "#0123456789", "#").alias("depunct"),
+            F.repeat(F.substring("c_name", 1, 2), 3).alias("stutter"),
+            F.length(F.trim("c_name")).cast("long").alias("trimmed_len"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+_MV_REWRITE_ORACLE = """
+SELECT CAST(CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS VARCHAR)
+           AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+GROUP BY 1 ORDER BY month
+"""
+
+
+@_register("warehouse_mv_rewrite", _MV_REWRITE_ORACLE)
+def warehouse_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view answering: a monthly revenue summary is
+    materialized ONCE through the warehouse verbs, and the H1-1997
+    report is answered from the MV — the oracle computes the same
+    report from the BASE table, so the hash match proves the
+    MV-rewritten answer is exact (the contract behind every summary-
+    table / lakehouse-MV rewrite).
+
+    The MV stores exact integer cents (never a rounded double — a MV
+    that stores lossy values cannot serve exact rewrites); rendering
+    to dollars happens only at answer time. Scale: the MV build is
+    one aggregation; every query it serves afterwards reads
+    |months| rows instead of the fact table — the amortization that
+    makes MVs the first lever for repeated dashboards at 100 TB.
+    """
+    import shutil
+    import tempfile
+
+    from load_datawarehouse_spark import types as wtypes
+    from load_datawarehouse_spark.warehouse import SparkWarehouse
+    from pyspark.sql import types as T
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    month = F.date_trunc("month", F.col("o_orderdate").cast("date")).cast("date")
+    summary = (
+        t["orders"]
+        .groupBy(month.alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+        .select(F.col("month").cast("string").alias("month"), "n_orders", "revenue_cents")
+    )
+    struct = T.StructType(
+        [
+            T.StructField("month", T.StringType()),
+            T.StructField("n_orders", T.LongType()),
+            T.StructField("revenue_cents", T.LongType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="ldw_mv_")
+    try:
+        mv = SparkWarehouse.new(
+            spark, root, "monthly_revenue", schema=wtypes.struct_type_to_api_repr(struct)
+        )
+        mv.update(summary, keys=["month"])
+        out = (
+            mv.df()
+            .filter((F.col("month") >= "1997-01-01") & (F.col("month") < "1997-07-01"))
+            .select(
+                "month",
+                "n_orders",
+                F.round(F.col("revenue_cents").cast("double") / 100, 6).alias("revenue"),
+            )
+            .orderBy("month")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

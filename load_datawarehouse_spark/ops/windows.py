@@ -810,3 +810,69 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_peak"),
     ).orderBy("day")
+
+
+_ROLLING_Z_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1
+), framed AS (
+    SELECT day, n,
+           COUNT(*) OVER w AS k,
+           SUM(n) OVER w AS sx,
+           SUM(n * n) OVER w AS sxx
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT CAST(day AS VARCHAR) AS day, CAST(n AS BIGINT) AS n,
+       ROUND((n - CAST(sx AS DOUBLE) / k)
+             / SQRT((k * sxx - sx * sx) / (CAST(k AS DOUBLE) * (k - 1))), 6) AS z
+FROM framed
+WHERE k = 7 AND k * sxx > sx * sx
+ORDER BY day
+"""
+
+
+@_register("window_rolling_zscore", _ROLLING_Z_ORACLE)
+def window_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score: each day's event count against the TRAILING
+    7-day window's mean and sample std (window excludes the current
+    day, so today's spike can't mask itself) — the online anomaly
+    score, complementing the global fences of ``events_anomaly_iqr``.
+
+    Counts are integers, so the frame's power sums are exact 64-bit
+    integers and the one division/sqrt at the end is deterministic
+    (rounded 6 dp); degenerate zero-variance frames are excluded in
+    both engines by the same integer comparison. Scale: one shuffled
+    aggregation to the day series; the frame runs over that bounded
+    series.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    daily = (
+        t["events"]
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    framed = daily.select(
+        "day",
+        "n",
+        F.count(F.lit(1)).over(w).alias("k"),
+        F.sum("n").over(w).alias("sx"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("sxx"),
+    )
+    std = F.sqrt(
+        (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        / (F.col("k").cast("double") * (F.col("k") - 1))
+    )
+    return (
+        framed.filter(
+            (F.col("k") == 7)
+            & (F.col("k") * F.col("sxx") > F.col("sx") * F.col("sx"))
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("n").cast("long").alias("n"),
+            F.round((F.col("n") - F.col("sx").cast("double") / F.col("k")) / std, 6).alias("z"),
+        )
+        .orderBy("day")
+    )

@@ -6911,3 +6911,100 @@ def warehouse_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_BOOL_AGG_ORACLE = """
+SELECT l_returnflag,
+       CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
+       bool_and(l_quantity >= 1) AS all_qty_positive,
+       bool_or(l_discount = 0) AS any_undiscounted,
+       bool_and(l_tax <= 0.08) AS all_tax_capped
+FROM lineitem
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@_register("agg_boolean_family", _BOOL_AGG_ORACLE)
+def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family: count_if / bool_and / bool_or — the
+    assertion-style aggregates (``dq_expectations_report`` builds its
+    rules from exactly these semantics). Predicates over exact
+    cent/quarter-valued columns, so every truth value is
+    deterministic. One map-side-combinable aggregation."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("l_discount") > 0.05).cast("long").alias("n_discounted"),
+            F.bool_and(F.col("l_quantity") >= 1).alias("all_qty_positive"),
+            F.bool_or(F.col("l_discount") == 0).alias("any_undiscounted"),
+            F.bool_and(F.col("l_tax") <= 0.08).alias("all_tax_capped"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_GROUP_TREND_ORACLE = """
+WITH pts AS (
+    SELECT event_type,
+           CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+           CAST(ROUND(value * 1e6) AS BIGINT) AS y
+    FROM events
+), sums AS (
+    SELECT event_type, COUNT(*) AS n,
+           SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+    FROM pts GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / 1e6, 9)
+           AS slope_per_day
+FROM sums
+WHERE n * sxx > sx * sx
+ORDER BY event_type
+"""
+
+
+@_register("regression_per_group_trend", _GROUP_TREND_ORACLE)
+def regression_per_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend: the value-per-day slope fitted
+    independently for every event type — the grouped companion to
+    ``regression_ols_exact`` (one model per key, thousands of models
+    in one aggregation, no per-group driver loop).
+
+    x is integer days, y integer micro-units, so all five power sums
+    are exact 64-bit integers per group and the closed-form slope is
+    one deterministic division (de-scaled, rounded 9 dp). Scale: one
+    map-side-combinable shuffle on the group key — fitting a million
+    per-key models costs the same plan shape as counting them.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    pts = t["events"].select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.round(F.col("value") * 1e6, 0).cast("long").alias("y"),
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        (F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+        / (F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        / 1e6
+    )
+    return (
+        s.filter(F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx"))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(slope, 9).alias("slope_per_day"),
+        )
+        .orderBy("event_type")
+    )

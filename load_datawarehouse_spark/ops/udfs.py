@@ -460,3 +460,85 @@ def udaf_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# 9. UDTF with analyze() — dynamic output schema resolved at plan time
+# ---------------------------------------------------------------------------
+
+_DYN_UDTF_ORACLE = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+class _PerLangStatsUDTF:
+    """Python UDTF whose output schema is computed by ``analyze()``
+    from the constant stats argument — Spark resolves the columns at
+    PLAN time (the caller picked 'min,max', so the schema has
+    min_chars/max_chars; asking for 'sum' would yield a different
+    relation shape without code changes)."""
+
+    @staticmethod
+    def analyze(table_arg, which):
+        # with a TABLE(...) argument, analyze() receives one argument
+        # describing the input relation and one per scalar constant
+        from pyspark.sql.functions import AnalyzeResult
+        from pyspark.sql.types import LongType, StringType, StructType
+
+        schema = StructType().add("lang", StringType()).add("n_docs", LongType())
+        for stat in which.value.split(","):
+            schema = schema.add(f"{stat}_chars", LongType())
+        return AnalyzeResult(schema=schema)
+
+    def __init__(self):
+        self._acc = {}
+        self._which = "min,max"
+
+    def eval(self, row, which):
+        lang, n_chars = row["lang"], row["n_chars"]
+        n, lo, hi = self._acc.get(lang, (0, None, None))
+        self._acc[lang] = (
+            n + 1,
+            n_chars if lo is None else min(lo, n_chars),
+            n_chars if hi is None else max(hi, n_chars),
+        )
+        self._which = which
+
+    def terminate(self):
+        for lang in sorted(self._acc):
+            n, lo, hi = self._acc[lang]
+            row = [lang, n]
+            for stat in self._which.split(","):
+                row.append(lo if stat == "min" else hi)
+            yield tuple(row)
+
+
+@_register("udtf_dynamic_schema", _DYN_UDTF_ORACLE)
+def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF with ``analyze()`` (Spark 4): the output schema is derived
+    from a constant argument at plan time — the metaprogramming UDTF
+    flavor (#3, ``udtf_bigrams``, has a FIXED schema). The UDTF
+    aggregates per-language stats in one instance per partition;
+    with a single input partition its terminate() emits the global
+    answer (bounded: |langs| groups — the surface exhibit, priced
+    like every UDTF as row-at-a-time Python; the oracle is the
+    builtin aggregate any production path would use).
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    t["documents"].select("lang", "n_chars").coalesce(1).createOrReplaceTempView(
+        "_docs_for_udtf"
+    )
+    udtf = F.udtf(_PerLangStatsUDTF)
+    spark.udtf.register("ldw_lang_stats", udtf)
+    return spark.sql(
+        """
+        SELECT s.* FROM ldw_lang_stats(
+            TABLE(SELECT lang, n_chars FROM _docs_for_udtf), 'min,max'
+        ) s
+        ORDER BY s.lang
+        """
+    )

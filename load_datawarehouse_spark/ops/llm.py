@@ -4791,3 +4791,171 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 9).alias("zipf_slope"),
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 9).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical cosine dedup (sparse tf-idf dot products) + source KL divergence
+# ---------------------------------------------------------------------------
+
+_TFIDF_COS_THRESHOLD = 0.8
+
+_TFIDF_COS_ORACLE = f"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term
+), df AS (
+    SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+wts AS (
+    SELECT tf.doc_id, tf.term,
+           tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df) AS w
+    FROM tf JOIN df USING (term) CROSS JOIN n
+), norms AS (
+    SELECT doc_id,
+           SQRT(CAST(SUM(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+    FROM wts GROUP BY doc_id
+), dots AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(SUM(CAST(a.w * b.w AS DECIMAL(38,18))) AS DOUBLE) AS dot
+    FROM wts a JOIN wts b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT d.d1, d.d2,
+       ROUND(d.dot / (n1.nrm * n2.nrm), 9) AS cosine
+FROM dots d JOIN norms n1 ON n1.doc_id = d.d1 JOIN norms n2 ON n2.doc_id = d.d2
+WHERE ROUND(d.dot / (n1.nrm * n2.nrm), 9) >= {_TFIDF_COS_THRESHOLD}
+ORDER BY d1, d2
+"""
+
+
+@_register("dedup_tfidf_cosine_pairs", _TFIDF_COS_ORACLE)
+def dedup_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by SPARSE tf-idf cosine >= 0.8 — the
+    weighted-lexical member of the dedup family: unlike set-based
+    Jaccard/containment it discounts corpus-common words, so
+    boilerplate overlap doesn't fake a duplicate.
+
+    The dot products come from an inverted-index self-join on the
+    term (never doc x doc), with the same DF cap as the Jaccard index
+    pruning hot terms — which is also principled here: a term in >100
+    docs has near-zero idf, so dropping it barely moves the cosine
+    while removing the quadratic hot keys. Per-pair partial products
+    accumulate in DECIMAL(38,18); the cosine is rounded to 9 dp
+    BEFORE thresholding so the boundary comparison is engine-stable.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    dec18 = "decimal(38,18)"
+    words = t["documents"].select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("term")
+    )
+    tf = (
+        words.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    df = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+    )
+    n = tf.select(F.countDistinct("doc_id").alias("n_docs"))
+    wts = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))).alias("w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    norms = wts.groupBy("doc_id").agg(
+        F.sqrt(F.sum((F.col("w") * F.col("w")).cast(dec18)).cast("double")).alias("nrm")
+    )
+    a = wts.select(F.col("doc_id").alias("d1"), "term", F.col("w").alias("w1"))
+    b = wts.select(F.col("doc_id").alias("d2"), "term", F.col("w").alias("w2"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.sum((F.col("w1") * F.col("w2")).cast(dec18)).cast("double").alias("dot"))
+    )
+    cos = F.round(
+        F.col("dot") / (F.col("nrm1") * F.col("nrm2")), 9
+    )
+    return (
+        dots.join(norms.select(F.col("doc_id").alias("d1"), F.col("nrm").alias("nrm1")), "d1")
+        .join(norms.select(F.col("doc_id").alias("d2"), F.col("nrm").alias("nrm2")), "d2")
+        .select("d1", "d2", cos.alias("cosine"))
+        .filter(F.col("cosine") >= _TFIDF_COS_THRESHOLD)
+        .orderBy("d1", "d2")
+    )
+
+
+_KL_ORACLE = """
+WITH words AS (
+    SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+), src_tf AS (
+    SELECT source, term, COUNT(*) AS n FROM words GROUP BY source, term
+), src_tot AS (SELECT source, SUM(n) AS tot FROM src_tf GROUP BY source),
+corpus_tf AS (SELECT term, SUM(n) AS cn FROM src_tf GROUP BY term),
+corpus_tot AS (SELECT SUM(cn) AS ctot FROM corpus_tf)
+SELECT s.source,
+       CAST(MAX(st.tot) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(CAST(
+           (CAST(s.n AS DOUBLE) / st.tot)
+           * LN((CAST(s.n AS DOUBLE) / st.tot)
+                / (CAST(c.cn AS DOUBLE) / ct.ctot))
+       AS DECIMAL(38,18))) AS DOUBLE), 9) AS kl_divergence
+FROM src_tf s
+JOIN src_tot st USING (source)
+JOIN corpus_tf c USING (term)
+CROSS JOIN corpus_tot ct
+GROUP BY s.source ORDER BY s.source
+"""
+
+
+@_register("quality_source_kl_divergence", _KL_ORACLE)
+def quality_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source unigram distribution || corpus distribution) per
+    source domain — the distribution-shift trust signal: spam farms
+    and machine-generated mills sit far from the corpus language
+    model (complements ``quality_source_lang_entropy``'s within-
+    source mix signal).
+
+    Every term of the sum is a deterministic double of four integers
+    (n, tot, cn, ctot), decimal-accumulated per source (rounded 9 dp).
+    KL is finite by construction: every source term exists in the
+    corpus distribution. Scale: two hash aggregations over (source,
+    term) and (term); the corpus totals join is on the term key the
+    data is already aggregated by.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    words = t["documents"].select(
+        "source", F.explode(F.split("text", " ", -1)).alias("term")
+    )
+    src_tf = (
+        words.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    src_tot = src_tf.groupBy("source").agg(F.sum("n").alias("tot"))
+    corpus_tf = src_tf.groupBy("term").agg(F.sum("n").alias("cn"))
+    corpus_tot = corpus_tf.agg(F.sum("cn").alias("ctot"))
+    p = F.col("n").cast("double") / F.col("tot")
+    q = F.col("cn").cast("double") / F.col("ctot")
+    return (
+        src_tf.join(F.broadcast(src_tot), "source")
+        .join(corpus_tf, "term")
+        .crossJoin(F.broadcast(corpus_tot))
+        .groupBy("source")
+        .agg(
+            F.max("tot").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum((p * F.log(p / q)).cast("decimal(38,18)")).cast("double"), 9
+            ).alias("kl_divergence"),
+        )
+        .orderBy("source")
+    )

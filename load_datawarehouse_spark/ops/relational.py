@@ -7008,3 +7008,116 @@ def regression_per_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_SCHEMA_MERGE_ORACLE = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(n_chars) AS BIGINT) AS n_with_chars,
+       CAST(COUNT(source) AS BIGINT) AS n_with_source
+FROM (
+    SELECT lang, n_chars, NULL AS source FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT lang, NULL, source FROM documents WHERE doc_id % 2 = 1
+)
+GROUP BY lang ORDER BY lang
+"""
+
+
+@_register("source_schema_merge_read", _SCHEMA_MERGE_ORACLE)
+def source_schema_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution on read: two file batches written with
+    DIFFERENT column sets (old writer had n_chars, new writer has
+    source), read back as one table with ``mergeSchema`` — absent
+    columns surface as NULLs, which the per-column counts prove.
+
+    This is the S14 behavior that matters at 100 TB: a table's files
+    span writer versions, and the scan must union schemas instead of
+    failing or silently dropping columns. mergeSchema costs a footer
+    read per file at planning — production tables pin the merged
+    schema in the catalog instead; the read semantics are identical.
+    """
+    import shutil
+    import tempfile
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    docs = t["documents"]
+    root = tempfile.mkdtemp(prefix="ldw_merge_")
+    try:
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "lang", "n_chars"
+        ).write.parquet(os.path.join(root, "b=old"))
+        docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "lang", "source"
+        ).write.parquet(os.path.join(root, "b=new"))
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(root, "b=old"), os.path.join(root, "b=new")
+        )
+        out = (
+            merged.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.count("n_chars").cast("long").alias("n_with_chars"),
+                F.count("source").cast("long").alias("n_with_source"),
+            )
+            .orderBy("lang")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_CSV_MALFORMED_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_clean,
+       CAST((SELECT COUNT(*) FROM orders) - COUNT(*) AS BIGINT) AS n_dropped,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS clean_cents
+FROM orders WHERE o_orderkey % 10 <> 7
+"""
+
+
+@_register("source_csv_malformed_handling", _CSV_MALFORMED_ORACLE)
+def source_csv_malformed_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV corruption handling: every o_orderkey%10==7 row is written
+    with a non-numeric price field, then read back in DROPMALFORMED
+    mode — the reader must drop exactly those rows and parse the rest
+    bit-perfectly (proved by the exact-cents checksum).
+
+    At 100 TB, silent coercion (PERMISSIVE's default nulls) poisons
+    aggregates invisibly; the engine's ingest path makes the malformed
+    policy EXPLICIT and auditable (n_dropped is part of the result).
+    Scale: one narrow write + one schema-enforced read, no shuffle
+    until the final 1-row aggregate.
+    """
+    import shutil
+    import tempfile
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    o = t["orders"].select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 7, F.lit("corrupt"))
+        .otherwise(F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"))
+        .alias("cents_str"),
+    )
+    root = tempfile.mkdtemp(prefix="ldw_csv_")
+    try:
+        path = os.path.join(root, "orders_csv")
+        o.write.option("header", "true").csv(path)
+        clean = (
+            spark.read.option("header", "true")
+            .option("mode", "DROPMALFORMED")
+            .schema("o_orderkey long, cents_str long")
+            .csv(path)
+            .filter(F.col("cents_str").isNotNull())
+        )
+        total = t["orders"].count()
+        out = clean.agg(
+            F.count(F.lit(1)).alias("n_clean"),
+            (F.lit(total) - F.count(F.lit(1))).cast("long").alias("n_dropped"),
+            F.sum("cents_str").cast("long").alias("clean_cents"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

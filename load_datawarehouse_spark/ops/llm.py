@@ -4959,3 +4959,53 @@ def quality_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_EMB_EXACT_ORACLE = """
+WITH ingest AS (
+    SELECT vec_id, label, embedding FROM embeddings
+    UNION ALL
+    -- re-ingested batch: the first 10 vectors arrive again under new ids
+    SELECT vec_id + 1000000, label, embedding FROM embeddings WHERE vec_id < 10
+)
+SELECT MIN(vec_id) AS keeper_vec_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(MIN(label) AS BIGINT) AS label
+FROM ingest
+GROUP BY embedding
+HAVING COUNT(*) > 1
+ORDER BY keeper_vec_id
+"""
+
+
+@_register("dedup_embedding_exact", _EMB_EXACT_ORACLE)
+def dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate embedding vectors: group directly on the float
+    array (bitwise equality of the parquet-stored values — both
+    engines compare the same bits) and report duplicate families by
+    keeper id. The cheap O(n) screen a vector store runs BEFORE any
+    ANN-based near-dup pass. Scale: one shuffle keyed on the vector
+    bytes; at 100 TB hash the array to a 128-bit key first so the
+    shuffle moves 16 bytes per row instead of the vector.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    emb = t["embeddings"]
+    # deterministic double-ingest: the first 10 vectors re-arrive under
+    # new ids (the exercise input; real pipelines hit this on replayed
+    # ingest batches)
+    ingest = emb.unionByName(
+        emb.filter(F.col("vec_id") < 10).withColumn(
+            "vec_id", F.col("vec_id") + 1000000
+        )
+    )
+    return (
+        ingest.groupBy("embedding")
+        .agg(
+            F.min("vec_id").alias("keeper_vec_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("label").cast("long").alias("label"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select("keeper_vec_id", "n_copies", "label")
+        .orderBy("keeper_vec_id")
+    )

@@ -7121,3 +7121,86 @@ def source_csv_malformed_handling(spark: SparkSession, sf_dir: str) -> DataFrame
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_DUP_SUSPECTS_ORACLE = """
+WITH ingest AS (
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+    UNION ALL
+    -- replayed charge: every 250th order re-posts 3 days later
+    SELECT o_orderkey + 10000000, o_custkey, o_totalprice,
+           o_orderdate + INTERVAL 3 DAY
+    FROM orders WHERE o_orderkey % 250 = 0
+)
+SELECT a.o_orderkey AS k1, b.o_orderkey AS k2,
+       a.o_custkey,
+       CAST(ROUND(a.o_totalprice * 100) AS BIGINT) AS cents,
+       CAST(ABS(date_diff('day', CAST(a.o_orderdate AS DATE),
+                          CAST(b.o_orderdate AS DATE))) AS BIGINT) AS days_apart
+FROM (SELECT * FROM ingest) a JOIN (SELECT * FROM ingest) b
+  ON a.o_custkey = b.o_custkey
+ AND ROUND(a.o_totalprice * 100) = ROUND(b.o_totalprice * 100)
+ AND a.o_orderkey < b.o_orderkey
+WHERE ABS(date_diff('day', CAST(a.o_orderdate AS DATE),
+                    CAST(b.o_orderdate AS DATE))) <= 7
+ORDER BY k1, k2
+"""
+
+
+@_register("orders_duplicate_suspects", _DUP_SUSPECTS_ORACLE)
+def orders_duplicate_suspects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-transaction suspects: same customer, same exact
+    amount, within 7 days — the double-charge / replay screen every
+    payments DQ suite runs.
+
+    Scale: the self-join is keyed on (customer, exact cents) — an
+    equi join whose key is selective by construction (amount
+    collisions within one customer are rare), so the date-window
+    predicate filters a small candidate set instead of being a range
+    join. Never customer x customer. Integer cents end to end.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    base = t["orders"].select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    replayed = (
+        base.filter(F.col("o_orderkey") % 250 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10000000)
+        .withColumn(
+            "o_orderdate",
+            (F.col("o_orderdate").cast("date") + F.expr("INTERVAL 3 DAY")).cast(
+                "timestamp"
+            ),
+        )
+    )
+    ingest = base.unionByName(replayed)
+    o = ingest.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    )
+    a = o.select(
+        F.col("o_orderkey").alias("k1"), "o_custkey", "cents", F.col("day").alias("d1")
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_custkey").alias("ck2"),
+        F.col("cents").alias("c2"),
+        F.col("day").alias("d2"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("o_custkey") == F.col("ck2"))
+            & (F.col("cents") == F.col("c2"))
+            & (F.col("k1") < F.col("k2")),
+        )
+        .filter(F.abs(F.datediff(F.col("d1"), F.col("d2"))) <= 7)
+        .select(
+            "k1",
+            "k2",
+            "o_custkey",
+            "cents",
+            F.abs(F.datediff("d1", "d2")).cast("long").alias("days_apart"),
+        )
+        .orderBy("k1", "k2")
+    )

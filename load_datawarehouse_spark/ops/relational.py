@@ -7204,3 +7204,139 @@ def orders_duplicate_suspects(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k1", "k2")
     )
+
+
+_ANOVA_ORACLE = """
+WITH pts AS (
+    SELECT dayofweek(o_orderdate) AS dow,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), g AS (
+    SELECT dow, COUNT(*) AS n, SUM(cents) AS s,
+           SUM(cents * cents) AS ss
+    FROM pts GROUP BY dow
+), tot AS (
+    SELECT SUM(n) AS n, SUM(s) AS s, SUM(ss) AS ss, COUNT(*) AS k FROM g
+)
+SELECT CAST(k AS BIGINT) AS k_groups, CAST(tot.n AS BIGINT) AS n,
+       ROUND((
+           (SELECT CAST(SUM(CAST(CAST(g.s AS DOUBLE) * g.s / g.n
+                                 AS DECIMAL(38,6))) AS DOUBLE) FROM g)
+           - CAST(tot.s AS DOUBLE) * tot.s / tot.n
+       ) / (k - 1)
+       / ((CAST(tot.ss AS DOUBLE)
+           - (SELECT CAST(SUM(CAST(CAST(g.s AS DOUBLE) * g.s / g.n
+                                   AS DECIMAL(38,6))) AS DOUBLE) FROM g))
+          / (tot.n - k)), 9) AS f_stat
+FROM tot
+"""
+
+
+@_register("stat_anova_weekday_revenue", _ANOVA_ORACLE)
+def stat_anova_weekday_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic: does order value differ by weekday?
+    F = between-group over within-group mean squares, computed entirely
+    from per-group integer power sums (exact cents), so the only
+    floating-point steps are the final closed-form divisions (rounded
+    9 dp). Scale: one map-side-combinable aggregation to 7 group rows;
+    the F computation is driver-free arithmetic on those rows.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    pts = t["orders"].select(
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    g = pts.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        # cents^2 sums exceed int64 beyond ~1e5 rows — accumulate decimal
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)")).alias("ss"),
+    )
+    agg = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum("ss").alias("ss"),
+        F.sum(
+            (F.col("s").cast("double") * F.col("s") / F.col("n")).cast("decimal(38,6)")
+        ).cast("double").alias("sb"),
+    )
+    between = (F.col("sb") - F.col("s").cast("double") * F.col("s") / F.col("n")) / (
+        F.col("k") - 1
+    )
+    within = (F.col("ss").cast("double") - F.col("sb")) / (F.col("n") - F.col("k"))
+    return agg.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("n").cast("long").alias("n"),
+        F.round(between / within, 9).alias("f_stat"),
+    )
+
+
+_KS_ORACLE = """
+WITH pts AS (
+    SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS lvl
+    FROM events WHERE event_type IN ('click', 'view')
+), levels AS (
+    SELECT lvl,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+    FROM pts GROUP BY lvl
+), cum AS (
+    SELECT lvl,
+           SUM(c1) OVER (ORDER BY lvl ROWS UNBOUNDED PRECEDING) AS f1,
+           SUM(c2) OVER (ORDER BY lvl ROWS UNBOUNDED PRECEDING) AS f2
+    FROM levels
+), tot AS (
+    SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM levels
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS BIGINT) AS d_scaled,
+       ROUND(CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS DOUBLE) / (n1 * n2), 9) AS ks_d
+FROM cum CROSS JOIN tot
+GROUP BY n1, n2
+"""
+
+
+@_register("stat_ks_two_sample", _KS_ORACLE)
+def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the click and
+    view value distributions, on cent-quantized levels: D = max |F1 -
+    F2| evaluated as the EXACT integer max |cum1*n2 - cum2*n1| (the
+    common-denominator form), so the statistic is deterministic and
+    the single division happens once at the end.
+
+    Scale: the raw stream collapses to per-LEVEL counts first (the
+    quantized domain is value-range-bounded, independent of row
+    count), so the ordered cumsum runs over a bounded series — the
+    same trick as the Gini histogram. One shuffled aggregation total.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    pts = t["events"].filter(F.col("event_type").isin("click", "view")).select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("lvl")
+    )
+    levels = pts.groupBy("lvl").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("c2"),
+    )
+    w = Window.orderBy("lvl").rowsBetween(Window.unboundedPreceding, 0)
+    cum = levels.select(
+        F.sum("c1").over(w).alias("f1"), F.sum("c2").over(w).alias("f2")
+    )
+    tot = levels.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))).alias(
+                "d_scaled"
+            )
+        )
+        .select(
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.col("d_scaled").cast("long").alias("d_scaled"),
+            F.round(
+                F.col("d_scaled").cast("double") / (F.col("n1") * F.col("n2")), 9
+            ).alias("ks_d"),
+        )
+    )

@@ -546,3 +546,65 @@ def test_lifecycle_states_conservation(user_months):
         )
         if m >= 1:
             assert states[(m, "churned")] == active[m - 1] - states[(m, "retained")]
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=60),
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=60),
+)
+@settings(max_examples=100, deadline=None)
+def test_ks_common_denominator_identity(xs, ys):
+    """stat_ks_two_sample: max|cum1*n2 - cum2*n1|/(n1*n2) over the
+    level histogram equals the textbook max |F1(t) - F2(t)|."""
+    from collections import Counter
+
+    n1, n2 = len(xs), len(ys)
+    levels = sorted(set(xs) | set(ys))
+    cx, cy = Counter(xs), Counter(ys)
+    f1 = f2 = 0
+    brute = 0.0
+    scaled = 0
+    for lvl in levels:
+        f1 += cx[lvl]
+        f2 += cy[lvl]
+        brute = max(brute, abs(f1 / n1 - f2 / n2))
+        scaled = max(scaled, abs(f1 * n2 - f2 * n1))
+    assert abs(brute - scaled / (n1 * n2)) < 1e-12
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=6),
+                  st.integers(min_value=1, max_value=500)),
+        min_size=8, max_size=80,
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_anova_power_sum_identity(pts):
+    """stat_anova_weekday_revenue's closed form from per-group
+    (n, s, ss) must equal the definitional between/within decomposition
+    — and SSB + SSW must reconstruct the total sum of squares."""
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for g, v in pts:
+        groups[g].append(v)
+    if len(groups) < 2 or all(len(v) < 2 for v in groups.values()):
+        return
+    n = sum(len(v) for v in groups.values())
+    k = len(groups)
+    if n <= k:
+        return
+    grand = sum(sum(v) for v in groups.values()) / n
+    ssb_def = sum(len(v) * (sum(v) / len(v) - grand) ** 2 for v in groups.values())
+    ssw_def = sum(sum((x - sum(v) / len(v)) ** 2 for x in v) for v in groups.values())
+
+    s_tot = sum(sum(v) for v in groups.values())
+    ss_tot = sum(sum(x * x for x in v) for v in groups.values())
+    sb = sum(sum(v) ** 2 / len(v) for v in groups.values())
+    ssb_closed = sb - s_tot**2 / n
+    ssw_closed = ss_tot - sb
+    assert abs(ssb_def - ssb_closed) < 1e-6 * max(1.0, abs(ssb_def))
+    assert abs(ssw_def - ssw_closed) < 1e-6 * max(1.0, abs(ssw_def))
+    sst = ss_tot - s_tot**2 / n
+    assert abs((ssb_closed + ssw_closed) - sst) < 1e-6 * max(1.0, sst)

@@ -7340,3 +7340,157 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_d"),
         )
     )
+
+
+_REV_BRIDGE_ORACLE = """
+WITH m AS (
+    SELECT CAST(CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+                AS VARCHAR) AS month,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders GROUP BY 1
+), lagged AS (
+    SELECT month, n, cents,
+           LAG(n) OVER (ORDER BY month) AS pn,
+           LAG(cents) OVER (ORDER BY month) AS pc
+    FROM m
+)
+SELECT month,
+       ROUND(CAST(cents - pc AS DOUBLE) / 100, 6) AS delta_rev,
+       ROUND((n - pn) * (CAST(pc AS DOUBLE) / pn) / 100, 6) AS volume_effect,
+       ROUND(pn * (CAST(cents AS DOUBLE) / n - CAST(pc AS DOUBLE) / pn) / 100, 6)
+           AS price_effect,
+       ROUND((n - pn) * (CAST(cents AS DOUBLE) / n - CAST(pc AS DOUBLE) / pn) / 100,
+             6) AS mix_effect
+FROM lagged WHERE pn IS NOT NULL
+ORDER BY month
+"""
+
+
+@_register("orders_revenue_bridge", _REV_BRIDGE_ORACLE)
+def orders_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue bridge: ΔRev decomposed into volume
+    effect (Δn x old avg price), price effect (old n x Δavg), and the
+    interaction term — the waterfall every finance review wants, and
+    an exact identity: the three effects sum to ΔRev by construction
+    (locked by the property test).
+
+    All inputs are exact integers (order counts, cent sums); each
+    effect is a deterministic double expression of four integers,
+    rounded 6 dp. Scale: one aggregation to the bounded month series;
+    the lag runs over that tiny series.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    m = (
+        t["orders"]
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate").cast("date"))
+            .cast("date")
+            .cast("string")
+            .alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents"),
+        )
+    )
+    w = Window.orderBy("month")
+    lagged = m.select(
+        "month",
+        "n",
+        "cents",
+        F.lag("n").over(w).alias("pn"),
+        F.lag("cents").over(w).alias("pc"),
+    ).filter(F.col("pn").isNotNull())
+    old_avg = F.col("pc").cast("double") / F.col("pn")
+    new_avg = F.col("cents").cast("double") / F.col("n")
+    return lagged.select(
+        "month",
+        F.round((F.col("cents") - F.col("pc")).cast("double") / 100, 6).alias("delta_rev"),
+        F.round((F.col("n") - F.col("pn")) * old_avg / 100, 6).alias("volume_effect"),
+        F.round(F.col("pn") * (new_avg - old_avg) / 100, 6).alias("price_effect"),
+        F.round((F.col("n") - F.col("pn")) * (new_avg - old_avg) / 100, 6).alias(
+            "mix_effect"
+        ),
+    ).orderBy("month")
+
+
+_FEDERATED_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM (
+    SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 2 = 1
+)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@_register("source_federated_union", _FEDERATED_ORACLE)
+def source_federated_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated query: HALF the orders live in parquet, the other
+    half in an embedded Derby database (written through the S14 JDBC
+    sink), and ONE DataFrame unions both sources into the same
+    aggregate — the lakehouse-plus-operational-DB shape. Falls back
+    to an all-parquet union (same semantics) if no JDBC driver is on
+    the classpath, mirroring the availability-shim contract.
+
+    Scale: the parquet leg gets full pushdown; the JDBC leg reads
+    range-partitioned (each task issues a bounded query). The union
+    is plan-level — no materialization between sources.
+    """
+    import shutil
+    import tempfile
+
+    from load_datawarehouse_spark.sources import _jdbc_available, read_jdbc
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    o = t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice")
+    parquet_half = o.filter(F.col("o_orderkey") % 2 == 0)
+    jdbc_half_src = o.filter(F.col("o_orderkey") % 2 == 1)
+    root = tempfile.mkdtemp(prefix="ldw_fed_")
+    url = f"jdbc:derby:{root}/db;create=true"
+    try:
+        if _jdbc_available(spark, "jdbc:derby:probe"):
+            max_key = jdbc_half_src.agg(F.max("o_orderkey")).collect()[0][0]
+            (
+                jdbc_half_src.write.format("jdbc")
+                .option("url", url)
+                .option("dbtable", "orders_half")
+                .mode("overwrite")
+                .save()
+            )
+            jdbc_half = read_jdbc(
+                spark,
+                url,
+                "orders_half",
+                partition_column="o_orderkey",
+                lower_bound=0,
+                upper_bound=int(max_key) + 1,
+                num_partitions=4,
+            ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+        else:  # pragma: no cover - driver always ships Derby
+            jdbc_half = jdbc_half_src
+        out = (
+            parquet_half.unionByName(jdbc_half)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+                .cast("long")
+                .alias("cents"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        try:
+            spark._jvm.java.sql.DriverManager.getConnection(
+                f"jdbc:derby:{root}/db;shutdown=true"
+            )
+        except Exception:
+            pass
+        shutil.rmtree(root, ignore_errors=True)

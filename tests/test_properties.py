@@ -608,3 +608,21 @@ def test_anova_power_sum_identity(pts):
     assert abs(ssw_def - ssw_closed) < 1e-6 * max(1.0, abs(ssw_def))
     sst = ss_tot - s_tot**2 / n
     assert abs((ssb_closed + ssw_closed) - sst) < 1e-6 * max(1.0, sst)
+
+
+@given(
+    st.tuples(st.integers(min_value=1, max_value=500), st.integers(min_value=100, max_value=10**7)),
+    st.tuples(st.integers(min_value=1, max_value=500), st.integers(min_value=100, max_value=10**7)),
+)
+@settings(max_examples=100, deadline=None)
+def test_revenue_bridge_effects_sum_to_delta(prev, cur):
+    """orders_revenue_bridge: volume + price + mix effects must
+    reconstruct the revenue delta exactly (before rounding)."""
+    pn, pc = prev
+    n, c = cur
+    old_avg, new_avg = pc / pn, c / n
+    delta = c - pc
+    volume = (n - pn) * old_avg
+    price = pn * (new_avg - old_avg)
+    mix = (n - pn) * (new_avg - old_avg)
+    assert abs((volume + price + mix) - delta) < 1e-6 * max(1.0, abs(delta))

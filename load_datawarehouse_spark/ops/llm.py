@@ -5009,3 +5009,97 @@ def dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("keeper_vec_id", "n_copies", "label")
         .orderBy("keeper_vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-integrity decontamination audit (train -> test leakage)
+# ---------------------------------------------------------------------------
+
+_SPLIT_AUDIT_N = 5  # gram size for the leakage probe
+
+_SPLIT_AUDIT_ORACLE = f"""
+WITH assigned AS (
+    SELECT doc_id, lang, text,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                THEN 'train' ELSE 'heldout' END AS split
+    FROM documents
+), words AS (
+    SELECT doc_id, split, lang, unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM assigned
+), grams AS (
+    SELECT doc_id, split, lang,
+           word || ' ' || LEAD(word, 1) OVER w || ' ' || LEAD(word, 2) OVER w
+                || ' ' || LEAD(word, 3) OVER w || ' ' || LEAD(word, 4) OVER w AS g
+    FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    QUALIFY LEAD(word, 4) OVER w IS NOT NULL
+), dg AS (SELECT DISTINCT doc_id, split, lang, g FROM grams),
+train_grams AS (
+    SELECT DISTINCT g FROM dg WHERE split = 'train'
+), leaks AS (
+    SELECT d.doc_id, d.lang, COUNT(*) AS n_leaked_grams
+    FROM dg d JOIN train_grams t USING (g)
+    WHERE d.split = 'heldout'
+    GROUP BY d.doc_id, d.lang
+)
+SELECT a.lang,
+       CAST(SUM(CASE WHEN a.split = 'heldout' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_heldout_docs,
+       CAST(COUNT(l.doc_id) AS BIGINT) AS n_contaminated_docs,
+       CAST(COALESCE(SUM(l.n_leaked_grams), 0) AS BIGINT) AS n_leaked_grams
+FROM assigned a LEFT JOIN leaks l ON l.doc_id = a.doc_id
+GROUP BY a.lang ORDER BY a.lang
+"""
+
+
+@_register("pipeline_split_decontam_audit", _SPLIT_AUDIT_ORACLE)
+def pipeline_split_decontam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-integrity audit: after the deterministic hash split, how
+    many HELD-OUT documents share a {_SPLIT_AUDIT_N}-gram with the
+    train split, per language — the 'is my eval actually clean' query
+    every benchmark pipeline must run before reporting numbers
+    (composes ``split_train_val_test``'s assignment with
+    ``contamination_ngram_check``'s probe).
+
+    Scale: grams are assembled array-natively per document (narrow),
+    deduplicated per (doc, gram); the leakage probe is one equi join
+    on the gram key — the train gram set is NOT broadcast (it is
+    corpus-sized; the shuffle join is correct here, unlike the tiny
+    eval-gram broadcast in ``contamination_ngram_check``). Exact
+    integer accounting.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    assigned = t["documents"].select(
+        "doc_id",
+        "lang",
+        F.split("text", " ", -1).alias("words"),
+        F.when(h < "cccc", "train").otherwise("heldout").alias("split"),
+    )
+    grams = assigned.select(
+        "doc_id",
+        "split",
+        "lang",
+        F.explode(_word_ngrams(F.col("words"), _SPLIT_AUDIT_N)).alias("g"),
+    ).distinct()
+    train_grams = grams.filter(F.col("split") == "train").select("g").distinct()
+    leaks = (
+        grams.filter(F.col("split") == "heldout")
+        .join(train_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_leaked_grams"))
+    )
+    return (
+        assigned.join(leaks, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("split") == "heldout", 1).otherwise(0))
+            .cast("long")
+            .alias("n_heldout_docs"),
+            F.count(F.col("n_leaked_grams")).cast("long").alias("n_contaminated_docs"),
+            F.coalesce(F.sum("n_leaked_grams"), F.lit(0))
+            .cast("long")
+            .alias("n_leaked_grams"),
+        )
+        .orderBy("lang")
+    )

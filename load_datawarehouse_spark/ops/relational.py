@@ -7494,3 +7494,44 @@ def source_federated_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             pass
         shutil.rmtree(root, ignore_errors=True)
+
+
+_RETURN_RATE_ORACLE = """
+SELECT CAST(CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS VARCHAR)
+           AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_returned,
+       CAST(ROUND(10000.0 * SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  / COUNT(*)) AS BIGINT) AS return_bps
+FROM lineitem
+GROUP BY 1 ORDER BY month
+"""
+
+
+@_register("lineitem_return_rate_monthly", _RETURN_RATE_ORACLE)
+def lineitem_return_rate_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly return-rate series in integer basis points — the
+    operational quality KPI over the ship calendar. One map-side-
+    combinable aggregation to the bounded month series; integer
+    arithmetic end to end (bps rounding is the only float step,
+    deterministic from two integers)."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    returned = F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+    return (
+        t["lineitem"]
+        .groupBy(
+            F.date_trunc("month", F.col("l_shipdate").cast("date"))
+            .cast("date")
+            .cast("string")
+            .alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            returned.cast("long").alias("n_returned"),
+            F.round(10000.0 * returned / F.count(F.lit(1)), 0).cast("long").alias(
+                "return_bps"
+            ),
+        )
+        .orderBy("month")
+    )

@@ -7535,3 +7535,116 @@ def lineitem_return_rate_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+_HHI_ORACLE = """
+WITH per_cust AS (
+    SELECT c.c_mktsegment, o.o_custkey,
+           SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+), seg AS (SELECT c_mktsegment, SUM(cents) AS total FROM per_cust GROUP BY 1)
+SELECT p.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(CAST(
+           POWER(CAST(p.cents AS DOUBLE) / s.total, 2) AS DECIMAL(38,18)))
+           AS DOUBLE) * 10000, 6) AS hhi
+FROM per_cust p JOIN seg s USING (c_mktsegment)
+GROUP BY p.c_mktsegment ORDER BY p.c_mktsegment
+"""
+
+
+@_register("customer_concentration_hhi", _HHI_ORACLE)
+def customer_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of revenue per market
+    segment (scaled 0-10000): how dependent each segment is on its
+    biggest customers — the standard concentration-risk metric.
+
+    Shares come from exact integer cents; each squared share is a
+    deterministic double accumulated in DECIMAL(38,18) (rounded 6 dp).
+    Scale: per-customer collapse shuffles once on the customer key;
+    the segment totals re-aggregate the collapsed table; customer
+    cardinality never hits a window.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    per_cust = (
+        t["orders"]
+        .join(F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents"))
+        .localCheckpoint(eager=False)
+    )
+    seg = per_cust.groupBy("c_mktsegment").agg(F.sum("cents").alias("total"))
+    share2 = F.pow(F.col("cents").cast("double") / F.col("total"), F.lit(2))
+    return (
+        per_cust.join(seg, "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(share2.cast("decimal(38,18)")).cast("double") * 10000, 6
+            ).alias("hhi"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_STICKINESS_ORACLE = """
+WITH activity AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), dau AS (
+    SELECT day, COUNT(*) AS dau FROM activity GROUP BY day
+), contrib AS (
+    SELECT user_id, CAST(day + INTERVAL (i) DAY AS DATE) AS wday
+    FROM activity CROSS JOIN (SELECT unnest(range(7)) AS i)
+), wau AS (
+    SELECT wday AS day, COUNT(DISTINCT user_id) AS wau FROM contrib GROUP BY wday
+)
+SELECT CAST(d.day AS VARCHAR) AS day,
+       CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+       CAST(ROUND(10000.0 * d.dau / w.wau) AS BIGINT) AS stickiness_bps
+FROM dau d JOIN wau w USING (day)
+WHERE d.day >= (SELECT MIN(day) FROM activity) + INTERVAL 6 DAY
+ORDER BY day
+"""
+
+
+@_register("events_dau_wau_stickiness", _STICKINESS_ORACLE)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day in integer basis points — the
+    engagement ratio product teams track, composing the daily-distinct
+    and rolling-7-day-distinct decompositions (``events_rolling_wau``)
+    in one plan. Days without a full trailing week are excluded in
+    both engines by the same date bound. Integer arithmetic; one
+    distinct-activity collapse feeds both branches.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    activity = (
+        t["events"]
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dau = activity.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = activity.select(
+        "user_id", F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("wday")
+    )
+    wau = contrib.groupBy(F.col("wday").alias("day")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    lo = activity.agg(F.date_add(F.min("day"), 6).alias("lo"))
+    return (
+        dau.join(wau, "day")
+        .crossJoin(F.broadcast(lo))
+        .filter(F.col("day") >= F.col("lo"))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.round(10000.0 * F.col("dau") / F.col("wau"), 0)
+            .cast("long")
+            .alias("stickiness_bps"),
+        )
+        .orderBy("day")
+    )

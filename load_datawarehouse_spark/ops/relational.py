@@ -7648,3 +7648,74 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+_FIRST_LAST_ORACLE = """
+WITH seq AS (
+    SELECT o_custkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+           ROW_NUMBER() OVER w AS rn_asc,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_desc,
+           COUNT(*) OVER (PARTITION BY o_custkey) AS n
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), fl AS (
+    SELECT o_custkey,
+           MAX(CASE WHEN rn_asc = 1 THEN cents END) AS first_cents,
+           MAX(CASE WHEN rn_desc = 1 THEN cents END) AS last_cents
+    FROM seq WHERE n >= 2 GROUP BY o_custkey
+)
+SELECT CASE WHEN last_cents >= 2 * first_cents THEN 'upsold_2x'
+            WHEN last_cents > first_cents THEN 'grew'
+            WHEN last_cents = first_cents THEN 'flat'
+            ELSE 'shrank' END AS trajectory,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM fl GROUP BY 1 ORDER BY trajectory
+"""
+
+
+@_register("customer_first_last_ratio", _FIRST_LAST_ORACLE)
+def customer_first_last_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer trajectory: first order value vs last order value
+    (repeat customers), classified into upsold-2x / grew / flat /
+    shrank — the expansion-revenue signal.
+
+    Scale: one shuffle on the customer key serves both ROW_NUMBER
+    directions and the count (same window partitioning, one exchange);
+    comparisons are exact integer cents, so every classification is
+    deterministic. Output cardinality: 4 rows.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    w_asc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_desc = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    w_n = Window.partitionBy("o_custkey")
+    seq = t["orders"].select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.row_number().over(w_asc).alias("rn_asc"),
+        F.row_number().over(w_desc).alias("rn_desc"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    fl = (
+        seq.filter(F.col("n") >= 2)
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("rn_asc") == 1, F.col("cents"))).alias("first_cents"),
+            F.max(F.when(F.col("rn_desc") == 1, F.col("cents"))).alias("last_cents"),
+        )
+    )
+    trajectory = (
+        F.when(F.col("last_cents") >= 2 * F.col("first_cents"), "upsold_2x")
+        .when(F.col("last_cents") > F.col("first_cents"), "grew")
+        .when(F.col("last_cents") == F.col("first_cents"), "flat")
+        .otherwise("shrank")
+    )
+    return (
+        fl.select(trajectory.alias("trajectory"))
+        .groupBy("trajectory")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("trajectory")
+    )

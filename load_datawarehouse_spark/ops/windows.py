@@ -876,3 +876,58 @@ def window_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+_SHARE_ORACLE = """
+WITH nat AS (
+    SELECT r.r_name AS region, n.n_name AS nation,
+           SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY 1, 2
+)
+SELECT region, nation,
+       ROUND(CAST(cents AS DOUBLE) / 100, 6) AS revenue,
+       CAST(ROUND(10000.0 * cents / SUM(cents) OVER (PARTITION BY region))
+            AS BIGINT) AS share_bps,
+       CAST(RANK() OVER (PARTITION BY region ORDER BY cents DESC, nation)
+            AS BIGINT) AS rank_in_region
+FROM nat ORDER BY region, rank_in_region
+"""
+
+
+@_register("window_share_of_total", _SHARE_ORACLE)
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total window: each nation's revenue as basis points of
+    its region's total, with in-region rank — the canonical
+    'percent of parent' report shape (a partition-total window over a
+    PRE-AGGREGATED table, never over raw facts).
+
+    Scale: the fact table collapses to |nations| rows first (one
+    shuffle; dimensions broadcast), so the share window costs
+    nothing; exact integer cents make the bps and ranks
+    deterministic.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    nat = (
+        t["orders"]
+        .join(F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents"))
+    )
+    w_tot = Window.partitionBy("region")
+    w_rank = Window.partitionBy("region").orderBy(F.desc("cents"), F.asc("nation"))
+    return nat.select(
+        "region",
+        "nation",
+        F.round(F.col("cents").cast("double") / 100, 6).alias("revenue"),
+        F.round(10000.0 * F.col("cents") / F.sum("cents").over(w_tot), 0)
+        .cast("long")
+        .alias("share_bps"),
+        F.rank().over(w_rank).cast("long").alias("rank_in_region"),
+    ).orderBy("region", "rank_in_region")

@@ -5103,3 +5103,75 @@ def pipeline_split_decontam_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("lang")
     )
+
+
+_JACCARD_HIST_ORACLE = f"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           word || ' ' || LEAD(word, 1) OVER w || ' ' || LEAD(word, 2) OVER w AS shingle
+    FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    QUALIFY LEAD(word, 2) OVER w IS NOT NULL
+), ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+idx AS (
+    SELECT shingle FROM ds GROUP BY shingle
+    HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+), pruned AS (SELECT ds.* FROM ds JOIN idx USING (shingle)),
+pairs AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+    FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), scored AS (
+    SELECT 10 * p.n_common // (c1.n + c2.n - p.n_common) AS decile
+    FROM pairs p
+    JOIN cnt c1 ON c1.doc_id = p.d1
+    JOIN cnt c2 ON c2.doc_id = p.d2
+)
+SELECT CAST(decile AS BIGINT) AS jaccard_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM scored GROUP BY decile ORDER BY jaccard_decile
+"""
+
+
+@_register("dedup_jaccard_threshold_histogram", _JACCARD_HIST_ORACLE)
+def dedup_jaccard_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning histogram: candidate-pair counts per Jaccard
+    DECILE in one pass — the query you run BEFORE choosing the dedup
+    cutoff ('how many pairs does 0.3 vs 0.5 actually sweep in?'),
+    reusing the DF-capped inverted-index pair machinery.
+
+    The decile is exact integer arithmetic (10*inter // union), so
+    binning never touches floats. Scale: identical plan shape to
+    ``dedup_ngram_jaccard``; the histogram collapses the pair set to
+    <= 11 rows.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    ds = _shingles(t)
+    cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    idx = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= MAX_SHINGLE_DF
+    )
+    pruned = ds.join(idx.select("shingle"), "shingle")
+    a = pruned.select(F.col("doc_id").alias("d1"), "shingle")
+    b = pruned.select(F.col("doc_id").alias("d2"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    decile = F.floor(
+        (10 * F.col("n_common")) / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    )
+    return (
+        pairs.join(cnt.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(cnt.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        .select(decile.cast("long").alias("jaccard_decile"))
+        .groupBy("jaccard_decile")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("jaccard_decile")
+    )

@@ -80,6 +80,10 @@ HEADLINE = [
     "pipeline_curation_v3",
     "dedup_shingle_containment",
     "bpe_first_merges",
+    "dedup_tfidf_cosine_pairs",
+    "pipeline_split_decontam_audit",
+    "events_rolling_wau",
+    "orders_pareto_skyline",
     # graph_pagerank stays OUT of HEADLINE (build convention: tiny-data
     # iterative ops distort the headline number — ~90% of its wall time
     # is fixed per-iteration stage overhead, not data work). It remains

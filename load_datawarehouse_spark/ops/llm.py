@@ -4804,10 +4804,11 @@ WITH words AS (
     SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
 ), tf AS (
     SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term
-), df AS (
-    SELECT term, COUNT(*) AS df FROM tf GROUP BY term
-    HAVING COUNT(*) <= {MAX_SHINGLE_DF}
 ), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+df AS (
+    SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    HAVING COUNT(*) <= GREATEST({MAX_SHINGLE_DF}, (SELECT n_docs FROM n) * 5 // 100)
+),
 wts AS (
     SELECT tf.doc_id, tf.term,
            tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df) AS w
@@ -4838,8 +4839,7 @@ def dedup_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate overlap doesn't fake a duplicate.
 
     The dot products come from an inverted-index self-join on the
-    term (never doc x doc), with the same DF cap as the Jaccard index
-    pruning hot terms — which is also principled here: a term in >100
+    term (never doc x doc), with a corpus-RELATIVE DF cap (max(100, 5% of docs)) pruning hot terms — which is also principled here: a term in >100
     docs has near-zero idf, so dropping it barely moves the cosine
     while removing the quadratic hot keys. Per-pair partial products
     accumulate in DECIMAL(38,18); the cosine is rounded to 9 dp
@@ -4855,12 +4855,21 @@ def dedup_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint(eager=False)
     )
+    n = tf.select(F.countDistinct("doc_id").alias("n_docs"))
+    # corpus-RELATIVE hot-term cap: a fixed DF cap prunes the entire
+    # vocabulary once the corpus outgrows it (measured: 0 candidate
+    # pairs at sf0.1 with the fixed cap) — 5% of docs keeps the idf
+    # floor constant as the corpus grows
     df = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .crossJoin(F.broadcast(n))
+        .filter(
+            F.col("df")
+            <= F.greatest(F.lit(MAX_SHINGLE_DF), F.floor(F.col("n_docs") * 5 / 100))
+        )
+        .select("term", "df")
     )
-    n = tf.select(F.countDistinct("doc_id").alias("n_docs"))
     wts = (
         tf.join(df, "term")
         .crossJoin(F.broadcast(n))

@@ -61,6 +61,13 @@ SCALE_QUERIES = [
     "window_running_distinct",
     "dq_key_skew_gini",
     "ts_cusum_changepoint",
+    "dedup_tfidf_cosine_pairs",
+    "pipeline_split_decontam_audit",
+    "pipeline_curation_v3",
+    "events_rolling_wau",
+    "orders_open_backlog_daily",
+    "bpe_first_merges",
+    "orders_pareto_skyline",
 ]
 
 

@@ -7719,3 +7719,125 @@ def customer_first_last_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("trajectory")
     )
+
+
+_WEIGHTED_MEDIAN_ORACLE = """
+WITH levels AS (
+    SELECT l_returnflag, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+           SUM(CAST(l_quantity AS BIGINT)) AS w
+    FROM lineitem GROUP BY 1, 2
+), cum AS (
+    SELECT l_returnflag, cents, w,
+           SUM(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+                        ROWS UNBOUNDED PRECEDING) AS cw,
+           SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+    FROM levels
+)
+SELECT l_returnflag,
+       CAST(MAX(tw) AS BIGINT) AS total_weight,
+       ROUND(CAST(MIN(CASE WHEN 2 * cw >= tw THEN cents END) AS DOUBLE) / 100, 2)
+           AS weighted_median_price
+FROM cum GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@_register("agg_weighted_median", _WEIGHTED_MEDIAN_ORACLE)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the weighted
+    percentile no engine ships natively, via the level-histogram
+    decomposition: collapse to distinct cent levels with summed
+    weights, ordered cumulative weight, first level crossing half the
+    total (2*cw >= tw in pure integers — no float quantile anywhere).
+
+    Scale: the fact table collapses to |flag| x |distinct prices|
+    levels in one map-side-combinable aggregation; the ordered window
+    runs per flag over the bounded level set. Same bounded-series
+    discipline as the KS test and Gini histogram.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    levels = (
+        t["lineitem"]
+        .groupBy(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    )
+    w_cum = Window.partitionBy("l_returnflag").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = levels.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_all).alias("tw"),
+    )
+    return (
+        cum.groupBy("l_returnflag")
+        .agg(
+            F.max("tw").cast("long").alias("total_weight"),
+            F.round(
+                F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("cents"))).cast(
+                    "double"
+                )
+                / 100,
+                2,
+            ).alias("weighted_median_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_SLA_ORACLE = """
+WITH first_ship AS (
+    SELECT o.o_orderkey, o.o_orderpriority,
+           MIN(CAST(l.l_shipdate AS DATE)) AS first_ship,
+           CAST(o.o_orderdate AS DATE) AS placed
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2, 4
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN date_diff('day', placed, first_ship) <= 30
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_within_sla,
+       CAST(ROUND(10000.0 * SUM(CASE WHEN date_diff('day', placed, first_ship) <= 30
+                                     THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT)
+           AS sla_bps
+FROM first_ship GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@_register("orders_sla_attainment", _SLA_ORACLE)
+def orders_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLA attainment: share of orders whose FIRST line ships within
+    30 days, by priority class, in integer basis points — first-event
+    latency vs target, the operations-review staple.
+
+    Scale: one fact-fact join on the order key (partial-aggregated
+    min per order in the same shuffle), then a tiny priority
+    aggregate. Integer day arithmetic end to end.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    first_ship = (
+        t["orders"]
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_orderdate").cast("date").alias("placed"),
+        )
+        .agg(F.min(F.col("l_shipdate").cast("date")).alias("first_ship"))
+    )
+    within = F.when(F.datediff("first_ship", "placed") <= 30, 1).otherwise(0)
+    return (
+        first_ship.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(within).cast("long").alias("n_within_sla"),
+            F.round(10000.0 * F.sum(within) / F.count(F.lit(1)), 0)
+            .cast("long")
+            .alias("sla_bps"),
+        )
+        .orderBy("o_orderpriority")
+    )

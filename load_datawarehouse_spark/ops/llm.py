@@ -5184,3 +5184,68 @@ def dedup_jaccard_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataF
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("jaccard_decile")
     )
+
+
+_STRATEGY_CMP_ORACLE = """
+WITH base AS (
+    SELECT doc_id, text,
+           len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS norm
+    FROM documents
+)
+SELECT * FROM (
+    SELECT 'none' AS strategy, CAST(COUNT(*) AS BIGINT) AS docs_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+    FROM base
+    UNION ALL
+    SELECT 'exact', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT)
+    FROM (SELECT MIN(doc_id) AS doc_id FROM base GROUP BY md5(text)) k
+    JOIN base USING (doc_id)
+    UNION ALL
+    SELECT 'normalized', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT)
+    FROM (SELECT MIN(doc_id) AS doc_id FROM base GROUP BY md5(norm)) k
+    JOIN base USING (doc_id)
+) ORDER BY strategy
+"""
+
+
+@_register("dedup_strategy_comparison", _STRATEGY_CMP_ORACLE)
+def dedup_strategy_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup strategy impact report: surviving documents and tokens
+    under none / exact / normalized-exact keep-first policies, side by
+    side — the 'what does each knob actually cost me' table a curation
+    run reports before committing to a policy (near-dup policies are
+    measured by ``dedup_cascade_report``).
+
+    Scale: one base scan feeds all three branches (lineage-cut); each
+    dedup is a keeper-id aggregation on an md5 key + a semi-join back
+    — never a self-join on text. Integer token accounting.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    base = t["documents"].select(
+        "doc_id",
+        F.md5("text").alias("h_exact"),
+        F.md5(_norm_text_expr()).alias("h_norm"),
+        F.size(F.filter(F.split("text", " ", -1), lambda w: w != F.lit(""))).alias(
+            "n_tokens"
+        ),
+    ).localCheckpoint(eager=False)
+
+    def kept(col):
+        keepers = base.groupBy(col).agg(F.min("doc_id").alias("doc_id"))
+        return base.join(keepers.select("doc_id"), "doc_id", "left_semi")
+
+    def report(df, label):
+        return df.agg(
+            F.lit(label).alias("strategy"),
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum("n_tokens").cast("long").alias("tokens_kept"),
+        )
+
+    return (
+        report(base, "none")
+        .unionByName(report(kept("h_exact"), "exact"))
+        .unionByName(report(kept("h_norm"), "normalized"))
+        .orderBy("strategy")
+    )

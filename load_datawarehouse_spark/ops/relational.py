@@ -7841,3 +7841,71 @@ def orders_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_DUAL_SOURCE_ORACLE = """
+WITH ps AS (
+    SELECT l_partkey, l_suppkey,
+           MIN(CAST(ROUND(l_extendedprice / l_quantity * 100) AS BIGINT))
+               AS min_unit_cents
+    FROM lineitem GROUP BY 1, 2
+), agg AS (
+    SELECT l_partkey, COUNT(*) AS n_suppliers,
+           MIN(min_unit_cents) AS best, MAX(min_unit_cents) AS worst
+    FROM ps GROUP BY l_partkey HAVING COUNT(*) >= 2
+)
+SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+       CAST(n_suppliers AS BIGINT) AS n_suppliers,
+       ROUND(CAST(best AS DOUBLE) / 100, 2) AS best_unit_price,
+       CAST(ROUND(10000.0 * (worst - best) / best) AS BIGINT) AS spread_bps
+FROM agg
+ORDER BY spread_bps DESC, l_partkey
+LIMIT 25
+"""
+
+
+@_register("supplier_dual_sourcing_parts", _DUAL_SOURCE_ORACLE)
+def supplier_dual_sourcing_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-sourcing opportunity scan: parts bought from >= 2
+    suppliers, ranked by the basis-point spread between the cheapest
+    and priciest supplier's best unit price — the procurement
+    arbitrage report.
+
+    Unit prices quantize to integer cents per (part, supplier) before
+    any comparison, so the spread and its ranking are deterministic.
+    Scale: two map-side-combinable aggregations on (part, supplier)
+    then part; top-25 is a TakeOrderedAndProject.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    ps = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100, 0).cast(
+                    "long"
+                )
+            ).alias("min_unit_cents")
+        )
+    )
+    agg = (
+        ps.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.min("min_unit_cents").alias("best"),
+            F.max("min_unit_cents").alias("worst"),
+        )
+        .filter(F.col("n_suppliers") >= 2)
+    )
+    return (
+        agg.select(
+            F.col("l_partkey").cast("long"),
+            F.col("n_suppliers").cast("long"),
+            F.round(F.col("best").cast("double") / 100, 2).alias("best_unit_price"),
+            F.round(10000.0 * (F.col("worst") - F.col("best")) / F.col("best"), 0)
+            .cast("long")
+            .alias("spread_bps"),
+        )
+        .orderBy(F.desc("spread_bps"), F.asc("l_partkey"))
+        .limit(25)
+    )

@@ -7909,3 +7909,151 @@ def supplier_dual_sourcing_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("spread_bps"), F.asc("l_partkey"))
         .limit(25)
     )
+
+
+_PRIORITY_DRIFT_ORACLE = """
+WITH cells AS (
+    SELECT CAST(CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+                AS VARCHAR) AS month,
+           o_orderpriority, COUNT(*) AS o
+    FROM orders GROUP BY 1, 2
+), mt AS (SELECT month, SUM(o) AS m_total FROM cells GROUP BY month),
+pt AS (SELECT o_orderpriority, SUM(o) AS p_total FROM cells GROUP BY o_orderpriority),
+n AS (SELECT SUM(o) AS n FROM cells)
+SELECT c.month,
+       CAST(MAX(mt.m_total) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(
+           POWER(c.o - CAST(mt.m_total AS DOUBLE) * pt.p_total / n.n, 2)
+           / (CAST(mt.m_total AS DOUBLE) * pt.p_total / n.n)
+       AS DECIMAL(38,12))) AS DOUBLE), 6) AS drift_chi2
+FROM cells c JOIN mt USING (month) JOIN pt USING (o_orderpriority) CROSS JOIN n
+GROUP BY c.month ORDER BY c.month
+"""
+
+
+@_register("orders_priority_drift_chi2", _PRIORITY_DRIFT_ORACLE)
+def orders_priority_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month distribution-drift monitor: chi-square of each
+    month's order-priority mix against the all-time mix — the data-
+    drift alarm a nightly batch pipeline evaluates before trusting new
+    data (spiking drift_chi2 = upstream behavior change).
+
+    Cell terms are deterministic doubles of four integers, decimal-
+    accumulated per month (rounded 6 dp). Scale: one aggregation to
+    |months| x |priorities| cells; margins re-aggregate the tiny cell
+    table and broadcast back.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    cells = (
+        t["orders"]
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate").cast("date"))
+            .cast("date")
+            .cast("string")
+            .alias("month"),
+            "o_orderpriority",
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=False)
+    )
+    mt = cells.groupBy("month").agg(F.sum("o").alias("m_total"))
+    pt = cells.groupBy("o_orderpriority").agg(F.sum("o").alias("p_total"))
+    n = cells.agg(F.sum("o").alias("n"))
+    e = F.col("m_total").cast("double") * F.col("p_total") / F.col("n")
+    return (
+        cells.join(F.broadcast(mt), "month")
+        .join(F.broadcast(pt), "o_orderpriority")
+        .crossJoin(F.broadcast(n))
+        .groupBy("month")
+        .agg(
+            F.max("m_total").cast("long").alias("n_orders"),
+            F.round(
+                F.sum(((F.pow(F.col("o") - e, F.lit(2))) / e).cast("decimal(38,12)"))
+                .cast("double"),
+                6,
+            ).alias("drift_chi2"),
+        )
+        .orderBy("month")
+    )
+
+
+_SPEARMAN_ORACLE = """
+WITH qlev AS (
+    SELECT CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS m FROM lineitem GROUP BY 1
+), qrank AS (
+    SELECT v, SUM(m) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - m
+               + (m + 1) / 2.0 AS r
+    FROM qlev
+), plev AS (
+    SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v, COUNT(*) AS m
+    FROM lineitem GROUP BY 1
+), prank AS (
+    SELECT v, SUM(m) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - m
+               + (m + 1) / 2.0 AS r
+    FROM plev
+), ranked AS (
+    SELECT qr.r AS rx, pr.r AS ry
+    FROM lineitem l
+    JOIN qrank qr ON qr.v = CAST(l.l_quantity AS BIGINT)
+    JOIN prank pr ON pr.v = CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+), sums AS (
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(rx AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(ry AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(rx * ry AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(rx * rx AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(ry * ry AS DECIMAL(38,6))) AS DOUBLE) AS syy
+    FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND((n * sxy - sx * sy)
+             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 9) AS spearman_rho
+FROM sums
+"""
+
+
+@_register("stat_spearman_qty_price", _SPEARMAN_ORACLE)
+def stat_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and price — the
+    monotone-association complement to ``stat_corr_cov``'s Pearson.
+
+    Average ranks for ties come from the LEVEL histogram (cum - m +
+    (m+1)/2): half-integer fractions, exactly representable, no
+    global row sort — the same bounded-level discipline as the KS
+    test. Rank power sums accumulate in decimal; one closed-form
+    division at the end (rounded 9 dp). Scale: two level-histogram
+    aggregations + two broadcast-joinable rank lookups; the windows
+    run over bounded level sets, never rows.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    li = t["lineitem"].select(
+        F.col("l_quantity").cast("long").alias("qv"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("pv"),
+    ).localCheckpoint(eager=False)
+
+    def ranks(col):
+        lev = li.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("m"))
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        return lev.select(
+            "v",
+            (F.sum("m").over(w) - F.col("m") + (F.col("m") + 1) / 2.0).alias("r"),
+        )
+
+    qr = ranks("qv").select(F.col("v").alias("qv"), F.col("r").alias("rx"))
+    pr = ranks("pv").select(F.col("v").alias("pv"), F.col("r").alias("ry"))
+    ranked = li.join(F.broadcast(qr), "qv").join(pr, "pv").select("rx", "ry")
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rx").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("ry").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("rx") * F.col("ry")).cast(DEC)).cast("double").alias("sxy"),
+        F.sum((F.col("rx") * F.col("rx")).cast(DEC)).cast("double").alias("sxx"),
+        F.sum((F.col("ry") * F.col("ry")).cast(DEC)).cast("double").alias("syy"),
+    )
+    rho = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"), F.round(rho, 9).alias("spearman_rho")
+    )

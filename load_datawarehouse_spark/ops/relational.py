@@ -8057,3 +8057,59 @@ def stat_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         F.col("n").cast("long").alias("n"), F.round(rho, 9).alias("spearman_rho")
     )
+
+
+_WINBACK_ORACLE = """
+WITH activity AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), gaps AS (
+    SELECT user_id,
+           date_diff('day', LAG(day) OVER (PARTITION BY user_id ORDER BY day), day)
+               AS gap
+    FROM activity
+)
+SELECT user_id,
+       CAST(COUNT(gap) AS BIGINT) AS n_returns,
+       CAST(MAX(gap) AS BIGINT) AS longest_gap_days,
+       CAST(SUM(CASE WHEN gap > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_winbacks
+FROM gaps
+GROUP BY user_id
+HAVING SUM(CASE WHEN gap > 2 THEN 1 ELSE 0 END) > 0
+ORDER BY user_id
+"""
+
+
+@_register("events_winback_gaps", _WINBACK_ORACLE)
+def events_winback_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winback detection: users who RETURNED after a silent gap
+    longer than the threshold (2 days here — the synthetic stream is
+    dense; production uses 30), with their return count and longest
+    gap — the re-engagement
+    cohort a lifecycle team targets (the counterpart of
+    ``events_user_lifecycle_states``' aggregate 'resurrected' bucket,
+    resolved to individual users).
+
+    Scale: collapse to distinct (user, day) first, one shuffle on the
+    user key for the lag window (bounded per-user series), integer
+    day arithmetic throughout.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    activity = (
+        t["events"].select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    gaps = activity.select(
+        "user_id", F.datediff("day", F.lag("day").over(w)).alias("gap")
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap").cast("long").alias("n_returns"),
+            F.max("gap").cast("long").alias("longest_gap_days"),
+            F.sum(F.when(F.col("gap") > 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_winbacks"),
+        )
+        .filter(F.col("n_winbacks") > 0)
+        .orderBy("user_id")
+    )

@@ -5249,3 +5249,96 @@ def dedup_strategy_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(report(kept("h_norm"), "normalized"))
         .orderBy("strategy")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: screen a NEW batch against the existing corpus
+# ---------------------------------------------------------------------------
+
+_INCR_BATCH_ORACLE = f"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           word || ' ' || LEAD(word, 1) OVER w || ' ' || LEAD(word, 2) OVER w AS shingle
+    FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    QUALIFY LEAD(word, 2) OVER w IS NOT NULL
+), ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+idx AS (
+    SELECT shingle FROM ds GROUP BY shingle
+    HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+), pruned AS (SELECT ds.* FROM ds JOIN idx USING (shingle)),
+pairs AS (
+    -- asymmetric: new batch (>= 400) probes the existing corpus (< 400)
+    SELECT b.doc_id AS new_doc, a.doc_id AS old_doc, COUNT(*) AS n_common
+    FROM pruned a JOIN pruned b
+      ON a.shingle = b.shingle AND a.doc_id < 400 AND b.doc_id >= 400
+    GROUP BY 1, 2
+), dups AS (
+    SELECT DISTINCT p.new_doc
+    FROM pairs p
+    JOIN cnt c1 ON c1.doc_id = p.old_doc
+    JOIN cnt c2 ON c2.doc_id = p.new_doc
+    WHERE CAST(p.n_common AS DOUBLE) / (c1.n + c2.n - p.n_common) >= 0.3
+)
+SELECT * FROM (
+    SELECT 'batch_size' AS metric, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents WHERE doc_id >= 400
+    UNION ALL
+    SELECT 'rejected_as_dup', CAST(COUNT(*) AS BIGINT) FROM dups
+    UNION ALL
+    SELECT 'admitted', CAST((SELECT COUNT(*) FROM documents WHERE doc_id >= 400)
+                            - COUNT(*) AS BIGINT)
+    FROM dups
+) ORDER BY metric
+"""
+
+
+@_register("dedup_incremental_batch", _INCR_BATCH_ORACLE)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a NEW ingest batch (doc_id >= 400) screened
+    against the EXISTING corpus only — the production shape (you never
+    re-dedup the whole corpus per batch; you probe the new slice
+    against the standing index and admit the survivors).
+
+    The inverted-index join is ASYMMETRIC: only (existing, new) pairs
+    form, so cost scales with batch x selectivity, not corpus^2 — and
+    at 100 TB the existing side's pruned postings ARE the standing
+    index a real system keeps materialized between batches. Jaccard
+    verification on candidates, admit/reject accounting out.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    ds = _shingles(t)
+    cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    idx = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= MAX_SHINGLE_DF
+    )
+    pruned = ds.join(idx.select("shingle"), "shingle").localCheckpoint(eager=False)
+    old = pruned.filter(F.col("doc_id") < 400).select(
+        F.col("doc_id").alias("old_doc"), "shingle"
+    )
+    new = pruned.filter(F.col("doc_id") >= 400).select(
+        F.col("doc_id").alias("new_doc"), "shingle"
+    )
+    pairs = (
+        old.join(new, "shingle")
+        .groupBy("new_doc", "old_doc")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    dups = (
+        pairs.join(cnt.select(F.col("doc_id").alias("old_doc"), F.col("n").alias("n1")), "old_doc")
+        .join(cnt.select(F.col("doc_id").alias("new_doc"), F.col("n").alias("n2")), "new_doc")
+        .filter(jac >= 0.3)
+        .select("new_doc")
+        .distinct()
+    )
+    batch_n = t["documents"].filter(F.col("doc_id") >= 400).count()
+    dup_n = dups.count()
+    return spark.createDataFrame(
+        [("admitted", batch_n - dup_n), ("batch_size", batch_n), ("rejected_as_dup", dup_n)],
+        "metric string, n long",
+    ).orderBy("metric")

@@ -8113,3 +8113,70 @@ def events_winback_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_winbacks") > 0)
         .orderBy("user_id")
     )
+
+
+_COVERAGE_ORACLE = """
+WITH per_cust AS (
+    SELECT c.c_mktsegment, o.o_custkey,
+           SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+), ranked AS (
+    SELECT c_mktsegment, cents,
+           SUM(cents) OVER (PARTITION BY c_mktsegment
+                            ORDER BY cents DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(cents) OVER (PARTITION BY c_mktsegment) AS total,
+           COUNT(*) OVER (PARTITION BY c_mktsegment) AS n_cust
+    FROM per_cust
+)
+SELECT c_mktsegment,
+       CAST(MAX(n_cust) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN 2 * (cum - cents) < total THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_to_half_revenue
+FROM ranked GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+@_register("customer_coverage_half_revenue", _COVERAGE_ORACLE)
+def customer_coverage_half_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many top customers cover HALF the segment's revenue — the
+    coverage-count dual of ``customer_concentration_hhi`` (an HHI says
+    'concentrated'; this says 'concentrated in exactly N accounts').
+
+    A customer counts while the revenue ACCUMULATED BEFORE them is
+    still under half the total (2*(cum - own) < total, pure integer
+    cents — no float share). Scale: per-customer collapse first; the
+    ranking window runs per segment over collapsed customers with
+    exact-integer ordering.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    per_cust = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents"))
+    )
+    w_cum = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("cents"), F.asc("o_custkey")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy("c_mktsegment")
+    ranked = per_cust.select(
+        "c_mktsegment",
+        "cents",
+        F.sum("cents").over(w_cum).alias("cum"),
+        F.sum("cents").over(w_all).alias("total"),
+        F.count(F.lit(1)).over(w_all).alias("n_cust"),
+    )
+    counted = F.when(2 * (F.col("cum") - F.col("cents")) < F.col("total"), 1).otherwise(0)
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.max("n_cust").cast("long").alias("n_customers"),
+            F.sum(counted).cast("long").alias("n_to_half_revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -8180,3 +8180,115 @@ def customer_coverage_half_revenue(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("c_mktsegment")
     )
+
+
+_MARGIN_ORACLE = """
+WITH sold AS (
+    SELECT p.p_brand,
+           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS sold_cents,
+           SUM(CAST(l.l_quantity AS BIGINT)
+               * CAST(ROUND(p.p_retailprice * 100) AS BIGINT)) AS retail_cents,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+)
+SELECT p_brand, CAST(n_lines AS BIGINT) AS n_lines,
+       ROUND(CAST(sold_cents AS DOUBLE) / 100, 2) AS realized_revenue,
+       CAST(ROUND(10000.0 * (sold_cents - retail_cents) / retail_cents) AS BIGINT)
+           AS margin_vs_retail_bps
+FROM sold ORDER BY p_brand
+"""
+
+
+@_register("part_realized_vs_retail_margin", _MARGIN_ORACLE)
+def part_realized_vs_retail_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized price vs list (retail) price per brand, in basis
+    points — the discounting-discipline report ('which brands do we
+    systematically sell under list?').
+
+    Scale: part is a broadcast dimension onto the lineitem scan; the
+    per-brand aggregate is map-side combinable; all money in exact
+    integer cents (quantity-weighted retail baseline).
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    sold = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand", "p_retailprice")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+                "sold_cents"
+            ),
+            F.sum(
+                F.col("l_quantity").cast("long")
+                * F.round(F.col("p_retailprice") * 100, 0).cast("long")
+            ).alias("retail_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    return sold.select(
+        "p_brand",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.round(F.col("sold_cents").cast("double") / 100, 2).alias("realized_revenue"),
+        F.round(
+            10000.0 * (F.col("sold_cents") - F.col("retail_cents")) / F.col("retail_cents"),
+            0,
+        )
+        .cast("long")
+        .alias("margin_vs_retail_bps"),
+    ).orderBy("p_brand")
+
+
+_DAILY_KPI_ORACLE = """
+WITH o AS (
+    SELECT CAST(o_orderdate AS DATE) AS day, o_custkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(cents) AS DOUBLE) / 100, 2) AS revenue,
+       CAST(ROUND(CAST(SUM(cents) AS DOUBLE) / COUNT(*)) AS BIGINT) AS aov_cents,
+       CAST(MAX(cents) AS BIGINT) AS biggest_order_cents
+FROM o
+GROUP BY day ORDER BY day DESC LIMIT 14
+"""
+
+
+@_register("exec_daily_kpis", _DAILY_KPI_ORACLE)
+def exec_daily_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily executive dashboard row, last 14 days: orders, unique
+    customers, revenue, average order value, biggest ticket — five
+    KPIs in ONE aggregation pass (the exact-distinct shares the same
+    shuffle via Expand), integer cents throughout.
+
+    Scale: one scan, one grouped aggregation, TakeOrderedAndProject
+    for the trailing window — this is the query a materialized-view
+    pipeline (``warehouse_mv_rewrite``) would serve incrementally.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    o = t["orders"].select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    return (
+        o.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            F.round(F.sum("cents").cast("double") / 100, 2).alias("revenue"),
+            F.round(F.sum("cents").cast("double") / F.count(F.lit(1)), 0)
+            .cast("long")
+            .alias("aov_cents"),
+            F.max("cents").cast("long").alias("biggest_order_cents"),
+        )
+        .select(F.col("day").cast("string").alias("day"), "n_orders", "n_customers",
+                "revenue", "aov_cents", "biggest_order_cents")
+        .orderBy(F.desc("day"))
+        .limit(14)
+    )

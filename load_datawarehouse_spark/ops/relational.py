@@ -8292,3 +8292,143 @@ def exec_daily_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("day"))
         .limit(14)
     )
+
+
+_DISPERSION_ORACLE = """
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+), s AS (
+    SELECT event_type, COUNT(*) AS k, SUM(n) AS sn, SUM(n * n) AS snn
+    FROM hourly GROUP BY event_type
+)
+SELECT event_type, CAST(k AS BIGINT) AS n_hours,
+       ROUND(CAST(sn AS DOUBLE) / k, 6) AS mean_per_hour,
+       ROUND((CAST(snn AS DOUBLE) / k - POWER(CAST(sn AS DOUBLE) / k, 2))
+             / (CAST(sn AS DOUBLE) / k), 6) AS dispersion_index
+FROM s ORDER BY event_type
+"""
+
+
+@_register("stat_dispersion_index", _DISPERSION_ORACLE)
+def stat_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson dispersion index (variance/mean of hourly counts) per
+    event type: ~1 means Poisson-like arrivals; >1 flags bursty
+    (overdispersed) traffic — the statistical footing under
+    ``events_burst_hours``.
+
+    Hourly counts are integers, so k/sn/snn are exact and the index
+    is a deterministic closed form (rounded 6 dp; counts are small so
+    the E[x^2]-E[x]^2 form is NOT cancelled here — unlike the
+    unit-norm case in ``embedding_norm_outliers``). Scale: one
+    aggregation to (type, hour) cells, then |types| rows.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    hourly = (
+        t["events"]
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    s = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).alias("snn"),
+    )
+    mean = F.col("sn").cast("double") / F.col("k")
+    return s.select(
+        "event_type",
+        F.col("k").cast("long").alias("n_hours"),
+        F.round(mean, 6).alias("mean_per_hour"),
+        F.round(
+            (F.col("snn").cast("double") / F.col("k") - F.pow(mean, F.lit(2))) / mean, 6
+        ).alias("dispersion_index"),
+    ).orderBy("event_type")
+
+
+_MAD_ORACLE = """
+WITH cents AS (
+    SELECT o_orderpriority, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+    FROM orders
+), med AS (
+    SELECT o_orderpriority, quantile_cont(c, 0.5) AS m FROM cents GROUP BY 1
+), dev AS (
+    SELECT c.o_orderpriority, ABS(c.c - m.m) AS d
+    FROM cents c JOIN med m USING (o_orderpriority)
+)
+SELECT o_orderpriority,
+       ROUND((SELECT m FROM med WHERE med.o_orderpriority = dev.o_orderpriority)
+             / 100, 2) AS median_price,
+       ROUND(quantile_cont(d, 0.5) / 100, 2) AS mad_price
+FROM dev GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@_register("agg_median_abs_deviation", _MAD_ORACLE)
+def agg_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of order value per priority — the
+    fully robust scale estimator (50% breakdown point; the winsorized
+    and IQR ops trim, MAD ignores outliers entirely).
+
+    Both medians use the shared p*(n-1) interpolation over integer
+    cents (deviations are integer or half-integer — exact in binary),
+    so the two-level percentile is engine-deterministic. Scale: exact
+    group percentiles buffer per group (bounded groups); swap to
+    approx_percentile at 100 TB, same shape.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    cents = t["orders"].select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"),
+    )
+    med = cents.groupBy("o_orderpriority").agg(
+        F.expr("percentile(c, 0.5)").alias("m")
+    )
+    dev = cents.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority", F.abs(F.col("c") - F.col("m")).alias("d"), "m"
+    )
+    return (
+        dev.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.max("m") / 100, 2).alias("median_price"),
+            F.round(F.expr("percentile(d, 0.5)") / 100, 2).alias("mad_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_ENCODING_ORACLE = """
+SELECT c_custkey,
+       lower(to_hex(c_custkey)) AS key_hex,
+       to_base64(encode(c_name)) AS name_b64,
+       CAST(bit_length(c_name) AS BIGINT) AS name_bits,
+       CAST(octet_length(encode(c_name)) AS BIGINT) AS name_bytes,
+       md5(c_name) AS name_md5,
+       sha256(c_name) AS name_sha256
+FROM customer WHERE c_custkey < 100
+ORDER BY c_custkey
+"""
+
+
+@_register("scalar_encoding_family", _ENCODING_ORACLE)
+def scalar_encoding_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding/digest scalar family: hex, base64, bit/byte lengths,
+    md5 and sha-256 — the key-derivation toolkit (hash-gated splits,
+    content addressing, interoperable ids). Spark's HEX is uppercase,
+    DuckDB's lowercase — normalized to lowercase, the convention every
+    md5-keyed operator in this engine already relies on. Narrow scan,
+    pure codegen."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["customer"]
+        .filter(F.col("c_custkey") < 100)
+        .select(
+            "c_custkey",
+            F.lower(F.hex(F.col("c_custkey"))).alias("key_hex"),
+            F.base64(F.encode("c_name", "UTF-8")).alias("name_b64"),
+            F.bit_length("c_name").cast("long").alias("name_bits"),
+            F.octet_length("c_name").cast("long").alias("name_bytes"),
+            F.md5("c_name").alias("name_md5"),
+            F.sha2(F.col("c_name"), 256).alias("name_sha256"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -8432,3 +8432,78 @@ def scalar_encoding_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+_ETL_CAPSTONE_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micros,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE event_id < 2000
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@_register("warehouse_etl_capstone", _ETL_CAPSTONE_ORACLE)
+def warehouse_etl_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's PRIMARY use-case end to end, as op #300: messy
+    semi-structured records (BigQuery-illegal field names, nested
+    props) -> recursive key sanitation -> value-driven schema
+    inference -> table creation -> chunked load -> the R1 ``query``
+    verb aggregating the landed table. One flow through §2.1-§2.3 +
+    R1, hash-checked against the source-of-truth aggregate.
+
+    The messy keys ('user id', 'event.type') exercise clean_field_key
+    exactly as the reference's loaders do; micro-unit sums keep the
+    landed aggregate exactly equal to the source aggregate. Scale:
+    record prep is bounded (2000 rows); the landed table's query is a
+    plain pruned scan + hash agg like any other.
+    """
+    import shutil
+    import tempfile
+
+    from load_datawarehouse_spark.data import clean_keys
+    from load_datawarehouse_spark.warehouse import SparkWarehouse
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    raw = [
+        {
+            "event id": r["event_id"],
+            "user id": r["user_id"],
+            "event.type": r["event_type"],
+            # list-of-records: the reference's REPEATED RECORD shape (a
+            # BARE dict value is the documented degenerate quirk,
+            # FIXTURES.md: plain dict -> STRING REPEATED)
+            "payload": [{"value micros": int(round(r["value"] * 1e6))}],
+        }
+        for r in t["events"]
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", "user_id", "event_type", "value")
+        .collect()
+    ]
+    records = clean_keys(raw)
+    root = tempfile.mkdtemp(prefix="ldw_etl_")
+    try:
+        wh = SparkWarehouse.new(spark, root, "events_landed", data=records)
+        out = wh.query(
+            """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   SUM(element_at(payload, 1).value_micros) AS sum_micros,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events_landed
+            GROUP BY event_type
+            ORDER BY event_type
+            """
+        ).select(
+            F.col("event_type"),
+            F.col("n_events").cast("long"),
+            F.col("sum_micros").cast("long"),
+            F.col("n_users").cast("long"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

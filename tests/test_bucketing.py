@@ -71,3 +71,24 @@ def test_bucketed_join_matches_plain_join(spark, bucketed):
         .count()
     )
     assert bucketed_count == plain
+
+
+def test_decimal_sum_partition_invariance(spark):
+    """The _util decimal-accumulator discipline's core claim: the
+    distributed sum is bitwise identical under ANY partitioning.
+    Doubles chosen adversarially (wide magnitude spread) so a plain
+    double sum WOULD differ across partitionings."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from load_datawarehouse_spark.ops._util import dec_sum
+
+    rng = random.Random(42)
+    vals = [rng.uniform(0, 1) * 10 ** rng.randint(-6, 8) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    results = set()
+    for parts in (1, 7, 32):
+        out = df.repartition(parts).agg(dec_sum("v", "s")).collect()[0].s
+        results.add(out)
+    assert len(results) == 1, f"partitioning changed the decimal sum: {results}"

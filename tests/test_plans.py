@@ -503,3 +503,34 @@ def test_curation_v3_single_composed_plan(spark):
     # first — the dedup/cap shuffles move survivors only)
     assert plan.count("WindowGroupLimit") == 4
     assert "SortMergeJoin" not in plan and "Join" not in plan
+
+
+def test_weighted_median_no_global_sort_of_rows(spark):
+    # the level-histogram decomposition must aggregate BEFORE any sort:
+    # the only Sort below the window belongs to the per-flag level
+    # window, fed by the (flag, cents) aggregate — never raw lineitem
+    plan = _plan(relational.agg_weighted_median(spark, SF_DIR))
+    first_window = plan.find("Window")
+    assert first_window != -1
+    below = plan[first_window:]
+    assert below.lower().count("hashaggregate") >= 2  # level collapse under it
+
+
+def test_incremental_dedup_asymmetric_equi_join(spark):
+    plan = _plan(llm.dedup_incremental_batch(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rolling_wau_uses_bounded_expansion_not_window(spark):
+    # the 7x contribution explode replaces any per-day window scan;
+    # no Window operator should appear at all
+    plan = _plan(relational.events_rolling_wau(spark, SF_DIR))
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "Window" not in plan
+
+
+def test_spearman_rank_lookup_broadcasts_levels(spark):
+    plan = _plan(relational.stat_spearman_qty_price(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -8507,3 +8507,62 @@ def warehouse_etl_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_PMI_ORACLE = """
+WITH ut AS (
+    SELECT DISTINCT user_id, event_type FROM events
+), n_users AS (SELECT COUNT(DISTINCT user_id) AS nu FROM events),
+tc AS (SELECT event_type, COUNT(*) AS c FROM ut GROUP BY event_type),
+pairs AS (
+    SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS c12
+    FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT p.t1, p.t2, CAST(p.c12 AS BIGINT) AS n_cooccur,
+       ROUND(LN(CAST(p.c12 AS DOUBLE) * nu / (c1.c * c2.c)), 9) AS pmi
+FROM pairs p
+JOIN tc c1 ON c1.event_type = p.t1
+JOIN tc c2 ON c2.event_type = p.t2
+CROSS JOIN n_users
+ORDER BY t1, t2
+"""
+
+
+@_register("events_type_pmi", _PMI_ORACLE)
+def events_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types over users:
+    PMI = ln(P(a,b) / (P(a)P(b))) — do users who error also purchase?
+    The behavioral-association companion to ``basket_affinity_lift``'s
+    order-level lift.
+
+    Pair enumeration is user-local over each user's DISTINCT type set
+    (<= |types| per user, so the self-join fanout is bounded by
+    |types|^2 per user, not events^2); PMI is one deterministic
+    ln of an integer ratio (rounded 9 dp). One shuffle on user_id,
+    then tiny joins on the |types|-row margins.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    ut = t["events"].select("user_id", "event_type").distinct().localCheckpoint(
+        eager=False
+    )
+    nu = ut.select(F.countDistinct("user_id").alias("nu"))
+    tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = ut.select("user_id", F.col("event_type").alias("t1"))
+    b = ut.select(F.col("user_id").alias("u2"), F.col("event_type").alias("t2"))
+    pairs = (
+        a.join(b, (F.col("user_id") == F.col("u2")) & (F.col("t1") < F.col("t2")))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    pmi = F.log(
+        F.col("c12").cast("double") * F.col("nu") / (F.col("c1") * F.col("c2"))
+    )
+    return (
+        pairs.join(F.broadcast(tc.select(F.col("event_type").alias("t1"), F.col("c").alias("c1"))), "t1")
+        .join(F.broadcast(tc.select(F.col("event_type").alias("t2"), F.col("c").alias("c2"))), "t2")
+        .crossJoin(F.broadcast(nu))
+        .select("t1", "t2", F.col("c12").cast("long").alias("n_cooccur"),
+                F.round(pmi, 9).alias("pmi"))
+        .orderBy("t1", "t2")
+    )

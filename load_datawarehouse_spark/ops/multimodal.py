@@ -948,3 +948,117 @@ def multimodal_video_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFr
         .select("doc_id", "frame_idx", "frame_sum")
         .orderBy("doc_id", "frame_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_image_dhash — perceptual difference-hash fingerprints
+# ---------------------------------------------------------------------------
+
+_DHASH_GRID_W, _DHASH_GRID_H = 8, 8  # 8x8 downsample -> 56 bits (sign-safe in BIGINT)
+
+_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def _dhash_batches(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    import numpy as np
+
+    gw, gh = _DHASH_GRID_W, _DHASH_GRID_H
+    for pdf in batches:
+        out = []
+        for doc_id, content, w, h in zip(
+            pdf["doc_id"], pdf["content"], pdf["width"], pdf["height"]
+        ):
+            w, h = int(w), int(h)
+            arr = np.frombuffer(content, dtype=np.uint8)
+            if len(arr) < w * h:
+                continue
+            img = arr[: w * h].astype(np.int64).reshape(h, w)
+            # integer block sums + counts; compare via cross-multiplication
+            # so no float division enters the hash
+            bx = (np.arange(w) * gw) // w
+            by = (np.arange(h) * gh) // h
+            sums = np.zeros((gh, gw), dtype=np.int64)
+            cnts = np.zeros((gh, gw), dtype=np.int64)
+            np.add.at(sums, (by[:, None], bx[None, :]), img)
+            np.add.at(cnts, (by[:, None], bx[None, :]), 1)
+            hash_v = 0
+            for y in range(gh):
+                for x in range(gw - 1):
+                    left = sums[y, x] * cnts[y, x + 1]
+                    right = sums[y, x + 1] * cnts[y, x]
+                    if left > right:
+                        hash_v |= 1 << (y * (gw - 1) + x)
+            out.append((doc_id, hash_v))
+        yield pd.DataFrame(out, columns=["doc_id", "dhash"])
+
+
+_DHASH_ORACLE = f"""
+WITH px AS (
+    SELECT doc_id,
+           unicode(c) AS b,
+           ((i - 1) % ((doc_id % 16 + 1) * 8)) * {_DHASH_GRID_W}
+               // ((doc_id % 16 + 1) * 8) AS bx,
+           ((i - 1) // ((doc_id % 16 + 1) * 8)) * {_DHASH_GRID_H}
+               // ((doc_id % 9 + 1) * 8) AS by
+    FROM (
+        SELECT doc_id, unnest(cs) AS c, generate_subscripts(cs, 1) AS i,
+               (doc_id % 16 + 1) * 8 AS w, (doc_id % 9 + 1) * 8 AS h
+        FROM (
+            SELECT doc_id, string_split_regex(text, '') AS cs
+            FROM documents
+            WHERE doc_id % 3 = 0
+              AND LENGTH(text) >= (doc_id % 16 + 1) * 8 * (doc_id % 9 + 1) * 8
+        )
+    )
+    WHERE i <= ((doc_id % 16 + 1) * 8) * ((doc_id % 9 + 1) * 8)
+), blocks AS (
+    SELECT doc_id, by, bx, SUM(b) AS s, COUNT(*) AS cnt
+    FROM px GROUP BY doc_id, by, bx
+), bits AS (
+    SELECT a.doc_id,
+           CAST(a.by * ({_DHASH_GRID_W} - 1) + a.bx AS BIGINT) AS pos,
+           CASE WHEN a.s * b.cnt > b.s * a.cnt THEN 1 ELSE 0 END AS bit
+    FROM blocks a JOIN blocks b
+      ON b.doc_id = a.doc_id AND b.by = a.by AND b.bx = a.bx + 1
+)
+SELECT doc_id,
+       CAST(SUM(bit * (1::BIGINT << CAST(pos AS INT))) AS BIGINT) AS dhash
+FROM bits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@_register("multimodal_image_dhash", _DHASH_ORACLE)
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image: downsample the
+    grayscale byte matrix to an 8x8 grid (7 comparisons per row = 56
+    bits — the classic 9x8/64-bit variant would set bit 63 and
+    overflow signed BIGINT in both engines) by integer block sums, set a
+    bit per adjacent-block brightness comparison — THE near-duplicate
+    image fingerprint (robust to resizing/recompression; hamming
+    distance on the hashes finds visual dupes, exactly like
+    ``dedup_simhash_neardup`` does for text).
+
+    Comparisons are cross-multiplied integer block sums, so the hash
+    is bit-exact across engines — no float resampling anywhere. Scale:
+    the numpy kernel runs partition-local over the payload (never
+    shuffled); output is 8 bytes per image. Swap the kernel's input
+    for a real decode (``decode_image_real``) and nothing else moves.
+    """
+    m = media_table(spark, sf_dir).filter(F.col("media_type") == "image")
+    wins = (
+        m.select(
+            "doc_id",
+            "content",
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.col("meta.n_bytes").alias("n_bytes"),
+        )
+        .filter(F.col("n_bytes") >= F.col("width") * F.col("height"))
+        .mapInPandas(_dhash_batches, _DHASH_SCHEMA)
+    )
+    return wins.orderBy("doc_id")

@@ -8566,3 +8566,69 @@ def events_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(pmi, 9).alias("pmi"))
         .orderBy("t1", "t2")
     )
+
+
+_IDEMPOTENT_ORACLE = """
+SELECT * FROM (
+    SELECT 'after_first_load' AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS checksum_cents
+    FROM orders WHERE o_orderkey < 3000
+    UNION ALL
+    SELECT 'after_replay', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    FROM orders WHERE o_orderkey < 3000
+) ORDER BY phase
+"""
+
+
+@_register("warehouse_idempotent_backfill", _IDEMPOTENT_ORACLE)
+def warehouse_idempotent_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotence proof for the keyed upsert path: loading the SAME
+    batch twice through ``update`` leaves the table bit-identical
+    (row count and exact-cents checksum equal across phases) — the
+    property that makes retried/replayed backfills safe, which plain
+    append does NOT have. The oracle emits the source aggregate twice;
+    a non-idempotent sink would double the replay row.
+
+    Scale: each upsert is one anti-join + union rewrite on the key;
+    idempotence comes from the key semantics, not from any
+    deduplication pass.
+    """
+    import shutil
+    import tempfile
+
+    from load_datawarehouse_spark import types as wtypes
+    from load_datawarehouse_spark.warehouse import SparkWarehouse
+    from pyspark.sql import types as T
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    batch = t["orders"].filter(F.col("o_orderkey") < 3000).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    struct = T.StructType(
+        [T.StructField("o_orderkey", T.LongType()), T.StructField("cents", T.LongType())]
+    )
+    root = tempfile.mkdtemp(prefix="ldw_idem_")
+    try:
+        wh = SparkWarehouse.new(
+            spark, root, "orders_backfill", schema=wtypes.struct_type_to_api_repr(struct)
+        )
+
+        def snap(phase):
+            return wh.df().agg(
+                F.lit(phase).alias("phase"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("cents").cast("long").alias("checksum_cents"),
+            )
+
+        wh.update(batch, keys=["o_orderkey"])
+        first = snap("after_first_load").collect()
+        wh.update(batch, keys=["o_orderkey"])  # the replayed backfill
+        second = snap("after_replay").collect()
+        out_schema = "phase string, n_rows long, checksum_cents long"
+        return spark.createDataFrame(first + second, out_schema).orderBy("phase")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -5342,3 +5342,55 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("admitted", batch_n - dup_n), ("batch_size", batch_n), ("rejected_as_dup", dup_n)],
         "metric string, n long",
     ).orderBy("metric")
+
+
+_DUP_RATE_ORACLE = """
+WITH keyed AS (
+    SELECT doc_id, source, md5(text) AS h FROM documents
+), keepers AS (
+    SELECT MIN(doc_id) AS doc_id FROM keyed GROUP BY h
+)
+SELECT k.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN kp.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_duplicates,
+       CAST(ROUND(10000.0 * SUM(CASE WHEN kp.doc_id IS NULL THEN 1 ELSE 0 END)
+                  / COUNT(*)) AS BIGINT) AS dup_rate_bps
+FROM keyed k LEFT JOIN keepers kp ON kp.doc_id = k.doc_id
+GROUP BY k.source ORDER BY k.source
+"""
+
+
+@_register("quality_dedup_rate_by_source", _DUP_RATE_ORACLE)
+def quality_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate rate per source domain (exact-dup, keep-first): which
+    feeds are refeeding you the same documents — the telemetry that
+    turns dedup from a cost into a supplier-quality signal (pairs with
+    ``quality_domain_cap`` and ``dedup_strategy_comparison``).
+
+    Scale: one md5-key aggregation elects keepers; a left join flags
+    non-keepers; basis-point rates from exact integers. The md5 key —
+    not the body — moves through both shuffles.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    keyed = t["documents"].select(
+        "doc_id", "source", F.md5("text").alias("h")
+    ).localCheckpoint(eager=False)
+    keepers = keyed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    dup = F.when(F.col("kp_doc").isNull(), 1).otherwise(0)
+    return (
+        keyed.join(
+            keepers.select(F.col("doc_id").alias("kp_doc")),
+            keyed.doc_id == F.col("kp_doc"),
+            "left",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(dup).cast("long").alias("n_duplicates"),
+            F.round(10000.0 * F.sum(dup) / F.count(F.lit(1)), 0)
+            .cast("long")
+            .alias("dup_rate_bps"),
+        )
+        .orderBy("source")
+    )

@@ -8632,3 +8632,65 @@ def warehouse_idempotent_backfill(spark: SparkSession, sf_dir: str) -> DataFrame
         return spark.createDataFrame(first + second, out_schema).orderBy("phase")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_AGING_ORACLE = """
+WITH spans AS (
+    SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS placed,
+           MIN(CAST(l.l_shipdate AS DATE)) AS first_ship
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+), open_orders AS (
+    SELECT o_orderkey,
+           date_diff('day', placed, DATE '1998-06-01') AS age_days
+    FROM spans
+    WHERE placed <= DATE '1998-06-01' AND first_ship > DATE '1998-06-01'
+)
+SELECT CASE WHEN age_days <= 30 THEN 'a_0_30'
+            WHEN age_days <= 60 THEN 'b_31_60'
+            WHEN age_days <= 90 THEN 'c_61_90'
+            ELSE 'd_90_plus' END AS age_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(age_days) AS BIGINT) AS min_age,
+       CAST(MAX(age_days) AS BIGINT) AS max_age
+FROM open_orders GROUP BY 1 ORDER BY age_bucket
+"""
+
+
+@_register("orders_aging_report", _AGING_ORACLE)
+def orders_aging_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging at a pinned as-of date (1998-06-01): orders
+    placed but with no line shipped yet, bucketed 0-30/31-60/61-90/
+    90+ days — the receivables-style aging snapshot, the point-in-time
+    complement to ``orders_open_backlog_daily``'s full series.
+
+    Scale: one fact-fact join for first-ship (partial-aggregated min),
+    then a narrow filter + 4-bucket aggregate; integer day arithmetic
+    against the PINNED date (never now() — reproducible).
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    asof = F.lit("1998-06-01").cast("date")
+    spans = (
+        t["orders"]
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("placed"))
+        .agg(F.min(F.col("l_shipdate").cast("date")).alias("first_ship"))
+    )
+    open_orders = spans.filter(
+        (F.col("placed") <= asof) & (F.col("first_ship") > asof)
+    ).select(F.datediff(asof, F.col("placed")).alias("age_days"))
+    bucket = (
+        F.when(F.col("age_days") <= 30, "a_0_30")
+        .when(F.col("age_days") <= 60, "b_31_60")
+        .when(F.col("age_days") <= 90, "c_61_90")
+        .otherwise("d_90_plus")
+    )
+    return (
+        open_orders.groupBy(bucket.alias("age_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("age_days").cast("long").alias("min_age"),
+            F.max("age_days").cast("long").alias("max_age"),
+        )
+        .orderBy("age_bucket")
+    )

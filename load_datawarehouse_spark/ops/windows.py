@@ -931,3 +931,75 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("share_bps"),
         F.rank().over(w_rank).cast("long").alias("rank_in_region"),
     ).orderBy("region", "rank_in_region")
+
+
+_PACING_ORACLE = """
+WITH daily AS (
+    SELECT CAST(CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+                AS VARCHAR) AS month,
+           day(CAST(o_orderdate AS DATE)) AS dom,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+    GROUP BY 1, 2
+), cum AS (
+    SELECT month, dom, cents,
+           SUM(cents) OVER (PARTITION BY month ORDER BY dom
+                            ROWS UNBOUNDED PRECEDING) AS cum_cents,
+           SUM(cents) OVER (PARTITION BY month) AS total_cents
+    FROM daily
+)
+SELECT month, CAST(dom AS BIGINT) AS dom,
+       CAST(ROUND(10000.0 * cum_cents / total_cents) AS BIGINT) AS pace_bps
+FROM cum
+WHERE dom IN (7, 14, 21, 28)
+ORDER BY month, dom
+"""
+
+
+@_register("orders_month_pacing_curve", _PACING_ORACLE)
+def orders_month_pacing_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue pacing curve: cumulative share of each month's revenue
+    booked by day 7/14/21/28 (H1-1997), in basis points — the
+    'are we on track for the month' forecast primitive (a month pacing
+    behind its historical curve at day 14 predicts a miss).
+
+    Scale: one aggregation to (month, day-of-month) cells; the cumsum
+    window runs per month over <= 31 rows; exact integer cents make
+    every pace value deterministic.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    d = F.col("o_orderdate").cast("date")
+    daily = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.date_trunc("month", d).cast("date").cast("string").alias("month"),
+            F.dayofmonth(d).alias("dom"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents"))
+    )
+    w_cum = Window.partitionBy("month").orderBy("dom").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy("month")
+    cum = daily.select(
+        "month",
+        "dom",
+        F.sum("cents").over(w_cum).alias("cum_cents"),
+        F.sum("cents").over(w_all).alias("total_cents"),
+    )
+    return (
+        cum.filter(F.col("dom").isin(7, 14, 21, 28))
+        .select(
+            "month",
+            F.col("dom").cast("long").alias("dom"),
+            F.round(10000.0 * F.col("cum_cents") / F.col("total_cents"), 0)
+            .cast("long")
+            .alias("pace_bps"),
+        )
+        .orderBy("month", "dom")
+    )

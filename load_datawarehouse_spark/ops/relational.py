@@ -8694,3 +8694,109 @@ def orders_aging_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("age_bucket")
     )
+
+
+_WEEKEND_LIFT_ORACLE = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS is_weekend,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2, 3
+), agg AS (
+    SELECT event_type,
+           SUM(CASE WHEN is_weekend = 1 THEN n ELSE 0 END) AS we_n,
+           SUM(CASE WHEN is_weekend = 1 THEN 1 ELSE 0 END) AS we_days,
+           SUM(CASE WHEN is_weekend = 0 THEN n ELSE 0 END) AS wd_n,
+           SUM(CASE WHEN is_weekend = 0 THEN 1 ELSE 0 END) AS wd_days
+    FROM daily GROUP BY event_type
+)
+SELECT event_type,
+       CAST(we_n AS BIGINT) AS weekend_events,
+       CAST(wd_n AS BIGINT) AS weekday_events,
+       CAST(ROUND(10000.0 * (CAST(we_n AS DOUBLE) / we_days)
+                  / (CAST(wd_n AS DOUBLE) / wd_days)) AS BIGINT) AS lift_bps
+FROM agg WHERE we_days > 0 AND wd_days > 0 AND wd_n > 0
+ORDER BY event_type
+"""
+
+
+@_register("events_weekend_lift", _WEEKEND_LIFT_ORACLE)
+def events_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend lift per event type: average events per weekend day
+    over average events per weekday, in basis points (10000 = no
+    lift) — the day-mix normalization that a raw weekend/weekday
+    total ratio gets wrong (there are 2.5x more weekdays).
+
+    Integer counts and day tallies; one deterministic ratio at the
+    end. Scale: one aggregation to (type, day) cells, then |types|
+    rows.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    iso_dow = F.when(F.dayofweek("ts") == 1, 7).otherwise(F.dayofweek("ts") - 1)
+    daily = (
+        t["events"]
+        .groupBy(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            (iso_dow >= 6).cast("int").alias("is_weekend"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg = daily.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_weekend") == 1, F.col("n")).otherwise(0)).alias("we_n"),
+        F.sum(F.when(F.col("is_weekend") == 1, 1).otherwise(0)).alias("we_days"),
+        F.sum(F.when(F.col("is_weekend") == 0, F.col("n")).otherwise(0)).alias("wd_n"),
+        F.sum(F.when(F.col("is_weekend") == 0, 1).otherwise(0)).alias("wd_days"),
+    )
+    lift = (
+        10000.0
+        * (F.col("we_n").cast("double") / F.col("we_days"))
+        / (F.col("wd_n").cast("double") / F.col("wd_days"))
+    )
+    return (
+        agg.filter((F.col("we_days") > 0) & (F.col("wd_days") > 0) & (F.col("wd_n") > 0))
+        .select(
+            "event_type",
+            F.col("we_n").cast("long").alias("weekend_events"),
+            F.col("wd_n").cast("long").alias("weekday_events"),
+            F.round(lift, 0).cast("long").alias("lift_bps"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_HIST2D_ORACLE = """
+SELECT CAST(CAST(l_quantity AS BIGINT) // 10 AS BIGINT) AS qty_band,
+       CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) // 2000000 AS BIGINT)
+           AS price_band_20k,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+FROM lineitem
+GROUP BY 1, 2 ORDER BY qty_band, price_band_20k
+"""
+
+
+@_register("histogram_2d_qty_price", _HIST2D_ORACLE)
+def histogram_2d_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram: quantity bands (width 10) x price bands ($20k)
+    with counts and exact cent mass per cell — the joint-distribution
+    heatmap behind pricing analysis (complements the 1-D equi-depth
+    and fixed-bin histograms). Pure integer banding (// in both
+    engines — never float division into a cast), one map-side-
+    combinable aggregation to a bounded cell grid.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return (
+        t["lineitem"]
+        .groupBy(
+            F.floor(F.col("l_quantity").cast("long") / 10).cast("long").alias("qty_band"),
+            F.floor(cents / 2000000).cast("long").alias("price_band_20k"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).cast("long").alias("cents"),
+        )
+        .orderBy("qty_band", "price_band_20k")
+    )

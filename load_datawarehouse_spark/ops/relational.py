@@ -8800,3 +8800,68 @@ def histogram_2d_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qty_band", "price_band_20k")
     )
+
+
+_HAVERSINE_ORACLE = """
+WITH pts AS (
+    SELECT c_custkey,
+           CAST(c_custkey % 180 - 90 AS DOUBLE) * 0.9 AS lat,
+           CAST(c_custkey % 360 - 180 AS DOUBLE) * 0.9 AS lon
+    FROM customer WHERE c_custkey < 2000
+), d AS (
+    SELECT c_custkey, lat, lon,
+           ROUND(2 * 6371.0 * ASIN(SQRT(
+               POWER(SIN(RADIANS(lat - 48.8566) / 2), 2)
+               + COS(RADIANS(lat)) * COS(RADIANS(48.8566))
+                 * POWER(SIN(RADIANS(lon - 2.3522) / 2), 2)
+           )), 3) AS km_to_paris
+    FROM pts
+)
+SELECT c_custkey, lat, lon, km_to_paris,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY km_to_paris, c_custkey) AS rk FROM d
+) WHERE rk <= 20
+ORDER BY rk
+"""
+
+
+@_register("geo_haversine_topk", _HAVERSINE_ORACLE)
+def geo_haversine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haversine great-circle distance (km) from synthetic customer
+    coordinates to a fixed point (Paris), 20 nearest — the geo-radius
+    primitive (store locators, geofenced joins) on the engine's
+    WKT-free numeric geo path (cf. ``scalar_geo_wkt``).
+
+    Trig runs in both engines' libm; the distance is rounded to 3 dp
+    (meter precision) BEFORE ranking and emission, so a last-ulp
+    sin/cos divergence can neither flip ranks nor hash-mismatch —
+    the synthetic grid's distances are meters apart, never within a
+    rounding boundary. Scale: narrow scan, TakeOrderedAndProject-style
+    global top-k via the rounded key.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    pts = (
+        t["customer"]
+        .filter(F.col("c_custkey") < 2000)
+        .select(
+            "c_custkey",
+            ((F.col("c_custkey") % 180 - 90).cast("double") * 0.9).alias("lat"),
+            ((F.col("c_custkey") % 360 - 180).cast("double") * 0.9).alias("lon"),
+        )
+    )
+    lat1, lon1 = F.radians("lat"), F.radians("lon")
+    lat2, lon2 = F.radians(F.lit(48.8566)), F.radians(F.lit(2.3522))
+    hav = (
+        F.pow(F.sin((lat1 - lat2) / 2), F.lit(2))
+        + F.cos(lat1) * F.cos(lat2) * F.pow(F.sin((lon1 - lon2) / 2), F.lit(2))
+    )
+    km = F.round(2 * 6371.0 * F.asin(F.sqrt(hav)), 3)
+    d = pts.withColumn("km_to_paris", km)
+    w = Window.orderBy("km_to_paris", "c_custkey")
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 20)
+        .select("c_custkey", "lat", "lon", "km_to_paris", "rk")
+        .orderBy("rk")
+    )

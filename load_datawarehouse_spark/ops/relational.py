@@ -8865,3 +8865,80 @@ def geo_haversine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "lat", "lon", "km_to_paris", "rk")
         .orderBy("rk")
     )
+
+
+_FIRST_TOUCH_ORACLE = """
+WITH clicks AS (
+    SELECT user_id, ts, MIN(event_id) AS click_id
+    FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), purchases AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), cand AS (
+    SELECT p.event_id, p.user_id, c.ts AS cts, c.click_id
+    FROM purchases p JOIN clicks c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 7 DAY
+), first_click AS (
+    SELECT event_id, MIN({'cts': cts, 'click_id': click_id}) AS fc
+    FROM cand GROUP BY event_id
+)
+SELECT p.event_id, p.user_id,
+       fc.fc['click_id'] AS attributed_click_id,
+       CAST(CASE WHEN fc.event_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS attributed
+FROM purchases p LEFT JOIN first_click fc ON fc.event_id = p.event_id
+ORDER BY p.event_id
+"""
+
+
+@_register("attribution_first_touch", _FIRST_TOUCH_ORACLE)
+def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: every purchase credits the EARLIEST
+    click inside its 7-day lookback — the discovery-credit counterpart
+    to ``attribution_last_touch`` (which rewards the closer). Because
+    the window START slides, the running-last-value trick doesn't
+    apply; instead a user-keyed range join collects lookback
+    candidates (fanout bounded by clicks-per-user-week) and an
+    argmin struct elects the first, deterministically tie-broken by
+    (ts, click_id).
+
+    Scale: one user-key shuffle for the candidate join; the argmin is
+    a map-side-combinable MIN of a struct — no window at all.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    ev = t["events"]
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("click_id"))
+        .select(F.col("user_id").alias("cu"), F.col("ts").alias("cts"), "click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    cand = purchases.join(
+        clicks,
+        (F.col("cu") == F.col("user_id"))
+        & (F.col("cts") <= F.col("ts"))
+        & (F.col("cts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    first_click = cand.groupBy("event_id").agg(
+        F.min(F.struct("cts", "click_id")).alias("fc")
+    )
+    return (
+        purchases.join(
+            first_click.select("event_id", F.col("fc.click_id").alias("attributed_click_id")),
+            "event_id",
+            "left",
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "attributed_click_id",
+            F.when(F.col("attributed_click_id").isNotNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("attributed"),
+        )
+        .orderBy("event_id")
+    )

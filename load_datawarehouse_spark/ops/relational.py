@@ -8942,3 +8942,65 @@ def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+_PEAK_CONCURRENCY_ORACLE = """
+WITH sess AS (
+    SELECT user_id, ts AS start_ts, ts + INTERVAL 30 MINUTE AS end_ts
+    FROM events
+), deltas AS (
+    SELECT CAST(start_ts AS DATE) AS day, start_ts AS t, 1 AS d FROM sess
+    UNION ALL
+    SELECT CAST(start_ts AS DATE), end_ts, -1 FROM sess
+), swept AS (
+    SELECT day,
+           SUM(d) OVER (PARTITION BY day ORDER BY t, d
+                        ROWS UNBOUNDED PRECEDING) AS live
+    FROM deltas
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(MAX(live) AS BIGINT) AS peak_concurrent
+FROM swept GROUP BY day ORDER BY day
+"""
+
+
+@_register("events_peak_concurrency_daily", _PEAK_CONCURRENCY_ORACLE)
+def events_peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily peak concurrency: each event opens a 30-minute activity
+    interval; the day's peak is the max of the +1/-1 boundary sweep —
+    capacity planning's headline number (how many sessions live at
+    once, not how many per day).
+
+    The sweep is PARTITIONED BY DAY, so each window handles only one
+    day's boundaries — the interval-count decomposition of
+    ``orders_open_backlog_daily`` made shard-parallel (end events are
+    credited to the start's day; a midnight-straddling interval
+    under-counts its tail day by design — documented edge). Tie order
+    (t, d) closes before it opens at the same instant in both engines.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    sess = t["events"].select(
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    deltas = sess.select(
+        F.col("start_ts").cast("date").alias("day"),
+        F.col("start_ts").alias("t"),
+        F.lit(1).alias("d"),
+    ).unionAll(
+        sess.select(
+            F.col("start_ts").cast("date").alias("day"),
+            F.col("end_ts").alias("t"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    w = Window.partitionBy("day").orderBy("t", "d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    swept = deltas.withColumn("live", F.sum("d").over(w))
+    return (
+        swept.groupBy("day")
+        .agg(F.max("live").cast("long").alias("peak_concurrent"))
+        .select(F.col("day").cast("string").alias("day"), "peak_concurrent")
+        .orderBy("day")
+    )

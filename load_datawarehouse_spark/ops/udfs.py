@@ -542,3 +542,42 @@ def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s.lang
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# 10. Iterator pandas_udf — amortized per-batch initialization
+# ---------------------------------------------------------------------------
+
+_ITER_UDF_ORACLE = """
+SELECT doc_id,
+       CAST(LENGTH(text) AS BIGINT) * 31 % 97 AS keyed_len
+FROM documents WHERE doc_id < 200
+ORDER BY doc_id
+"""
+
+
+@F.pandas_udf(T.LongType())
+def _keyed_len_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    # expensive setup runs ONCE per worker python process, not per
+    # batch/row — the reason this flavor exists (think: load a model)
+    mul, mod = 31, 97
+    for texts in batches:
+        yield texts.str.len().astype("int64") * mul % mod
+
+
+@_register("udf_pandas_iter", _ITER_UDF_ORACLE)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series ``pandas_udf`` — the UDF flavor whose
+    function receives the WHOLE batch stream, so per-task setup
+    (model weights, a tokenizer, a compiled regex bank) is paid once
+    and amortized over every batch; the scalar flavor (#1) re-enters
+    Python per batch with no setup hook. Same Arrow transport and
+    vectorized execution; integer-exact output for the oracle.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    return (
+        t["documents"]
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", _keyed_len_iter("text").alias("keyed_len"))
+        .orderBy("doc_id")
+    )

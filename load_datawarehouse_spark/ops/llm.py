@@ -5394,3 +5394,65 @@ def quality_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_HEAPS_ORACLE = """
+WITH firsts AS (
+    SELECT word, MIN(doc_id) AS first_doc
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> '' GROUP BY word
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+checkpoints AS (SELECT unnest(range(1, 11)) AS decile)
+SELECT CAST(c.decile AS BIGINT) AS decile,
+       CAST(n.n_docs * c.decile // 10 AS BIGINT) AS n_docs_seen,
+       CAST(SUM(CASE WHEN f.first_doc < n.n_docs * c.decile // 10
+                     THEN 1 ELSE 0 END) AS BIGINT) AS vocab_size
+FROM checkpoints c CROSS JOIN n CROSS JOIN firsts f
+GROUP BY c.decile, n.n_docs ORDER BY decile
+"""
+
+
+@_register("text_heaps_law_curve", _HEAPS_ORACLE)
+def text_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: distinct-word count after each
+    decile of the corpus (by doc_id order) — the sublinear V ~ n^b
+    curve natural text follows (paired with ``text_zipf_fit``, the
+    two classic corpus-health power laws).
+
+    The cumulative-distinct decomposition again: each word collapses
+    to its FIRST document, and the running vocabulary is a count of
+    first-occurrences below each checkpoint — never a per-checkpoint
+    rescan. Scale: one word-frequency-style aggregation, then a
+    10-row broadcast of checkpoints over the first-occurrence table.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    firsts = (
+        t["documents"]
+        .select("doc_id", F.explode(F.split("text", " ", -1)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    n = t["documents"].agg(F.count(F.lit(1)).alias("n_docs"))
+    checkpoints = spark.range(1, 11).select(F.col("id").alias("decile"))
+    return (
+        firsts.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(checkpoints))
+        .groupBy("decile", "n_docs")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("first_doc") < F.floor(F.col("n_docs") * F.col("decile") / 10),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("vocab_size")
+        )
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            F.floor(F.col("n_docs") * F.col("decile") / 10).cast("long").alias("n_docs_seen"),
+            "vocab_size",
+        )
+        .orderBy("decile")
+    )

@@ -9004,3 +9004,66 @@ def events_peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(F.col("day").cast("string").alias("day"), "peak_concurrent")
         .orderBy("day")
     )
+
+
+_GAP_SENSITIVITY_ORACLE = """
+WITH seq AS (
+    SELECT user_id,
+           date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) AS gap_s
+    FROM events
+)
+SELECT * FROM (
+    SELECT 'gap_15m' AS threshold,
+           CAST(SUM(CASE WHEN gap_s IS NULL OR gap_s > 900 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sessions
+    FROM seq
+    UNION ALL
+    SELECT 'gap_30m',
+           CAST(SUM(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM seq
+    UNION ALL
+    SELECT 'gap_60m',
+           CAST(SUM(CASE WHEN gap_s IS NULL OR gap_s > 3600 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM seq
+) ORDER BY threshold
+"""
+
+
+@_register("sessions_gap_sensitivity", _GAP_SENSITIVITY_ORACLE)
+def sessions_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization sensitivity: total session count under 15/30/60
+    minute inactivity gaps, in ONE pass — the calibration table you
+    consult before hard-coding a session timeout (a count that swings
+    wildly between thresholds means the timeout choice is load-bearing;
+    cf. ``time_window_session`` which commits to one gap).
+
+    A session starts where the integer-second gap exceeds the
+    threshold (or at the user's first event), so all three counts are
+    exact sums over the SAME lag column — one user-key shuffle total.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts may arrive as TIMESTAMP_NTZ (driver parquet shape drift,
+    # see the verify skill notes) — NTZ casts to epoch only via timestamp
+    secs = F.col("ts").cast("timestamp").cast("long")
+    seq = t["events"].select(
+        (secs - F.lag(secs).over(w)).alias("gap_s")
+    ).localCheckpoint(eager=False)
+
+    def count_at(label, secs):
+        return seq.agg(
+            F.lit(label).alias("threshold"),
+            F.sum(
+                F.when(F.col("gap_s").isNull() | (F.col("gap_s") > secs), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_sessions"),
+        )
+
+    return (
+        count_at("gap_15m", 900)
+        .unionByName(count_at("gap_30m", 1800))
+        .unionByName(count_at("gap_60m", 3600))
+        .orderBy("threshold")
+    )

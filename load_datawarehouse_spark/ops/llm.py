@@ -303,28 +303,18 @@ ORDER BY d1, d2
 """
 
 
-@_register("dedup_minhash_lsh", _MINHASH_ORACLE)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs.
-
-    shingle -> md5 minhash signatures (md5 is identical across
-    engines; lowercase fixed-width hex min == numeric min) -> band
-    keys -> bucket self-join. Candidates only — exact-verify with
-    dedup_ngram_jaccard downstream. Scale: the bucket join fans out
-    per band bucket, never doc x doc; banding parameters (8 hashes,
-    4 bands of 2) target Jaccard ~>= 0.3 candidates.
-    """
-    t = load_tables(spark, sf_dir, register_views=False)
+def _minhash_bands(t) -> DataFrame:
+    """doc_id -> (band, band_key) LSH rows. All N signatures as
+    columns of ONE groupBy(doc_id): the per-shingle hashes are
+    computed narrow (pre-shuffle), partial min aggregation runs
+    map-side, and the shuffle carries one row per document — vs the
+    naive explode(j) formulation that shuffles N x |shingles| rows
+    through a groupBy(doc_id, j). Hash function j is the 4-byte hex
+    window j%4 of md5((j//4)|shingle): md5's output bits are uniform
+    and independent, so disjoint windows are independent 32-bit
+    minhashes at 1/4 the hashing cost; lexical MIN over fixed-width
+    lowercase hex == numeric min."""
     ds = _shingles(t)
-    # All N signatures as columns of ONE groupBy(doc_id): the per-
-    # shingle hashes are computed narrow (pre-shuffle), partial min
-    # aggregation runs map-side, and the shuffle carries one row per
-    # document — vs the naive explode(j) formulation that shuffles
-    # N x |shingles| rows through a groupBy(doc_id, j). Hash function
-    # j is the 4-byte hex window j%4 of md5((j//4)|shingle): md5's
-    # output bits are uniform and independent, so disjoint windows are
-    # independent 32-bit minhashes at 1/4 the hashing cost; lexical
-    # MIN over fixed-width lowercase hex == numeric min.
     with_md5 = ds.select(
         "doc_id",
         F.md5(F.concat_ws("|", F.lit("0"), "shingle")).alias("m0"),
@@ -352,9 +342,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(N_MINHASH // BAND_SIZE)
     ]
-    bands = sigs.select(
+    return sigs.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+@_register("dedup_minhash_lsh", _MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs.
+
+    shingle -> md5 minhash signatures (md5 is identical across
+    engines; lowercase fixed-width hex min == numeric min) -> band
+    keys -> bucket self-join. Candidates only — exact-verify with
+    dedup_ngram_jaccard downstream. Scale: the bucket join fans out
+    per band bucket, never doc x doc; banding parameters (8 hashes,
+    4 bands of 2) target Jaccard ~>= 0.3 candidates.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    bands = _minhash_bands(t)
     a = bands.select(F.col("doc_id").alias("d1"), "band", "band_key")
     b = bands.select(F.col("doc_id").alias("d2"), "band", "band_key")
     return (
@@ -5455,4 +5460,65 @@ def text_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vocab_size",
         )
         .orderBy("decile")
+    )
+
+
+_LSH_SKEW_ORACLE = f"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           word || ' ' || LEAD(word, 1) OVER w || ' ' || LEAD(word, 2) OVER w AS shingle
+    FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    QUALIFY LEAD(word, 2) OVER w IS NOT NULL
+), ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+hashes AS (
+    SELECT doc_id, j,
+           MIN(substr(md5(CAST(j // 4 AS VARCHAR) || '|' || shingle),
+                      (j % 4) * 8 + 1, 8)) AS sig
+    FROM ds CROSS JOIN (SELECT unnest(range({N_MINHASH})) AS j)
+    GROUP BY doc_id, j
+), bands AS (
+    SELECT doc_id, j // {BAND_SIZE} AS band,
+           md5(MIN(sig) || '|' || MAX(sig)) AS band_key
+    FROM hashes GROUP BY doc_id, j // {BAND_SIZE}
+), bucket_sizes AS (
+    SELECT band, band_key, COUNT(*) AS sz FROM bands GROUP BY band, band_key
+)
+SELECT CAST(sz AS BIGINT) AS bucket_size,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS candidate_pairs
+FROM bucket_sizes GROUP BY sz ORDER BY bucket_size
+"""
+
+
+@_register("dedup_lsh_bucket_skew", _LSH_SKEW_ORACLE)
+def dedup_lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-size skew audit: the distribution of band-bucket
+    sizes and the candidate pairs each size class generates — the
+    diagnostic for THE failure mode of LSH at scale (one mega-bucket
+    = a quadratic hot key in the candidate self-join; cf.
+    ``dq_key_skew_gini`` for generic join keys).
+
+    candidate_pairs = sum sz*(sz-1)/2 in exact integers, so this
+    table also PREDICTS ``dedup_minhash_lsh``'s join cost before
+    running it. Scale: the bucket-size aggregation reuses the banding
+    shuffle; the histogram is tiny.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    bands = _minhash_bands(t)
+    bucket_sizes = bands.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        bucket_sizes.groupBy(F.col("sz").cast("long").alias("bucket_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.floor(F.col("sz") * (F.col("sz") - 1) / 2))
+            .cast("long")
+            .alias("candidate_pairs"),
+        )
+        .orderBy("bucket_size")
     )

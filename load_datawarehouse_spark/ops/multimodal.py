@@ -1062,3 +1062,96 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(_dhash_batches, _DHASH_SCHEMA)
     )
     return wins.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# multimodal_payload_entropy — byte-distribution entropy per media type
+# ---------------------------------------------------------------------------
+
+_BYTE_COUNT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("b", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _byte_count_batches(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    import numpy as np
+
+    for pdf in batches:
+        out = []
+        for doc_id, mt, content in zip(pdf["doc_id"], pdf["media_type"], pdf["content"]):
+            arr = np.frombuffer(content, dtype=np.uint8)
+            vals, counts = np.unique(arr, return_counts=True)
+            for v, c in zip(vals, counts):
+                out.append((doc_id, mt, int(v), int(c)))
+        yield pd.DataFrame(out, columns=["doc_id", "media_type", "b", "n"])
+
+
+_PAYLOAD_ENTROPY_ORACLE = """
+WITH bytes AS (
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+               AS media_type,
+           unicode(c) AS b
+    FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents)
+), counts AS (
+    SELECT doc_id, media_type, b, COUNT(*) AS n FROM bytes GROUP BY 1, 2, 3
+), tot AS (SELECT doc_id, SUM(n) AS t FROM counts GROUP BY doc_id),
+ent AS (
+    SELECT c.media_type, c.doc_id,
+           CAST(SUM(CAST(-(CAST(n AS DOUBLE) / t) * LN(CAST(n AS DOUBLE) / t)
+                         AS DECIMAL(38,18))) AS DOUBLE) AS h
+    FROM counts c JOIN tot USING (doc_id) GROUP BY c.media_type, c.doc_id
+)
+SELECT media_type,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CAST(h AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 9)
+           AS mean_entropy,
+       ROUND(MIN(h), 9) AS min_entropy,
+       ROUND(MAX(h), 9) AS max_entropy
+FROM ent GROUP BY media_type ORDER BY media_type
+"""
+
+
+@_register("multimodal_payload_entropy", _PAYLOAD_ENTROPY_ORACLE)
+def multimodal_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-distribution Shannon entropy per media type — the
+    compressibility / corruption screen (already-compressed or
+    encrypted payloads sit near 8 bits; flat or constant payloads
+    near 0; a modality whose entropy profile shifts is a pipeline
+    bug).
+
+    The numpy kernel emits integer (byte, count) pairs per doc —
+    partition-local, ~256 rows per payload regardless of size — and
+    every entropy term is a deterministic double of two integers,
+    decimal-accumulated (9 dp). Scale: payload never shuffles; the
+    per-type profile aggregates |docs| tiny rows.
+    """
+    m = media_table(spark, sf_dir)
+    counts = m.select("doc_id", "media_type", "content").mapInPandas(
+        _byte_count_batches, _BYTE_COUNT_SCHEMA
+    )
+    tot = counts.groupBy("doc_id").agg(F.sum("n").alias("t"))
+    p = F.col("n").cast("double") / F.col("t")
+    ent = (
+        counts.join(tot, "doc_id")
+        .groupBy("media_type", "doc_id")
+        .agg(F.sum((-p * F.log(p)).cast("decimal(38,18)")).cast("double").alias("h"))
+    )
+    return (
+        ent.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("h").cast("decimal(38,18)")).cast("double") / F.count(F.lit(1)),
+                9,
+            ).alias("mean_entropy"),
+            F.round(F.min("h"), 9).alias("min_entropy"),
+            F.round(F.max("h"), 9).alias("max_entropy"),
+        )
+        .orderBy("media_type")
+    )

@@ -9067,3 +9067,72 @@ def sessions_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(count_at("gap_60m", 3600))
         .orderBy("threshold")
     )
+
+
+_SHIFT_SHARE_ORACLE = """
+WITH rev AS (
+    SELECT n.n_name AS nation,
+           year(CAST(o.o_orderdate AS DATE)) AS yr,
+           SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE year(CAST(o.o_orderdate AS DATE)) IN (1996, 1997)
+    GROUP BY 1, 2
+), wide AS (
+    SELECT nation,
+           SUM(CASE WHEN yr = 1996 THEN cents ELSE 0 END) AS prev,
+           SUM(CASE WHEN yr = 1997 THEN cents ELSE 0 END) AS cur
+    FROM rev GROUP BY nation
+), tot AS (SELECT SUM(prev) AS tp, SUM(cur) AS tc FROM wide)
+SELECT nation,
+       CAST(ROUND(10000.0 * (cur - prev) / prev) AS BIGINT) AS growth_bps,
+       CAST(ROUND(10000.0 * (tc - tp) / tp) AS BIGINT) AS national_bps,
+       CAST(ROUND(10000.0 * (cur - prev) / prev)
+            - ROUND(10000.0 * (tc - tp) / tp) AS BIGINT) AS local_shift_bps
+FROM wide CROSS JOIN tot
+WHERE prev > 0
+ORDER BY nation
+"""
+
+
+@_register("orders_nation_shift_share", _SHIFT_SHARE_ORACLE)
+def orders_nation_shift_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-share growth decomposition: each nation's 1996->1997
+    revenue growth split into the national trend and the LOCAL shift
+    (out/under-performance vs the whole book) — the regional-
+    economics lens on 'which markets actually beat the tide'.
+
+    Exact integer cents; basis-point roundings are each deterministic
+    from two integers, and the local shift is their integer
+    difference. Scale: one aggregation to |nations| x 2 cells
+    (dimensions broadcast), 1-row totals broadcast back.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    yr = F.year(F.col("o_orderdate").cast("date"))
+    rev = (
+        t["orders"]
+        .join(F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .filter(yr.isin(1996, 1997))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.when(yr == 1996, F.round(F.col("o_totalprice") * 100, 0).cast("long")).otherwise(0)).alias("prev"),
+            F.sum(F.when(yr == 1997, F.round(F.col("o_totalprice") * 100, 0).cast("long")).otherwise(0)).alias("cur"),
+        )
+    )
+    tot = rev.agg(F.sum("prev").alias("tp"), F.sum("cur").alias("tc"))
+    growth = F.round(10000.0 * (F.col("cur") - F.col("prev")) / F.col("prev"), 0).cast("long")
+    national = F.round(10000.0 * (F.col("tc") - F.col("tp")) / F.col("tp"), 0).cast("long")
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .filter(F.col("prev") > 0)
+        .select(
+            "nation",
+            growth.alias("growth_bps"),
+            national.alias("national_bps"),
+            (growth - national).cast("long").alias("local_shift_bps"),
+        )
+        .orderBy("nation")
+    )

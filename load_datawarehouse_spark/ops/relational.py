@@ -9136,3 +9136,47 @@ def orders_nation_shift_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+_PRODUCT_AGG_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(EXP(CAST(SUM(CAST(LN(1.0 - l_discount) AS DECIMAL(38,18)))
+                      AS DOUBLE)), 9) AS compound_retention,
+       ROUND(EXP(CAST(SUM(CAST(LN(1.0 - l_discount) AS DECIMAL(38,18)))
+                      AS DOUBLE) / COUNT(*)), 9) AS geo_mean_retention
+FROM lineitem
+WHERE l_discount < 1
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@_register("agg_product_discount_factor", _PRODUCT_AGG_ORACLE)
+def agg_product_discount_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT aggregate via exp-sum-log: the compounded retention
+    factor prod(1 - discount) per return flag (and its geometric
+    mean) — the multiplicative aggregate SQL lacks, the compound-
+    growth idiom every finance series needs.
+
+    Multiplication is commutative, so the log-space decimal sum is
+    partitioning-invariant like every additive aggregate here; one
+    exp at the end (9 dp). Scale: one map-side-combinable
+    aggregation; no ordered fold needed (unlike ``window_ema_fold``,
+    whose recursion is NOT commutative).
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    dec18 = "decimal(38,18)"
+    ln_term = F.log(1.0 - F.col("l_discount")).cast(dec18)
+    return (
+        t["lineitem"]
+        .filter(F.col("l_discount") < 1)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.exp(F.sum(ln_term).cast("double")), 9).alias("compound_retention"),
+            F.round(
+                F.exp(F.sum(ln_term).cast("double") / F.count(F.lit(1))), 9
+            ).alias("geo_mean_retention"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -153,6 +153,7 @@ _FIRST_NAMES = (
 
 def _registry():
     from load_datawarehouse_spark.ops import (
+        analytics,
         llm,
         multimodal,
         relational,
@@ -164,7 +165,7 @@ def _registry():
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
-    for mod in (llm, streaming, multimodal, udfs, relational, windows, tpch):
+    for mod in (llm, streaming, multimodal, udfs, relational, windows, tpch, analytics):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
 

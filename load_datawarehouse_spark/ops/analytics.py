@@ -1,0 +1,671 @@
+"""Round-4 analytics operator batch (SURVEY.md §2.4 EXT surface).
+
+Same contract as ``ops.relational``: each operator is
+``(spark, sf_dir) -> DataFrame`` in ``QUERIES`` with its DuckDB oracle
+in ``ORACLES``. The reference declares but never implements a
+relational surface (``bigquery/__init__.py:463-499``); these are
+further Spark-native realizations of warehouse-analytics patterns the
+implied ETL surface needs: sequence pattern matching, interval-overlap
+self joins, hierarchical BOM closure, exact balanced-class sampling,
+robust regression, spatially bucketed radius joins, and mergeable
+sketch set algebra.
+
+Exactness discipline is inherited from ``_util`` (decimal accumulators,
+integer cents, rounded-before-emission libm outputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from load_datawarehouse_spark.ops._util import dec_sum, sql_dec_sum
+from load_datawarehouse_spark.session import load_tables
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# MATCH_RECOGNIZE-style sequence pattern matching (regex over encoded
+# per-user event strings)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_REGEX_ORACLE = """
+WITH seqs AS (
+    SELECT user_id,
+           string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+    FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(seq) AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_funnels
+FROM seqs ORDER BY user_id
+"""
+
+
+@_register("events_funnel_regex", _FUNNEL_REGEX_ORACLE)
+def events_funnel_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern counting: encode each
+    user's event stream as a character string (event types have
+    distinct initials), then count non-overlapping matches of the
+    strict-contiguity pattern ``view (click)* purchase`` — the SQL:2016
+    row-pattern primitive Spark lacks, expressed as one groupBy plus a
+    codegen regex.
+
+    Leftmost non-overlapping matching with a greedy ``c*`` produces
+    identical matches under Java regex and RE2 (no capture-dependent
+    backtracking), so the count is engine-portable. Scale: the only
+    shuffle carries (user_id, 1-byte code, 8-byte ts) rows; per-user
+    strings are bounded by per-user activity, and the regex scan is
+    JVM-side whole-stage codegen.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    ev = t["events"].select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("ch"),
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "ch"))),
+                lambda s: s["ch"],
+            ),
+        ).alias("seq")
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("long").alias("n_events"),
+        F.regexp_count("seq", F.lit("vc*p")).cast("long").alias("n_funnels"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap self join (concurrent open orders per customer)
+# ---------------------------------------------------------------------------
+
+_CONCURRENT_ORACLE = """
+WITH win AS (
+    SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS ship_end
+    FROM lineitem GROUP BY l_orderkey
+), iv AS (
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(o.o_orderdate AS DATE) AS start_d, w.ship_end
+    FROM orders o JOIN win w ON w.l_orderkey = o.o_orderkey
+)
+SELECT a.o_custkey AS custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MAX(date_diff('day',
+                GREATEST(a.start_d, b.start_d),
+                LEAST(a.ship_end, b.ship_end)) + 1) AS BIGINT)
+           AS max_overlap_days,
+       CAST(SUM(date_diff('day',
+                GREATEST(a.start_d, b.start_d),
+                LEAST(a.ship_end, b.ship_end)) + 1) AS BIGINT)
+           AS sum_overlap_days
+FROM iv a JOIN iv b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+ AND a.start_d <= b.ship_end AND b.start_d <= a.ship_end
+GROUP BY a.o_custkey ORDER BY custkey
+"""
+
+
+@_register("orders_concurrent_pairs", _CONCURRENT_ORACLE)
+def orders_concurrent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self join: pairs of orders of the same customer
+    whose fulfillment windows [orderdate, last shipdate] overlap — the
+    both-sides-are-intervals join (concurrent sessions, double-booked
+    resources) that point-in-range joins (``join_range_bands``) can't
+    express.
+
+    Scale: the overlap predicate rides on the ``o_custkey`` equi key,
+    so the pair fanout is bounded per customer (orders-per-customer is
+    naturally bounded), never corpus x corpus; the lineitem window
+    collapse is one map-side-combinable aggregation. Integer day
+    arithmetic end to end.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    win = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("ship_end"))
+    )
+    iv = (
+        t["orders"]
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("start_d"),
+        )
+        .join(win, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_orderkey", "o_custkey", "start_d", "ship_end")
+    )
+    a = iv.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("k1"),
+        F.col("start_d").alias("s1"),
+        F.col("ship_end").alias("e1"),
+    )
+    b = iv.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("k2"),
+        F.col("start_d").alias("s2"),
+        F.col("ship_end").alias("e2"),
+    )
+    overlap = (
+        F.datediff(F.least("e1", "e2"), F.greatest("s1", "s2")) + 1
+    ).alias("ov")
+    return (
+        a.join(b, "custkey")
+        .filter(
+            (F.col("k1") < F.col("k2"))
+            & (F.col("s1") <= F.col("e2"))
+            & (F.col("s2") <= F.col("e1"))
+        )
+        .select("custkey", overlap)
+        .groupBy("custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("ov").cast("long").alias("max_overlap_days"),
+            F.sum("ov").cast("long").alias("sum_overlap_days"),
+        )
+        .orderBy("custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical BOM explosion (iterative closure vs recursive CTE)
+# ---------------------------------------------------------------------------
+
+_BOM_MAX_ITERS = 12
+
+_BOM_ORACLE = """
+WITH RECURSIVE walk AS (
+    SELECT p_partkey AS part, p_partkey AS anc,
+           CAST(1 AS BIGINT) AS mult, 0 AS depth
+    FROM part
+    UNION ALL
+    SELECT part, anc // 4, mult * (1 + anc % 3), depth + 1
+    FROM walk WHERE anc > 3
+)
+SELECT anc AS root,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(mult) AS BIGINT) AS sum_extended_qty,
+       CAST(MAX(depth) AS BIGINT) AS max_depth
+FROM walk WHERE anc <= 3
+GROUP BY anc ORDER BY root
+"""
+
+
+@_register("part_bom_rollup", _BOM_ORACLE)
+def part_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials explosion: every part rolls up a synthetic
+    assembly tree (parent(c) = c DIV 4, qty-per(c) = 1 + c % 3, roots
+    are parts 1..3) to its root with the multiplied-through effective
+    quantity — the recursive-CTE workload (org charts, BOMs, account
+    hierarchies) Spark expresses as a bounded iterative equi join
+    against the edge table.
+
+    Each iteration joins only still-walking rows (anc > 3) against the
+    edge relation and multiplies the edge quantity into the running
+    multiplier; converged rows pass through untouched. Lineage is cut
+    every 4 rounds (``localCheckpoint``) so the plan stays flat, and
+    non-convergence within ``_BOM_MAX_ITERS`` (covers 4^12 parts)
+    raises instead of returning partial closure — cf. the same
+    discipline in the connected-components ops. Scale: tree depth is
+    logarithmic in |part|, and each round is one hash equi join on the
+    ancestor key; the final rollup is a 3-group aggregation. Oracle:
+    DuckDB recursive CTE over the identical edge arithmetic.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    edges = t["part"].select(
+        F.col("p_partkey").alias("child"),
+        F.expr("p_partkey DIV 4").alias("parent"),
+        (1 + F.col("p_partkey") % 3).cast("long").alias("qty"),
+    )
+    state = t["part"].select(
+        F.col("p_partkey").alias("part"),
+        F.col("p_partkey").alias("anc"),
+        F.lit(1).cast("long").alias("mult"),
+        F.lit(0).cast("long").alias("depth"),
+    )
+    for i in range(_BOM_MAX_ITERS):
+        walking = state.filter(F.col("anc") > 3)
+        done = state.filter(F.col("anc") <= 3)
+        adv = (
+            walking.join(edges, walking.anc == edges.child)
+            .select(
+                "part",
+                F.col("parent").alias("anc"),
+                (F.col("mult") * F.col("qty")).alias("mult"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+        )
+        state = adv.unionByName(done)
+        if i % 4 == 3:
+            state = state.localCheckpoint(eager=False)
+    remaining = state.filter(F.col("anc") > 3).count()
+    if remaining:
+        raise RuntimeError(
+            f"BOM walk did not converge within {_BOM_MAX_ITERS} rounds: "
+            f"{remaining} rows still above the root layer — the part "
+            "keyspace exceeds 4^12; raise _BOM_MAX_ITERS"
+        )
+    return (
+        state.groupBy(F.col("anc").alias("root"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("mult").alias("sum_extended_qty"),
+            F.max("depth").alias("max_depth"),
+        )
+        .orderBy("root")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact balanced-class downsampling without a per-class global sort
+# ---------------------------------------------------------------------------
+
+_BALANCED_ORACLE = f"""
+WITH m AS (
+    SELECT CAST(MIN(cnt) AS BIGINT) AS m
+    FROM (SELECT COUNT(*) AS cnt FROM events GROUP BY event_type)
+), r AS (
+    SELECT *,
+           row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5('bal|' || CAST(event_id AS VARCHAR)), event_id
+           ) AS rk
+    FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS kept_n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS kept_users,
+       {sql_dec_sum('value', 'kept_value_sum')}
+FROM r, m WHERE r.rk <= m.m
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@_register("sample_balanced_classes", _BALANCED_ORACLE)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact balanced-class downsampling: every event class is cut to
+    the minority-class size m, keeping the first m rows per class in
+    deterministic md5 order — class rebalancing for training data
+    without the per-class global sort a naive ``row_number() <= m``
+    needs.
+
+    Two-phase exact selection (cf. ``histogram_equi_depth``): rows
+    hash into 256 buckets (the md5 prefix, so bucket order is a prefix
+    of full hash order); per-(class, bucket) counts locate the
+    boundary bucket; all rows in earlier buckets are kept with NO sort,
+    and only the single boundary bucket (~1/256 of a class) is ranked
+    to take the remainder. The kept SET is identical to the naive
+    formulation — the oracle proves it with the plain window. Scale:
+    a 5-partition ``Window.partitionBy(event_type)`` would put whole
+    classes on single tasks; here the per-class work stays distributed
+    and only |classes| x 256 counter rows plus one tiny ranked bucket
+    are ever centralized.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    ev = t["events"].withColumn(
+        "h", F.md5(F.concat(F.lit("bal|"), F.col("event_id").cast("string")))
+    ).withColumn("bkt", F.substring("h", 1, 2))
+    cls_counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    m = cls_counts.agg(F.min("cnt").alias("m"))
+    bkt_counts = ev.groupBy("event_type", "bkt").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bounds = (
+        bkt_counts.withColumn("cum_before", F.coalesce(F.sum("bn").over(wcum), F.lit(0)))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "event_type",
+            "bkt",
+            "cum_before",
+            "bn",
+            "m",
+            (F.col("cum_before") + F.col("bn") <= F.col("m")).alias("full"),
+            (
+                (F.col("cum_before") < F.col("m"))
+                & (F.col("cum_before") + F.col("bn") > F.col("m"))
+            ).alias("boundary"),
+            (F.col("m") - F.col("cum_before")).alias("take"),
+        )
+    )
+    keyed = ev.join(
+        F.broadcast(bounds.filter(F.col("full") | F.col("boundary"))),
+        ["event_type", "bkt"],
+    )
+    kept_full = keyed.filter(F.col("full"))
+    wb = Window.partitionBy("event_type", "bkt").orderBy("h", "event_id")
+    kept_boundary = (
+        keyed.filter(F.col("boundary"))
+        .withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") <= F.col("take"))
+        .drop("rk")
+    )
+    kept = kept_full.unionByName(kept_boundary)
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("kept_n"),
+            F.count_distinct("user_id").alias("kept_users"),
+            dec_sum("value", "kept_value_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust slope (median of pairwise slopes, exact selection)
+# ---------------------------------------------------------------------------
+
+_THEIL_SEN_ORACLE = """
+WITH days AS (
+    SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month,
+           CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+    FROM orders GROUP BY 1, 2
+), pairs AS (
+    SELECT a.month,
+           b.rev - a.rev AS num,
+           date_diff('day', a.day, b.day) AS den,
+           CAST(b.rev - a.rev AS DOUBLE) / date_diff('day', a.day, b.day) AS sl
+    FROM days a JOIN days b ON a.month = b.month AND a.day < b.day
+), r AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY month ORDER BY sl, num, den) AS rk,
+           COUNT(*) OVER (PARTITION BY month) AS n
+    FROM pairs
+)
+SELECT CAST(month AS VARCHAR) AS month,
+       CAST(MAX(n) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(sl) AS DOUBLE) / COUNT(*), 6) AS ts_slope_cents_per_day
+FROM r
+WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2
+GROUP BY month ORDER BY month
+"""
+
+
+@_register("stat_theil_sen_monthly", _THEIL_SEN_ORACLE)
+def stat_theil_sen_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend: per month, the median of all pairwise
+    daily-revenue slopes — the outlier-resistant alternative to OLS
+    (``regression_per_group_trend``) that a single spike day cannot
+    drag.
+
+    Exactness: revenue is integer cents, each pairwise slope is a
+    rational num/den whose double quotient is one IEEE division
+    (identical in both engines); the median element is SELECTED by
+    rank with a (slope, num, den) total order, so engines agree on
+    which pair(s) are the middle even among equal-slope ties, and only
+    the final averaged emission rounds (6 dp). Scale: the pairwise
+    expansion is bounded by 31 days/month (<=465 pairs) regardless of
+    row count — the raw-to-daily collapse is the only data-sized
+    shuffle; month partitions are calendar-bounded so the rank window
+    never skews.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    days = (
+        t["orders"]
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate").cast("date"))
+            .cast("date")
+            .alias("month"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+        )
+    )
+    a = days.select("month", F.col("day").alias("d1"), F.col("rev").alias("r1"))
+    b = days.select("month", F.col("day").alias("d2"), F.col("rev").alias("r2"))
+    pairs = (
+        a.join(b, "month")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "month",
+            (F.col("r2") - F.col("r1")).alias("num"),
+            F.datediff("d2", "d1").alias("den"),
+            (
+                (F.col("r2") - F.col("r1")).cast("double") / F.datediff("d2", "d1")
+            ).alias("sl"),
+        )
+    )
+    w = Window.partitionBy("month").orderBy("sl", "num", "den")
+    wn = Window.partitionBy("month")
+    mid = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(
+            (F.col("rk") == F.expr("(n + 1) DIV 2"))
+            | (F.col("rk") == F.expr("(n + 2) DIV 2"))
+        )
+    )
+    return (
+        mid.groupBy(F.col("month").cast("string").alias("month"))
+        .agg(
+            F.max("n").cast("long").alias("n_pairs"),
+            F.round(F.sum("sl") / F.count(F.lit(1)), 6).alias(
+                "ts_slope_cents_per_day"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grid-bucketed radius self join (spatial equi-bucketing vs cross join)
+# ---------------------------------------------------------------------------
+
+_RADIUS_KM = 200.0
+_CELL_LAT = 1.81  # > R/111km, so same-or-neighbor lat cells cover R
+_CELL_LON = 3.62  # > R/(111km * cos(60 deg)) within the |lat|<=60 band
+
+_RADIUS_ORACLE = f"""
+WITH pts AS (
+    SELECT c_custkey,
+           (CAST(c_custkey % 180 AS DOUBLE) - 90) * 0.9 AS lat,
+           (CAST(c_custkey % 360 AS DOUBLE) - 180) * 0.9 AS lon
+    FROM customer WHERE c_custkey < 1200
+), band AS (SELECT * FROM pts WHERE abs(lat) <= 60)
+SELECT a.c_custkey AS c1, b.c_custkey AS c2,
+       ROUND(2 * 6371.0 * asin(sqrt(
+           pow(sin(radians(b.lat - a.lat) / 2), 2)
+           + cos(radians(a.lat)) * cos(radians(b.lat))
+             * pow(sin(radians(b.lon - a.lon) / 2), 2))), 3) AS km
+FROM band a JOIN band b ON a.c_custkey < b.c_custkey
+WHERE ROUND(2 * 6371.0 * asin(sqrt(
+           pow(sin(radians(b.lat - a.lat) / 2), 2)
+           + cos(radians(a.lat)) * cos(radians(b.lat))
+             * pow(sin(radians(b.lon - a.lon) / 2), 2))), 3) <= {_RADIUS_KM}
+ORDER BY c1, c2
+"""
+
+
+@_register("geo_radius_pairs_bucketed", _RADIUS_ORACLE)
+def geo_radius_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All point pairs within a 200 km great-circle radius via grid-cell
+    bucketing: each point lands in a (lat, lon) cell sized so any
+    qualifying pair is in the same or an adjacent cell; one side
+    explodes to its 3x3 neighborhood, the join is a plain equi join on
+    the cell key, and only surviving candidates pay the exact
+    haversine — the spatial-join pattern that replaces the quadratic
+    cross join (which the oracle, on purpose, runs to prove the
+    bucketed candidate set loses nothing).
+
+    The superset guarantee needs bounded latitude (cells are sized for
+    cos >= 0.5), so points are restricted to the |lat| <= 60 band.
+    Distances round to 3 dp (meter precision) before the threshold and
+    emission, the same libm-divergence guard as ``geo_haversine_topk``.
+    Scale: cell occupancy is bounded by geometry, so the bucketed join
+    fans out per cell, never corpus x corpus.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    pts = (
+        t["customer"]
+        .filter(F.col("c_custkey") < 1200)
+        .select(
+            "c_custkey",
+            ((F.col("c_custkey") % 180).cast("double") - 90) .alias("lat0"),
+            ((F.col("c_custkey") % 360).cast("double") - 180).alias("lon0"),
+        )
+        .select(
+            "c_custkey",
+            (F.col("lat0") * 0.9).alias("lat"),
+            (F.col("lon0") * 0.9).alias("lon"),
+        )
+        .filter(F.abs(F.col("lat")) <= 60)
+        .withColumn("cla", F.floor(F.col("lat") / _CELL_LAT).cast("long"))
+        .withColumn("clo", F.floor(F.col("lon") / _CELL_LON).cast("long"))
+    )
+    offsets = spark.range(-1, 2).select(F.col("id").alias("dla")).crossJoin(
+        spark.range(-1, 2).select(F.col("id").alias("dlo"))
+    )
+    a = (
+        pts.crossJoin(F.broadcast(offsets))
+        .select(
+            F.col("c_custkey").alias("c1"),
+            F.col("lat").alias("lat1"),
+            F.col("lon").alias("lon1"),
+            (F.col("cla") + F.col("dla")).alias("cla"),
+            (F.col("clo") + F.col("dlo")).alias("clo"),
+        )
+    )
+    b = pts.select(
+        F.col("c_custkey").alias("c2"),
+        F.col("lat").alias("lat2"),
+        F.col("lon").alias("lon2"),
+        "cla",
+        "clo",
+    )
+    lat1r, lat2r = F.radians("lat1"), F.radians("lat2")
+    hav = (
+        F.pow(F.sin(F.radians(F.col("lat2") - F.col("lat1")) / 2), F.lit(2))
+        + F.cos(lat1r)
+        * F.cos(lat2r)
+        * F.pow(F.sin(F.radians(F.col("lon2") - F.col("lon1")) / 2), F.lit(2))
+    )
+    km = F.round(2 * 6371.0 * F.asin(F.sqrt(hav)), 3)
+    return (
+        a.join(b, ["cla", "clo"])
+        .filter(F.col("c1") < F.col("c2"))
+        .select("c1", "c2", km.alias("km"))
+        .filter(F.col("km") <= _RADIUS_KM)
+        .distinct()
+        .orderBy("c1", "c2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketch set algebra (HLL inclusion-exclusion intersection)
+# ---------------------------------------------------------------------------
+
+_SKETCH_SETOPS_ORACLE = """
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+pairs(ta, tb) AS (VALUES ('click', 'signup'), ('view', 'purchase')),
+cnt AS (SELECT event_type, COUNT(*) AS nd FROM du GROUP BY event_type),
+overlap_c AS (
+    SELECT p.ta, p.tb, COUNT(*) AS exact_both
+    FROM pairs p
+    JOIN du a ON a.event_type = p.ta
+    JOIN du b ON b.event_type = p.tb AND b.user_id = a.user_id
+    GROUP BY p.ta, p.tb
+)
+SELECT p.ta, p.tb,
+       CAST(ca.nd AS BIGINT) AS exact_a,
+       CAST(cb.nd AS BIGINT) AS exact_b,
+       CAST(bo.exact_both AS BIGINT) AS exact_both,
+       TRUE AS est_ok
+FROM pairs p
+JOIN cnt ca ON ca.event_type = p.ta
+JOIN cnt cb ON cb.event_type = p.tb
+JOIN overlap_c bo ON bo.ta = p.ta AND bo.tb = p.tb
+ORDER BY p.ta
+"""
+
+
+@_register("agg_sketch_set_intersection", _SKETCH_SETOPS_ORACLE)
+def agg_sketch_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra over MERGEABLE distinct sketches: |A ∩ B| estimated
+    by inclusion-exclusion over HLL sketches (est_A + est_B − est_A∪B)
+    for audience-overlap questions (users who both viewed and
+    purchased) — the reaggregable companion to
+    ``agg_hll_mergeable_rollup``: materialized per-segment sketches
+    answer arbitrary overlap questions without rescanning raw events,
+    which exact COUNT DISTINCT cannot.
+
+    Driver-facing columns are engine-portable (exact counts + a
+    within-tolerance flag); the sketch estimate itself stays out of
+    the hash, and inclusion-exclusion compounds the per-sketch rsd so
+    the tolerance is widened accordingly. Scale: one sketch per event
+    type (map-side combined), pair algebra over |types|^2 tiny rows.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    ev = t["events"].select("event_type", "user_id")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("nd"),
+    )
+    pairs = spark.createDataFrame(
+        [("click", "signup"), ("view", "purchase")], ["ta", "tb"]
+    )
+    pa = per_type.select(
+        F.col("event_type").alias("ta"),
+        F.col("sk").alias("sk_a"),
+        F.col("nd").alias("exact_a"),
+    )
+    pb = per_type.select(
+        F.col("event_type").alias("tb"),
+        F.col("sk").alias("sk_b"),
+        F.col("nd").alias("exact_b"),
+    )
+    du = ev.distinct()
+    x = du.select(F.col("event_type").alias("ta"), "user_id")
+    y = du.select(F.col("event_type").alias("tb"), "user_id")
+    both = (
+        x.join(y, "user_id")
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("exact_both"))
+    )
+    est_int = (
+        F.hll_sketch_estimate("sk_a")
+        + F.hll_sketch_estimate("sk_b")
+        - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    )
+    exact_union = F.col("exact_a") + F.col("exact_b") - F.col("exact_both")
+    tol = F.lit(0.08) * exact_union + F.lit(2.0)
+    return (
+        pairs.join(F.broadcast(pa), "ta")
+        .join(F.broadcast(pb), "tb")
+        .join(F.broadcast(both), ["ta", "tb"])
+        .select(
+            "ta",
+            "tb",
+            F.col("exact_a").cast("long"),
+            F.col("exact_b").cast("long"),
+            F.col("exact_both").cast("long"),
+            (F.abs(est_int - F.col("exact_both")) <= tol).alias("est_ok"),
+        )
+        .orderBy("ta")
+    )

@@ -5522,3 +5522,382 @@ def dedup_lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (mergeable streaming summary -> exact verify)
+# ---------------------------------------------------------------------------
+
+_MG_M = 200  # heavy hitter := count > n_words / _MG_M
+
+_MG_ORACLE = f"""
+WITH words AS (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), tot AS (SELECT COUNT(*) AS n FROM words)
+SELECT w.word,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(ROUND(10000.0 * COUNT(*) / MAX(t.n)) AS BIGINT) AS share_bps
+FROM words w CROSS JOIN tot t
+GROUP BY w.word
+HAVING COUNT(*) * {_MG_M} > MAX(t.n)
+ORDER BY cnt DESC, word
+"""
+
+
+@_register("heavy_hitters_misra_gries", _MG_ORACLE)
+def heavy_hitters_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (words with frequency > n/200) through a
+    Misra-Gries candidate phase: each partition streams its words
+    through an m-counter MG summary (a narrow ``mapInPandas``, no
+    shuffle), the union of surviving keys is the candidate set, and
+    only candidates are exactly recounted.
+
+    Correctness is partitioning-invariant by the MG guarantee: any
+    word with global count > n/m has local count > n_p/m in at least
+    one partition (pigeonhole over the partition sums) and therefore
+    survives that partition's summary (MG keeps every item with local
+    frequency > n_p/(m+1)); the exact recount + threshold filter then
+    drops false candidates, so the OUTPUT is the exact answer the
+    oracle computes by brute force. Scale: the brute-force formulation
+    shuffles every word occurrence; here the shuffle carries only
+    |partitions| x m candidate keys plus the recount of a
+    semi-join-restricted slice.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    words = t["documents"].select(
+        F.explode(F.split("text", " ", -1)).alias("word")
+    )
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for word, c in pdf["word"].value_counts().items():
+                if word in counters:
+                    counters[word] += int(c)
+                else:
+                    counters[word] = int(c)
+                    if len(counters) > _MG_M:
+                        # subtract the (m+1)-th largest count from all,
+                        # drop non-positive (mergeable MG reduction)
+                        dec = sorted(counters.values())[len(counters) - _MG_M - 1]
+                        counters = {
+                            w: v - dec for w, v in counters.items() if v > dec
+                        }
+        if counters:
+            yield pd.DataFrame({"word": list(counters.keys())})
+
+    cand = words.mapInPandas(mg_partition, "word string").distinct()
+    tot = words.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        words.join(F.broadcast(cand), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * _MG_M > F.col("n"))
+        .select(
+            "word",
+            F.col("cnt").cast("long"),
+            F.round(10000.0 * F.col("cnt") / F.col("n")).cast("long").alias(
+                "share_bps"
+            ),
+        )
+        .orderBy(F.desc("cnt"), F.asc("word"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashed n-gram linear classifier (fastText-style scoring)
+# ---------------------------------------------------------------------------
+
+_HC_BUCKETS = 1024
+_HC_NIB = "(instr('0123456789abcdef', substr(md5(bigram), {pos}, 1)) - 1)"
+_HC_BUCKET_SQL = (
+    f"((({_HC_NIB.format(pos=1)}) * 256 + ({_HC_NIB.format(pos=2)}) * 16 + "
+    f"({_HC_NIB.format(pos=3)})) % {_HC_BUCKETS})"
+)
+
+_HASHED_CLASSIFIER_ORACLE = f"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+), bg AS (
+    SELECT doc_id, word || ' ' || LEAD(word, 1) OVER w AS bigram
+    FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    QUALIFY LEAD(word, 1) OVER w IS NOT NULL
+), scored AS (
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           SUM(({_HC_BUCKET_SQL} * 2654435761) % 2001 - 1000) AS raw
+    FROM bg GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       ROUND(CAST(raw AS DOUBLE) / n_bigrams, 6) AS score,
+       raw > 0 AS predicted_positive
+FROM scored ORDER BY doc_id
+"""
+
+
+@_register("quality_hashed_classifier", _HASHED_CLASSIFIER_ORACLE)
+def quality_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-bigram linear classifier: every word
+    bigram hashes into 1024 weight buckets (md5 3-nibble prefix, the
+    feature-hashing trick), the bucket weight is a deterministic
+    Knuth-multiplicative integer in [-1000, 1000], and the document
+    score is the mean bucket weight — the shape of production quality/
+    topicality classifiers (fastText, CCNet's linear LM filter) with a
+    fixed weight table standing in for learned parameters.
+
+    Integer arithmetic end to end (hash, bucket, weight, sum); the
+    single rounded division per document is the only float step.
+    Scale: one narrow explode + one groupBy(doc_id) with map-side
+    partial sums; the weight "table" is computed inline, so nothing is
+    broadcast at all.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    base = t["documents"].select("doc_id", F.split("text", " ", -1).alias("w"))
+    bg = base.select(
+        "doc_id", F.explode(_word_ngrams(F.col("w"), 2)).alias("bigram")
+    )
+    nib = lambda pos: F.instr(
+        F.lit("0123456789abcdef"), F.substring(F.md5("bigram"), pos, 1)
+    ) - 1
+    bucket = (nib(1) * 256 + nib(2) * 16 + nib(3)) % _HC_BUCKETS
+    weight = (bucket.cast("long") * 2654435761) % 2001 - 1000
+    scored = bg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(weight).alias("raw"),
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long"),
+        F.round(F.col("raw").cast("double") / F.col("n_bigrams"), 6).alias("score"),
+        (F.col("raw") > 0).alias("predicted_positive"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixture budget allocation (largest-remainder apportionment)
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET = 1_000_000
+
+_MIX_ALLOC_ORACLE = f"""
+WITH words AS (
+    SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+), per_src AS (
+    SELECT source, COUNT(*) AS tokens FROM words GROUP BY source
+), w AS (
+    SELECT source, tokens, SQRT(CAST(tokens AS DOUBLE)) AS wt FROM per_src
+), tot AS (SELECT SUM(wt) AS tw FROM w),
+shares AS (
+    SELECT source, tokens, {_MIX_BUDGET} * wt / t.tw AS share
+    FROM w CROSS JOIN tot t
+), fl AS (
+    SELECT source, tokens, share,
+           CAST(FLOOR(share) AS BIGINT) AS base_alloc,
+           share - FLOOR(share) AS frac
+    FROM shares
+), ranked AS (
+    SELECT *,
+           row_number() OVER (ORDER BY frac DESC, source) AS rk,
+           {_MIX_BUDGET} - SUM(base_alloc) OVER () AS leftover
+    FROM fl
+)
+SELECT source, CAST(tokens AS BIGINT) AS tokens,
+       CAST(base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+           AS alloc_tokens
+FROM ranked ORDER BY source
+"""
+
+
+@_register("corpus_token_budget_allocation", _MIX_ALLOC_ORACLE)
+def corpus_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture apportionment: split a 1M-token budget across
+    sources proportional to sqrt(source tokens) (the sub-linear
+    tempering that keeps small sources represented, cf.
+    ``sample_temperature_mix``), with largest-remainder rounding so
+    the integer allocations sum EXACTLY to the budget — the mixture-
+    weights step every multi-source pretraining run needs.
+
+    sqrt and the share division are single IEEE operations (identical
+    across engines); remainder ranking tie-breaks on source. Scale:
+    the token count is the only data-sized aggregation; apportionment
+    runs on the |sources|-row summary.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    per_src = (
+        t["documents"]
+        .select("source", F.explode(F.split("text", " ", -1)).alias("word"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("tokens"))
+    )
+    w = per_src.withColumn("wt", F.sqrt(F.col("tokens").cast("double")))
+    tot = w.agg(F.sum("wt").alias("tw"))
+    shares = w.crossJoin(F.broadcast(tot)).withColumn(
+        "share", F.lit(_MIX_BUDGET) * F.col("wt") / F.col("tw")
+    )
+    fl = shares.select(
+        "source",
+        "tokens",
+        "share",
+        F.floor("share").cast("long").alias("base_alloc"),
+        (F.col("share") - F.floor("share")).alias("frac"),
+    )
+    wr = Window.orderBy(F.desc("frac"), F.asc("source"))
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = fl.withColumn("rk", F.row_number().over(wr)).withColumn(
+        "leftover", F.lit(_MIX_BUDGET) - F.sum("base_alloc").over(wall)
+    )
+    return ranked.select(
+        "source",
+        F.col("tokens").cast("long"),
+        (
+            F.col("base_alloc")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc_tokens"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space decontamination (broadcast eval probe, exact cosines)
+# ---------------------------------------------------------------------------
+
+_EMB_DECON_TAU = 0.92
+
+_EMB_DECON_ORACLE = f"""
+WITH ev AS (SELECT vec_id AS eid, embedding AS evec FROM embeddings
+            WHERE vec_id < 20),
+corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
+elems AS (
+    SELECT c.vec_id, e.eid, unnest(c.embedding) AS a, unnest(e.evec) AS b
+    FROM corpus c CROSS JOIN ev e
+), prod AS (
+    SELECT vec_id, eid,
+        CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dot
+    FROM elems GROUP BY vec_id, eid
+), norms AS (
+    SELECT vec_id,
+        SQRT(CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+    FROM (SELECT vec_id, unnest(embedding) AS a FROM embeddings)
+    GROUP BY vec_id
+), best AS (
+    SELECT p.vec_id,
+           MAX(ROUND(p.dot / (nc.nrm * ne.nrm), 6)) AS max_cos
+    FROM prod p
+    JOIN norms nc ON nc.vec_id = p.vec_id
+    JOIN norms ne ON ne.vec_id = p.eid
+    GROUP BY p.vec_id
+)
+SELECT vec_id, max_cos, max_cos >= {_EMB_DECON_TAU} AS contaminated
+FROM best ORDER BY vec_id
+"""
+
+
+@_register("contamination_embedding_check", _EMB_DECON_ORACLE)
+def contamination_embedding_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: flag corpus vectors whose max
+    cosine to ANY eval-set vector crosses tau — the semantic
+    complement of the n-gram probes (``contamination_ngram_check``
+    catches verbatim leaks; paraphrased leaks only show up in
+    embedding space).
+
+    The eval set is broadcast (it is small by construction — eval
+    benchmarks, not corpora), so the corpus side stays narrow: per
+    corpus row, |eval| exact-decimal dot products and one max — no
+    shuffle of the big side at all, the same plan shape locked for
+    the repetition filters. Cosines round to 6 dp before the max and
+    the threshold so libm sqrt divergence cannot flip the flag.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    emb = t["embeddings"]
+    ev = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("eid"),
+        F.col("embedding").alias("evec"),
+        _dec_norm("embedding").alias("enrm"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 20).select(
+        "vec_id", "embedding", _dec_norm("embedding").alias("nrm")
+    )
+    pairs = corpus.crossJoin(F.broadcast(ev)).select(
+        "vec_id",
+        F.round(
+            _dec_dot("embedding", "evec") / (F.col("nrm") * F.col("enrm")), 6
+        ).alias("cos"),
+    )
+    return (
+        pairs.groupBy("vec_id")
+        .agg(F.max("cos").alias("max_cos"))
+        .select(
+            "vec_id",
+            "max_cos",
+            (F.col("max_cos") >= _EMB_DECON_TAU).alias("contaminated"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document n-gram novelty (first-occurrence attribution)
+# ---------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = """
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+), g AS (
+    SELECT DISTINCT doc_id,
+           word || ' ' || LEAD(word, 1) OVER w || ' ' || LEAD(word, 2) OVER w
+               AS gram
+    FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    QUALIFY LEAD(word, 2) OVER w IS NOT NULL
+), firsts AS (
+    SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram
+)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+       CAST(ROUND(10000.0 * SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                  / COUNT(*)) AS BIGINT) AS novelty_bps
+FROM g JOIN firsts f ON f.gram = g.gram
+GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+
+@_register("text_novelty_per_doc", _NOVELTY_ORACLE)
+def text_novelty_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a document's distinct
+    3-grams that no earlier document (by doc_id, the ingestion order)
+    contains — the per-item attribution view of the corpus-level
+    Heaps curve (``text_heaps_law_curve``), and the signal dedup
+    pipelines use to rank crawl snapshots by marginal value.
+
+    Two shuffles: gram -> min(doc_id) first-occurrence (md5-keyed
+    grams keep the shuffle narrow), then doc_id rollup with map-side
+    partials. No window over the corpus — first-occurrence
+    decomposition replaces the running-distinct sort.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    g = _shingles(t)
+    firsts = g.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        g.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.cast("long").alias("n_novel"),
+            F.round(10000.0 * novel / F.count(F.lit(1))).cast("long").alias(
+                "novelty_bps"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -1270,3 +1270,142 @@ def stream_ivm_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once foreachBatch sink (idempotent batch-id commit protocol)
+# ---------------------------------------------------------------------------
+
+_STREAM_E1_ORACLE = f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       {sql_dec_sum('value', 'value_sum')}
+FROM events
+WHERE event_type IN ('purchase', 'signup')
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@_register("stream_exactly_once_sink", _STREAM_E1_ORACLE)
+def stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming sink: ``foreachBatch`` writes each
+    micro-batch under a staging path and COMMITS it with one atomic
+    rename to ``batch_<id>``; a retry of an already-committed batch id
+    sees the committed marker and becomes a no-op. The op PROVES the
+    protocol by invoking the writer twice per batch (simulating the
+    engine redelivering after a failure between sink success and
+    checkpoint advance — the exact window foreachBatch's at-least-once
+    contract leaves open) and then showing the final table equals the
+    batch answer with zero duplicates.
+
+    This is the file-system analogue of the (batchId, epoch) ledger
+    every transactional Spark sink keeps (cf. the built-in file sink's
+    _spark_metadata log). Scale: the commit is one metadata rename per
+    micro-batch regardless of row count; data still lands as a
+    distributed parquet write.
+    """
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="ldw_e1_sink_")
+    out = os.path.join(root, "table")
+    os.makedirs(out, exist_ok=True)
+    try:
+        def write_idempotent(batch_df: DataFrame, batch_id: int) -> None:
+            committed = os.path.join(out, f"batch_{batch_id}")
+            if os.path.exists(committed):  # retry of a committed batch
+                return
+            staging = os.path.join(root, f"staging_{batch_id}")
+            batch_df.write.mode("overwrite").parquet(staging)
+            os.rename(staging, committed)  # atomic commit
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            write_idempotent(batch_df, batch_id)
+            write_idempotent(batch_df, batch_id)  # redelivery simulation
+
+        ev = events_stream(spark, sf_dir)
+        q = (
+            ev.filter(F.col("event_type").isin("purchase", "signup"))
+            .select("event_id", "event_type", "value")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(root, "_chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = spark.read.parquet(os.path.join(out, "batch_*"))
+        res = (
+            final.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_distinct("event_id").alias("n_distinct"),
+                F.sum(F.col("value").cast(DEC)).cast("double").alias("value_sum"),
+            )
+            .orderBy("event_type")
+        )
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Multi-source stream union (per-source watermarks into one window agg)
+# ---------------------------------------------------------------------------
+
+_STREAM_UNION_ORACLE = f"""
+WITH tagged AS (
+    SELECT CASE WHEN event_type IN ('view', 'click') THEN 'web'
+                ELSE 'txn' END AS src, ts, value
+    FROM events
+    WHERE event_type IN ('view', 'click', 'purchase', 'signup')
+)
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, src,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_dec_sum('value', 'sum_value')}
+FROM tagged GROUP BY 1, 2
+ORDER BY window_start, src
+"""
+
+
+@_register("stream_union_sources", _STREAM_UNION_ORACLE)
+def stream_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two independent source streams (a 'web' clickstream and a 'txn'
+    transaction stream, each its OWN readStream with its OWN
+    watermark) unioned into one windowed aggregation — the multi-topic
+    fan-in every production pipeline starts with. Spark advances the
+    combined watermark as the MINIMUM of the per-source watermarks, so
+    the union emits only windows complete in BOTH sources.
+
+    Scale: watermark state is per-source metadata; the union is a
+    no-shuffle concatenation and the window agg shuffles once on
+    (window, src) with map-side partials.
+    """
+    web = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type").isin("view", "click"))
+        .select("ts", "value", F.lit("web").alias("src"))
+        .withWatermark("ts", "10 minutes")
+    )
+    txn = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type").isin("purchase", "signup"))
+        .select("ts", "value", F.lit("txn").alias("src"))
+        .withWatermark("ts", "30 minutes")
+    )
+    agg = (
+        web.unionByName(txn)
+        .groupBy(F.window("ts", "1 hour"), "src")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+    )
+    sink = run_to_memory(agg, "complete")
+    return sink.select(
+        F.col("window.start").alias("window_start"),
+        "src",
+        "n_events",
+        "sum_value",
+    ).orderBy("window_start", "src")

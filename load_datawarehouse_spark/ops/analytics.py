@@ -669,3 +669,126 @@ def agg_sketch_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ta")
     )
+
+
+# ---------------------------------------------------------------------------
+# Git-style branch / three-way merge over warehouse snapshots
+# ---------------------------------------------------------------------------
+
+_BRANCH_MERGE_ORACLE = """
+WITH base AS (
+    SELECT c_custkey AS k,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents0,
+           c_mktsegment AS seg0
+    FROM customer WHERE c_custkey < 300
+), merged AS (
+    SELECT k,
+           CASE WHEN k % 3 = 0 THEN cents0 + 10000       -- A wins conflicts
+                WHEN k % 7 = 0 THEN cents0 - 5000
+                ELSE cents0 END AS cents,
+           CASE WHEN k % 5 = 0 THEN 'PROMO' ELSE seg0 END AS seg,
+           CASE WHEN k % 3 = 0 AND k % 7 = 0 THEN 1 ELSE 0 END AS conflict
+    FROM base
+)
+SELECT seg AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(SUM(conflict) AS BIGINT) AS n_conflicts
+FROM merged GROUP BY seg ORDER BY segment
+"""
+
+
+@_register("warehouse_branch_merge", _BRANCH_MERGE_ORACLE)
+def warehouse_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Git-style table branching: snapshot a base table, let two
+    branches diverge (branch A adjusts balances on keys % 3, branch B
+    discounts balances on keys % 7 and relabels segments on keys % 5),
+    then FIELD-LEVEL three-way merge both branches back against the
+    common ancestor — a value is taken from whichever branch changed
+    it, same-field double-changes are conflicts resolved ours-first
+    (branch A) and counted. The ancestor comes from a real
+    ``SparkWarehouse.snapshot`` version, and the merged rows land
+    through the keyed ``update`` verb (R3), so the lakehouse surface
+    (time travel + upsert) is exercised, not simulated.
+
+    Scale: the three-way diff is one equi join of three branch scans
+    on the table key (each branch is a same-key projection here; in
+    production, branch deltas), and the conflict rule is pure column
+    logic — no driver loop over rows. The bounded base (300 rows) is
+    the driver-gated-verb-exercise convention, cf.
+    ``warehouse_merge_cdc``.
+    """
+    import shutil
+    import tempfile
+
+    from load_datawarehouse_spark.warehouse import SparkWarehouse
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    base_df = (
+        t["customer"]
+        .filter(F.col("c_custkey") < 300)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="ldw_branch_")
+    try:
+        wh = SparkWarehouse.new(
+            spark, root, "accounts", data=[r.asDict() for r in base_df.collect()]
+        )
+        v0 = wh.snapshot()  # the common ancestor version
+        anc = wh.df_at(v0).select(
+            "k", F.col("cents").alias("cents0"), F.col("seg").alias("seg0")
+        )
+        br_a = anc.select(
+            "k",
+            F.when(F.col("k") % 3 == 0, F.col("cents0") + 10000)
+            .otherwise(F.col("cents0"))
+            .alias("cents_a"),
+            F.col("seg0").alias("seg_a"),
+        )
+        br_b = anc.select(
+            "k",
+            F.when(F.col("k") % 7 == 0, F.col("cents0") - 5000)
+            .otherwise(F.col("cents0"))
+            .alias("cents_b"),
+            F.when(F.col("k") % 5 == 0, F.lit("PROMO"))
+            .otherwise(F.col("seg0"))
+            .alias("seg_b"),
+        )
+        a_chg = F.col("cents_a") != F.col("cents0")
+        b_chg = F.col("cents_b") != F.col("cents0")
+        merged = (
+            anc.join(br_a, "k")
+            .join(br_b, "k")
+            .select(
+                "k",
+                F.when(a_chg, F.col("cents_a"))
+                .when(b_chg, F.col("cents_b"))
+                .otherwise(F.col("cents0"))
+                .alias("cents"),
+                F.when(F.col("seg_b") != F.col("seg0"), F.col("seg_b"))
+                .otherwise(F.col("seg0"))
+                .alias("seg"),
+                F.when(a_chg & b_chg, 1).otherwise(0).alias("conflict"),
+            )
+        )
+        wh.update(merged.select("k", "cents", "seg"), keys=["k"])
+        conflicts = merged.select("k", "conflict")
+        out = (
+            wh.df()
+            .join(conflicts, "k")
+            .groupBy(F.col("seg").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+                F.sum("conflict").cast("long").alias("n_conflicts"),
+            )
+            .orderBy("segment")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

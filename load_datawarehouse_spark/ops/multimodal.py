@@ -1155,3 +1155,73 @@ def multimodal_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_audio_silence_segments — VAD-style silence islands
+# ---------------------------------------------------------------------------
+
+_SIL_MSQ = 5000  #: window is "silence" iff sum_sq < _SIL_MSQ * n_samples
+
+_AUDIO_SILENCE_ORACLE = f"""
+WITH ch AS (
+    SELECT doc_id, unnest(cs) AS c, generate_subscripts(cs, 1) AS i
+    FROM (
+        SELECT doc_id, string_split_regex(text, '') AS cs
+        FROM documents WHERE doc_id % 3 = 1
+    )
+), wins AS (
+    SELECT doc_id, (i - 1) // {_AUDIO_WIN} AS win,
+           COUNT(*) AS n_samples,
+           SUM(unicode(c) * unicode(c)) AS sum_sq
+    FROM ch GROUP BY doc_id, (i - 1) // {_AUDIO_WIN}
+), silent AS (
+    SELECT doc_id, win,
+           win - row_number() OVER (PARTITION BY doc_id ORDER BY win) AS grp
+    FROM wins WHERE sum_sq < {_SIL_MSQ} * n_samples
+), segs AS (
+    SELECT doc_id, grp, COUNT(*) AS seg_len FROM silent GROUP BY doc_id, grp
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(MAX(seg_len) AS BIGINT) AS longest_segment,
+       CAST(SUM(seg_len) AS BIGINT) AS silent_windows
+FROM segs GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@_register("multimodal_audio_silence_segments", _AUDIO_SILENCE_ORACLE)
+def multimodal_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-style silence segmentation: the windowed energy
+    kernel (same payload-typed ``mapInPandas`` as
+    ``multimodal_audio_energy``) feeds a gaps-and-islands collapse of
+    consecutive low-energy windows into silence segments — the
+    silence-trim primitive audio pipelines run before transcription.
+
+    The silence test compares integer sum-of-squares against
+    threshold x n (no division, no floats), so the flag is exact; the
+    island grouping is the standard win − row_number() trick over only
+    the silent windows. Scale: payload bytes never shuffle (windows
+    are computed partition-locally); the island window partitions by
+    doc_id — per-document window counts, naturally bounded.
+    """
+    m = media_table(spark, sf_dir).filter(F.col("media_type") == "audio")
+    wins = m.select("doc_id", "content").mapInPandas(
+        _audio_energy_batches, _AUDIO_ENERGY_SCHEMA
+    )
+    silent = wins.filter(F.col("sum_sq") < _SIL_MSQ * F.col("n_samples"))
+    w = Window.partitionBy("doc_id").orderBy("win")
+    segs = (
+        silent.withColumn("grp", F.col("win") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("seg_len"))
+    )
+    return (
+        segs.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.max("seg_len").cast("long").alias("longest_segment"),
+            F.sum("seg_len").cast("long").alias("silent_windows"),
+        )
+        .orderBy("doc_id")
+    )

@@ -16,6 +16,8 @@ integer cents, rounded-before-emission libm outputs).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -787,6 +789,185 @@ def warehouse_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("conflict").cast("long").alias("n_conflicts"),
             )
             .orderBy("segment")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum test from a value-level histogram, no row sort)
+# ---------------------------------------------------------------------------
+
+_MWU_ORACLE = """
+WITH days AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders GROUP BY 1
+), tagged AS (
+    SELECT cents, CAST(isodow(day) >= 6 AS INT) AS is_we FROM days
+), lv AS (
+    SELECT cents, COUNT(*) AS cnt, SUM(is_we) AS cnt_we
+    FROM tagged GROUP BY cents
+), c AS (
+    SELECT *,
+           COALESCE(SUM(cnt) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+    FROM lv
+), sums AS (
+    SELECT SUM(cnt_we * (2 * cum_before + cnt + 1)) AS r2_we,
+           SUM(cnt_we) AS n1, SUM(cnt - cnt_we) AS n2
+    FROM c
+)
+SELECT CAST(n1 AS BIGINT) AS n_weekend,
+       CAST(n2 AS BIGINT) AS n_weekday,
+       CAST(r2_we - n1 * (n1 + 1) AS BIGINT) AS u2,
+       ROUND((CAST(r2_we - n1 * (n1 + 1) AS DOUBLE) / 2 - n1 * n2 / 2.0)
+             / SQRT(n1 * n2 * (n1 + n2 + 1) / 12.0), 6) AS z_score
+FROM sums
+"""
+
+
+@_register("stat_mannwhitney_u", _MWU_ORACLE)
+def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test: do weekend days draw from the same
+    daily-revenue distribution as weekdays? — the nonparametric
+    two-sample test (no normality assumption, unlike
+    ``stat_anova_weekday_revenue``).
+
+    Tie-averaged ranks come from a VALUE-LEVEL histogram (per distinct
+    cents value: count, weekend count, cumulative-before), the same
+    sort-free decomposition as ``stat_spearman_qty_price``: the doubled
+    rank sum 2R = sum over values of cnt_we * (2*cum_before + cnt + 1)
+    is exact integer arithmetic, so U2 = 2U is integer-exact and only
+    the final z normalization rounds (6 dp). Scale: the only data-sized
+    shuffle is the day collapse; the histogram cumsum runs over the
+    bounded distinct-value series.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    days = (
+        t["orders"]
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    tagged = days.select(
+        "cents",
+        (F.dayofweek(F.col("day")).isin(1, 7)).cast("int").alias("is_we"),
+    )
+    lv = tagged.groupBy("cents").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("is_we").alias("cnt_we")
+    )
+    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    c = lv.withColumn("cum_before", F.coalesce(F.sum("cnt").over(wc), F.lit(0)))
+    sums = c.agg(
+        F.sum(F.col("cnt_we") * (2 * F.col("cum_before") + F.col("cnt") + 1)).alias(
+            "r2_we"
+        ),
+        F.sum("cnt_we").alias("n1"),
+        F.sum(F.col("cnt") - F.col("cnt_we")).alias("n2"),
+    )
+    u2 = F.col("r2_we") - F.col("n1") * (F.col("n1") + 1)
+    return sums.select(
+        F.col("n1").cast("long").alias("n_weekend"),
+        F.col("n2").cast("long").alias("n_weekday"),
+        u2.cast("long").alias("u2"),
+        F.round(
+            (u2.cast("double") / 2 - F.col("n1") * F.col("n2") / 2.0)
+            / F.sqrt(F.col("n1") * F.col("n2") * (F.col("n1") + F.col("n2") + 1) / 12.0),
+            6,
+        ).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Constraint-gated load with quarantine (reject-and-audit ETL pattern)
+# ---------------------------------------------------------------------------
+
+_QUARANTINE_ORACLE = """
+WITH corrupted AS (
+    SELECT event_id,
+           CASE WHEN event_id % 89 = 0 THEN '' ELSE event_type END AS event_type,
+           CASE WHEN event_id % 97 = 0 THEN -value ELSE value END AS value,
+           user_id
+    FROM events
+), judged AS (
+    SELECT *,
+           CASE WHEN event_type = '' THEN 'empty_event_type'
+                WHEN value < 0 THEN 'negative_value'
+                ELSE 'ok' END AS reason
+    FROM corrupted
+)
+SELECT reason,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+FROM judged GROUP BY reason ORDER BY reason
+"""
+
+
+@_register("warehouse_quarantine_load", _QUARANTINE_ORACLE)
+def warehouse_quarantine_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-gated load: a batch with deterministically injected
+    defects (blank event types, negated values) is split by CHECK
+    rules into the target table and a quarantine table carrying the
+    first violated rule — the reject-and-audit pattern that keeps a
+    100-TB load running when 0.1% of rows are bad, instead of failing
+    the job or silently ingesting garbage (the enforcement counterpart
+    of the read-only ``dq_expectations_report``).
+
+    Both sides land in REAL ``SparkWarehouse`` tables via the load
+    verb; the returned accounting (rows + exact cents per reason)
+    reconciles: good + quarantined == input, provable from the
+    emitted sums. Scale: the rule evaluation is one codegen
+    projection; each side is a distributed parquet write — no
+    driver-side row inspection.
+    """
+    import shutil
+    import tempfile
+
+    from load_datawarehouse_spark.warehouse import SparkWarehouse
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    corrupted = t["events"].select(
+        "event_id",
+        F.when(F.col("event_id") % 89 == 0, F.lit("")).otherwise(
+            F.col("event_type")
+        ).alias("event_type"),
+        F.when(F.col("event_id") % 97 == 0, -F.col("value")).otherwise(
+            F.col("value")
+        ).alias("value"),
+        "user_id",
+    )
+    judged = corrupted.withColumn(
+        "reason",
+        F.when(F.col("event_type") == "", "empty_event_type")
+        .when(F.col("value") < 0, "negative_value")
+        .otherwise("ok"),
+    )
+    root = tempfile.mkdtemp(prefix="ldw_quar_")
+    try:
+        good_wh = SparkWarehouse(spark, root, "events_clean")
+        good_wh._write_meta({"schema": None, "expires": None})
+        quar_wh = SparkWarehouse(spark, root, "events_quarantine")
+        quar_wh._write_meta({"schema": None, "expires": None})
+        judged.filter(F.col("reason") == "ok").drop("reason").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(good_wh.path, "data"))
+        judged.filter(F.col("reason") != "ok").write.mode("overwrite").parquet(
+            os.path.join(quar_wh.path, "data")
+        )
+        good = good_wh.df().withColumn("reason", F.lit("ok"))
+        quar = quar_wh.df().select(*good.columns)
+        out = (
+            good.unionByName(quar)
+            .groupBy("reason")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                .cast("long")
+                .alias("cents_sum"),
+            )
+            .orderBy("reason")
         )
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)

@@ -5901,3 +5901,128 @@ def text_novelty_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (classifier calibration audit)
+# ---------------------------------------------------------------------------
+
+_LANG_CONFUSION_ORACLE = f"""
+WITH preds AS ({_lang_id_oracle()})
+SELECT lang AS label, lang_guess AS predicted,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM preds GROUP BY lang, lang_guess
+ORDER BY label, predicted
+"""
+
+
+@_register("lang_id_confusion", _LANG_CONFUSION_ORACLE)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-word language classifier against
+    the labeled ``lang`` column — the calibration audit every
+    classifier-gated corpus filter needs before its threshold is
+    trusted (which languages leak into 'und', which pairs confuse).
+
+    Composes ``lang_id_markers`` unchanged (single definition of the
+    classifier, cf. the ``_norm_text_expr`` discipline) and collapses
+    to |langs|^2 cells in one map-side-combinable aggregation.
+    """
+    preds = lang_id_markers(spark, sf_dir)
+    return (
+        preds.groupBy(
+            F.col("lang").alias("label"), F.col("lang_guess").alias("predicted")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("label", "predicted")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling (weighted without-replacement, mergeable top-k)
+# ---------------------------------------------------------------------------
+
+_PRI_K = 100
+_PRI_NIB = "(instr('0123456789abcdef', substr(md5('pri|' || CAST(o_orderkey AS VARCHAR)), {pos}, 1)) - 1)"
+_PRI_U_SQL = (
+    f"(({_PRI_NIB.format(pos=1)}) * 256 + ({_PRI_NIB.format(pos=2)}) * 16 + "
+    f"({_PRI_NIB.format(pos=3)}) + 1)"
+)
+
+_PRIORITY_SAMPLE_ORACLE = f"""
+WITH w AS (
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+           {_PRI_U_SQL} AS u
+    FROM orders
+), p AS (
+    SELECT o_orderkey, cents, u, cents * 4096.0 / u AS pri FROM w
+), r AS (
+    SELECT *, row_number() OVER (ORDER BY pri DESC, o_orderkey) AS rk FROM p
+), tau AS (SELECT MAX(pri) AS t FROM r WHERE rk = {_PRI_K} + 1)
+SELECT o_orderkey, cents,
+       CAST(cents * 4096 AS BIGINT) AS priority_num,
+       CAST(u AS BIGINT) AS priority_den,
+       ROUND(GREATEST(CAST(cents AS DOUBLE), tau.t), 2) AS est_weight
+FROM r CROSS JOIN tau
+WHERE rk <= {_PRI_K}
+ORDER BY o_orderkey
+"""
+
+
+@_register("sample_priority_weighted", _PRIORITY_SAMPLE_ORACLE)
+def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup): a weighted
+    without-replacement sample of k orders where row priority =
+    weight / uniform(hash), and each kept row carries the
+    Horvitz-Thompson-style estimator weight max(w, tau) (tau = the
+    (k+1)-th priority) — subset sums over the sample estimate
+    population sums near-optimally, the right primitive for sampled
+    dashboards over 100 TB fact tables.
+
+    The uniform is a 12-bit md5 draw (integer, engine-identical), the
+    priority is one IEEE division, and ranking tie-breaks on the key,
+    so the sampled SET is deterministic; rounding touches emission
+    only. Scale: top-(k+1) by priority compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort), and
+    priorities make the summary MERGEABLE: the top-k of a union is
+    computable from per-partition top-k summaries.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    nib = lambda pos: F.instr(
+        F.lit("0123456789abcdef"), F.substring(F.col("h"), pos, 1)
+    ) - 1
+    p = (
+        t["orders"]
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.md5(F.concat(F.lit("pri|"), F.col("o_orderkey").cast("string"))).alias("h"),
+        )
+        .withColumn("u", nib(1) * 256 + nib(2) * 16 + nib(3) + 1)
+        .select(
+            "o_orderkey",
+            "cents",
+            "u",
+            (F.col("cents") * 4096.0 / F.col("u")).alias("pri"),
+        )
+    )
+    topk1 = p.orderBy(F.desc("pri"), F.asc("o_orderkey")).limit(_PRI_K + 1)
+    wr = Window.orderBy(F.desc("pri"), F.asc("o_orderkey"))
+    ranked = topk1.withColumn("rk", F.row_number().over(wr))
+    tau = ranked.filter(F.col("rk") == _PRI_K + 1).select(
+        F.max("pri").alias("t")
+    )
+    return (
+        ranked.filter(F.col("rk") <= _PRI_K)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "o_orderkey",
+            "cents",
+            (F.col("cents") * 4096).cast("long").alias("priority_num"),
+            F.col("u").cast("long").alias("priority_den"),
+            F.round(F.greatest(F.col("cents").cast("double"), F.col("t")), 2).alias(
+                "est_weight"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )

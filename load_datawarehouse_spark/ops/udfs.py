@@ -581,3 +581,117 @@ def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", _keyed_len_iter("text").alias("keyed_len"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# 11. UDTF over TABLE(... PARTITION BY ... ORDER BY ...) — per-group
+# ordered streaming through a table-valued function (Spark 4)
+# ---------------------------------------------------------------------------
+
+_SESSIONIZE_UDTF_ORACLE = """
+WITH o AS (
+    SELECT user_id, ts,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+), s AS (
+    SELECT user_id, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sess_id, ts
+    FROM o
+), per_sess AS (
+    SELECT user_id, sess_id, COUNT(*) AS n_events,
+           date_diff('second', MIN(ts), MAX(ts)) AS dur_s
+    FROM s GROUP BY user_id, sess_id
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+       CAST(MAX(dur_s) AS BIGINT) AS longest_session_s
+FROM per_sess GROUP BY user_id ORDER BY user_id
+"""
+
+
+class _SessionizeUDTF:
+    """Sessionizer over a PARTITION BY user_id ORDER BY (ts, event_id)
+    table argument: rows arrive grouped and ordered, so one instance
+    sees exactly one user's ordered stream — imperative per-entity
+    logic (30-minute gap sessions) without collect_list or state
+    stores."""
+
+    def __init__(self):
+        self._user = None
+        self._sessions = []  # (n_events, dur_s) per closed session
+        # dur_s counts whole-second boundary crossings (floor both
+        # endpoints), matching DuckDB's date_diff('second', ...) on
+        # fractional timestamps
+        self._cur_n = 0
+        self._cur_start = None
+        self._last = None
+
+    def eval(self, row):
+        self._user = row["user_id"]
+        ts = row["ts"]
+        if self._last is None or (ts - self._last).total_seconds() > 1800:
+            if self._cur_n:
+                self._sessions.append(
+                    (self._cur_n, _whole_sec_diff(self._cur_start, self._last))
+                )
+            self._cur_n, self._cur_start = 0, ts
+        self._cur_n += 1
+        self._last = ts
+
+    def terminate(self):
+        if self._cur_n:
+            self._sessions.append(
+                (self._cur_n, _whole_sec_diff(self._cur_start, self._last))
+            )
+        if self._user is not None:
+            yield (
+                self._user,
+                len(self._sessions),
+                max(n for n, _ in self._sessions),
+                max(d for _, d in self._sessions),
+            )
+
+
+@_register("udtf_sessionize_table_arg", _SESSIONIZE_UDTF_ORACLE)
+def udtf_sessionize_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF #11: a TABLE(...) argument WITH ``PARTITION BY user_id
+    ORDER BY ts`` (Spark 4) — the engine co-shuffles and sorts the
+    input so each UDTF instance streams one user's events in time
+    order, the table-function analogue of ``applyInPandas`` for
+    imperative sessionization. The oracle replays the same 30-minute
+    gap rule with window SQL.
+
+    Scale: partitioning/ordering is pushed to the engine (one
+    shuffle + per-partition sort); Python sees each group once,
+    holding only the open session — O(1) state per user.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    t["events"].select("user_id", "ts", "event_id").createOrReplaceTempView(
+        "_events_for_sess_udtf"
+    )
+    schema = (
+        "user_id bigint, n_sessions bigint, max_session_events bigint, "
+        "longest_session_s bigint"
+    )
+    spark.udtf.register("ldw_sessionize", F.udtf(_SessionizeUDTF, returnType=schema))
+    return spark.sql(
+        """
+        SELECT s.* FROM ldw_sessionize(
+            TABLE(SELECT user_id, ts, event_id FROM _events_for_sess_udtf)
+            PARTITION BY user_id ORDER BY (ts, event_id)
+        ) s
+        ORDER BY s.user_id
+        """
+    )
+
+
+def _whole_sec_diff(start, end):
+    """Seconds between two datetimes counted as boundary crossings
+    (floor-to-second subtraction) — DuckDB date_diff semantics."""
+    return int(
+        (end.replace(microsecond=0) - start.replace(microsecond=0)).total_seconds()
+    )

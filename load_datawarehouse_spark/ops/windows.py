@@ -1003,3 +1003,81 @@ def orders_month_pacing_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month", "dom")
     )
+
+
+# ---------------------------------------------------------------------------
+# LOCF gap fill (last observation carried forward over a dense calendar)
+# ---------------------------------------------------------------------------
+
+_LOCF_USERS = 40
+
+_LOCF_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+    FROM events WHERE user_id < {_LOCF_USERS}
+    GROUP BY 1, 2
+), bounds AS (
+    SELECT MIN(day) AS lo, MAX(day) AS hi FROM ev
+), cal AS (
+    SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM bounds
+), grid AS (
+    SELECT u.user_id, c.day
+    FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN cal c
+), joined AS (
+    SELECT g.user_id, g.day, e.cents
+    FROM grid g LEFT JOIN ev e ON e.user_id = g.user_id AND e.day = g.day
+)
+SELECT user_id, CAST(day AS VARCHAR) AS day,
+       CAST(COALESCE(last_value(cents IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS UNBOUNDED PRECEDING), 0) AS BIGINT) AS filled_cents,
+       cents IS NULL AS is_filled
+FROM joined ORDER BY user_id, day
+"""
+
+
+@_register("ts_gap_fill_locf", _LOCF_ORACLE)
+def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill by last-observation-carried-forward: densify each
+    user's daily spend onto the full corpus calendar and forward-fill
+    missing days from the most recent observation (0 before the first)
+    — the step-function imputation for balances/state series, the
+    discrete complement of ``ts_resample_interpolate``'s linear fill.
+
+    The calendar comes from one 2-row bounds aggregate exploded with
+    ``sequence`` (no driver round-trip), the user x day grid is a
+    broadcast cross join, and the fill is ``F.last(ignorenulls=True)``
+    over a per-user ordered frame. Integer cents end to end. Scale:
+    grid size = |users| x |days| by construction; the fill window
+    shuffles the grid once on user_id.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    ev = (
+        t["events"]
+        .filter(F.col("user_id") < _LOCF_USERS)
+        .groupBy(
+            "user_id", F.col("ts").cast("date").alias("day")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    cal = (
+        ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    grid = ev.select("user_id").distinct().crossJoin(F.broadcast(cal))
+    joined = grid.join(ev, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        F.coalesce(F.last("cents", ignorenulls=True).over(w), F.lit(0))
+        .cast("long")
+        .alias("filled_cents"),
+        F.col("cents").isNull().alias("is_filled"),
+    ).orderBy("user_id", "day")

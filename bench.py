@@ -84,6 +84,15 @@ HEADLINE = [
     "pipeline_split_decontam_audit",
     "events_rolling_wau",
     "orders_pareto_skyline",
+    # round-4 session additions
+    "events_funnel_regex",
+    "heavy_hitters_misra_gries",
+    "text_novelty_per_doc",
+    "quality_hashed_classifier",
+    "sample_balanced_classes",
+    "part_bom_rollup",
+    "orders_concurrent_pairs",
+    "corpus_token_budget_allocation",
     # graph_pagerank stays OUT of HEADLINE (build convention: tiny-data
     # iterative ops distort the headline number — ~90% of its wall time
     # is fixed per-iteration stage overhead, not data work). It remains

@@ -973,3 +973,180 @@ def warehouse_quarantine_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Subsample bootstrap CI (deterministic hash replicates)
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 64
+_BOOT_NIB = (
+    "(instr('0123456789abcdef', substr(md5(CAST(b AS VARCHAR) || '|' "
+    "|| CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1)"
+)
+
+_BOOT_CI_ORACLE = f"""
+WITH reps AS (SELECT unnest(range({_BOOT_B})) AS b),
+draws AS (
+    SELECT r.b, CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders o CROSS JOIN reps r
+    WHERE {_BOOT_NIB} % 2 = 0
+), means AS (
+    SELECT b, CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS m FROM draws GROUP BY b
+), ranked AS (
+    SELECT m, row_number() OVER (ORDER BY m, b) AS rk FROM means
+)
+SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_orders,
+       ROUND((SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+              / COUNT(*) FROM orders), 4) AS grand_mean_cents,
+       ROUND((SELECT m FROM ranked WHERE rk = 4), 4) AS ci_lo_cents,
+       ROUND((SELECT m FROM ranked WHERE rk = {_BOOT_B} - 3), 4) AS ci_hi_cents
+"""
+
+
+@_register("stat_subsample_bootstrap_ci", _BOOT_CI_ORACLE)
+def stat_subsample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subsample-bootstrap confidence interval for the mean order
+    value: 64 deterministic half-samples (row o joins replicate b iff
+    an md5 nibble of (b, key) is even), exact-integer means per
+    replicate, and the CI endpoints SELECTED by rank from the 64
+    replicate means (~5%/95% with a (mean, b) total order) — the
+    model-free uncertainty quantification a sampled dashboard needs
+    next to its point estimate.
+
+    Everything before the final ROUND is integer or one IEEE division;
+    the replicate membership is pure hashing, so any engine, any
+    partitioning, any retry produces the same 64 subsamples. Scale:
+    the 64x expansion is a flatmap (no shuffle); per-replicate means
+    are 64-key map-side-combined aggregates.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    reps = spark.range(_BOOT_B).select(F.col("id").alias("b"))
+    nib = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("b").cast("string"),
+                        F.lit("|"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            ),
+        )
+        - 1
+    )
+    draws = (
+        t["orders"]
+        .select("o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+        .crossJoin(F.broadcast(reps))
+        .filter(nib % 2 == 0)
+    )
+    means = draws.groupBy("b").agg(
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    wr = Window.orderBy("m", "b")
+    ranked = means.withColumn("rk", F.row_number().over(wr))
+    lo = ranked.filter(F.col("rk") == 4).select(F.round("m", 4).alias("ci_lo_cents"))
+    hi = ranked.filter(F.col("rk") == _BOOT_B - 3).select(
+        F.round("m", 4).alias("ci_hi_cents")
+    )
+    grand = t["orders"].agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("grand_mean_cents"),
+    )
+    return grand.crossJoin(lo).crossJoin(hi).select(
+        F.col("n_orders").cast("long"),
+        "grand_mean_cents",
+        "ci_lo_cents",
+        "ci_hi_cents",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Apriori frequent triples (level-wise support pruning)
+# ---------------------------------------------------------------------------
+
+_TRIPLES_MIN_SUPPORT_BPS = 20  # support threshold: 0.2% of orders
+
+#: the MATERIALIZED hints matter: inlined, DuckDB re-derives the
+#: multiply-referenced CTEs and falls into a pathological join order
+#: (measured 288 s vs 0.5 s at sf0.01)
+_BASKET_TRIPLES_ORACLE = f"""
+WITH items AS MATERIALIZED (
+    SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS item
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM items),
+freq1 AS (
+    SELECT item FROM items GROUP BY item
+    HAVING COUNT(*) * 10000 >= {_TRIPLES_MIN_SUPPORT_BPS} * (SELECT n_orders FROM n)
+), pruned AS MATERIALIZED (
+    SELECT i.okey, i.item FROM items i JOIN freq1 f ON f.item = i.item
+), counts AS (
+    SELECT a.item AS b1, b.item AS b2, c.item AS b3, COUNT(*) AS support
+    FROM pruned a
+    JOIN pruned b ON b.okey = a.okey AND b.item > a.item
+    JOIN pruned c ON c.okey = a.okey AND c.item > b.item
+    GROUP BY 1, 2, 3
+)
+SELECT b1, b2, b3, CAST(support AS BIGINT) AS support
+FROM counts
+WHERE support * 10000 >= {_TRIPLES_MIN_SUPPORT_BPS} * (SELECT n_orders FROM n)
+ORDER BY b1, b2, b3
+"""
+
+
+@_register("basket_frequent_triples", _BASKET_TRIPLES_ORACLE)
+def basket_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori level-3 frequent itemsets: brand triples co-purchased in
+    >= 0.2% of orders, mined with level-wise pruning — items below the
+    support floor are dropped BEFORE the triple expansion (downward
+    closure: no frequent triple contains an infrequent item), which is
+    what keeps the combinatorial join tractable at scale
+    (the level-2 companion is ``basket_affinity_lift``).
+
+    Scale: the brand dim is broadcast; the triple expansion fans out
+    per order over its PRUNED distinct items (baskets are small, the
+    b1<b2<b3 ordering generates each triple once), and the support
+    threshold is corpus-relative so the plan's selectivity is stable
+    as the corpus grows.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    items = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    n = items.select(F.count_distinct("okey").alias("n_orders"))
+    freq1 = (
+        items.crossJoin(F.broadcast(n))
+        .groupBy("item", "n_orders")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * 10000 >= _TRIPLES_MIN_SUPPORT_BPS * F.col("n_orders"))
+        .select("item")
+    )
+    pruned = items.join(F.broadcast(freq1), "item").select("okey", "item")
+    a = pruned.select("okey", F.col("item").alias("b1"))
+    b = pruned.select("okey", F.col("item").alias("b2"))
+    c = pruned.select("okey", F.col("item").alias("b3"))
+    return (
+        a.join(b, "okey")
+        .filter(F.col("b2") > F.col("b1"))
+        .join(c, "okey")
+        .filter(F.col("b3") > F.col("b2"))
+        .groupBy("b1", "b2", "b3")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("support") * 10000 >= _TRIPLES_MIN_SUPPORT_BPS * F.col("n_orders"))
+        .select("b1", "b2", "b3", F.col("support").cast("long"))
+        .orderBy("b1", "b2", "b3")
+    )

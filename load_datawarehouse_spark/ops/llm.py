@@ -6026,3 +6026,123 @@ def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Power-iteration PCA (dominant principal direction, bit-reproducible)
+# ---------------------------------------------------------------------------
+
+_PCA_ITERS = 3
+_PCA_DIM = 64
+_PCA_DEC = "DECIMAL(28,12)"
+
+
+def _pca_oracle() -> str:
+    prev = "v0"
+    ctes = [
+        f"""elems AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+), v0 AS (SELECT unnest(range({_PCA_DIM})) AS pos, 0.125 AS v)"""
+    ]
+    for i in range(1, _PCA_ITERS + 1):
+        ctes.append(
+            f"""s{i} AS (
+    SELECT e.vec_id,
+           CAST(SUM(CAST(e.x * p.v AS {_PCA_DEC})) AS DOUBLE) AS s
+    FROM elems e JOIN {prev} p USING (pos) GROUP BY e.vec_id
+), w{i} AS (
+    SELECT e.pos,
+           CAST(SUM(CAST(e.x * t.s AS {_PCA_DEC})) AS DOUBLE) AS w
+    FROM elems e JOIN s{i} t USING (vec_id) GROUP BY e.pos
+), n{i} AS (
+    SELECT SQRT(CAST(SUM(CAST(w * w AS {_PCA_DEC})) AS DOUBLE)) AS nrm FROM w{i}
+), v{i} AS (
+    SELECT pos, ROUND(w / nrm, 9) AS v FROM w{i} CROSS JOIN n{i}
+)"""
+        )
+        prev = f"v{i}"
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT CAST(p.pos AS BIGINT) AS pos, p.v AS loading, ROUND(n.nrm, 2) AS lambda_est
+FROM v{_PCA_ITERS} p CROSS JOIN n{_PCA_ITERS} n
+ORDER BY p.pos
+"""
+
+
+@_register("embedding_pca_power_iteration", _pca_oracle())
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus by THREE
+    power iterations v <- X'(Xv) / ||X'(Xv)|| — distributed linear
+    algebra in pure DataFrame ops: the matrix never materializes, each
+    iteration is two exact-decimal aggregations (row dots, then
+    per-dimension weighted sums) plus one 64-row normalization.
+
+    Reproducibility discipline as ``kmeans_lloyd``: decimal
+    accumulators make each sum partitioning-invariant, the component
+    is quantized to 9 dp after every normalization (sqrt and division
+    are single IEEE ops), and the deterministic start vector fixes the
+    sign — the oracle unrolls the identical 3 iterations in SQL and
+    matches bitwise. The 64-row vector round-trips through the driver
+    and re-broadcasts per iteration (plan shape constant, codegen
+    cached). Scale: per iteration one shuffle keyed by vec_id and one
+    by pos (64 keys, map-side partials carry almost all of it);
+    lambda_est is the Rayleigh-quotient estimate from the final norm.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    elems = (
+        t["embeddings"]
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+        )
+        .persist()
+    )
+    dec = _PCA_DEC.lower()
+    v = [(p, 0.125) for p in range(_PCA_DIM)]
+    nrm_last = None
+    for _ in range(_PCA_ITERS):
+        vdf = F.broadcast(
+            spark.createDataFrame(v, "pos int, v double")
+        )
+        s = (
+            elems.join(vdf, "pos")
+            .groupBy("vec_id")
+            .agg(F.sum((F.col("x") * F.col("v")).cast(dec)).cast("double").alias("s"))
+        )
+        w = (
+            elems.join(s, "vec_id")
+            .groupBy("pos")
+            .agg(F.sum((F.col("x") * F.col("s")).cast(dec)).cast("double").alias("w"))
+        )
+        rows = w.collect()
+        import decimal as _d
+        import math
+
+        # HALF_UP quantization mirrors CAST(x AS DECIMAL(28,12)) in
+        # both engines; the decimal sum is the same exact accumulator
+        nrm_last = math.sqrt(
+            float(
+                sum(
+                    _d.Decimal(repr(r["w"] * r["w"])).quantize(
+                        _d.Decimal("1e-12"), rounding=_d.ROUND_HALF_UP
+                    )
+                    for r in rows
+                )
+            )
+        )
+        def _r(x: float, dp: str) -> float:  # SQL ROUND (half-up on decimal repr)
+            return float(
+                _d.Decimal(repr(x)).quantize(_d.Decimal(dp), rounding=_d.ROUND_HALF_UP)
+            )
+
+        v = [(int(r["pos"]), _r(r["w"] / nrm_last, "1e-9")) for r in rows]
+        lam = _r(nrm_last, "1e-2")
+    out = spark.createDataFrame(
+        [(p, val, lam) for p, val in sorted(v)],
+        "pos long, loading double, lambda_est double",
+    )
+    return out.orderBy("pos")

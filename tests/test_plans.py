@@ -534,3 +534,70 @@ def test_spearman_rank_lookup_broadcasts_levels(spark):
     plan = _plan(relational.stat_spearman_qty_price(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_radius_pairs_bucketed_is_equi_join(spark):
+    # the 3x3 neighbor-cell expansion must plan as a hash equi join on
+    # the cell key — never the quadratic cross/BNL join the oracle
+    # deliberately runs to prove candidate completeness
+    from load_datawarehouse_spark.ops import analytics
+
+    plan = _plan(analytics.geo_radius_pairs_bucketed(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the candidate join itself must be a hash join keyed on the cell
+    # (the only BNL joins are the 9-row neighbor-offset broadcasts)
+    assert "BroadcastHashJoin [cla" in plan
+
+
+def test_embedding_decontam_eval_broadcast_corpus_narrow(spark):
+    # the eval set is broadcast; the corpus side computes |eval| dots +
+    # max with NO shuffle of corpus rows before the per-vec aggregate
+    from load_datawarehouse_spark.ops import llm as _llm
+
+    plan = _plan(_llm.contamination_embedding_check(spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_heavy_hitters_candidates_broadcast_semi_join(spark):
+    # MG candidates are tiny: the exact recount must semi-join them
+    # broadcast, never shuffle the word stream against them
+    from load_datawarehouse_spark.ops import llm as _llm
+
+    plan = _plan(_llm.heavy_hitters_misra_gries(spark, SF_DIR))
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_funnel_regex_single_data_shuffle(spark):
+    # encode -> one groupBy(user) shuffle -> regex projection; the
+    # only other exchange is the final presentation sort
+    from load_datawarehouse_spark.ops import analytics
+
+    plan = _plan(analytics.events_funnel_regex(spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 3  # partial/final agg + output sort
+
+
+def test_balanced_sample_windows_only_boundary_bucket(spark):
+    # the full-table path must carry no Window at all — ranking is
+    # confined to the single boundary bucket's slice
+    from load_datawarehouse_spark.ops import analytics
+
+    plan = _plan(analytics.sample_balanced_classes(spark, SF_DIR))
+    # every window in the plan must partition by (event_type, bkt) —
+    # a window over event_type alone would funnel whole classes
+    # through single tasks (the scale-killer this op avoids)
+    for line in plan.splitlines():
+        if "windowspecdefinition(event_type" in line:
+            assert "bkt" in line, line
+    assert "CartesianProduct" not in plan
+
+
+def test_bom_rollup_joins_stay_hash_equi(spark):
+    from load_datawarehouse_spark.ops import analytics
+
+    plan = _plan(analytics.part_bom_rollup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1150,3 +1150,86 @@ def basket_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("b1", "b2", "b3", F.col("support").cast("long"))
         .orderBy("b1", "b2", "b3")
     )
+
+
+# ---------------------------------------------------------------------------
+# IP / CIDR scalar family (integer-exact network analytics)
+# ---------------------------------------------------------------------------
+
+_IP_CIDR_ORACLE = """
+WITH ips AS (
+    SELECT event_id,
+           (event_id * 2654435761) % 4294967296 AS ip
+    FROM events
+), octs AS (
+    SELECT event_id, ip,
+           ip // 16777216 AS o1,
+           (ip // 65536) % 256 AS o2,
+           (ip // 256) % 256 AS o3,
+           ip % 256 AS o4
+    FROM ips
+), feat AS (
+    SELECT o1,
+           CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.' ||
+           CAST(o3 AS VARCHAR) || '.' || CAST(o4 AS VARCHAR) AS ip_str,
+           CASE WHEN o1 = 10 THEN 1
+                WHEN o1 = 172 AND o2 BETWEEN 16 AND 31 THEN 1
+                WHEN o1 = 192 AND o2 = 168 THEN 1
+                ELSE 0 END AS is_private
+    FROM octs
+)
+SELECT CAST(o1 AS BIGINT) AS octet1,
+       CAST(COUNT(*) AS BIGINT) AS n_ips,
+       CAST(SUM(is_private) AS BIGINT) AS n_private,
+       MIN(ip_str) AS min_ip
+FROM feat GROUP BY o1 ORDER BY octet1
+"""
+
+
+@_register("scalar_ip_cidr_family", _IP_CIDR_ORACLE)
+def scalar_ip_cidr_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 / CIDR toolkit on pure integer arithmetic: synthesize an
+    address per event (Knuth-multiplicative hash mod 2^32), split
+    octets by integer div/mod, render dotted-quad strings, and flag
+    RFC-1918 private ranges (10/8, 172.16/12, 192.168/16 — CIDR
+    containment as octet-prefix predicates) — the network-log
+    enrichment family (geo/abuse joins key on exactly these prefixes),
+    with a per-/8 rollup as the driver-checkable face.
+
+    No inet type needed on either engine: prefix containment on an
+    integer-encoded address is div/mod arithmetic, exact and
+    codegen'd. Scale: narrow projection + one bounded (<=256-key)
+    aggregation with map-side partials.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    ip = (F.col("event_id") * 2654435761) % F.lit(4294967296)
+    octs = t["events"].select(
+        (ip / 16777216).cast("long").alias("o1"),
+        ((ip / 65536).cast("long") % 256).alias("o2"),
+        ((ip / 256).cast("long") % 256).alias("o3"),
+        (ip % 256).alias("o4"),
+    )
+    feat = octs.select(
+        "o1",
+        F.concat_ws(
+            ".",
+            F.col("o1").cast("string"),
+            F.col("o2").cast("string"),
+            F.col("o3").cast("string"),
+            F.col("o4").cast("string"),
+        ).alias("ip_str"),
+        F.when(F.col("o1") == 10, 1)
+        .when((F.col("o1") == 172) & F.col("o2").between(16, 31), 1)
+        .when((F.col("o1") == 192) & (F.col("o2") == 168), 1)
+        .otherwise(0)
+        .alias("is_private"),
+    )
+    return (
+        feat.groupBy(F.col("o1").cast("long").alias("octet1"))
+        .agg(
+            F.count(F.lit(1)).alias("n_ips"),
+            F.sum("is_private").cast("long").alias("n_private"),
+            F.min("ip_str").alias("min_ip"),
+        )
+        .orderBy("octet1")
+    )

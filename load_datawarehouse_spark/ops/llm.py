@@ -5640,6 +5640,25 @@ FROM scored ORDER BY doc_id
 """
 
 
+def _hashed_classifier_raw(docs) -> DataFrame:
+    """(doc_id, n_bigrams, raw) — THE hashed-bigram classifier body,
+    shared by the standalone op and the source quality card so the
+    model definition cannot drift."""
+    base = docs.select("doc_id", F.split("text", " ", -1).alias("w"))
+    bg = base.select(
+        "doc_id", F.explode(_word_ngrams(F.col("w"), 2)).alias("bigram")
+    )
+    nib = lambda pos: F.instr(
+        F.lit("0123456789abcdef"), F.substring(F.md5("bigram"), pos, 1)
+    ) - 1
+    bucket = (nib(1) * 256 + nib(2) * 16 + nib(3)) % _HC_BUCKETS
+    weight = (bucket.cast("long") * 2654435761) % 2001 - 1000
+    return bg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(weight).alias("raw"),
+    )
+
+
 @_register("quality_hashed_classifier", _HASHED_CLASSIFIER_ORACLE)
 def quality_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed-bigram linear classifier: every word
@@ -5657,19 +5676,7 @@ def quality_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast at all.
     """
     t = load_tables(spark, sf_dir, register_views=False)
-    base = t["documents"].select("doc_id", F.split("text", " ", -1).alias("w"))
-    bg = base.select(
-        "doc_id", F.explode(_word_ngrams(F.col("w"), 2)).alias("bigram")
-    )
-    nib = lambda pos: F.instr(
-        F.lit("0123456789abcdef"), F.substring(F.md5("bigram"), pos, 1)
-    ) - 1
-    bucket = (nib(1) * 256 + nib(2) * 16 + nib(3)) % _HC_BUCKETS
-    weight = (bucket.cast("long") * 2654435761) % 2001 - 1000
-    scored = bg.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.sum(weight).alias("raw"),
-    )
+    scored = _hashed_classifier_raw(t["documents"])
     return scored.select(
         "doc_id",
         F.col("n_bigrams").cast("long"),
@@ -6146,3 +6153,142 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         "pos long, loading double, lambda_est double",
     )
     return out.orderBy("pos")
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality data card (round-4 capstone over this round's ops)
+# ---------------------------------------------------------------------------
+
+_SRC_CARD_ORACLE = f"""
+WITH preds AS MATERIALIZED ({{lang_sql}}),
+clf AS MATERIALIZED (
+    SELECT doc_id, SUM(({_HC_BUCKET_SQL} * 2654435761) % 2001 - 1000) AS raw
+    FROM (
+        SELECT doc_id, word || ' ' || LEAD(word, 1) OVER w AS bigram
+        FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ) WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY LEAD(word, 1) OVER w IS NOT NULL
+    ) GROUP BY doc_id
+),
+g AS MATERIALIZED (
+    SELECT DISTINCT doc_id,
+           word || ' ' || LEAD(word, 1) OVER w || ' ' || LEAD(word, 2) OVER w AS gram
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ) WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    QUALIFY LEAD(word, 2) OVER w IS NOT NULL
+),
+firsts AS MATERIALIZED (
+    SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram
+),
+src AS (SELECT doc_id, source, text FROM documents),
+novelty AS (
+    SELECT s.source,
+           CAST(ROUND(10000.0 * SUM(CASE WHEN fs.source = s.source THEN 1 ELSE 0 END)
+                      / COUNT(*)) AS BIGINT) AS novelty_bps
+    FROM (SELECT DISTINCT s2.source, g2.gram
+          FROM g g2 JOIN src s2 ON s2.doc_id = g2.doc_id) s
+    JOIN firsts f ON f.gram = s.gram
+    JOIN src fs ON fs.doc_id = f.first_doc
+    GROUP BY s.source
+)
+SELECT s.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(ROUND(10000.0 * (COUNT(*) - COUNT(DISTINCT md5(s.text)))
+                  / COUNT(*)) AS BIGINT) AS dup_rate_bps,
+       CAST(ROUND(10000.0 * SUM(CASE WHEN p.lang_guess = p.lang THEN 1 ELSE 0 END)
+                  / COUNT(*)) AS BIGINT) AS lang_acc_bps,
+       CAST(ROUND(10000.0 * SUM(CASE WHEN c.raw > 0 THEN 1 ELSE 0 END)
+                  / COUNT(*)) AS BIGINT) AS clf_pos_bps,
+       MAX(n.novelty_bps) AS novelty_bps
+FROM src s
+JOIN preds p ON p.doc_id = s.doc_id
+JOIN clf c ON c.doc_id = s.doc_id
+JOIN novelty n ON n.source = s.source
+GROUP BY s.source ORDER BY s.source
+"""
+
+
+@_register(
+    "pipeline_source_quality_card",
+    _SRC_CARD_ORACLE.format(lang_sql=_lang_id_oracle()),
+)
+def pipeline_source_quality_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 capstone: the per-source data card a curation run
+    publishes before mixture weights are chosen — exact-duplicate
+    rate, language-ID accuracy against labels, hashed-classifier
+    positive share, and n-gram novelty share, one row per source, ONE
+    composed lazy plan.
+
+    Every signal reuses THE shared definition of its primitive
+    (``lang_id_markers``, ``_hashed_classifier_raw``, ``_shingles``)
+    rather than re-specifying it, so the card cannot drift from the
+    standalone ops it summarizes. Scale: four doc-grain aggregates
+    joined on doc_id/source — each is map-side-combinable; the
+    novelty leg reuses the gram->first-doc decomposition (no corpus
+    window). All ratios are integer bps.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    docs = t["documents"]
+    src = docs.select("doc_id", "source", "text")
+    preds = lang_id_markers(spark, sf_dir).select("doc_id", "lang", "lang_guess")
+    clf = _hashed_classifier_raw(docs).select("doc_id", "raw")
+    g = _shingles(t)
+    firsts = g.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    src_grams = (
+        g.join(src.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    first_src = firsts.join(
+        src.select(F.col("doc_id").alias("first_doc"), F.col("source").alias("fsrc")),
+        "first_doc",
+    )
+    novelty = (
+        src_grams.join(first_src, "shingle")
+        .groupBy("source")
+        .agg(
+            F.round(
+                10000.0
+                * F.sum(F.when(F.col("fsrc") == F.col("source"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("novelty_bps")
+        )
+    )
+    return (
+        src.join(preds, "doc_id")
+        .join(clf, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                10000.0
+                * (F.count(F.lit(1)) - F.count_distinct(F.md5("text")))
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("dup_rate_bps"),
+            F.round(
+                10000.0
+                * F.sum(F.when(F.col("lang_guess") == F.col("lang"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("lang_acc_bps"),
+            F.round(
+                10000.0 * F.sum(F.when(F.col("raw") > 0, 1).otherwise(0))
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("clf_pos_bps"),
+        )
+        .join(novelty, "source")
+        .orderBy("source")
+    )

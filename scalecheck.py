@@ -68,6 +68,20 @@ SCALE_QUERIES = [
     "orders_open_backlog_daily",
     "bpe_first_merges",
     "orders_pareto_skyline",
+    # round-4 session additions
+    "events_funnel_regex",
+    "heavy_hitters_misra_gries",
+    "text_novelty_per_doc",
+    "quality_hashed_classifier",
+    "sample_balanced_classes",
+    "part_bom_rollup",
+    "orders_concurrent_pairs",
+    "embedding_pca_power_iteration",
+    "sample_priority_weighted",
+    "stat_subsample_bootstrap_ci",
+    "basket_frequent_triples",
+    "ts_gap_fill_locf",
+    "geo_radius_pairs_bucketed",
 ]
 
 

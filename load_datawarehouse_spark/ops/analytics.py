@@ -1233,3 +1233,95 @@ def scalar_ip_cidr_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("octet1")
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON payload schema-drift monitor (batch-over-batch key census)
+# ---------------------------------------------------------------------------
+
+_DRIFT_ORACLE = """
+WITH aug AS (
+    -- two writer generations, synthesized deterministically: the odd
+    -- batch gains 'v2' on ids % 5, the even batch still emits the
+    -- 'legacy' field on ids % 7
+    SELECT event_id % 2 AS batch,
+           CASE
+             WHEN event_id % 2 = 1 AND event_id % 5 = 0 THEN
+               '{"k": ' || json_extract(props, '$.k') || ', "v2": 1}'
+             WHEN event_id % 2 = 0 AND event_id % 7 = 0 THEN
+               '{"k": ' || json_extract(props, '$.k') || ', "legacy": 1}'
+             ELSE props
+           END AS props
+    FROM events
+), keys_ AS (
+    SELECT batch, unnest(json_keys(props)) AS key_name FROM aug
+), census AS (
+    SELECT key_name,
+           SUM(CASE WHEN batch = 0 THEN 1 ELSE 0 END) AS n_old,
+           SUM(CASE WHEN batch = 1 THEN 1 ELSE 0 END) AS n_new
+    FROM keys_ GROUP BY key_name
+)
+SELECT key_name,
+       CAST(n_old AS BIGINT) AS n_old,
+       CAST(n_new AS BIGINT) AS n_new,
+       CASE WHEN n_old = 0 THEN 'added'
+            WHEN n_new = 0 THEN 'dropped'
+            ELSE 'stable' END AS status
+FROM census ORDER BY key_name
+"""
+
+
+@_register("dq_json_schema_drift", _DRIFT_ORACLE)
+def dq_json_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift monitor for semi-structured payloads: census the
+    JSON keys of two writer generations (batches) and classify each
+    field added / dropped / stable — the operational alarm in front of
+    the C-surface schema inference (``schema_infer_documents``): drift
+    is DETECTED here, then the inference lattice decides promotion.
+
+    The generations are synthesized deterministically (the corpus
+    props are uniform by construction, cf. the pii_scrub injection
+    convention). Scale: ``json_object_keys`` is a codegen'd projection,
+    the census is one bounded (|distinct keys|) aggregation with
+    map-side partials — no schema inference pass over values, which is
+    exactly why this cheap probe can run on every micro-batch.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    k = F.get_json_object("props", "$.k")
+    aug = t["events"].select(
+        (F.col("event_id") % 2).alias("batch"),
+        F.when(
+            (F.col("event_id") % 2 == 1) & (F.col("event_id") % 5 == 0),
+            F.concat(F.lit('{"k": '), k, F.lit(', "v2": 1}')),
+        )
+        .when(
+            (F.col("event_id") % 2 == 0) & (F.col("event_id") % 7 == 0),
+            F.concat(F.lit('{"k": '), k, F.lit(', "legacy": 1}')),
+        )
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    keys = aug.select(
+        "batch", F.explode(F.json_object_keys("props")).alias("key_name")
+    )
+    return (
+        keys.groupBy("key_name")
+        .agg(
+            F.sum(F.when(F.col("batch") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_old"),
+            F.sum(F.when(F.col("batch") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+        )
+        .select(
+            "key_name",
+            "n_old",
+            "n_new",
+            F.when(F.col("n_old") == 0, "added")
+            .when(F.col("n_new") == 0, "dropped")
+            .otherwise("stable")
+            .alias("status"),
+        )
+        .orderBy("key_name")
+    )

@@ -1081,3 +1081,107 @@ def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("filled_cents"),
         F.col("cents").isNull().alias("is_filled"),
     ).orderBy("user_id", "day")
+
+
+# ---------------------------------------------------------------------------
+# Holt's linear (level + trend) smoothing via ordered two-state fold
+# ---------------------------------------------------------------------------
+
+_HOLT_A = 0.25  # level alpha: exactly representable
+_HOLT_B = 0.5   # trend beta: exactly representable
+
+_HOLT_ORACLE = f"""
+WITH RECURSIVE series AS (
+    SELECT user_id,
+           list_transform(
+               list_sort(list({{'ts': ts, 'event_id': event_id,
+                                'v': CAST(value AS DOUBLE)}})),
+               s -> s.v) AS vals
+    FROM events GROUP BY user_id
+), base AS (
+    SELECT user_id, vals, len(vals) AS n FROM series WHERE len(vals) >= 2
+), fold AS (
+    SELECT user_id, vals, n, 2 AS t,
+           vals[2] AS l, vals[2] - vals[1] AS b
+    FROM base
+    UNION ALL
+    SELECT user_id, vals, n, t + 1,
+           {_HOLT_A} * vals[t + 1] + {1 - _HOLT_A} * (l + b),
+           {_HOLT_A * _HOLT_B} * vals[t + 1] - {_HOLT_A * _HOLT_B} * l
+               + {1 - _HOLT_A * _HOLT_B} * b
+    FROM fold WHERE t < n
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       l AS level, b AS trend, l + b AS forecast_next
+FROM fold WHERE t = n ORDER BY user_id
+"""
+
+
+@_register("ts_holt_linear", _HOLT_ORACLE)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear exponential smoothing (level + trend) per user,
+    with a one-step-ahead forecast — the 2-state RECURSIVE time-series
+    model no SQL window frame expresses; like ``window_ema_fold`` both
+    engines materialize the ordered series and run the IDENTICAL left
+    fold, here with a struct accumulator carrying (level, trend).
+
+    Seeding uses the standard l1=y1, b1=y2-y1 (under which l2=y2
+    exactly, so the fold starts at t=3 from the seed (y2, y2-y1));
+    alpha=1/4 and beta=1/2 are exactly representable, the recursion is
+    flattened so each state field depends only on PRIOR state
+    (b' = aB*x - aB*l + (1-aB)*b), and every multiply-add is written
+    in the same association on both engines — trajectories are bitwise
+    identical with NO rounding at all. The oracle folds via a
+    recursive CTE rather than ``list_reduce``: DuckDB 1.0's
+    struct-accumulator lambda updates fields SEQUENTIALLY (the 'b'
+    expression already sees the new 'l'), which silently changes the
+    recursion — the CTE has proper snapshot semantics.
+    Scale: one shuffle groups each user's bounded series; unbounded
+    histories belong to the stateful streaming surface instead.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    grouped = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts"),
+                        F.col("event_id"),
+                        F.col("value").cast("double").alias("v"),
+                    )
+                )
+            ).alias("series")
+        )
+    )
+    vals = F.transform("series", lambda s: s["v"])
+    base = grouped.select(
+        "user_id", vals.alias("vals")
+    ).filter(F.size("vals") >= 2)
+    seed = F.struct(
+        (F.element_at("vals", 2)).alias("l"),
+        (F.element_at("vals", 2) - F.element_at("vals", 1)).alias("b"),
+    )
+    rest = F.slice("vals", 3, F.greatest(F.size("vals") - 2, F.lit(0)))
+    a, ca = F.lit(_HOLT_A), F.lit(1 - _HOLT_A)
+    ab, cab = F.lit(_HOLT_A * _HOLT_B), F.lit(1 - _HOLT_A * _HOLT_B)
+
+    def step(acc, x):
+        return F.struct(
+            (a * x + ca * (acc["l"] + acc["b"])).alias("l"),
+            (ab * x - ab * acc["l"] + cab * acc["b"]).alias("b"),
+        )
+
+    folded = base.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_events"),
+        F.aggregate(rest, seed, step).alias("st"),
+    )
+    return folded.select(
+        "user_id",
+        "n_events",
+        F.col("st.l").alias("level"),
+        F.col("st.b").alias("trend"),
+        (F.col("st.l") + F.col("st.b")).alias("forecast_next"),
+    ).orderBy("user_id")

@@ -1325,3 +1325,142 @@ def dq_json_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-interval velocity flags (RANGE frame over event time)
+# ---------------------------------------------------------------------------
+
+_VELOCITY_WINDOW_S = 60
+_VELOCITY_K = 3
+
+_VELOCITY_ORACLE = f"""
+WITH e AS (
+    SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events
+), v AS (
+    SELECT user_id, event_id,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+                          RANGE BETWEEN {_VELOCITY_WINDOW_S} PRECEDING
+                                    AND CURRENT ROW) AS n_burst
+    FROM e
+)
+SELECT user_id, event_id, CAST(n_burst AS BIGINT) AS n_burst
+FROM v WHERE n_burst >= {_VELOCITY_K}
+ORDER BY user_id, event_id
+"""
+
+
+@_register("events_velocity_flags", _VELOCITY_ORACLE)
+def events_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity screening: events where the same user fired >= 3 events
+    within a trailing 60-second wall-clock window — the rate-limit /
+    fraud-velocity primitive, expressed as a RANGE frame over epoch
+    seconds (time-valued RANGE frames are the window-surface member
+    the ROWS-frame ops can't substitute: the frame width is in TIME,
+    not row count).
+
+    Epoch seconds are integers, the count is exact; ties inside the
+    frame are irrelevant to COUNT. Scale: one shuffle partitioning by
+    user; per-user ordering cost is bounded by per-user activity.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    e = t["events"].select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").cast("long").alias("sec")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-_VELOCITY_WINDOW_S, 0)
+    )
+    return (
+        e.withColumn("n_burst", F.count(F.lit(1)).over(w).cast("long"))
+        .filter(F.col("n_burst") >= _VELOCITY_K)
+        .select("user_id", "event_id", "n_burst")
+        .orderBy("user_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bot-likeness composite screen (rate x diversity x cadence rules)
+# ---------------------------------------------------------------------------
+
+_BOT_ORACLE = """
+WITH per_user AS (
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+    FROM events GROUP BY user_id
+), gaps AS (
+    SELECT user_id,
+           CAST(FLOOR(epoch(ts)) AS BIGINT)
+           - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS gap
+    FROM events
+), cadence AS (
+    SELECT user_id, gap, COUNT(*) AS cnt
+    FROM gaps WHERE gap IS NOT NULL GROUP BY user_id, gap
+), modal AS (
+    SELECT user_id, MAX(cnt) AS modal_cnt, SUM(cnt) AS n_gaps
+    FROM cadence GROUP BY user_id
+)
+SELECT p.user_id,
+       CAST(p.n_events AS BIGINT) AS n_events,
+       CAST(p.n_types AS BIGINT) AS n_types,
+       CAST(ROUND(10000.0 * m.modal_cnt / m.n_gaps) AS BIGINT) AS modal_gap_bps,
+       (CAST(p.n_events >= 2 * p.n_days AS INT)
+        + CAST(p.n_types <= 3 AS INT)
+        + CAST(m.modal_cnt * 5 >= m.n_gaps AS INT) >= 2) AS bot_suspect
+FROM per_user p JOIN modal m ON m.user_id = p.user_id
+ORDER BY p.user_id
+"""
+
+
+@_register("events_bot_detection", _BOT_ORACLE)
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-likeness screen: three integer rules — sustained rate
+    (events >= 2x active days), low behavioral diversity (<= 3 event
+    types), and mechanical cadence (modal inter-arrival gap covering
+    >= 20% of gaps) — voted 2-of-3 into a suspect flag, the
+    rule-composite shape of production abuse screens (each signal is
+    weak; the conjunction is the detector).
+
+    All three signals are exact integer aggregates off ONE user-keyed
+    shuffle (the lag pass reuses the same partitioning); the only
+    rounding is the reported modal share in bps. Scale: per-user
+    cardinalities bound every intermediate; no corpus-wide window.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    ev = t["events"]
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("event_type").alias("n_types"),
+        F.count_distinct(F.col("ts").cast("date")).alias("n_days"),
+    )
+    wlag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    gaps = ev.select(
+        "user_id", (sec - F.lag(sec).over(wlag)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    cadence = gaps.groupBy("user_id", "gap").agg(F.count(F.lit(1)).alias("cnt"))
+    modal = cadence.groupBy("user_id").agg(
+        F.max("cnt").alias("modal_cnt"), F.sum("cnt").alias("n_gaps")
+    )
+    votes = (
+        (F.col("n_events") >= 2 * F.col("n_days")).cast("int")
+        + (F.col("n_types") <= 3).cast("int")
+        + (F.col("modal_cnt") * 5 >= F.col("n_gaps")).cast("int")
+    )
+    return (
+        per_user.join(modal, "user_id")
+        .select(
+            "user_id",
+            F.col("n_events").cast("long"),
+            F.col("n_types").cast("long"),
+            F.round(10000.0 * F.col("modal_cnt") / F.col("n_gaps"))
+            .cast("long")
+            .alias("modal_gap_bps"),
+            (votes >= 2).alias("bot_suspect"),
+        )
+        .orderBy("user_id")
+    )

@@ -1464,3 +1464,110 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion A/B test (hash-assigned arms, pooled z)
+# ---------------------------------------------------------------------------
+
+_AB_ORACLE = """
+WITH assign AS (
+    SELECT user_id,
+           CASE WHEN (instr('0123456789abcdef',
+                      substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+                THEN 'A' ELSE 'B' END AS arm,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                AS INT) AS converted
+    FROM events GROUP BY user_id
+), arms AS (
+    SELECT arm, COUNT(*) AS n, SUM(converted) AS conv FROM assign GROUP BY arm
+), wide AS (
+    SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS n_a,
+           MAX(CASE WHEN arm = 'A' THEN conv END) AS conv_a,
+           MAX(CASE WHEN arm = 'B' THEN n END) AS n_b,
+           MAX(CASE WHEN arm = 'B' THEN conv END) AS conv_b
+    FROM arms
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+       CAST(ROUND(10000.0 * conv_a / n_a) AS BIGINT) AS rate_a_bps,
+       CAST(ROUND(10000.0 * conv_b / n_b) AS BIGINT) AS rate_b_bps,
+       CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN NULL
+            ELSE ROUND((1.0 * conv_a / n_a - 1.0 * conv_b / n_b)
+             / SQRT((1.0 * (conv_a + conv_b) / (n_a + n_b))
+                    * (1 - 1.0 * (conv_a + conv_b) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 6) END AS z_score
+FROM wide
+"""
+
+
+@_register("stats_ab_test_proportions", _AB_ORACLE)
+def stats_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B test: users hash deterministically into arms
+    (the md5 assignment every experimentation platform uses — stable
+    under re-runs, no assignment table), per-user conversion is a
+    >=14-purchases gate (degenerate all/none conversion yields a NULL
+    z, guarded identically on both engines), and the pooled z statistic compares arm conversion
+    rates — the experiment-readout primitive.
+
+    Counts are exact integers off one user-keyed aggregation; the z
+    normalization is the only float section, written in the identical
+    association on both engines and rounded at emission. Scale:
+    per-user collapse is map-side-combinable; arms are a 2-row
+    summary.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    nib = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.concat(F.lit("ab|"), F.col("user_id").cast("string"))), 1, 1),
+        )
+        - 1
+    )
+    assign = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 14
+            )
+            .cast("int")
+            .alias("converted")
+        )
+        .select(
+            F.when(nib % 2 == 0, "A").otherwise("B").alias("arm"), "converted"
+        )
+    )
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "A", F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "B", F.col("conv"))).alias("conv_b"),
+    )
+    p_a = 1.0 * F.col("conv_a") / F.col("n_a")
+    p_b = 1.0 * F.col("conv_b") / F.col("n_b")
+    p = 1.0 * (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    return wide.select(
+        F.col("n_a").cast("long"),
+        F.col("conv_a").cast("long"),
+        F.col("n_b").cast("long"),
+        F.col("conv_b").cast("long"),
+        F.round(10000.0 * F.col("conv_a") / F.col("n_a")).cast("long").alias("rate_a_bps"),
+        F.round(10000.0 * F.col("conv_b") / F.col("n_b")).cast("long").alias("rate_b_bps"),
+        F.when(
+            (F.col("conv_a") + F.col("conv_b") == 0)
+            | (F.col("conv_a") + F.col("conv_b") == F.col("n_a") + F.col("n_b")),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                (p_a - p_b)
+                / F.sqrt(p * (1 - p) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))),
+                6,
+            )
+        )
+        .alias("z_score"),
+    )

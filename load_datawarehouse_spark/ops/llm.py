@@ -6292,3 +6292,116 @@ def pipeline_source_quality_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(novelty, "source")
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction (stopword-delimited phrases, degree/freq)
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPS = ("the", "of", "and", "a", "to", "in")
+_RAKE_TOPK = 20
+
+_RAKE_ORACLE = f"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+), nonstop AS (
+    SELECT doc_id, word, pos,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM words WHERE word NOT IN {_RAKE_STOPS}
+), phrases AS (
+    SELECT doc_id, grp,
+           string_agg(word, ' ' ORDER BY pos) AS phrase,
+           COUNT(*) AS plen
+    FROM nonstop GROUP BY doc_id, grp
+), wstats AS (
+    SELECT word, COUNT(*) AS freq,
+           SUM(plen) AS degree
+    FROM nonstop n JOIN phrases p ON p.doc_id = n.doc_id AND p.grp = n.grp
+    GROUP BY word
+), scored AS (
+    SELECT p.phrase,
+           COUNT(*) AS n_occurrences,
+           MAX(p.score100) AS score100
+    FROM (
+        SELECT ph.doc_id, ph.grp, ph.phrase,
+               SUM(CAST(ROUND(100.0 * w.degree / w.freq) AS BIGINT)) AS score100
+        FROM phrases ph
+        JOIN nonstop n ON n.doc_id = ph.doc_id AND n.grp = ph.grp
+        JOIN wstats w ON w.word = n.word
+        GROUP BY ph.doc_id, ph.grp, ph.phrase
+    ) p
+    GROUP BY p.phrase
+)
+SELECT phrase, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       CAST(score100 AS BIGINT) AS score100
+FROM scored
+ORDER BY score100 DESC, n_occurrences DESC, phrase
+LIMIT {_RAKE_TOPK}
+"""
+
+
+@_register("text_rake_keyphrases", _RAKE_ORACLE)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al.): candidate phrases are
+    maximal stopword-free word runs (a pure gaps-and-islands grouping,
+    pos − row_number — no regex), each word scores degree/frequency
+    over the phrase graph, and a phrase scores the sum of its word
+    scores — the classic unsupervised keyword extractor, Spark-native.
+
+    Exactness: degree and frequency are integers; the per-word
+    degree/freq ratio is quantized to an integer centi-score BEFORE
+    summation so phrase scores are exact integers with deterministic
+    ties (score, occurrences, phrase). Scale: two bounded shuffles
+    (per-doc phrase grouping rides the words shuffle; word stats are
+    vocabulary-sized) and a TakeOrderedAndProject top-k.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    words = t["documents"].select(
+        "doc_id",
+        F.posexplode(F.split("text", " ", -1)).alias("pos", "word"),
+    )
+    nonstop = (
+        words.filter(~F.col("word").isin(*_RAKE_STOPS))
+        .withColumn(
+            "grp",
+            F.col("pos")
+            - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+        )
+    )
+    phrases = nonstop.groupBy("doc_id", "grp").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    wstats = (
+        nonstop.join(phrases, ["doc_id", "grp"])
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("degree"))
+    )
+    per_phrase = (
+        phrases.join(nonstop, ["doc_id", "grp"])
+        .join(wstats, "word")
+        .groupBy("doc_id", "grp", "phrase")
+        .agg(
+            F.sum(
+                F.round(100.0 * F.col("degree") / F.col("freq")).cast("long")
+            ).alias("score100")
+        )
+    )
+    return (
+        per_phrase.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("score100").alias("score100"),
+        )
+        .select("phrase", F.col("n_occurrences").cast("long"), F.col("score100").cast("long"))
+        .orderBy(F.desc("score100"), F.desc("n_occurrences"), F.asc("phrase"))
+        .limit(_RAKE_TOPK)
+    )

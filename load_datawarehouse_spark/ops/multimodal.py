@@ -1225,3 +1225,134 @@ def multimodal_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_cdc_chunk_dedup — content-defined chunking storage dedup
+# ---------------------------------------------------------------------------
+
+_CDC_GRAM = 8   #: trailing window the boundary test hashes
+_CDC_MASK = 16  #: boundary probability 1/16 -> ~16-char expected chunks
+
+_CDC_ORACLE = f"""
+WITH ch AS (
+    SELECT doc_id, media_type, c, i
+    FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 1 THEN 'audio'
+                    WHEN doc_id % 3 = 2 THEN 'video'
+                    ELSE 'image' END AS media_type,
+               unnest(string_split_regex(text, '')) AS c,
+               generate_subscripts(string_split_regex(text, ''), 1) AS i
+        FROM documents
+    )
+), marks AS (
+    SELECT doc_id, media_type, c, i,
+           CASE WHEN i >= {_CDC_GRAM} AND
+                (instr('0123456789abcdef',
+                       substr(md5(string_agg_gram), 1, 1)) - 1) % {_CDC_MASK} = 0
+                THEN 1 ELSE 0 END AS boundary
+    FROM (
+        SELECT *,
+               string_agg(c, '') OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN {_CDC_GRAM - 1} PRECEDING AND CURRENT ROW)
+                   AS string_agg_gram
+        FROM ch
+    )
+), chunks AS (
+    SELECT doc_id, media_type,
+           SUM(boundary) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS chunk_no,
+           c, i
+    FROM marks
+), hashed AS (
+    SELECT media_type, md5(string_agg(c, '' ORDER BY i)) AS chunk_hash
+    FROM chunks GROUP BY doc_id, media_type, COALESCE(chunk_no, 0)
+)
+SELECT media_type,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT chunk_hash) AS BIGINT) AS n_distinct,
+       CAST(ROUND(10000.0 * (COUNT(*) - COUNT(DISTINCT chunk_hash))
+                  / COUNT(*)) AS BIGINT) AS dedup_bps
+FROM hashed GROUP BY media_type ORDER BY media_type
+"""
+
+
+@_register("multimodal_cdc_chunk_dedup", _CDC_ORACLE)
+def multimodal_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (CDC) storage dedup over payload bytes:
+    chunk boundaries fall where the hash of the trailing 8-byte window
+    meets a mask (restic/borgbackup's shift-resistant splitting — an
+    insertion moves ONE chunk's boundary, not every fixed-width
+    boundary after it), chunks are content-hashed, and the per-modality
+    dedup ratio reports how much shared storage CDC would reclaim.
+
+    The boundary test (md5 nibble % 16) and island grouping are exact
+    integer arithmetic; chunk hashes are md5 of the exact byte run.
+    Scale: the trailing-window and chunk assembly are per-document
+    windows (payload-local, bounded by doc size); the dedup census is
+    one chunk-hash shuffle carrying 16-byte keys — the payload itself
+    never shuffles.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    m = media_table(spark, sf_dir).select(
+        "doc_id", "media_type", F.decode("content", "UTF-8").alias("s")
+    )
+    ch = m.select(
+        "doc_id",
+        "media_type",
+        F.posexplode(F.split("s", "(?!^)")).alias("i0", "c"),
+    ).filter(F.col("c") != "").select(  # Java split keeps a trailing ""
+        "doc_id", "media_type", (F.col("i0") + 1).alias("i"), "c"
+    )
+    wg = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(_CDC_GRAM - 1), 0)
+    )
+    gram = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c")).over(wg)),
+            lambda s: s["c"],
+        ),
+    )
+    nib = F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(gram), 1, 1)) - 1
+    marks = ch.withColumn(
+        "boundary",
+        F.when((F.col("i") >= _CDC_GRAM) & (nib % _CDC_MASK == 0), 1).otherwise(0),
+    )
+    wc = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunks = marks.withColumn(
+        "chunk_no", F.coalesce(F.sum("boundary").over(wc), F.lit(0))
+    )
+    hashed = chunks.groupBy("doc_id", "media_type", "chunk_no").agg(
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "c"))),
+                    lambda s: s["c"],
+                ),
+            )
+        ).alias("chunk_hash")
+    )
+    return (
+        hashed.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count_distinct("chunk_hash").alias("n_distinct"),
+            F.round(
+                10000.0
+                * (F.count(F.lit(1)) - F.count_distinct("chunk_hash"))
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("dedup_bps"),
+        )
+        .orderBy("media_type")
+    )

@@ -1571,3 +1571,194 @@ def stats_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zero-copy table clone (hard-link shallow copy, divergent evolution)
+# ---------------------------------------------------------------------------
+
+_CLONE_ORACLE = """
+WITH base AS (
+    SELECT c_custkey AS k, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+    FROM customer WHERE c_custkey < 400
+), appended AS (
+    SELECT k + 100000 AS k, cents + 1 AS cents FROM base WHERE k < 50
+)
+SELECT 'base' AS table_name,
+       CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n_rows,
+       CAST((SELECT SUM(cents) FROM base) AS BIGINT) AS cents_sum
+UNION ALL
+SELECT 'clone' AS table_name,
+       CAST((SELECT COUNT(*) FROM base) + (SELECT COUNT(*) FROM appended)
+            AS BIGINT) AS n_rows,
+       CAST((SELECT SUM(cents) FROM base) + (SELECT SUM(cents) FROM appended)
+            AS BIGINT) AS cents_sum
+ORDER BY table_name
+"""
+
+
+@_register("warehouse_clone_zero_copy", _CLONE_ORACLE)
+def warehouse_clone_zero_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy CLONE (Delta's SHALLOW CLONE shape): the clone's data
+    directory hard-links the base's immutable parquet files —
+    O(files) metadata, zero bytes copied — then evolves independently
+    (an append lands only in the clone). The emitted accounting
+    PROVES divergence-without-interference: the base's rows and
+    exact-cents checksum are unchanged after the clone took writes.
+
+    Scale: clone cost is independent of table bytes (the same
+    argument as ``snapshot``); on object stores the link step becomes
+    a manifest copy. Appends to either side are ordinary distributed
+    writes — new files never collide with linked ones (uuid part
+    names).
+    """
+    import shutil
+    import tempfile
+
+    from load_datawarehouse_spark.warehouse import SparkWarehouse
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    base_df = (
+        t["customer"]
+        .filter(F.col("c_custkey") < 400)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="ldw_clone_")
+    try:
+        base = SparkWarehouse(spark, root, "accounts")
+        base._write_meta({"schema": None, "expires": None})
+        base_data = os.path.join(base.path, "data")
+        base_df.write.mode("overwrite").parquet(base_data)
+
+        clone = SparkWarehouse(spark, root, "accounts_clone")
+        clone._write_meta({"schema": None, "expires": None})
+        clone_data = os.path.join(clone.path, "data")
+        os.makedirs(clone_data)
+        for name in os.listdir(base_data):
+            src = os.path.join(base_data, name)
+            if os.path.isfile(src):
+                os.link(src, os.path.join(clone_data, name))
+
+        appended = base_df.filter(F.col("k") < 50).select(
+            (F.col("k") + 100000).alias("k"), (F.col("cents") + 1).alias("cents")
+        )
+        appended.write.mode("append").parquet(clone_data)
+
+        def acct(wh, name):
+            return wh.df().agg(
+                F.lit(name).alias("table_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("cents").cast("long").alias("cents_sum"),
+            )
+
+        out = acct(base, "base").unionByName(acct(clone, "clone")).orderBy(
+            "table_name"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Atomic multi-table publish (pointer-swap transaction across tables)
+# ---------------------------------------------------------------------------
+
+_TWO_TABLE_ORACLE = """
+WITH s1 AS (
+    SELECT o_orderpriority AS key_col,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY o_orderpriority
+), s2 AS (
+    SELECT c_mktsegment AS key_col,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM customer GROUP BY c_mktsegment
+)
+SELECT 'orders_summary' AS table_name, key_col, n, cents FROM s1
+UNION ALL
+SELECT 'customer_summary' AS table_name, key_col, n, cents FROM s2
+ORDER BY table_name, key_col
+"""
+
+
+@_register("warehouse_two_table_atomic_publish", _TWO_TABLE_ORACLE)
+def warehouse_two_table_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table transaction: two summary tables are written under a
+    staging version directory and published with ONE atomic pointer
+    rename — readers resolve the pointer first, so they see both
+    tables at the old version or both at the new, never a mix (the
+    manifest-pointer commit protocol lakehouse catalogs use for
+    multi-table transactions). A deliberately FAILED second publish
+    (one table errors mid-write) is shown to leave the pointer — and
+    both reader-visible tables — at the committed version.
+
+    Scale: the commit is one rename regardless of data volume; table
+    writes inside the version dir are ordinary distributed writes.
+    """
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="ldw_txn_")
+    try:
+        t = load_tables(spark, sf_dir, register_views=False)
+        s1 = (
+            t["orders"]
+            .groupBy(F.col("o_orderpriority").alias("key_col"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("long")
+                .alias("cents"),
+            )
+        )
+        s2 = (
+            t["customer"]
+            .groupBy(F.col("c_mktsegment").alias("key_col"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+                .cast("long")
+                .alias("cents"),
+            )
+        )
+
+        def publish(version: int, tables: dict, fail_after_first: bool = False):
+            staging = os.path.join(root, f"_staging_v{version}")
+            for i, (name, df) in enumerate(tables.items()):
+                if fail_after_first and i == 1:
+                    raise RuntimeError("simulated writer crash mid-transaction")
+                df.write.mode("overwrite").parquet(os.path.join(staging, name))
+            final = os.path.join(root, f"v{version}")
+            os.rename(staging, final)  # the atomic commit point
+            tmp_ptr = os.path.join(root, ".ptr_tmp")
+            with open(tmp_ptr, "w") as f:
+                f.write(str(version))
+            os.replace(tmp_ptr, os.path.join(root, "CURRENT"))
+
+        publish(1, {"orders_summary": s1, "customer_summary": s2})
+        try:  # failed txn: must not move the pointer
+            publish(2, {"orders_summary": s1.limit(1), "customer_summary": s2},
+                    fail_after_first=True)
+        except RuntimeError:
+            pass
+        with open(os.path.join(root, "CURRENT")) as f:
+            current = int(f.read())
+        assert current == 1, "failed transaction moved the pointer"
+        vdir = os.path.join(root, f"v{current}")
+        frames = []
+        for name in ("orders_summary", "customer_summary"):
+            frames.append(
+                spark.read.parquet(os.path.join(vdir, name)).select(
+                    F.lit(name).alias("table_name"), "key_col", "n", "cents"
+                )
+            )
+        out = frames[0].unionByName(frames[1]).orderBy("table_name", "key_col")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1762,3 +1762,214 @@ def warehouse_two_table_atomic_publish(spark: SparkSession, sf_dir: str) -> Data
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# 1-D Wasserstein distance between period distributions (exact integral)
+# ---------------------------------------------------------------------------
+
+_W1_ORACLE = """
+WITH tagged AS (
+    SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+           CAST(o_orderdate AS DATE) >= (SELECT CAST(date_trunc('day', MIN(o_orderdate)
+                + (MAX(o_orderdate) - MIN(o_orderdate)) / 2) AS DATE) FROM orders)
+               AS late
+    FROM orders
+), lv AS (
+    SELECT cents,
+           SUM(CASE WHEN late THEN 0 ELSE 1 END) AS ca,
+           SUM(CASE WHEN late THEN 1 ELSE 0 END) AS cb
+    FROM tagged GROUP BY cents
+), n AS (
+    SELECT SUM(ca) AS na, SUM(cb) AS nb FROM lv
+), steps AS (
+    SELECT cents,
+           SUM(ca) OVER w AS cuma,
+           SUM(cb) OVER w AS cumb,
+           LEAD(cents) OVER (ORDER BY cents) - cents AS gap
+    FROM lv WINDOW w AS (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+)
+SELECT CAST(n.na AS BIGINT) AS n_early, CAST(n.nb AS BIGINT) AS n_late,
+       ROUND(CAST(SUM(CAST(ABS(s.cuma * n.nb - s.cumb * n.na) AS DECIMAL(38,0))
+                      * s.gap) AS DOUBLE) / (n.na * n.nb) / 100, 4)
+           AS w1_dollars
+FROM steps s CROSS JOIN n
+WHERE s.gap IS NOT NULL
+GROUP BY n.na, n.nb
+"""
+
+
+@_register("stat_wasserstein_1d", _W1_ORACLE)
+def stat_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D Wasserstein (earth mover's) distance between the
+    early-half and late-half order-value distributions — the
+    distribution-shift metric that, unlike KS (``stat_ks_two_sample``),
+    weights HOW FAR mass moved, the right alarm for drift monitoring.
+
+    W1 = integral |F_A - F_B| dx computed exactly on the integer-cents
+    level histogram: per level, |cumA*nB - cumB*nA| x gap accumulates
+    in DECIMAL(38,0) (the cross-multiplied common denominator avoids
+    any division until the single final normalization). Scale: one
+    level-histogram shuffle; the cumsum window runs over the bounded
+    distinct-value series, same discipline as the KS/Spearman ops.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    bounds = t["orders"].agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    mid = bounds.select(
+        F.date_trunc(
+            "day",
+            (
+                F.col("lo").cast("timestamp").cast("long")
+                + (
+                    F.col("hi").cast("timestamp").cast("long")
+                    - F.col("lo").cast("timestamp").cast("long")
+                )
+                / 2
+            ).cast("timestamp"),
+        )
+        .cast("date")
+        .alias("mid")
+    )
+    tagged = t["orders"].crossJoin(F.broadcast(mid)).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderdate").cast("date") >= F.col("mid")).alias("late"),
+    )
+    lv = tagged.groupBy("cents").agg(
+        F.sum(F.when(F.col("late"), 0).otherwise(1)).alias("ca"),
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("cb"),
+    )
+    n = lv.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    wcum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    steps = lv.select(
+        "cents",
+        F.sum("ca").over(wcum).alias("cuma"),
+        F.sum("cb").over(wcum).alias("cumb"),
+        (F.lead("cents").over(Window.orderBy("cents")) - F.col("cents")).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    term = (
+        F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")).cast(
+            "decimal(38,0)"
+        )
+        * F.col("gap")
+    )
+    return (
+        steps.crossJoin(F.broadcast(n))
+        .groupBy("na", "nb")
+        .agg(
+            F.round(
+                F.sum(term).cast("double") / (F.col("na") * F.col("nb")) / 100, 4
+            ).alias("w1_dollars")
+        )
+        .select(
+            F.col("na").cast("long").alias("n_early"),
+            F.col("nb").cast("long").alias("n_late"),
+            "w1_dollars",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences estimator (hash arms x pre/post periods)
+# ---------------------------------------------------------------------------
+
+_DID_ORACLE = """
+WITH mid AS (
+    SELECT CAST(date_trunc('day', MIN(ts) + (MAX(ts) - MIN(ts)) / 2) AS DATE) AS m
+    FROM events
+), cells AS (
+    SELECT CASE WHEN (instr('0123456789abcdef',
+                    substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+                THEN 'T' ELSE 'C' END AS arm,
+           CASE WHEN CAST(ts AS DATE) >= (SELECT m FROM mid) THEN 'post'
+                ELSE 'pre' END AS period,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+), agg AS (
+    SELECT arm, period, COUNT(*) AS n, SUM(cents) AS cents FROM cells
+    GROUP BY arm, period
+), wide AS (
+    SELECT MAX(CASE WHEN arm = 'T' AND period = 'pre' THEN 1.0 * cents / n END) AS t_pre,
+           MAX(CASE WHEN arm = 'T' AND period = 'post' THEN 1.0 * cents / n END) AS t_post,
+           MAX(CASE WHEN arm = 'C' AND period = 'pre' THEN 1.0 * cents / n END) AS c_pre,
+           MAX(CASE WHEN arm = 'C' AND period = 'post' THEN 1.0 * cents / n END) AS c_post,
+           CAST(SUM(n) AS BIGINT) AS n_events
+    FROM agg
+)
+SELECT n_events,
+       ROUND(t_pre, 4) AS t_pre, ROUND(t_post, 4) AS t_post,
+       ROUND(c_pre, 4) AS c_pre, ROUND(c_post, 4) AS c_post,
+       ROUND((t_post - t_pre) - (c_post - c_pre), 4) AS did_cents
+FROM wide
+"""
+
+
+@_register("stats_diff_in_diff", _DID_ORACLE)
+def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout: hash-assigned treatment/
+    control arms (same assignment as ``stats_ab_test_proportions``)
+    crossed with pre/post periods split at the corpus midpoint; the
+    DiD estimator (ΔT − ΔC) nets out both the arm's level difference
+    and the common time trend — the quasi-experimental workhorse when
+    a raw pre/post delta would be confounded.
+
+    The 2x2 cell means come from exact integer cents over one
+    map-side-combinable aggregation; each mean is one IEEE division
+    and rounding happens only at emission. Scale: a 4-row summary off
+    a single scan; the midpoint is a 1-row broadcast.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    sec = F.col("ts").cast("timestamp").cast("long")
+    mid = t["events"].agg(
+        F.date_trunc(
+            "day",
+            (
+                (F.min(sec) + (F.max(sec) - F.min(sec)) / 2)
+            ).cast("timestamp"),
+        )
+        .cast("date")
+        .alias("m")
+    )
+    nib = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(
+                F.md5(F.concat(F.lit("ab|"), F.col("user_id").cast("string"))), 1, 1
+            ),
+        )
+        - 1
+    )
+    cells = t["events"].crossJoin(F.broadcast(mid)).select(
+        F.when(nib % 2 == 0, "T").otherwise("C").alias("arm"),
+        F.when(F.col("ts").cast("date") >= F.col("m"), "post")
+        .otherwise("pre")
+        .alias("period"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    agg = cells.groupBy("arm", "period").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents")
+    )
+    mean = lambda a, p: F.max(
+        F.when(
+            (F.col("arm") == a) & (F.col("period") == p),
+            1.0 * F.col("cents") / F.col("n"),
+        )
+    )
+    wide = agg.agg(
+        mean("T", "pre").alias("t_pre"),
+        mean("T", "post").alias("t_post"),
+        mean("C", "pre").alias("c_pre"),
+        mean("C", "post").alias("c_post"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    return wide.select(
+        "n_events",
+        F.round("t_pre", 4).alias("t_pre"),
+        F.round("t_post", 4).alias("t_post"),
+        F.round("c_pre", 4).alias("c_pre"),
+        F.round("c_post", 4).alias("c_post"),
+        F.round(
+            (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre")), 4
+        ).alias("did_cents"),
+    )

@@ -6405,3 +6405,114 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score100"), F.desc("n_occurrences"), F.asc("phrase"))
         .limit(_RAKE_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cavnar-Trenkle char-n-gram language profiles (out-of-place distance)
+# ---------------------------------------------------------------------------
+
+_CT_PROF = 30  #: trigrams kept per language profile
+_CT_DOC = 20   #: trigrams ranked per document
+_CT_OOP = 31   #: out-of-place penalty for grams absent from a profile
+
+_CT_ORACLE = f"""
+WITH grams AS MATERIALIZED (
+    SELECT doc_id, lang,
+           unnest(list_transform(range(length(text) - 2),
+                                 i -> substr(text, i + 1, 3))) AS gram
+    FROM documents WHERE length(text) >= 3
+), lang_prof AS (
+    SELECT lang, gram, rl FROM (
+        SELECT lang, gram,
+               row_number() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, gram)
+                   AS rl
+        FROM grams GROUP BY lang, gram
+    ) WHERE rl <= {_CT_PROF}
+), doc_prof AS (
+    SELECT doc_id, gram, rd FROM (
+        SELECT doc_id, gram,
+               row_number() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, gram)
+                   AS rd
+        FROM grams GROUP BY doc_id, gram
+    ) WHERE rd <= {_CT_DOC}
+), dists AS (
+    SELECT d.doc_id, l.lang AS cand,
+           SUM(COALESCE(ABS(d.rd - p.rl), {_CT_OOP})) AS dist
+    FROM doc_prof d
+    CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+    LEFT JOIN lang_prof p ON p.lang = l.lang AND p.gram = d.gram
+    GROUP BY d.doc_id, l.lang
+), best AS (
+    SELECT doc_id, cand,
+           row_number() OVER (PARTITION BY doc_id ORDER BY dist, cand) AS rk
+    FROM dists
+)
+SELECT dd.lang AS label, b.cand AS predicted,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM best b JOIN documents dd ON dd.doc_id = b.doc_id
+WHERE b.rk = 1
+GROUP BY dd.lang, b.cand ORDER BY label, predicted
+"""
+
+
+@_register("lang_id_ngram_profile", _CT_ORACLE)
+def lang_id_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar-Trenkle character-trigram language ID: each language gets
+    a rank profile of its top-30 trigrams, each document its top-20,
+    and the classifier picks the language minimizing the out-of-place
+    distance (sum of rank deltas, 31 for profile misses) — the 1994
+    n-gram method production langid tools descend from, and the
+    heuristic ``lang_id_markers`` upgrade path. Emitted as the
+    label-vs-predicted confusion census.
+
+    All ranks and distances are integers with (count desc, gram)
+    deterministic ordering. Scale: trigram assembly is array-native
+    and narrow; both rank windows partition by bounded keys (languages;
+    one document's distinct grams); the language profiles are tiny and
+    BROADCAST to the per-doc scoring join — the corpus side shuffles
+    only on (doc_id, gram) aggregates.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    docs = t["documents"].filter(F.length("text") >= 3)
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+        ).alias("gram"),
+    )
+    wl = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("gram"))
+    lang_prof = (
+        grams.groupBy("lang", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rl", F.row_number().over(wl))
+        .filter(F.col("rl") <= _CT_PROF)
+        .select(F.col("lang").alias("cand"), "gram", "rl")
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("gram"))
+    doc_prof = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rd", F.row_number().over(wd))
+        .filter(F.col("rd") <= _CT_DOC)
+        .select("doc_id", "gram", "rd")
+    )
+    langs = docs.select(F.col("lang").alias("cand")).distinct()
+    dists = (
+        doc_prof.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(lang_prof), ["cand", "gram"], "left")
+        .groupBy("doc_id", "cand")
+        .agg(
+            F.sum(
+                F.coalesce(F.abs(F.col("rd") - F.col("rl")), F.lit(_CT_OOP))
+            ).alias("dist")
+        )
+    )
+    wb = Window.partitionBy("doc_id").orderBy("dist", "cand")
+    best = dists.withColumn("rk", F.row_number().over(wb)).filter(F.col("rk") == 1)
+    return (
+        best.join(t["documents"].select("doc_id", "lang"), "doc_id")
+        .groupBy(F.col("lang").alias("label"), F.col("cand").alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("label", "predicted")
+    )

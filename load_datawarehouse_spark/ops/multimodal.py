@@ -1356,3 +1356,121 @@ def multimodal_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_video_frame_dedup — near-dup videos via frame signatures
+# ---------------------------------------------------------------------------
+
+_VDUP_MIN_BPS = 6000  #: duplicate := >= 60% of the shorter video's frames match
+
+_VDUP_ORACLE = f"""
+WITH vids AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+), corpus AS (
+    SELECT doc_id, text FROM vids
+    UNION ALL  -- replayed exact re-ingest
+    SELECT doc_id + 100000, text FROM vids WHERE doc_id < 60
+    UNION ALL  -- truncated re-encode: the tail frames differ
+    SELECT doc_id + 200000, substr(text, 1, length(text) - 40)
+    FROM vids WHERE doc_id < 60 AND length(text) > 200
+), ch AS (
+    SELECT doc_id, unicode(c) AS b, (i - 1) // {FRAME_BYTES} AS frame_idx
+    FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '')) AS c,
+               generate_subscripts(string_split_regex(text, ''), 1) AS i
+        FROM corpus
+    )
+), frames AS (
+    SELECT doc_id, frame_idx, SUM(b) AS sig, COUNT(*) AS n_b
+    FROM ch GROUP BY doc_id, frame_idx
+    HAVING COUNT(*) = {FRAME_BYTES}
+), nf AS (SELECT doc_id, COUNT(*) AS n_frames FROM frames GROUP BY doc_id),
+matches AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_match
+    FROM frames a
+    JOIN frames b ON b.frame_idx = a.frame_idx AND b.sig = a.sig
+                 AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT m.d1, m.d2, CAST(m.n_match AS BIGINT) AS n_match,
+       CAST(ROUND(10000.0 * m.n_match / LEAST(f1.n_frames, f2.n_frames))
+            AS BIGINT) AS match_bps
+FROM matches m
+JOIN nf f1 ON f1.doc_id = m.d1
+JOIN nf f2 ON f2.doc_id = m.d2
+WHERE m.n_match * 10000 >= {_VDUP_MIN_BPS} * LEAST(f1.n_frames, f2.n_frames)
+ORDER BY d1, d2
+"""
+
+
+@_register("multimodal_video_frame_dedup", _VDUP_ORACLE)
+def multimodal_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate VIDEO detection by frame-signature voting: videos
+    whose per-position frame signatures agree on >= 60% of the shorter
+    side's frames are duplicates — catches exact re-ingests at 100%
+    and truncated/re-encoded variants below it, which payload-hash
+    dedup (``multimodal_dedup_payload``) misses entirely. The corpus
+    replays exact and truncated copies deterministically (the
+    replayed-ingest convention).
+
+    Scale: the candidate join is EQUI on (frame_idx, signature) — two
+    videos only pair where a position collides, never video x video;
+    complete frames only (the ragged tail frame is excluded so
+    signatures are comparable). Integer signatures end to end.
+    """
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    vids = docs.filter(F.col("doc_id") % 3 == 2).select("doc_id", "text")
+    corpus = (
+        vids.unionByName(
+            vids.filter(F.col("doc_id") < 60).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            vids.filter((F.col("doc_id") < 60) & (F.length("text") > 200)).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.expr("substring(text, 1, length(text) - 40)").alias("text"),
+            )
+        )
+    )
+    ch = (
+        corpus.select(
+            "doc_id",
+            F.posexplode(F.split(F.decode(F.encode("text", "UTF-8"), "UTF-8"), "(?!^)"))
+            .alias("i0", "c"),
+        )
+        .filter(F.col("c") != "")
+        .select(
+            "doc_id",
+            F.expr("i0 DIV " + str(FRAME_BYTES)).alias("frame_idx"),
+            F.ascii("c").alias("b"),
+        )
+    )
+    frames = (
+        ch.groupBy("doc_id", "frame_idx")
+        .agg(F.sum("b").alias("sig"), F.count(F.lit(1)).alias("n_b"))
+        .filter(F.col("n_b") == FRAME_BYTES)
+    )
+    nf = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    a = frames.select(F.col("doc_id").alias("d1"), "frame_idx", "sig")
+    b = frames.select(F.col("doc_id").alias("d2"), "frame_idx", "sig")
+    matches = (
+        a.join(b, ["frame_idx", "sig"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+    )
+    least_nf = F.least(F.col("n1"), F.col("n2"))
+    return (
+        matches.join(nf.select(F.col("doc_id").alias("d1"), F.col("n_frames").alias("n1")), "d1")
+        .join(nf.select(F.col("doc_id").alias("d2"), F.col("n_frames").alias("n2")), "d2")
+        .filter(F.col("n_match") * 10000 >= _VDUP_MIN_BPS * least_nf)
+        .select(
+            "d1",
+            "d2",
+            F.col("n_match").cast("long"),
+            F.round(10000.0 * F.col("n_match") / least_nf).cast("long").alias("match_bps"),
+        )
+        .orderBy("d1", "d2")
+    )

@@ -93,6 +93,10 @@ HEADLINE = [
     "part_bom_rollup",
     "orders_concurrent_pairs",
     "corpus_token_budget_allocation",
+    "stat_wasserstein_1d",
+    "lang_id_ngram_profile",
+    "multimodal_video_frame_dedup",
+    "text_rake_keyphrases",
     # graph_pagerank stays OUT of HEADLINE (build convention: tiny-data
     # iterative ops distort the headline number — ~90% of its wall time
     # is fixed per-iteration stage overhead, not data work). It remains

@@ -1,4 +1,4 @@
-"""One-off: run the round-4 driver window (first 50 names) against the
+"""One-off: run the round-5 driver window (first 50 names) against the
 DuckDB oracle at sf0.01 — the same SF the driver uses."""
 import sys, time, traceback
 sys.path.insert(0, ".")

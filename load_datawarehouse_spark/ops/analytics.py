@@ -1973,3 +1973,93 @@ def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre")), 4
         ).alias("did_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-D banded pair join (price x time proximity via compound bucketing)
+# ---------------------------------------------------------------------------
+
+_BAND_CENTS = 100   # price band: within $1
+_BAND_DAYS = 3      # time band: within 3 days
+
+_PRICE_TIME_PAIRS_ORACLE = f"""
+WITH o AS (
+    SELECT o_orderkey AS k, o_custkey AS cust,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+           CAST(o_orderdate AS DATE) AS d
+    FROM orders
+), pairs AS (
+    SELECT a.k AS k1, b.k AS k2, a.d AS d1
+    FROM o a JOIN o b
+      ON a.k < b.k AND a.cust <> b.cust
+     AND ABS(a.cents - b.cents) <= {_BAND_CENTS}
+     AND ABS(date_diff('day', a.d, b.d)) <= {_BAND_DAYS}
+)
+SELECT CAST(d1 AS VARCHAR) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY d1 ORDER BY day
+"""
+
+
+@_register("orders_price_time_band_pairs", _PRICE_TIME_PAIRS_ORACLE)
+def orders_price_time_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D banded pair join: cross-customer order pairs within $1 AND
+    3 days of each other (collusion/ring screening: coordinated
+    near-identical transactions) — the TWO-dimensional generalization
+    of the 1-D ``join_range_bucketed``: a raw conjunction of band
+    predicates has no equi key at all and plans as a quadratic BNL
+    join.
+
+    Bucketing restores the equi join: each order lands in a
+    (price-band, time-band) grid cell, one side explodes to its 3x3
+    neighbor cells, the join keys on the compound cell id, and
+    survivors pay the exact band checks — same superset argument as
+    the spatial ``geo_radius_pairs_bucketed``, on business columns.
+    Output is the daily pair census (the alarm series). Scale: cell
+    occupancy bounds the fanout; the grid join never goes order x
+    order.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    o = t["orders"].select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("cust"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).withColumn("pc", F.expr(f"cents DIV {_BAND_CENTS}")).withColumn(
+        "tc", F.expr(f"datediff(d, DATE '1990-01-01') DIV {_BAND_DAYS}")
+    )
+    offs = spark.range(-1, 2).select(F.col("id").alias("dp")).crossJoin(
+        spark.range(-1, 2).select(F.col("id").alias("dt"))
+    )
+    a = o.crossJoin(F.broadcast(offs)).select(
+        F.col("k").alias("k1"),
+        F.col("cust").alias("c1"),
+        F.col("cents").alias("v1"),
+        F.col("d").alias("d1"),
+        (F.col("pc") + F.col("dp")).alias("pc"),
+        (F.col("tc") + F.col("dt")).alias("tc"),
+    )
+    b = o.select(
+        F.col("k").alias("k2"),
+        F.col("cust").alias("c2"),
+        F.col("cents").alias("v2"),
+        F.col("d").alias("d2"),
+        "pc",
+        "tc",
+    )
+    pairs = (
+        a.join(b, ["pc", "tc"])
+        .filter(
+            (F.col("k1") < F.col("k2"))
+            & (F.col("c1") != F.col("c2"))
+            & (F.abs(F.col("v1") - F.col("v2")) <= _BAND_CENTS)
+            & (F.abs(F.datediff("d1", "d2")) <= _BAND_DAYS)
+        )
+        .select("k1", "k2", "d1")
+        .distinct()
+    )
+    return (
+        pairs.groupBy(F.col("d1").cast("string").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("day")
+    )

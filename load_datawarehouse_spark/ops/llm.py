@@ -6516,3 +6516,145 @@ def lang_id_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("label", "predicted")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa between independent classifiers (chance-corrected)
+# ---------------------------------------------------------------------------
+
+_KAPPA_ORACLE = f"""
+WITH markers AS ({{lang_sql}}),
+grams AS MATERIALIZED (
+    SELECT doc_id,
+           unnest(list_transform(range(length(text) - 2),
+                                 i -> substr(text, i + 1, 3))) AS gram
+    FROM documents WHERE length(text) >= 3
+), lang_prof AS (
+    SELECT lang, gram, rl FROM (
+        SELECT d.lang, g.gram,
+               row_number() OVER (PARTITION BY d.lang
+                                  ORDER BY COUNT(*) DESC, g.gram) AS rl
+        FROM grams g JOIN documents d ON d.doc_id = g.doc_id
+        GROUP BY d.lang, g.gram
+    ) WHERE rl <= {_CT_PROF}
+), doc_prof AS (
+    SELECT doc_id, gram, rd FROM (
+        SELECT doc_id, gram,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY COUNT(*) DESC, gram) AS rd
+        FROM grams GROUP BY doc_id, gram
+    ) WHERE rd <= {_CT_DOC}
+), ct AS (
+    SELECT doc_id, cand FROM (
+        SELECT d.doc_id, l.lang AS cand,
+               row_number() OVER (PARTITION BY d.doc_id
+                   ORDER BY SUM(COALESCE(ABS(d.rd - p.rl), {_CT_OOP})), l.lang)
+                   AS rk
+        FROM doc_prof d
+        CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+        LEFT JOIN lang_prof p ON p.lang = l.lang AND p.gram = d.gram
+        GROUP BY d.doc_id, l.lang
+    ) WHERE rk = 1
+), paired AS (
+    SELECT m.lang_guess AS a, c.cand AS b
+    FROM markers m JOIN ct c ON c.doc_id = m.doc_id
+), n AS (SELECT COUNT(*) AS n FROM paired),
+po AS (SELECT SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree FROM paired),
+marg AS (
+    SELECT COALESCE(x.cls, y.cls) AS cls,
+           COALESCE(x.ca, 0) AS ca, COALESCE(y.cb, 0) AS cb
+    FROM (SELECT a AS cls, COUNT(*) AS ca FROM paired GROUP BY a) x
+    FULL JOIN (SELECT b AS cls, COUNT(*) AS cb FROM paired GROUP BY b) y
+      ON y.cls = x.cls
+), pe AS (SELECT SUM(ca * cb) AS exp_agree_n2 FROM marg)
+SELECT CAST(n.n AS BIGINT) AS n_docs,
+       CAST(po.agree AS BIGINT) AS n_agree,
+       ROUND((1.0 * po.agree / n.n - 1.0 * pe.exp_agree_n2 / (n.n * n.n))
+             / (1 - 1.0 * pe.exp_agree_n2 / (n.n * n.n)), 6) AS kappa
+FROM n CROSS JOIN po CROSS JOIN pe
+"""
+
+
+@_register(
+    "stats_classifier_kappa",
+    _KAPPA_ORACLE.format(lang_sql=_lang_id_oracle()),
+)
+def stats_classifier_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the engine's two INDEPENDENT language
+    classifiers (marker words vs Cavnar-Trenkle trigram profiles) —
+    chance-corrected inter-rater agreement, the metric that tells you
+    whether two weak labelers agree beyond their marginal class
+    priors (raw accuracy can't: two constant classifiers 'agree'
+    often by luck).
+
+    Composes ``lang_id_markers`` and the ``lang_id_ngram_profile``
+    pipeline unchanged; observed and expected agreement come from
+    exact integer confusion marginals (expected as sum(ca*cb)/n^2 in
+    cross-multiplied integers), one rounded emission. Scale: both
+    classifier legs are the already-audited plans; the kappa algebra
+    runs on |classes|-sized marginals.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    markers = lang_id_markers(spark, sf_dir).select("doc_id", "lang_guess")
+    docs = t["documents"].filter(F.length("text") >= 3)
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+        ).alias("gram"),
+    )
+    wl = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("gram"))
+    lang_prof = (
+        grams.groupBy("lang", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rl", F.row_number().over(wl))
+        .filter(F.col("rl") <= _CT_PROF)
+        .select(F.col("lang").alias("cand"), "gram", "rl")
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("gram"))
+    doc_prof = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rd", F.row_number().over(wd))
+        .filter(F.col("rd") <= _CT_DOC)
+        .select("doc_id", "gram", "rd")
+    )
+    langs = docs.select(F.col("lang").alias("cand")).distinct()
+    wb = Window.partitionBy("doc_id").orderBy("dist", "cand")
+    ct = (
+        doc_prof.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(lang_prof), ["cand", "gram"], "left")
+        .groupBy("doc_id", "cand")
+        .agg(
+            F.sum(F.coalesce(F.abs(F.col("rd") - F.col("rl")), F.lit(_CT_OOP))).alias(
+                "dist"
+            )
+        )
+        .withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "cand")
+    )
+    paired = markers.join(ct, "doc_id").select(
+        F.col("lang_guess").alias("a"), F.col("cand").alias("b")
+    )
+    xa = paired.groupBy(F.col("a").alias("cls")).agg(F.count(F.lit(1)).alias("ca"))
+    yb = paired.groupBy(F.col("b").alias("cls")).agg(F.count(F.lit(1)).alias("cb"))
+    marg = xa.join(yb, "cls", "full").select(
+        F.coalesce("ca", F.lit(0)).alias("ca"), F.coalesce("cb", F.lit(0)).alias("cb")
+    )
+    stats = paired.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0)).alias("agree"),
+    )
+    pe = marg.agg(F.sum(F.col("ca") * F.col("cb")).alias("exp_agree_n2"))
+    po_ = 1.0 * F.col("agree") / F.col("n")
+    pe_ = 1.0 * F.col("exp_agree_n2") / (F.col("n") * F.col("n"))
+    return (
+        stats.crossJoin(F.broadcast(pe))
+        .select(
+            F.col("n").cast("long").alias("n_docs"),
+            F.col("agree").cast("long").alias("n_agree"),
+            F.round((po_ - pe_) / (1 - pe_), 6).alias("kappa"),
+        )
+    )

@@ -2063,3 +2063,116 @@ def orders_price_time_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# SPC control chart (baseline-period limits, Western Electric rule 1)
+# ---------------------------------------------------------------------------
+
+_SPC_ORACLE = """
+WITH days AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders GROUP BY 1
+), horizon AS (
+    SELECT MIN(day) AS lo, MAX(day) AS hi,
+           MIN(day) + TO_DAYS(CAST((MAX(day) - MIN(day)) // 2 AS INTEGER)) AS mid
+    FROM days
+), base AS (
+    SELECT COUNT(*) AS n,
+           SUM(cents) AS s1,
+           SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS s2
+    FROM days CROSS JOIN horizon WHERE day < mid
+), lim AS (
+    SELECT CAST(ROUND(1.0 * s1 / n) AS BIGINT) AS center,
+           CAST(ROUND(3 * SQRT(CAST(s2 AS DOUBLE) / n
+                               - CAST(1.0 * s1 / n AS DOUBLE) ** 2)) AS BIGINT)
+               AS band
+    FROM base
+)
+SELECT CAST(d.day AS VARCHAR) AS day, CAST(d.cents AS BIGINT) AS cents,
+       l.center, l.center - l.band AS lcl, l.center + l.band AS ucl,
+       d.cents < l.center - l.band OR d.cents > l.center + l.band
+           AS out_of_control
+FROM days d CROSS JOIN horizon h CROSS JOIN lim l
+WHERE d.day >= h.mid
+ORDER BY day
+"""
+
+
+@_register("orders_spc_control_chart", _SPC_ORACLE)
+def orders_spc_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-process-control chart: ±3σ control limits fitted on
+    the FIRST half of the daily-revenue series (the baseline) and
+    applied to the second half — the Shewhart X-chart, monitoring's
+    oldest anomaly detector, with the train/apply split that keeps
+    the alarm from learning its own anomalies (unlike the rolling
+    ``window_rolling_zscore``).
+
+    The limits are computed from exact integer power sums and ROUNDED
+    TO INTEGER CENTS before any comparison, so the out-of-control
+    flag is an integer comparison that cannot flutter across engines.
+    Scale: the day collapse is the only data-sized shuffle; limits
+    are a 1-row broadcast over the monitored slice.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    days = (
+        t["orders"]
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    horizon = days.agg(
+        F.min("day").alias("lo"),
+        F.max("day").alias("hi"),
+        F.date_trunc(
+            "day",
+            (
+                F.min(F.col("day").cast("timestamp").cast("long"))
+                + (
+                    F.max(F.col("day").cast("timestamp").cast("long"))
+                    - F.min(F.col("day").cast("timestamp").cast("long"))
+                )
+                / 2
+            ).cast("timestamp"),
+        )
+        .cast("date")
+        .alias("mid"),
+    )
+    base = (
+        days.crossJoin(F.broadcast(horizon))
+        .filter(F.col("day") < F.col("mid"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s1"),
+            F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("s2"),
+        )
+    )
+    lim = base.select(
+        F.round(1.0 * F.col("s1") / F.col("n")).cast("long").alias("center"),
+        F.round(
+            3
+            * F.sqrt(
+                F.col("s2").cast("double") / F.col("n")
+                - F.pow(1.0 * F.col("s1") / F.col("n"), 2)
+            )
+        )
+        .cast("long")
+        .alias("band"),
+    )
+    return (
+        days.crossJoin(F.broadcast(horizon))
+        .filter(F.col("day") >= F.col("mid"))
+        .crossJoin(F.broadcast(lim))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "cents",
+            "center",
+            (F.col("center") - F.col("band")).alias("lcl"),
+            (F.col("center") + F.col("band")).alias("ucl"),
+            (
+                (F.col("cents") < F.col("center") - F.col("band"))
+                | (F.col("cents") > F.col("center") + F.col("band"))
+            ).alias("out_of_control"),
+        )
+        .orderBy("day")
+    )

@@ -601,3 +601,23 @@ def test_bom_rollup_joins_stay_hash_equi(spark):
     plan = _plan(analytics.part_bom_rollup(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_price_time_band_join_is_equi(spark):
+    # the 2-D band conjunction must ride the compound grid-cell equi
+    # key; only the 9-row offsets table may broadcast-nest
+    from load_datawarehouse_spark.ops import analytics
+
+    plan = _plan(analytics.orders_price_time_band_pairs(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin [pc" in plan
+
+
+def test_ct_langid_profiles_broadcast(spark):
+    # language profiles and the language list broadcast; the corpus
+    # side never sort-merge joins
+    from load_datawarehouse_spark.ops import llm as _llm
+
+    plan = _plan(_llm.lang_id_ngram_profile(spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan

@@ -2313,3 +2313,89 @@ def warehouse_partitioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# One-pass correlation matrix (all pairwise Pearson from shared sums)
+# ---------------------------------------------------------------------------
+
+_CORR_MEASURES = ("q", "p", "d", "t")  # quantity, price, discount, tax
+
+def _corr_matrix_oracle() -> str:
+    exprs = {"q": "l_quantity", "p": "l_extendedprice",
+             "d": "l_discount", "t": "l_tax"}
+    sums = ["COUNT(*) AS n"]
+    for m, e in exprs.items():
+        sums.append(f"CAST(SUM(CAST({e} AS DECIMAL(38,6))) AS DOUBLE) AS s_{m}")
+    for i, a in enumerate(_CORR_MEASURES):
+        for b_ in _CORR_MEASURES[i:]:
+            sums.append(
+                f"CAST(SUM(CAST({exprs[a]} * {exprs[b_]} AS DECIMAL(38,6))) "
+                f"AS DOUBLE) AS s_{a}{b_}"
+            )
+    selects = []
+    for i, a in enumerate(_CORR_MEASURES):
+        for b_ in _CORR_MEASURES[i + 1:]:
+            corr = (
+                f"ROUND((n * s_{a}{b_} - s_{a} * s_{b_}) / "
+                f"SQRT((n * s_{a}{a} - s_{a} * s_{a}) * "
+                f"(n * s_{b_}{b_} - s_{b_} * s_{b_})), 6)"
+            )
+            selects.append(
+                f"SELECT '{a}' AS m1, '{b_}' AS m2, {corr} AS pearson FROM w"
+            )
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH w AS (SELECT {', '.join(sums)} FROM lineitem)
+{body}
+ORDER BY m1, m2
+"""
+
+
+@_register("agg_corr_matrix_single_pass", _corr_matrix_oracle())
+def agg_corr_matrix_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise Pearson correlation matrix over four lineitem
+    measures from ONE scan: every sum, square and cross product
+    accumulates in the same exact-decimal aggregation, and all six
+    correlations derive from that single 15-column row — the
+    feature-screening pass an ML pipeline runs before model fitting,
+    at 1/6th the scans of repeated ``stat_corr_cov`` calls.
+
+    Per-row products are single IEEE multiplies, decimal accumulation
+    is partitioning-invariant, and each correlation is a fixed
+    float expression over the shared sums (rounded 6 dp). Scale: one
+    map-side-combinable aggregation; the matrix assembly is a 6-row
+    unpivot of a 1-row result.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    exprs = {"q": F.col("l_quantity"), "p": F.col("l_extendedprice"),
+             "d": F.col("l_discount"), "t": F.col("l_tax")}
+    dec = "decimal(38,6)"
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for m, e in exprs.items():
+        aggs.append(F.sum(e.cast(dec)).cast("double").alias(f"s_{m}"))
+    names = list(_CORR_MEASURES)
+    for i, a in enumerate(names):
+        for b_ in names[i:]:
+            aggs.append(
+                F.sum((exprs[a] * exprs[b_]).cast(dec)).cast("double").alias(f"s_{a}{b_}")
+            )
+    w = t["lineitem"].agg(*aggs)
+    parts = []
+    for i, a in enumerate(names):
+        for b_ in names[i + 1:]:
+            corr = F.round(
+                (F.col("n") * F.col(f"s_{a}{b_}") - F.col(f"s_{a}") * F.col(f"s_{b_}"))
+                / F.sqrt(
+                    (F.col("n") * F.col(f"s_{a}{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+                    * (F.col("n") * F.col(f"s_{b_}{b_}") - F.col(f"s_{b_}") * F.col(f"s_{b_}"))
+                ),
+                6,
+            )
+            parts.append(
+                w.select(F.lit(a).alias("m1"), F.lit(b_).alias("m2"), corr.alias("pearson"))
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("m1", "m2")

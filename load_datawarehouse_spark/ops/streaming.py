@@ -1409,3 +1409,88 @@ def stream_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     ).orderBy("window_start", "src")
+
+
+# ---------------------------------------------------------------------------
+# Temporal dimension join (event-time versioned enrichment, Flink-style)
+# ---------------------------------------------------------------------------
+
+_TEMPORAL_ORACLE = f"""
+WITH bounds AS (
+    SELECT CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS lo,
+           CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) + 1 AS hi
+    FROM events
+), vers AS (
+    SELECT u.user_id, v.v,
+           b.lo + ((b.hi - b.lo) * v.v) // 3 AS v_from,
+           CASE WHEN v.v = 2 THEN b.hi
+                ELSE b.lo + ((b.hi - b.lo) * (v.v + 1)) // 3 END AS v_to,
+           ['bronze', 'silver', 'gold'][(u.user_id + v.v) % 3 + 1] AS tier
+    FROM (SELECT DISTINCT user_id FROM events) u
+    CROSS JOIN (SELECT unnest(range(3)) AS v) v
+    CROSS JOIN bounds b
+)
+SELECT d.tier, e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_dec_sum('e.value', 'sum_value')}
+FROM events e
+JOIN vers d ON d.user_id = e.user_id
+           AND CAST(FLOOR(epoch(e.ts)) AS BIGINT) >= d.v_from
+           AND CAST(FLOOR(epoch(e.ts)) AS BIGINT) < d.v_to
+GROUP BY d.tier, e.event_type
+ORDER BY d.tier, e.event_type
+"""
+
+
+@_register("stream_temporal_dim_join", _TEMPORAL_ORACLE)
+def stream_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (versioned) dimension join: each streamed event is
+    enriched with the dim version valid AT ITS EVENT TIME — the
+    Flink 'temporal table join', which ``stream_static_enrich``'s
+    latest-version join cannot express (late events must see the OLD
+    tier). The SCD2-style dim carries [valid_from, valid_to) ranges
+    (three deterministic version epochs per user) and the stream-static
+    join's range predicate resolves the correct version inside each
+    micro-batch.
+
+    Epoch bounds are floored integers so version resolution is exact
+    integer comparison on both engines. Scale: the dim is broadcast
+    per micro-batch (versions x users, still dimension-sized); no
+    state store is needed because the dim side is batch — the
+    streaming state is only the final aggregation's.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    sec = F.col("ts").cast("timestamp").cast("long")
+    b = t["events"].agg(
+        F.min(sec).alias("lo"), (F.max(sec) + 1).alias("hi")
+    ).collect()[0]
+    lo, hi = int(b["lo"]), int(b["hi"])
+    users = t["events"].select("user_id").distinct()
+    vers = (
+        users.crossJoin(spark.range(3).select(F.col("id").alias("v")))
+        .select(
+            "user_id",
+            (F.lit(lo) + F.expr(f"(({hi} - {lo}) * v) DIV 3")).alias("v_from"),
+            F.when(F.col("v") == 2, F.lit(hi))
+            .otherwise(F.lit(lo) + F.expr(f"(({hi} - {lo}) * (v + 1)) DIV 3"))
+            .alias("v_to"),
+            F.element_at(
+                F.array(F.lit("bronze"), F.lit("silver"), F.lit("gold")),
+                ((F.col("user_id") + F.col("v")) % 3 + 1).cast("int"),
+            ).alias("tier"),
+        )
+    )
+    ev = events_stream(spark, sf_dir).withColumn(
+        "sec", F.col("ts").cast("timestamp").cast("long")
+    )
+    joined = ev.join(
+        F.broadcast(vers),
+        (ev.user_id == vers.user_id)
+        & (F.col("sec") >= F.col("v_from"))
+        & (F.col("sec") < F.col("v_to")),
+    )
+    agg = joined.groupBy("tier", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+    )
+    return run_to_memory(agg, "complete").orderBy("tier", "event_type")

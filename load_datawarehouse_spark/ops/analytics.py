@@ -2399,3 +2399,108 @@ def agg_corr_matrix_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("m1", "m2")
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (3 synchronous rounds, deterministic)
+# ---------------------------------------------------------------------------
+
+_LPA_SUPPORT = 8   # co-order edge support floor -> sparse graph
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    head = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+edges AS MATERIALIZED (
+    SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+    FROM li a JOIN li b ON b.l_orderkey = a.l_orderkey
+                       AND b.l_suppkey > a.l_suppkey
+    GROUP BY a.l_suppkey, b.l_suppkey
+    HAVING COUNT(*) >= {_LPA_SUPPORT}
+), und AS MATERIALIZED (
+    SELECT s1 AS node, s2 AS nbr FROM edges
+    UNION ALL SELECT s2, s1 FROM edges
+), l0 AS (SELECT DISTINCT node, node AS lbl FROM und)"""
+    rounds = []
+    prev = "l0"
+    for r in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""c{r} AS (
+    SELECT u.node, p.lbl, COUNT(*) AS cnt
+    FROM und u JOIN {prev} p ON p.node = u.nbr
+    GROUP BY u.node, p.lbl
+), l{r} AS (
+    SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, lbl) AS rk
+        FROM c{r}
+    ) WHERE rk = 1
+)""")
+        prev = f"l{r}"
+    body = head + ",\n" + ",\n".join(rounds)
+    return f"""{body}
+SELECT lbl AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(node) AS BIGINT) AS min_node
+FROM {prev} GROUP BY lbl ORDER BY community
+"""
+
+
+@_register("graph_label_propagation", _lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation on the
+    support-pruned supplier co-order graph (edges need >= 8 shared
+    orders, which keeps the near-complete raw graph sparse enough to
+    HAVE communities): every node adopts its neighbors' most frequent
+    label each round, ties to the smallest label, three unrolled
+    rounds — the third graph-analytics family member next to PageRank
+    (centrality) and connected components (reachability).
+
+    Synchronous updates + deterministic tie-breaks make the
+    trajectory engine- and partitioning-independent, so the oracle
+    unrolls the identical three rounds in SQL. Scale: per round one
+    equi join of the undirected edge list against the label table and
+    one (node, label) count — the canonical Pregel-in-DataFrames
+    shape; the support floor bounds the join fanout.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    li = t["lineitem"].select("l_orderkey", "l_suppkey").distinct()
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("s1"))
+    b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("s2"))
+    edges = (
+        a.join(b, (F.col("l_orderkey") == F.col("ok2")) & (F.col("s2") > F.col("s1")))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= _LPA_SUPPORT)
+        .select("s1", "s2")
+        .localCheckpoint(eager=False)
+    )
+    und = edges.select(F.col("s1").alias("node"), F.col("s2").alias("nbr")).unionAll(
+        edges.select(F.col("s2").alias("node"), F.col("s1").alias("nbr"))
+    )
+    labels = und.select("node").distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    wpick = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("lbl"))
+    for _ in range(_LPA_ROUNDS):
+        cnts = (
+            und.join(
+                labels.select(F.col("node").alias("nbr"), "lbl"), "nbr"
+            )
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            cnts.withColumn("rk", F.row_number().over(wpick))
+            .filter(F.col("rk") == 1)
+            .select("node", "lbl")
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").cast("long").alias("min_node"),
+        )
+        .orderBy("community")
+    )

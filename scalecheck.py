@@ -82,6 +82,15 @@ SCALE_QUERIES = [
     "basket_frequent_triples",
     "ts_gap_fill_locf",
     "geo_radius_pairs_bucketed",
+    "text_rake_keyphrases",
+    "lang_id_ngram_profile",
+    "multimodal_cdc_chunk_dedup",
+    "stats_classifier_kappa",
+    "stat_wasserstein_1d",
+    "orders_price_time_band_pairs",
+    "orders_spc_control_chart",
+    "multimodal_video_frame_dedup",
+    "ts_holt_linear",
 ]
 
 

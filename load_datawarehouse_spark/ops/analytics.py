@@ -2504,3 +2504,153 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("community")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed feature vectors (fixed-width ML export, serialized canonically)
+# ---------------------------------------------------------------------------
+
+_FHV_DIM = 16
+
+_FHV_ORACLE = f"""
+WITH b AS (
+    SELECT user_id,
+           (instr('0123456789abcdef', substr(md5(event_type), 1, 1)) - 1)
+               % {_FHV_DIM} AS bucket
+    FROM events
+), cells AS (
+    SELECT user_id, bucket, COUNT(*) AS c FROM b GROUP BY user_id, bucket
+)
+SELECT user_id,
+       string_agg(CAST(c AS VARCHAR), ',' ORDER BY bucket) AS sparse_vec,
+       CAST(SUM(c) AS BIGINT) AS total,
+       CAST(COUNT(*) AS BIGINT) AS nnz
+FROM cells GROUP BY user_id ORDER BY user_id
+"""
+
+
+@_register("features_user_hash_vector", _FHV_ORACLE)
+def features_user_hash_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing export: each user's event-type counts hash into
+    a fixed 16-bucket vector (the hashing trick that gives ML feature
+    pipelines a SCHEMA-STABLE width no matter how many raw categories
+    appear later) — emitted in canonical sparse form (bucket-ordered
+    counts) so the vector itself is hash-comparable across engines,
+    plus L1 mass and nnz.
+
+    Pure integer hashing and counting; one (user, bucket) shuffle with
+    map-side partials. At 100 TB this is the exporter that feeds
+    ``pack_training_sequences``-style consumers without a vocabulary
+    coordination step.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    bucket = (
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("event_type"), 1, 1)) - 1
+    ) % _FHV_DIM
+    cells = (
+        t["events"]
+        .select("user_id", bucket.alias("bucket"))
+        .groupBy("user_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        cells.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bucket", "c"))),
+                    lambda s: s["c"].cast("string"),
+                ),
+            ).alias("sparse_vec"),
+            F.sum("c").cast("long").alias("total"),
+            F.count(F.lit(1)).alias("nnz"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B power analysis (minimum detectable effect at alpha=.05, power=.8)
+# ---------------------------------------------------------------------------
+
+_MDE_ORACLE = """
+WITH assign AS (
+    SELECT user_id,
+           CASE WHEN (instr('0123456789abcdef',
+                      substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+                THEN 'A' ELSE 'B' END AS arm,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                AS INT) AS converted
+    FROM events GROUP BY user_id
+), arms AS (
+    SELECT COUNT(*) AS n, SUM(converted) AS conv,
+           SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS n_a,
+           SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS n_b
+    FROM assign
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(ROUND(10000.0 * conv / n) AS BIGINT) AS pooled_rate_bps,
+       CAST(CEIL(10000 * (1.959964 + 0.841621)
+            * SQRT((1.0 * conv / n) * (1 - 1.0 * conv / n)
+                   * (1.0 / n_a + 1.0 / n_b))) AS BIGINT) AS mde_bps
+FROM arms
+"""
+
+
+@_register("stats_ab_power_mde", _MDE_ORACLE)
+def stats_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis: the minimum detectable effect (in
+    conversion bps) of the current A/B split at alpha=.05 two-sided
+    and 80% power — the question to answer BEFORE reading
+    ``stats_ab_test_proportions``: an experiment whose MDE exceeds any
+    plausible effect is noise however its z looks.
+
+    MDE = (z_{{a/2}} + z_{{power}}) * sqrt(p(1-p)(1/n_a + 1/n_b)) with
+    the two z constants as exact literals; counts are exact integers,
+    one sqrt, CEIL'd conservatively to integer bps. Scale: a 1-row
+    summary off the per-user collapse.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    nib = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(
+                F.md5(F.concat(F.lit("ab|"), F.col("user_id").cast("string"))), 1, 1
+            ),
+        )
+        - 1
+    )
+    assign = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 14
+            )
+            .cast("int")
+            .alias("converted")
+        )
+        .select(F.when(nib % 2 == 0, "A").otherwise("B").alias("arm"), "converted")
+    )
+    arms = assign.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").alias("conv"),
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).alias("n_b"),
+    )
+    p = 1.0 * F.col("conv") / F.col("n")
+    return arms.select(
+        F.col("n_a").cast("long"),
+        F.col("n_b").cast("long"),
+        F.round(10000.0 * F.col("conv") / F.col("n")).cast("long").alias(
+            "pooled_rate_bps"
+        ),
+        F.ceil(
+            10000
+            * (1.959964 + 0.841621)
+            * F.sqrt(p * (1 - p) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+        )
+        .cast("long")
+        .alias("mde_bps"),
+    )

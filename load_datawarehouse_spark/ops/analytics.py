@@ -2654,3 +2654,173 @@ def stats_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mde_bps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Association rules (directional confidence/lift over frequent pairs)
+# ---------------------------------------------------------------------------
+
+_RULES_MIN_CONF_BPS = 1500  # emit rules with confidence >= 15%
+
+_ASSOC_RULES_ORACLE = f"""
+WITH items AS MATERIALIZED (
+    SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS item
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM items),
+single AS MATERIALIZED (
+    SELECT item, COUNT(*) AS supp FROM items GROUP BY item
+), pair AS MATERIALIZED (
+    SELECT a.item AS x, b.item AS y, COUNT(*) AS supp_xy
+    FROM items a JOIN items b ON b.okey = a.okey AND b.item <> a.item
+    GROUP BY a.item, b.item
+)
+SELECT p.x AS antecedent, p.y AS consequent,
+       CAST(p.supp_xy AS BIGINT) AS supp_xy,
+       CAST(ROUND(10000.0 * p.supp_xy / sx.supp) AS BIGINT) AS confidence_bps,
+       CAST(ROUND(10000.0 * p.supp_xy * n.n_orders
+                  / (sx.supp * sy.supp)) AS BIGINT) AS lift_x10000
+FROM pair p
+JOIN single sx ON sx.item = p.x
+JOIN single sy ON sy.item = p.y
+CROSS JOIN n
+WHERE p.supp_xy * 10000 >= {_RULES_MIN_CONF_BPS} * sx.supp
+ORDER BY antecedent, consequent
+"""
+
+
+@_register("basket_association_rules", _ASSOC_RULES_ORACLE)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules X -> Y over brand baskets:
+    confidence (P(Y|X)) and lift (P(XY)/P(X)P(Y)) for every ordered
+    pair above the confidence floor — the recommendation-rule emission
+    on top of the symmetric ``basket_affinity_lift`` and the level-3
+    ``basket_frequent_triples`` (a rule is directional; lift alone
+    can't say WHICH item to recommend from which).
+
+    All three statistics derive from exact integer supports; ratios
+    round to integer bps/x10000 at emission. Scale: the pair expansion
+    fans out per order over its distinct items (bounded baskets); the
+    confidence filter is a pushed integer predicate.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    items = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("item"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = items.select(F.count_distinct("okey").alias("n_orders"))
+    single = items.groupBy("item").agg(F.count(F.lit(1)).alias("supp"))
+    a = items.select("okey", F.col("item").alias("x"))
+    b = items.select("okey", F.col("item").alias("y"))
+    pair = (
+        a.join(b, "okey")
+        .filter(F.col("x") != F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("supp_xy"))
+    )
+    sx = single.select(F.col("item").alias("x"), F.col("supp").alias("supp_x"))
+    sy = single.select(F.col("item").alias("y"), F.col("supp").alias("supp_y"))
+    return (
+        pair.join(F.broadcast(sx), "x")
+        .join(F.broadcast(sy), "y")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("supp_xy") * 10000 >= _RULES_MIN_CONF_BPS * F.col("supp_x"))
+        .select(
+            F.col("x").alias("antecedent"),
+            F.col("y").alias("consequent"),
+            F.col("supp_xy").cast("long"),
+            F.round(10000.0 * F.col("supp_xy") / F.col("supp_x"))
+            .cast("long")
+            .alias("confidence_bps"),
+            F.round(
+                10000.0 * F.col("supp_xy") * F.col("n_orders")
+                / (F.col("supp_x") * F.col("supp_y"))
+            )
+            .cast("long")
+            .alias("lift_x10000"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SPRT sequential experiment monitoring (Wald boundaries, daily ledger)
+# ---------------------------------------------------------------------------
+
+#: log-likelihood increments for H1: p=0.55 vs H0: p=0.5, and Wald
+#: boundaries for alpha=.05, beta=.2 — exact double literals shared by
+#: both engines so every step is the same IEEE multiply-add
+_SPRT_LL_CONV = 0.09531017980432493     # ln(p1/p0)
+_SPRT_LL_MISS = -0.1053605156578264     # ln((1-p1)/(1-p0))
+_SPRT_LOWER = -1.5581446180465497       # ln(beta/(1-alpha))
+_SPRT_UPPER = 2.772588722239781         # ln((1-beta)/alpha)
+
+_SPRT_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(*) AS n,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+    FROM events GROUP BY 1
+), ledger AS (
+    SELECT day, n, conv,
+           SUM(conv * {_SPRT_LL_CONV} + (n - conv) * {_SPRT_LL_MISS})
+               OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS llr
+    FROM daily
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(n AS BIGINT) AS n, CAST(conv AS BIGINT) AS conv,
+       ROUND(llr, 6) AS cum_llr,
+       CASE WHEN llr >= {_SPRT_UPPER} THEN 'accept_h1'
+            WHEN llr <= {_SPRT_LOWER} THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM ledger ORDER BY day
+"""
+
+
+@_register("stats_sprt_monitoring", _SPRT_ORACLE)
+def stats_sprt_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test as a daily monitoring
+    ledger: the cumulative log-likelihood ratio of H1 (purchase rate
+    0.55) against H0 (0.5) with the alpha=.05 / beta=.2 decision
+    boundaries — the always-valid alternative to peeking at a
+    fixed-horizon z test (``stats_ab_test_proportions``) before its
+    sample size is reached.
+
+    The four model constants are exact double literals shared
+    verbatim by both engines, daily counts are exact integers, and
+    the running LLR is one ordered cumsum of identical multiply-adds
+    — only the reported LLR rounds (the decision compares the
+    UNROUNDED value identically on both sides). Scale: the day
+    collapse is the only data-sized shuffle; the ledger window runs
+    over the bounded calendar.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    daily = (
+        t["events"]
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "conv"
+            ),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    llr = F.sum(
+        F.col("conv") * _SPRT_LL_CONV + (F.col("n") - F.col("conv")) * _SPRT_LL_MISS
+    ).over(w)
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("n").cast("long"),
+        F.col("conv").cast("long"),
+        F.round(llr, 6).alias("cum_llr"),
+        F.when(llr >= _SPRT_UPPER, "accept_h1")
+        .when(llr <= _SPRT_LOWER, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    ).orderBy("day")

@@ -6047,7 +6047,7 @@ _PCA_DEC = "DECIMAL(28,12)"
 def _pca_oracle() -> str:
     prev = "v0"
     ctes = [
-        f"""elems AS (
+        f"""elems AS MATERIALIZED (
     SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
            CAST(unnest(embedding) AS DOUBLE) AS x
     FROM embeddings
@@ -6055,17 +6055,17 @@ def _pca_oracle() -> str:
     ]
     for i in range(1, _PCA_ITERS + 1):
         ctes.append(
-            f"""s{i} AS (
+            f"""s{i} AS MATERIALIZED (
     SELECT e.vec_id,
            CAST(SUM(CAST(e.x * p.v AS {_PCA_DEC})) AS DOUBLE) AS s
     FROM elems e JOIN {prev} p USING (pos) GROUP BY e.vec_id
-), w{i} AS (
+), w{i} AS MATERIALIZED (
     SELECT e.pos,
            CAST(SUM(CAST(e.x * t.s AS {_PCA_DEC})) AS DOUBLE) AS w
     FROM elems e JOIN s{i} t USING (vec_id) GROUP BY e.pos
-), n{i} AS (
+), n{i} AS MATERIALIZED (
     SELECT SQRT(CAST(SUM(CAST(w * w AS {_PCA_DEC})) AS DOUBLE)) AS nrm FROM w{i}
-), v{i} AS (
+), v{i} AS MATERIALIZED (
     SELECT pos, ROUND(w / nrm, 9) AS v FROM w{i} CROSS JOIN n{i}
 )"""
         )
@@ -6658,3 +6658,154 @@ def stats_classifier_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((po_ - pe_) / (1 - pe_), 6).alias("kappa"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Second principal component via deflation (orthogonalized power iteration)
+# ---------------------------------------------------------------------------
+
+
+def _pca2_oracle() -> str:
+    # PC1: the same 3 unrolled iterations as embedding_pca_power_iteration
+    ctes = [
+        f"""elems AS MATERIALIZED (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+), v0 AS MATERIALIZED (SELECT unnest(range({_PCA_DIM})) AS pos, 0.125 AS v)"""
+    ]
+    prev = "v0"
+    for i in range(1, _PCA_ITERS + 1):
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+    SELECT e.vec_id, CAST(SUM(CAST(e.x * p.v AS {_PCA_DEC})) AS DOUBLE) AS s
+    FROM elems e JOIN {prev} p USING (pos) GROUP BY e.vec_id
+), w{i} AS MATERIALIZED (
+    SELECT e.pos, CAST(SUM(CAST(e.x * t.s AS {_PCA_DEC})) AS DOUBLE) AS w
+    FROM elems e JOIN s{i} t USING (vec_id) GROUP BY e.pos
+), n{i} AS MATERIALIZED (
+    SELECT SQRT(CAST(SUM(CAST(w * w AS {_PCA_DEC})) AS DOUBLE)) AS nrm FROM w{i}
+), v{i} AS MATERIALIZED (
+    SELECT pos, ROUND(w / nrm, 9) AS v FROM w{i} CROSS JOIN n{i}
+)"""
+        )
+        prev = f"v{i}"
+    # PC2: identical loop but each raw update is deflated against PC1
+    # (u <- u - (u . v1) v1) BEFORE normalization
+    prev2 = "u0"
+    ctes.append(f"u0 AS MATERIALIZED (SELECT pos, CASE WHEN pos = 0 THEN 1.0 ELSE 0.0 END AS v FROM v0)")
+    for i in range(1, _PCA_ITERS + 1):
+        ctes.append(
+            f"""t{i} AS MATERIALIZED (
+    SELECT e.vec_id, CAST(SUM(CAST(e.x * p.v AS {_PCA_DEC})) AS DOUBLE) AS s
+    FROM elems e JOIN {prev2} p USING (pos) GROUP BY e.vec_id
+), r{i} AS MATERIALIZED (
+    SELECT e.pos, CAST(SUM(CAST(e.x * t.s AS {_PCA_DEC})) AS DOUBLE) AS w
+    FROM elems e JOIN t{i} t USING (vec_id) GROUP BY e.pos
+), d{i} AS MATERIALIZED (
+    SELECT CAST(SUM(CAST(r.w * p1.v AS {_PCA_DEC})) AS DOUBLE) AS proj
+    FROM r{i} r JOIN v{_PCA_ITERS} p1 USING (pos)
+), g{i} AS MATERIALIZED (
+    SELECT r.pos, r.w - d.proj * p1.v AS w
+    FROM r{i} r JOIN v{_PCA_ITERS} p1 USING (pos) CROSS JOIN d{i} d
+), m{i} AS MATERIALIZED (
+    SELECT SQRT(CAST(SUM(CAST(w * w AS {_PCA_DEC})) AS DOUBLE)) AS nrm FROM g{i}
+), u{i} AS MATERIALIZED (
+    SELECT pos, ROUND(w / nrm, 9) AS v FROM g{i} CROSS JOIN m{i}
+)"""
+        )
+        prev2 = f"u{i}"
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body},
+orth AS (
+    SELECT ROUND(CAST(SUM(CAST(a.v * b.v AS {_PCA_DEC})) AS DOUBLE), 6) AS dot12
+    FROM v{_PCA_ITERS} a JOIN u{_PCA_ITERS} b USING (pos)
+)
+SELECT CAST(p.pos AS BIGINT) AS pos, p.v AS loading2,
+       ROUND(n.nrm, 2) AS lambda2_est, o.dot12 AS orthogonality
+FROM u{_PCA_ITERS} p CROSS JOIN m{_PCA_ITERS} n CROSS JOIN orth o
+ORDER BY p.pos
+"""
+
+
+@_register("embedding_pca_second_component", _pca2_oracle())
+def embedding_pca_second_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second principal direction by DEFLATED power iteration: run the
+    PC1 recursion (identical to ``embedding_pca_power_iteration``),
+    then iterate a second vector whose every raw update is
+    orthogonalized against PC1 (u <- u − (u·v1)v1, classic Hotelling
+    deflation) before normalization — the step from 'top eigenvector'
+    to an actual spectral decomposition, still in pure DataFrame ops.
+    The emitted ``orthogonality`` column (v1·v2 rounded to 6 dp)
+    PROVES the deflation worked.
+
+    Same reproducibility discipline as PC1: decimal-exact matvecs and
+    projections, 9-dp quantization per iteration, deterministic start
+    (e_0 for PC2). Scale: per iteration adds one 64-row projection
+    join to PC1's two bounded-key shuffles.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    elems = (
+        t["embeddings"]
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+        )
+        .persist()
+    )
+    import decimal as _d
+    import math
+
+    dec = _PCA_DEC.lower()
+
+    def _q12(x: float) -> _d.Decimal:
+        return _d.Decimal(repr(x)).quantize(
+            _d.Decimal("1e-12"), rounding=_d.ROUND_HALF_UP
+        )
+
+    def _r(x: float, dp: str) -> float:
+        return float(
+            _d.Decimal(repr(x)).quantize(_d.Decimal(dp), rounding=_d.ROUND_HALF_UP)
+        )
+
+    def matvec(vrows):
+        vdf = F.broadcast(spark.createDataFrame(vrows, "pos int, v double"))
+        s = (
+            elems.join(vdf, "pos")
+            .groupBy("vec_id")
+            .agg(F.sum((F.col("x") * F.col("v")).cast(dec)).cast("double").alias("s"))
+        )
+        w = (
+            elems.join(s, "vec_id")
+            .groupBy("pos")
+            .agg(F.sum((F.col("x") * F.col("s")).cast(dec)).cast("double").alias("w"))
+        )
+        return {int(r["pos"]): r["w"] for r in w.collect()}
+
+    # PC1 (identical trajectory to the standalone op)
+    v = [(p, 0.125) for p in range(_PCA_DIM)]
+    for _ in range(_PCA_ITERS):
+        w = matvec(v)
+        nrm = math.sqrt(float(sum(_q12(w[p] * w[p]) for p in w)))
+        v = [(p, _r(w[p] / nrm, "1e-9")) for p in sorted(w)]
+    v1 = dict(v)
+
+    # PC2: deflate each raw update against v1
+    u = [(p, 1.0 if p == 0 else 0.0) for p in range(_PCA_DIM)]
+    nrm2 = None
+    for _ in range(_PCA_ITERS):
+        w = matvec(u)
+        proj = float(sum(_q12(w[p] * v1[p]) for p in w))
+        g = {p: w[p] - proj * v1[p] for p in w}
+        nrm2 = math.sqrt(float(sum(_q12(g[p] * g[p]) for p in g)))
+        u = [(p, _r(g[p] / nrm2, "1e-9")) for p in sorted(g)]
+    u2 = dict(u)
+    dot12 = _r(float(sum(_q12(v1[p] * u2[p]) for p in v1)), "1e-6")
+    lam2 = _r(nrm2, "1e-2")
+    out = spark.createDataFrame(
+        [(p, u2[p], lam2, dot12) for p in sorted(u2)],
+        "pos long, loading2 double, lambda2_est double, orthogonality double",
+    )
+    return out.orderBy("pos")

@@ -1185,3 +1185,74 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.b").alias("trend"),
         (F.col("st.l") + F.col("st.b")).alias("forecast_next"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Forecast-baseline backtest (naive vs seasonal-naive MAE on a holdout)
+# ---------------------------------------------------------------------------
+
+_BACKTEST_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders GROUP BY 1
+), idx AS (
+    SELECT day, cents,
+           row_number() OVER (ORDER BY day) AS i,
+           COUNT(*) OVER () AS n,
+           LAG(cents, 1) OVER (ORDER BY day) AS naive,
+           LAG(cents, 7) OVER (ORDER BY day) AS snaive
+    FROM daily
+), test AS (
+    SELECT * FROM idx WHERE i > (n * 8) // 10 AND snaive IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_test_days,
+       CAST(SUM(ABS(cents - naive)) AS BIGINT) AS mae_naive_total_cents,
+       CAST(SUM(ABS(cents - snaive)) AS BIGINT) AS mae_snaive_total_cents,
+       SUM(ABS(cents - snaive)) < SUM(ABS(cents - naive))
+           AS seasonal_wins
+FROM test
+"""
+
+
+@_register("ts_forecast_baseline_backtest", _BACKTEST_ORACLE)
+def ts_forecast_baseline_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline backtest: naive (yesterday) vs seasonal-naive
+    (same weekday last week) absolute error on the last 20% of the
+    daily-revenue calendar — the sanity gate every forecasting effort
+    needs first (a model that can't beat t-7 isn't a model), and the
+    evaluation counterpart to the fitting ops (``ts_holt_linear``,
+    ``ts_seasonal_decompose``).
+
+    Integer cents end to end — the MAE totals are exact sums of
+    absolute integer differences, so even the winner flag is an exact
+    integer comparison. Scale: one day collapse, one ordered pass
+    over the bounded calendar (lags + the 80/20 index split share the
+    same window sort).
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    daily = (
+        t["orders"]
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    wo = Window.orderBy("day")
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    idx = daily.select(
+        "cents",
+        F.row_number().over(wo).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.lag("cents", 1).over(wo).alias("naive"),
+        F.lag("cents", 7).over(wo).alias("snaive"),
+    )
+    test = idx.filter(
+        (F.col("i") > F.expr("(n * 8) DIV 10")) & F.col("snaive").isNotNull()
+    )
+    mae_n = F.sum(F.abs(F.col("cents") - F.col("naive")))
+    mae_s = F.sum(F.abs(F.col("cents") - F.col("snaive")))
+    return test.agg(
+        F.count(F.lit(1)).alias("n_test_days"),
+        mae_n.cast("long").alias("mae_naive_total_cents"),
+        mae_s.cast("long").alias("mae_snaive_total_cents"),
+        (mae_s < mae_n).alias("seasonal_wins"),
+    )

@@ -1474,3 +1474,95 @@ def multimodal_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d1", "d2")
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_histogram_dedup — byte-histogram-invariant duplicates
+# ---------------------------------------------------------------------------
+
+_HIST_BINS = 16
+
+_HIST_DEDUP_ORACLE = f"""
+WITH imgs AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+), corpus AS (
+    SELECT doc_id, text FROM imgs
+    UNION ALL  -- byte-reversed re-encode: same histogram, new payload hash
+    SELECT doc_id + 300000, reverse(text) FROM imgs WHERE doc_id < 90
+), ch AS (
+    SELECT doc_id, unicode(unnest(string_split_regex(text, ''))) % {_HIST_BINS} AS bin,
+           md5(text) AS payload_md5
+    FROM corpus
+), hist AS (
+    SELECT doc_id, payload_md5,
+           string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY bin) AS hist_key
+    FROM (
+        SELECT doc_id, payload_md5, bin, COUNT(*) AS cnt
+        FROM ch GROUP BY doc_id, payload_md5, bin
+    ) GROUP BY doc_id, payload_md5
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       a.payload_md5 <> b.payload_md5 AS reordered_content
+FROM hist a JOIN hist b
+  ON b.hist_key = a.hist_key AND b.doc_id > a.doc_id
+ORDER BY d1, d2
+"""
+
+
+@_register("multimodal_histogram_dedup", _HIST_DEDUP_ORACLE)
+def multimodal_histogram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram-invariant duplicate detection on the image rows:
+    payloads with IDENTICAL 16-bin byte histograms pair up even when
+    their byte ORDER differs — catching reordered/re-tiled content
+    (the replayed corpus contains byte-REVERSED re-encodes) that
+    content-digest dedup (``multimodal_dedup_payload``) provably
+    misses, flagged by the ``reordered_content`` column.
+
+    The histogram serializes canonically (bin-ordered counts) into an
+    exact join key, so the pair join is EQUI on the histogram key —
+    never image x image; integer counting end to end. Scale: one
+    (doc, bin) aggregation + one md5-sized key shuffle.
+    """
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    imgs = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    corpus = imgs.unionByName(
+        imgs.filter(F.col("doc_id") < 90).select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.reverse("text").alias("text"),
+        )
+    )
+    ch = (
+        corpus.select(
+            "doc_id",
+            F.md5("text").alias("payload_md5"),
+            F.posexplode(F.split("text", "(?!^)")).alias("i0", "c"),
+        )
+        .filter(F.col("c") != "")
+        .select("doc_id", "payload_md5", (F.ascii("c") % _HIST_BINS).alias("bin"))
+    )
+    hist = (
+        ch.groupBy("doc_id", "payload_md5", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id", "payload_md5")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bin", "cnt"))),
+                    lambda s: s["cnt"].cast("string"),
+                ),
+            ).alias("hist_key")
+        )
+    )
+    a = hist.select(
+        F.col("doc_id").alias("d1"), F.col("payload_md5").alias("m1"), "hist_key"
+    )
+    b = hist.select(
+        F.col("doc_id").alias("d2"), F.col("payload_md5").alias("m2"), "hist_key"
+    )
+    return (
+        a.join(b, "hist_key")
+        .filter(F.col("d2") > F.col("d1"))
+        .select("d1", "d2", (F.col("m1") != F.col("m2")).alias("reordered_content"))
+        .orderBy("d1", "d2")
+    )

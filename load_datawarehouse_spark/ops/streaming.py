@@ -1494,3 +1494,81 @@ def stream_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
     )
     return run_to_memory(agg, "complete").orderBy("tier", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Backfill-then-tail unification (batch history + streaming increments)
+# ---------------------------------------------------------------------------
+
+_BF_ORACLE = f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       {sql_dec_sum('value', 'sum_value')}
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@_register("stream_backfill_then_tail", _BF_ORACLE)
+def stream_backfill_then_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kappa-style backfill + tail: the historical 80% of the event
+    log lands as ONE distributed batch write, the remaining 20%
+    arrives through the streaming path (``foreachBatch`` appends into
+    the same table), and the unified table answers queries identically
+    to processing everything in batch — the onboarding pattern for
+    every new streaming pipeline (reprocess history fast, then switch
+    to the tail WITHOUT a separate batch codepath or double-counting
+    at the seam).
+
+    The seam is an exact integer event_id split, so neither side can
+    duplicate or drop rows. Scale: backfill is a plain parquet write
+    at full cluster parallelism (no state store, no watermark); only
+    the tail pays streaming overheads.
+    """
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="ldw_bf_")
+    out = os.path.join(root, "unified")
+    try:
+        t = load_tables(spark, sf_dir, register_views=False)
+        ev = t["events"]
+        cut = ev.agg(
+            F.expr("percentile_approx(event_id, 0.8, 1000000)").alias("c")
+        ).collect()[0]["c"]
+        cut = int(cut)
+        cols = ["event_id", "event_type", "user_id", "value"]
+        # backfill: plain batch write of history
+        ev.filter(F.col("event_id") <= cut).select(*cols).write.mode(
+            "overwrite"
+        ).parquet(out)
+
+        # tail: the stream appends only post-cut events
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            events_stream(spark, sf_dir)
+            .filter(F.col("event_id") > cut)
+            .select(*cols)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(root, "_chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        unified = spark.read.parquet(out)
+        res = (
+            unified.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.count_distinct("user_id").alias("n_users"),
+                F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+            )
+            .orderBy("event_type")
+        )
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -2824,3 +2824,158 @@ def stats_sprt_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("continue")
         .alias("decision"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes rate shrinkage (beta-binomial, method-of-moments prior)
+# ---------------------------------------------------------------------------
+
+_EB_ORACLE = """
+WITH per_cust AS (
+    SELECT o.o_custkey AS cust,
+           COUNT(*) AS n,
+           SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS x
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_custkey
+), mom AS (
+    SELECT CAST(SUM(x) AS DOUBLE) / SUM(n) AS mu,
+           CAST(SUM(CAST(x AS DECIMAL(38,6)) * x) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(x AS DECIMAL(38,6)) * n) AS DOUBLE) AS sxn,
+           CAST(SUM(CAST(n AS DECIMAL(38,6)) * n) AS DOUBLE) AS snn,
+           CAST(SUM(n) AS DOUBLE) AS sn, CAST(COUNT(*) AS DOUBLE) AS k
+    FROM per_cust
+), prior AS (
+    -- strength s = mu*(1-mu)/var_hat - 1 with var_hat from the rate
+    -- spread; floored at 1 so the prior never vanishes
+    SELECT mu,
+           GREATEST(mu * (1 - mu)
+               / GREATEST((sxx / snn) - mu * mu + 0.000001, 0.000001) - 1,
+               1.0) AS s
+    FROM mom
+)
+SELECT p.cust,
+       CAST(p.n AS BIGINT) AS n_lines,
+       CAST(p.x AS BIGINT) AS n_returned,
+       CAST(ROUND(10000.0 * p.x / p.n) AS BIGINT) AS raw_bps,
+       CAST(ROUND(10000.0 * (p.x + pr.mu * pr.s) / (p.n + pr.s)) AS BIGINT)
+           AS shrunk_bps
+FROM per_cust p CROSS JOIN prior pr
+WHERE p.cust < 200
+ORDER BY p.cust
+"""
+
+
+@_register("stat_empirical_bayes_rates", _EB_ORACLE)
+def stat_empirical_bayes_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-customer return rates: a
+    beta-binomial prior fitted by method of moments from the WHOLE
+    population pulls small-sample customer rates toward the global
+    mean (a 1-for-2 customer stops looking like a 50% returner) —
+    the ranking-stabilization technique every per-entity rate
+    leaderboard needs.
+
+    The moments come from exact decimal power sums; the prior strength
+    and each shrunk rate are fixed float expressions over those sums,
+    rounded to integer bps at emission. Scale: one customer-keyed
+    aggregation; the prior is a 1-row broadcast.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    per_cust = (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("x"),
+        )
+    )
+    mom = per_cust.agg(
+        (F.sum("x").cast("double") / F.sum("n")).alias("mu"),
+        F.sum(F.col("x").cast("decimal(38,6)") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("n").cast("decimal(38,6)") * F.col("n")).cast("double").alias("snn"),
+    )
+    prior = mom.select(
+        "mu",
+        F.greatest(
+            F.col("mu") * (1 - F.col("mu"))
+            / F.greatest(
+                (F.col("sxx") / F.col("snn")) - F.col("mu") * F.col("mu") + 0.000001,
+                F.lit(0.000001),
+            )
+            - 1,
+            F.lit(1.0),
+        ).alias("s"),
+    )
+    return (
+        per_cust.filter(F.col("cust") < 200)
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "cust",
+            F.col("n").cast("long").alias("n_lines"),
+            F.col("x").cast("long").alias("n_returned"),
+            F.round(10000.0 * F.col("x") / F.col("n")).cast("long").alias("raw_bps"),
+            F.round(
+                10000.0 * (F.col("x") + F.col("mu") * F.col("s"))
+                / (F.col("n") + F.col("s"))
+            )
+            .cast("long")
+            .alias("shrunk_bps"),
+        )
+        .orderBy("cust")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Experimentation readout capstone (one metric ledger from shared legs)
+# ---------------------------------------------------------------------------
+
+_EXP_READOUT_ORACLE = f"""
+WITH ab AS ({_AB_ORACLE}),
+mde AS ({_MDE_ORACLE}),
+did AS ({_DID_ORACLE}),
+sprt AS ({_SPRT_ORACLE.replace("ORDER BY day", "")})
+SELECT metric, value FROM (
+    SELECT 'ab_z_score' AS metric, z_score AS value FROM ab
+    UNION ALL
+    SELECT 'mde_bps', CAST(mde_bps AS DOUBLE) FROM mde
+    UNION ALL
+    SELECT 'did_cents', did_cents FROM did
+    UNION ALL
+    SELECT 'sprt_final_llr', cum_llr FROM sprt
+    WHERE day = (SELECT MAX(day) FROM sprt)
+) ORDER BY metric
+"""
+
+
+@_register("pipeline_experiment_readout", _EXP_READOUT_ORACLE)
+def pipeline_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation capstone: the one-table readout an experiment
+    review wants — fixed-horizon z, minimum detectable effect,
+    difference-in-differences estimate, and the sequential (SPRT)
+    final log-likelihood — each computed by the REGISTERED op
+    unchanged (single definition per method, the capstone discipline
+    of ``pipeline_training_prep_v2``) and unioned into a (metric,
+    value) ledger.
+
+    Scale: each leg is its already-audited plan; the union is four
+    1-row frames.
+    """
+    ab = stats_ab_test_proportions(spark, sf_dir).select(
+        F.lit("ab_z_score").alias("metric"), F.col("z_score").alias("value")
+    )
+    mde = stats_ab_power_mde(spark, sf_dir).select(
+        F.lit("mde_bps").alias("metric"), F.col("mde_bps").cast("double").alias("value")
+    )
+    did = stats_diff_in_diff(spark, sf_dir).select(
+        F.lit("did_cents").alias("metric"), F.col("did_cents").alias("value")
+    )
+    sprt_df = stats_sprt_monitoring(spark, sf_dir)
+    last_day = sprt_df.agg(F.max("day").alias("d"))
+    sprt = (
+        sprt_df.join(F.broadcast(last_day), sprt_df.day == F.col("d"))
+        .select(F.lit("sprt_final_llr").alias("metric"), F.col("cum_llr").alias("value"))
+    )
+    return ab.unionByName(mde).unionByName(did).unionByName(sprt).orderBy("metric")

@@ -2979,3 +2979,97 @@ def pipeline_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("sprt_final_llr").alias("metric"), F.col("cum_llr").alias("value"))
     )
     return ab.unionByName(mde).unionByName(did).unionByName(sprt).orderBy("metric")
+
+
+# ---------------------------------------------------------------------------
+# Matched-pairs uplift (nearest-neighbor covariate matching)
+# ---------------------------------------------------------------------------
+
+_MATCHED_ORACLE = """
+WITH days AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           isodow(CAST(o_orderdate AS DATE)) >= 6 AS is_we,
+           COUNT(*) AS n_orders,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders GROUP BY 1, 2
+), we AS (SELECT * FROM days WHERE is_we),
+wd AS (SELECT * FROM days WHERE NOT is_we),
+matched AS (
+    SELECT w.day AS we_day, w.n_orders AS we_n, w.cents AS we_cents,
+           m.day AS wd_day, m.n_orders AS wd_n, m.cents AS wd_cents
+    FROM we w
+    JOIN LATERAL (
+        SELECT d.day, d.n_orders, d.cents
+        FROM wd d
+        ORDER BY ABS(d.n_orders - w.n_orders), d.day
+        LIMIT 1
+    ) m ON TRUE
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(we_cents) AS BIGINT) AS we_cents,
+       CAST(SUM(wd_cents) AS BIGINT) AS wd_cents,
+       CAST(SUM(we_cents - wd_cents) AS BIGINT) AS uplift_cents,
+       CAST(ROUND(10000.0 * SUM(we_cents - wd_cents) / SUM(wd_cents))
+            AS BIGINT) AS uplift_bps
+FROM matched
+"""
+
+
+@_register("stat_matched_pairs_uplift", _MATCHED_ORACLE)
+def stat_matched_pairs_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matching estimator: each weekend day is paired with the weekday
+    NEAREST IN ORDER VOLUME (the confounding covariate), and the
+    uplift is measured within matched pairs — the observational-study
+    alternative to ``stats_diff_in_diff`` when there is no pre-period
+    (matching removes the volume confound a raw weekend/weekday mean
+    comparison, ``events_weekend_lift``, has to model away).
+
+    The nearest-neighbor pick is rank-1 by (|Δvolume|, day) —
+    deterministic integer ties — via the bounded per-weekend-day rank
+    (the calendar bounds both sides, so the candidate join is
+    days x days of a SERIES, not of raw rows). Integer cents end to
+    end; one rounded bps at emission.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    days = (
+        t["orders"]
+        .groupBy(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.dayofweek(F.col("o_orderdate").cast("date")).isin(1, 7).alias("is_we"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        )
+    )
+    we = days.filter(F.col("is_we")).select(
+        F.col("day").alias("we_day"),
+        F.col("n_orders").alias("we_n"),
+        F.col("cents").alias("we_cents"),
+    )
+    wd = days.filter(~F.col("is_we")).select(
+        F.col("day").alias("wd_day"),
+        F.col("n_orders").alias("wd_n"),
+        F.col("cents").alias("wd_cents"),
+    )
+    w = Window.partitionBy("we_day").orderBy(
+        F.abs(F.col("wd_n") - F.col("we_n")), F.asc("wd_day")
+    )
+    matched = (
+        we.crossJoin(wd)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    return matched.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("we_cents").cast("long").alias("we_cents"),
+        F.sum("wd_cents").cast("long").alias("wd_cents"),
+        F.sum(F.col("we_cents") - F.col("wd_cents")).cast("long").alias("uplift_cents"),
+        F.round(
+            10000.0
+            * F.sum(F.col("we_cents") - F.col("wd_cents"))
+            / F.sum("wd_cents")
+        )
+        .cast("long")
+        .alias("uplift_bps"),
+    )

@@ -16,77 +16,41 @@ from pyspark.sql import DataFrame, SparkSession
 # Queries whose correctness evidence is most valuable next round are
 # registered first: the driver's CORRECTNESS sweep covers a prefix of
 # the registration order (50 names), generated at ROUND START from the
-# previous round's final commit. Round 5's window = the 36 operators
-# NEW in the round-4 session (every one verified locally against the
-# sf0.01 oracle on a vanilla driver-style session) + the 14 oldest
-# never-driver-checked names (the remaining TPC-H suite +
-# scalar_try_arith). The tail lists the next never-checked cohort
-# (streaming, UDF, multimodal metadata, warehouse lifecycle) that
-# leads round 6; all are green in this session's local sweeps.
+# previous round's final commit. Round 5's window = 50 NEVER
+# driver-checked names drawn from the highest-risk cohorts (the full
+# UDF-surface exhibits, the core streaming ops, the multimodal
+# metadata family, the warehouse lifecycle trio, the 9 newest
+# analytics-wave ops, and the last TPC-H shapes q14/q17/q18 that
+# complete the driver-green Q1-Q22 sweep). Every name is green in
+# this session's vanilla sf0.01 oracle sweep. The tail lists the
+# next never-checked cohort that leads round 6.
 _FIRST_NAMES = (
-    # --- round-4 session additions (driver rows needed first) ---
-    "events_funnel_regex",
-    "orders_concurrent_pairs",
-    "part_bom_rollup",
-    "sample_balanced_classes",
-    "stat_theil_sen_monthly",
-    "geo_radius_pairs_bucketed",
-    "agg_sketch_set_intersection",
-    "heavy_hitters_misra_gries",
-    "quality_hashed_classifier",
-    "corpus_token_budget_allocation",
-    "contamination_embedding_check",
-    "text_novelty_per_doc",
-    "stream_exactly_once_sink",
-    "stream_union_sources",
-    "multimodal_audio_silence_segments",
-    "warehouse_branch_merge",
-    "udtf_sessionize_table_arg",
-    "lang_id_confusion",
-    "sample_priority_weighted",
-    "stat_mannwhitney_u",
-    "warehouse_quarantine_load",
-    "ts_gap_fill_locf",
-    "embedding_pca_power_iteration",
-    "stat_subsample_bootstrap_ci",
-    "basket_frequent_triples",
-    "pipeline_source_quality_card",
-    "scalar_ip_cidr_family",
-    "ts_holt_linear",
-    "dq_json_schema_drift",
-    "events_velocity_flags",
-    "events_bot_detection",
-    "stats_ab_test_proportions",
-    "text_rake_keyphrases",
-    "multimodal_cdc_chunk_dedup",
-    "warehouse_clone_zero_copy",
-    "warehouse_two_table_atomic_publish",
-    # --- oldest never-driver-checked (TPC-H completion) ---
-    "scalar_try_arith",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_priority_lines",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q19_disjunctive_revenue",
-    "q20_excess_suppliers",
-    "q21_sole_late_supplier",
-    "q22_idle_rich_segments",
-    # --- past the 50-wide window: never-checked cohort, leads round 6 ---
-    "stream_upsert_warehouse",
-    "join_skew_stress",
+    # --- newest analytics wave (post-validation ops, ADVICE fixes applied) ---
+    "pipeline_experiment_readout",
+    "stats_sprt_monitoring",
+    "stat_empirical_bayes_rates",
+    "stat_matched_pairs_uplift",
+    "basket_association_rules",
+    "embedding_pca_second_component",
+    "ts_forecast_baseline_backtest",
+    "multimodal_histogram_dedup",
+    "stats_classifier_kappa",
+    # --- TPC-H completion (only shapes never driver-checked) ---
     "q14_promo_effect",
-    "warehouse_load_fetch",
-    "schema_infer_documents",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customer",
+    # --- UDF surface (10/11 never checked before this round) ---
+    "udf_python_scalar",
     "udf_arrow_optimized",
     "udf_pandas_vectorized",
+    "udf_pandas_iter",
     "udaf_apply_in_pandas",
+    "udaf_grouped_agg_pandas",
     "udtf_bigrams",
-    "udf_python_scalar",
+    "udtf_dynamic_schema",
+    "udf_map_in_arrow",
+    "udf_cogrouped_merge",
+    # --- streaming core (15/20 never checked before this round) ---
     "stream_tumbling_counts",
     "stream_sliding_counts",
     "stream_session_windows",
@@ -95,18 +59,51 @@ _FIRST_NAMES = (
     "stream_stream_join",
     "stream_stream_left_outer_join",
     "stream_update_mode_history",
+    "stream_upsert_warehouse",
+    "stream_static_enrich",
+    "stream_ivm_aggregate",
+    "stream_backfill_then_tail",
+    # --- multimodal metadata family ---
     "multimodal_media_meta",
     "multimodal_feature_extract",
     "multimodal_frame_sample",
     "multimodal_resize_thumbnail",
     "multimodal_modality_stats",
+    "multimodal_decode_image_real",
+    # --- warehouse lifecycle ---
+    "warehouse_load_fetch",
     "warehouse_expiry_sweep",
     "warehouse_schema_evolution",
     "warehouse_compact_small_files",
+    "warehouse_time_travel",
+    "warehouse_merge_cdc",
+    # --- schema inference + core relational never-checked ---
+    "schema_infer_documents",
+    "join_skew_stress",
+    "join_asof_nearest",
     "histogram_fixed_bins",
     "dedup_levenshtein_verify",
+    # --- past the 50-wide window: never-checked cohort, leads round 6 ---
+    "stream_transform_with_state",
+    "stream_chained_windows",
+    "stream_temporal_dim_join",
+    "multimodal_decode_audio_real",
+    "multimodal_pipeline_prep",
+    "multimodal_audio_energy",
+    "multimodal_video_shot_boundaries",
+    "multimodal_image_dhash",
+    "multimodal_payload_entropy",
+    "multimodal_video_frame_dedup",
+    "warehouse_vacuum_snapshots",
     "window_running_drawdown",
-    "join_asof_nearest",
+    "window_moving_median",
+    "window_ema_fold",
+    "window_running_distinct",
+    "window_rolling_zscore",
+    "window_share_of_total",
+    "ts_seasonal_decompose",
+    "ts_cusum_changepoint",
+    "orders_month_pacing_curve",
     "agg_filtered_aggregates",
     "agg_argmax_struct",
     "setop_intersect_all",
@@ -116,6 +113,18 @@ _FIRST_NAMES = (
     "agg_mode",
     "agg_string_agg",
     "scalar_url_extract",
+    "dedup_exact_groups",
+    "dedup_exact_keep_first",
+    "text_stats",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_neardup",
+    "doc_fingerprint_simhash",
+    "lang_id_markers",
+    "dedup_embedding_neardup",
+    "dedup_connected_components",
+    "pipeline_training_prep",
+    "text_normalize",
+    "pii_scrub",
 )
 
 

@@ -141,8 +141,21 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
     }
-    print(json.dumps(out))
+    # The driver captures only the TAIL of stdout (~2.2 KB in round 4,
+    # which truncated the 2.6 KB full-map line into unparseable JSON).
+    # Always emit the full per-query map to stderr; if the final stdout
+    # line would outgrow a conservative tail budget, keep only the
+    # slowest queries in it and flag the truncation.
+    print("# full per-query timings: " + json.dumps(timings), file=sys.stderr)
+    line = json.dumps(out)
+    if len(line) > 1800:
+        slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:12])
+        out["queries"] = {k: timings[k] for k in HEADLINE if k in slowest}
+        out["queries_truncated"] = True
+        line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":

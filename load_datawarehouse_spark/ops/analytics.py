@@ -2936,7 +2936,7 @@ _EXP_READOUT_ORACLE = f"""
 WITH ab AS ({_AB_ORACLE}),
 mde AS ({_MDE_ORACLE}),
 did AS ({_DID_ORACLE}),
-sprt AS ({_SPRT_ORACLE.replace("ORDER BY day", "")})
+sprt AS ({_SPRT_ORACLE.replace("FROM ledger ORDER BY day", "FROM ledger")})
 SELECT metric, value FROM (
     SELECT 'ab_z_score' AS metric, z_score AS value FROM ab
     UNION ALL
@@ -3029,6 +3029,11 @@ def stat_matched_pairs_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the calendar bounds both sides, so the candidate join is
     days x days of a SERIES, not of raw rows). Integer cents end to
     end; one rounded bps at emission.
+
+    Scale bound: the weekend x weekday cross is over the DAY domain —
+    ~2.4k days (~700 weekend x ~1.7k weekday) for the 7-year TPC-H
+    calendar REGARDLESS of sf, because the collapse to daily totals
+    happens first; the only data-sized stage is that initial groupBy.
     """
     t = load_tables(spark, sf_dir, register_views=False)
     days = (

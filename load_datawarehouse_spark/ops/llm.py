@@ -239,6 +239,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning of hot shingles (MAX_SHINGLE_DF) -> inverted-index
     self-join (shuffle on shingle, pruned keys bound the fanout) ->
     pair aggregation. Never materializes doc x doc.
+
+    AUDIT VIEW at scale: output is one row per duplicate PAIR, hence
+    quadratic in duplicate density; the linear-output production path
+    is ``dedup_neardup_clusters`` (cluster id per document).
     """
     t = load_tables(spark, sf_dir, register_views=False)
     ds = _shingles(t)
@@ -426,7 +430,13 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH-then-verify dedup pipeline shape (cf. MinHashLSH usage in
     Spark MLlib docs). No document-frequency pruning here: the
     verification must be exact, and the semi-join already bounds the
-    inverted-index fanout."""
+    inverted-index fanout.
+
+    AUDIT VIEW at scale: output is one row per verified PAIR —
+    quadratic in duplicate density (measured: sf1 emits ~1000x
+    sf0.1's pairs because the replicated corpus has that many true
+    pairs, at 0.015x the per-pair cost). Route 100-TB consumers to
+    ``dedup_neardup_clusters`` for linear one-row-per-doc output."""
     t = load_tables(spark, sf_dir, register_views=False)
     # the candidate set is tiny (pairs that collided in some band) but
     # its lineage is the whole LSH pipeline, and it feeds THREE
@@ -4539,6 +4549,10 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, but ORDERED pairs (both directions kept) and the
     denominator is the contained side's own shingle count. Never
     doc x doc.
+
+    AUDIT VIEW at scale: pair-per-row output is quadratic in
+    duplicate density; see ``dedup_neardup_clusters`` for the
+    linear-output production path.
     """
     t = load_tables(spark, sf_dir, register_views=False)
     ds = _shingles(t)
@@ -4849,6 +4863,10 @@ def dedup_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     while removing the quadratic hot keys. Per-pair partial products
     accumulate in DECIMAL(38,18); the cosine is rounded to 9 dp
     BEFORE thresholding so the boundary comparison is engine-stable.
+
+    AUDIT VIEW at scale: pair-per-row output is quadratic in
+    duplicate density; see ``dedup_neardup_clusters`` for the
+    linear-output production path.
     """
     t = load_tables(spark, sf_dir, register_views=False)
     dec18 = "decimal(38,18)"

@@ -11,8 +11,10 @@ installed and otherwise falls back to a pure-stdlib PNG decoder
 (zlib inflate + scanline unfilter, all five filter types), exercised
 end-to-end by ``multimodal_decode_image_real`` — genuine PNG bytes are
 encoded, parsed, and pixel-checksummed against an arithmetic DuckDB
-oracle. Audio decode remains gated behind an import-try
-(``decode_audio_real``: soundfile/librosa, absent here). The
+oracle. Audio decode is REAL too: ``decode_audio_real`` prefers
+soundfile when installed and otherwise parses WAV/RIFF PCM with the
+stdlib (struct chunk walk, 8/16-bit, any channel count), exercised
+end-to-end by ``multimodal_decode_audio_real`` the same way. The
 byte-level operators (histograms, byte-grid thumbnails, fixed-width
 frame sampling) use a deterministic fake codec so their oracles can
 replay byte semantics in DuckDB SQL character-wise; the Spark-side
@@ -244,17 +246,90 @@ def decode_image_real(content: bytes, meta: dict | None = None) -> "object":
     return _png_unfilter(zlib.decompress(idat), h, w, channels)
 
 
-def decode_audio_real(content: bytes, meta: dict) -> "object":
-    """STUB — real audio decode (librosa/soundfile); see
-    ``decode_image_real``."""
+_RIFF_SIG = b"RIFF"
+
+
+def encode_wav(samples, sample_rate: int, channels: int = 1) -> bytes:
+    """Minimal real WAV/RIFF encoder (public spec, RIFF 1991 / WAVE
+    PCM): 16-bit signed little-endian PCM, interleaved frames, one
+    ``fmt `` + one ``data`` chunk. Mirrors ``encode_png`` — genuine
+    audio payloads materialize in-container (no soundfile needed) for
+    the real-decode round-trip operator and its tests."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype="<i2").reshape(-1)
+    data = a.tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return _RIFF_SIG + struct.pack("<I", len(body)) + body
+
+
+def decode_audio_real(content: bytes, meta: dict | None = None):
+    """Real audio decode to ``(frames, sample_rate)`` where ``frames``
+    is an (n_frames, channels) int16 array.
+
+    Prefers soundfile when installed (any libsndfile format). Without
+    it, falls back to a pure-stdlib WAV/RIFF parser (struct chunk
+    walk: PCM format 1, 8-bit unsigned or 16-bit signed LE,
+    any channel count) — so the real-decode path runs even in
+    codec-less containers for the most common raw-audio container,
+    mirroring the PNG fallback in ``decode_image_real``. Non-WAV
+    payloads without soundfile raise ``NotImplementedError``
+    (availability-probe pattern, cf. ``sources._format_available``).
+    """
     try:
-        import soundfile  # noqa: F401
-    except ImportError as exc:
+        import io
+
+        import soundfile as sf
+
+        data, rate = sf.read(io.BytesIO(content), dtype="int16", always_2d=True)
+        return data, int(rate)
+    except ImportError:
+        pass
+    import struct
+
+    import numpy as np
+
+    if not (content.startswith(_RIFF_SIG) and content[8:12] == b"WAVE"):
         raise NotImplementedError(
-            "audio decode requires soundfile/librosa, not available "
-            "in this environment"
-        ) from exc
-    raise NotImplementedError("real decode path not exercised in tests")
+            "non-WAV audio decode requires soundfile, which is not "
+            "available in this environment"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        tag = content[pos : pos + 4]
+        (length,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        payload = content[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", payload[:16])
+        elif tag == b"data":
+            data = payload
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, rate, _brate, _align, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(f"only PCM WAV supported (format {audio_format})")
+    if bits == 16:
+        frames = np.frombuffer(data, dtype="<i2")
+    elif bits == 8:  # 8-bit WAV is unsigned, centered at 128
+        frames = np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM not supported")
+    return frames.reshape(-1, channels), int(rate)
 
 
 # ---------------------------------------------------------------------------
@@ -706,6 +781,94 @@ def multimodal_decode_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id")
         .mapInPandas(_decode_real_batches, schema=_DECODE_REAL_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_decode_audio_real — genuine WAV/PCM codec round-trip
+# ---------------------------------------------------------------------------
+
+_DECODE_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("amp_sum", T.LongType()),
+    ]
+)
+
+
+def _decode_audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode each doc's deterministic PCM signal to a real WAV
+    container (RIFF fmt+data chunks), decode it back through
+    ``decode_audio_real`` (soundfile when installed, else the
+    pure-stdlib RIFF parser), and fingerprint the decoded samples.
+    A lossy or broken codec surfaces as ``amp_sum = -1`` -> oracle
+    mismatch."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {k.name: [] for k in _DECODE_AUDIO_SCHEMA.fields}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            channels = d % 2 + 1
+            n_frames = d % 50 + 10
+            rate = 8000 + d % 4 * 4000
+            i = np.arange(n_frames * channels, dtype=np.int64)
+            sig = ((d * 31 + i * 17) % 65536 - 32768).astype(np.int16)
+            dec, dec_rate = decode_audio_real(encode_wav(sig, rate, channels))
+            ok = (
+                dec.shape == (n_frames, channels)
+                and dec_rate == rate
+                and np.array_equal(dec.reshape(-1), sig)
+            )
+            out["doc_id"].append(d)
+            out["channels"].append(channels)
+            out["n_frames"].append(n_frames)
+            out["sample_rate"].append(rate)
+            out["amp_sum"].append(int(sig.astype(np.int64).sum()) if ok else -1)
+        yield pd.DataFrame(out)
+
+
+_DECODE_AUDIO_ORACLE = """
+SELECT doc_id,
+       CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+       CAST(doc_id % 50 + 10 AS BIGINT) AS n_frames,
+       CAST(8000 + doc_id % 4 * 4000 AS BIGINT) AS sample_rate,
+       CAST(list_sum(list_transform(
+            range(0, (doc_id % 50 + 10) * (doc_id % 2 + 1)),
+            i -> (doc_id * 31 + i * 17) % 65536 - 32768)) AS BIGINT) AS amp_sum
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@_register("multimodal_decode_audio_real", _DECODE_AUDIO_ORACLE)
+def multimodal_decode_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, end to end: every document gets a genuine
+    WAV payload (16-bit PCM, mono/stereo alternating by doc, four
+    sample rates) encoded in the same Arrow batch, then parsed
+    chunk-by-chunk through ``decode_audio_real`` and reduced to an
+    amplitude checksum the DuckDB oracle recomputes arithmetically.
+
+    This closes the last honest stub (the round-2..4
+    ``NotImplementedError`` audio path): the decode executes a real
+    public audio container in-container (WAV/RIFF via stdlib struct;
+    soundfile is preferred when installed and covers FLAC/OGG et
+    al.). Lossless round-trip is asserted per clip — shape, rate, and
+    samples — and any codec defect poisons ``amp_sum``.
+
+    Scale: narrow ``mapInPandas`` like the image twin — decode runs
+    where the split is read, no shuffle; Arrow batch size bounds peak
+    memory (lower ``arrow.maxRecordsPerBatch`` for real MB-size
+    clips).
+    """
+    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    return (
+        docs.select("doc_id")
+        .mapInPandas(_decode_audio_batches, schema=_DECODE_AUDIO_SCHEMA)
         .orderBy("doc_id")
     )
 
@@ -1495,7 +1658,8 @@ WITH imgs AS (
     FROM corpus
 ), hist AS (
     SELECT doc_id, payload_md5,
-           string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY bin) AS hist_key
+           string_agg(CAST(bin AS VARCHAR) || ':' || CAST(cnt AS VARCHAR),
+                      ',' ORDER BY bin) AS hist_key
     FROM (
         SELECT doc_id, payload_md5, bin, COUNT(*) AS cnt
         FROM ch GROUP BY doc_id, payload_md5, bin
@@ -1518,7 +1682,9 @@ def multimodal_histogram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     content-digest dedup (``multimodal_dedup_payload``) provably
     misses, flagged by the ``reordered_content`` column.
 
-    The histogram serializes canonically (bin-ordered counts) into an
+    The histogram serializes canonically (bin-ordered ``bin:count``
+    pairs, so distinct bin SETS with equal count sequences never
+    collide) into an
     exact join key, so the pair join is EQUI on the histogram key —
     never image x image; integer counting end to end. Scale: one
     (doc, bin) aggregation + one md5-sized key shuffle.
@@ -1549,7 +1715,7 @@ def multimodal_histogram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ",",
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("bin", "cnt"))),
-                    lambda s: s["cnt"].cast("string"),
+                    lambda s: F.concat_ws(":", s["bin"].cast("string"), s["cnt"].cast("string")),
                 ),
             ).alias("hist_key")
         )

@@ -590,14 +590,14 @@ def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSIONIZE_UDTF_ORACLE = """
 WITH o AS (
-    SELECT user_id, ts,
+    SELECT user_id, ts, event_id,
            CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                      > INTERVAL 30 MINUTE
                 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                 THEN 1 ELSE 0 END AS new_sess
     FROM events
 ), s AS (
-    SELECT user_id, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+    SELECT user_id, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING) AS sess_id, ts
     FROM o
 ), per_sess AS (

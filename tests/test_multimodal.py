@@ -23,16 +23,49 @@ def test_media_table_schema(spark):
     assert row["meta"]["n_bytes"] == len(row["content"])
 
 
-def test_non_png_without_pillow_raises_and_audio_stub_raises():
-    # JPEG bytes need Pillow (absent in this container); audio decode
-    # remains an availability-gated stub
+def test_non_png_without_pillow_and_non_wav_without_soundfile_raise():
+    # JPEG bytes need Pillow, MP3 bytes need soundfile (both absent in
+    # this container); the availability gates must say which library
     try:
         import PIL  # noqa: F401
     except ImportError:
         with pytest.raises(NotImplementedError, match="Pillow"):
             mm.decode_image_real(b"\xff\xd8\xff\xe0 not a png", {})
-    with pytest.raises(NotImplementedError, match="soundfile"):
-        mm.decode_audio_real(b"RIFF", {})
+    try:
+        import soundfile  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="soundfile"):
+            mm.decode_audio_real(b"ID3\x04 not a wav", {})
+
+
+def test_wav_codec_round_trip_mono_and_stereo():
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    for channels, n_frames, rate in [(1, 1, 8000), (1, 37, 16000), (2, 24, 44100)]:
+        sig = rng.randint(-32768, 32768, size=n_frames * channels).astype(np.int16)
+        dec, r = mm.decode_audio_real(mm.encode_wav(sig, rate, channels))
+        assert r == rate and dec.shape == (n_frames, channels)
+        assert np.array_equal(dec.reshape(-1), sig)
+
+
+def test_wav_decoder_8bit_and_word_alignment():
+    """Hand-build an 8-bit mono WAV with an odd-length data chunk
+    followed by a LIST chunk (our encoder only emits 16-bit) so the
+    unsigned-center-128 path and RIFF word alignment are exercised."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    data = bytes([0, 128, 255])
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data + b"\x00"
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    dec, rate = mm.decode_audio_real(wav)
+    assert rate == 8000 and dec.reshape(-1).tolist() == [-128, 0, 127]
 
 
 def test_png_codec_round_trip_all_shapes():

@@ -91,6 +91,17 @@ SCALE_QUERIES = [
     "orders_spc_control_chart",
     "multimodal_video_frame_dedup",
     "ts_holt_linear",
+    # round-4 post-validation wave + round-5 additions
+    "stats_sprt_monitoring",
+    "basket_association_rules",
+    "stat_empirical_bayes_rates",
+    "pipeline_experiment_readout",
+    "stat_matched_pairs_uplift",
+    "embedding_pca_second_component",
+    "ts_forecast_baseline_backtest",
+    "multimodal_histogram_dedup",
+    "stream_backfill_then_tail",
+    "multimodal_decode_audio_real",
 ]
 
 

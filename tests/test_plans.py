@@ -621,3 +621,34 @@ def test_ct_langid_profiles_broadcast(spark):
     plan = _plan(_llm.lang_id_ngram_profile(spark, SF_DIR))
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_audio_decode_is_narrow(spark):
+    # real WAV decode runs where the split is read: MapInPandas with
+    # no shuffle below it (only the final order-by exchange above)
+    from load_datawarehouse_spark.ops import multimodal
+
+    plan = _plan(multimodal.multimodal_decode_audio_real(spark, SF_DIR))
+    assert "MapInPandas" in plan
+    _, _, below = plan.partition("MapInPandas")
+    assert "Exchange hashpartitioning" not in below
+    assert "Exchange rangepartitioning" not in below
+
+
+def test_histogram_dedup_join_is_equi(spark):
+    # the pair join rides the serialized bin:count histogram key —
+    # hash/merge equi, never image x image
+    from load_datawarehouse_spark.ops import multimodal
+
+    plan = _plan(multimodal.multimodal_histogram_dedup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sprt_ledger_no_joins(spark):
+    # one data-sized shuffle (the day collapse); the cumulative-LLR
+    # window runs over the bounded calendar, no join anywhere
+    from load_datawarehouse_spark.ops import analytics
+
+    plan = _plan(analytics.stats_sprt_monitoring(spark, SF_DIR))
+    assert "Join" not in plan

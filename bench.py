@@ -57,6 +57,7 @@ HEADLINE = [
     "q21_sole_late_supplier",
     "contamination_bloom_prefilter",
     "multimodal_decode_image_real",
+    "multimodal_decode_audio_real",
     "join_skew_stress",
     "q18_large_volume_customer",
     "similarity_sq_topk",

@@ -6473,25 +6473,18 @@ GROUP BY dd.lang, b.cand ORDER BY label, predicted
 """
 
 
-@_register("lang_id_ngram_profile", _CT_ORACLE)
-def lang_id_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cavnar-Trenkle character-trigram language ID: each language gets
-    a rank profile of its top-30 trigrams, each document its top-20,
-    and the classifier picks the language minimizing the out-of-place
-    distance (sum of rank deltas, 31 for profile misses) — the 1994
-    n-gram method production langid tools descend from, and the
-    heuristic ``lang_id_markers`` upgrade path. Emitted as the
-    label-vs-predicted confusion census.
+def _ct_doc_predictions(docs: DataFrame) -> DataFrame:
+    """Shared Cavnar-Trenkle leg: the (doc_id, cand) best-language
+    prediction per document, used by ``lang_id_ngram_profile`` and
+    ``stats_classifier_kappa`` (single definition, the capstone
+    discipline).
 
-    All ranks and distances are integers with (count desc, gram)
-    deterministic ordering. Scale: trigram assembly is array-native
-    and narrow; both rank windows partition by bounded keys (languages;
-    one document's distinct grams); the language profiles are tiny and
-    BROADCAST to the per-doc scoring join — the corpus side shuffles
-    only on (doc_id, gram) aggregates.
+    The explode feeds both profile branches independently (measured:
+    materializing the (doc, gram) aggregate to cut the double explode
+    is a LOSS — natural-text trigrams are mostly distinct per doc, so
+    the aggregate is explode-sized and checkpointing it costs more
+    than the second narrow fan-out).
     """
-    t = load_tables(spark, sf_dir, register_views=False)
-    docs = t["documents"].filter(F.length("text") >= 3)
     grams = docs.select(
         "doc_id",
         "lang",
@@ -6516,7 +6509,8 @@ def lang_id_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "gram", "rd")
     )
     langs = docs.select(F.col("lang").alias("cand")).distinct()
-    dists = (
+    wb = Window.partitionBy("doc_id").orderBy("dist", "cand")
+    return (
         doc_prof.crossJoin(F.broadcast(langs))
         .join(F.broadcast(lang_prof), ["cand", "gram"], "left")
         .groupBy("doc_id", "cand")
@@ -6525,9 +6519,32 @@ def lang_id_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.abs(F.col("rd") - F.col("rl")), F.lit(_CT_OOP))
             ).alias("dist")
         )
+        .withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "cand")
     )
-    wb = Window.partitionBy("doc_id").orderBy("dist", "cand")
-    best = dists.withColumn("rk", F.row_number().over(wb)).filter(F.col("rk") == 1)
+
+
+@_register("lang_id_ngram_profile", _CT_ORACLE)
+def lang_id_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar-Trenkle character-trigram language ID: each language gets
+    a rank profile of its top-30 trigrams, each document its top-20,
+    and the classifier picks the language minimizing the out-of-place
+    distance (sum of rank deltas, 31 for profile misses) — the 1994
+    n-gram method production langid tools descend from, and the
+    heuristic ``lang_id_markers`` upgrade path. Emitted as the
+    label-vs-predicted confusion census.
+
+    All ranks and distances are integers with (count desc, gram)
+    deterministic ordering. Scale: trigram assembly is array-native
+    and narrow (``_ct_doc_predictions``); both rank windows partition
+    by bounded keys (languages; one document's distinct grams); the language
+    profiles are tiny and BROADCAST to the per-doc scoring join — the
+    corpus side shuffles only on (doc_id, gram) aggregates.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    docs = t["documents"].filter(F.length("text") >= 3)
+    best = _ct_doc_predictions(docs)
     return (
         best.join(t["documents"].select("doc_id", "lang"), "doc_id")
         .groupBy(F.col("lang").alias("label"), F.col("cand").alias("predicted"))
@@ -6615,44 +6632,7 @@ def stats_classifier_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, register_views=False)
     markers = lang_id_markers(spark, sf_dir).select("doc_id", "lang_guess")
     docs = t["documents"].filter(F.length("text") >= 3)
-    grams = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
-        ).alias("gram"),
-    )
-    wl = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("gram"))
-    lang_prof = (
-        grams.groupBy("lang", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn("rl", F.row_number().over(wl))
-        .filter(F.col("rl") <= _CT_PROF)
-        .select(F.col("lang").alias("cand"), "gram", "rl")
-    )
-    wd = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("gram"))
-    doc_prof = (
-        grams.groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn("rd", F.row_number().over(wd))
-        .filter(F.col("rd") <= _CT_DOC)
-        .select("doc_id", "gram", "rd")
-    )
-    langs = docs.select(F.col("lang").alias("cand")).distinct()
-    wb = Window.partitionBy("doc_id").orderBy("dist", "cand")
-    ct = (
-        doc_prof.crossJoin(F.broadcast(langs))
-        .join(F.broadcast(lang_prof), ["cand", "gram"], "left")
-        .groupBy("doc_id", "cand")
-        .agg(
-            F.sum(F.coalesce(F.abs(F.col("rd") - F.col("rl")), F.lit(_CT_OOP))).alias(
-                "dist"
-            )
-        )
-        .withColumn("rk", F.row_number().over(wb))
-        .filter(F.col("rk") == 1)
-        .select("doc_id", "cand")
-    )
+    ct = _ct_doc_predictions(docs)
     paired = markers.join(ct, "doc_id").select(
         F.col("lang_guess").alias("a"), F.col("cand").alias("b")
     )

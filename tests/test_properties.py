@@ -626,3 +626,27 @@ def test_revenue_bridge_effects_sum_to_delta(prev, cur):
     price = pn * (new_avg - old_avg)
     mix = (n - pn) * (new_avg - old_avg)
     assert abs((volume + price + mix) - delta) < 1e-6 * max(1.0, abs(delta))
+
+
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=400),
+    st.sampled_from([1, 2, 4]),
+    st.sampled_from([8000, 16000, 44100, 48000]),
+)
+@settings(max_examples=100, deadline=None)
+def test_wav_codec_round_trip_lossless(samples, channels, rate):
+    """encode_wav -> decode_audio_real is bit-lossless for any int16
+    signal, channel count, and sample rate (the property the
+    multimodal_decode_audio_real oracle relies on per clip)."""
+    import numpy as np
+
+    from load_datawarehouse_spark.ops import multimodal as mm
+
+    sig = np.asarray(samples, dtype=np.int16)
+    sig = sig[: len(sig) - len(sig) % channels]
+    if len(sig) == 0:
+        sig = np.zeros(channels, dtype=np.int16)
+    dec, r = mm.decode_audio_real(mm.encode_wav(sig, rate, channels))
+    assert r == rate
+    assert dec.shape == (len(sig) // channels, channels)
+    assert np.array_equal(dec.reshape(-1), sig)

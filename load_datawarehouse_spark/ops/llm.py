@@ -367,7 +367,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 bands of 2) target Jaccard ~>= 0.3 candidates.
     """
     t = load_tables(spark, sf_dir, register_views=False)
-    bands = _minhash_bands(t)
+    # 4 band rows per doc, consumed by both self-join sides — cut
+    # lineage so the shingle+minhash pipeline runs once, not per side
+    bands = _minhash_bands(t).localCheckpoint(eager=False)
     a = bands.select(F.col("doc_id").alias("d1"), "band", "band_key")
     b = bands.select(F.col("doc_id").alias("d2"), "band", "band_key")
     return (
@@ -1381,7 +1383,10 @@ def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle does the naive all-pairs join (fine at oracle scale,
     wrong at 100 TB — the banded plan is the point of this op)."""
     t = load_tables(spark, sf_dir, register_views=False)
-    sh = _simhash60(t)
+    # one 60-bit signature row per doc, consumed by BOTH self-join
+    # sides — cut lineage so the token-explode signature aggregation
+    # runs once, not per side (measured 10% at sf0.1)
+    sh = _simhash60(t).localCheckpoint(eager=False)
     mask = (1 << _SIMHASH_ND_BAND_BITS) - 1
     bands = sh.select(
         "doc_id",

@@ -3472,7 +3472,8 @@ WITH words AS (
 SELECT lang, CAST(decile AS BIGINT) AS decile,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
-       CAST(SUM(CAST(score AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS avg_score
+       ROUND(CAST(SUM(CAST(score AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+           AS avg_score
 FROM binned
 GROUP BY lang, decile
 ORDER BY lang, decile
@@ -3526,9 +3527,12 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("sum_tokens"),
-            (F.sum(F.col("score").cast(_COS_DEC)).cast("double") / F.count(F.lit(1))).alias(
-                "avg_score"
-            ),
+            # round the emitted mean: the decimal sum is exact but the
+            # closing double division can differ in the last ulp across
+            # engines (seen at sf0.1); 6 dp at ~1e2 magnitude is stable
+            F.round(
+                F.sum(F.col("score").cast(_COS_DEC)).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_score"),
         )
         .orderBy("lang", "decile")
     )

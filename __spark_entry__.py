@@ -16,77 +16,20 @@ from pyspark.sql import DataFrame, SparkSession
 # Queries whose correctness evidence is most valuable next round are
 # registered first: the driver's CORRECTNESS sweep covers a prefix of
 # the registration order (50 names), generated at ROUND START from the
-# previous round's final commit. Round 5's window = 50 NEVER
-# driver-checked names drawn from the highest-risk cohorts (the full
-# UDF-surface exhibits, the core streaming ops, the multimodal
-# metadata family, the warehouse lifecycle trio, the 9 newest
-# analytics-wave ops, and the last TPC-H shapes q14/q17/q18 that
-# complete the driver-green Q1-Q22 sweep). Every name is green in
-# this session's vanilla sf0.01 oracle sweep. The tail lists the
-# next never-checked cohort that leads round 6.
+# previous round's final commit. Round 6's window = 50 NEVER
+# driver-checked names (zero overlap with the r1-r5 CORRECTNESS
+# union): the 42 names staged in round 5's tail (streaming tail trio,
+# multimodal decode/signal family, the windows cohort, set ops, null
+# semantics, the core dedup/text-pipeline faces) plus 8 from the
+# relational backlog. Every name is green in the vanilla sf0.01
+# oracle sweep. The tail stages the next never-checked cohort
+# (relational backlog) that leads round 7.
 _FIRST_NAMES = (
-    # --- newest analytics wave (post-validation ops, ADVICE fixes applied) ---
-    "pipeline_experiment_readout",
-    "stats_sprt_monitoring",
-    "stat_empirical_bayes_rates",
-    "stat_matched_pairs_uplift",
-    "basket_association_rules",
-    "embedding_pca_second_component",
-    "ts_forecast_baseline_backtest",
-    "multimodal_histogram_dedup",
-    "stats_classifier_kappa",
-    # --- TPC-H completion (only shapes never driver-checked) ---
-    "q14_promo_effect",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customer",
-    # --- UDF surface (10/11 never checked before this round) ---
-    "udf_python_scalar",
-    "udf_arrow_optimized",
-    "udf_pandas_vectorized",
-    "udf_pandas_iter",
-    "udaf_apply_in_pandas",
-    "udaf_grouped_agg_pandas",
-    "udtf_bigrams",
-    "udtf_dynamic_schema",
-    "udf_map_in_arrow",
-    "udf_cogrouped_merge",
-    # --- streaming core (15/20 never checked before this round) ---
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_windows",
-    "stream_dedup_watermark",
-    "stream_stateful_user_stats",
-    "stream_stream_join",
-    "stream_stream_left_outer_join",
-    "stream_update_mode_history",
-    "stream_upsert_warehouse",
-    "stream_static_enrich",
-    "stream_ivm_aggregate",
-    "stream_backfill_then_tail",
-    # --- multimodal metadata family ---
-    "multimodal_media_meta",
-    "multimodal_feature_extract",
-    "multimodal_frame_sample",
-    "multimodal_resize_thumbnail",
-    "multimodal_modality_stats",
-    "multimodal_decode_image_real",
-    # --- warehouse lifecycle ---
-    "warehouse_load_fetch",
-    "warehouse_expiry_sweep",
-    "warehouse_schema_evolution",
-    "warehouse_compact_small_files",
-    "warehouse_time_travel",
-    "warehouse_merge_cdc",
-    # --- schema inference + core relational never-checked ---
-    "schema_infer_documents",
-    "join_skew_stress",
-    "join_asof_nearest",
-    "histogram_fixed_bins",
-    "dedup_levenshtein_verify",
-    # --- past the 50-wide window: never-checked cohort, leads round 6 ---
+    # --- streaming tail (completes 20/20 driver-green) ---
     "stream_transform_with_state",
     "stream_chained_windows",
     "stream_temporal_dim_join",
+    # --- multimodal decode/signal family ---
     "multimodal_decode_audio_real",
     "multimodal_pipeline_prep",
     "multimodal_audio_energy",
@@ -94,7 +37,9 @@ _FIRST_NAMES = (
     "multimodal_image_dhash",
     "multimodal_payload_entropy",
     "multimodal_video_frame_dedup",
+    # --- warehouse lifecycle remainder ---
     "warehouse_vacuum_snapshots",
+    # --- windows cohort (completes 23/23 driver-green) ---
     "window_running_drawdown",
     "window_moving_median",
     "window_ema_fold",
@@ -104,6 +49,7 @@ _FIRST_NAMES = (
     "ts_seasonal_decompose",
     "ts_cusum_changepoint",
     "orders_month_pacing_curve",
+    # --- aggregation / set-op / scalar never-checked faces ---
     "agg_filtered_aggregates",
     "agg_argmax_struct",
     "setop_intersect_all",
@@ -113,6 +59,7 @@ _FIRST_NAMES = (
     "agg_mode",
     "agg_string_agg",
     "scalar_url_extract",
+    # --- core dedup / text-pipeline faces ---
     "dedup_exact_groups",
     "dedup_exact_keep_first",
     "text_stats",
@@ -125,6 +72,66 @@ _FIRST_NAMES = (
     "pipeline_training_prep",
     "text_normalize",
     "pii_scrub",
+    # --- relational backlog (8 promoted to fill the 50-wide head) ---
+    "profile_column_stats",
+    "source_formats_roundtrip",
+    "agg_grouping_id",
+    "pivot_multi_agg",
+    "join_asof_tolerance",
+    "warehouse_incremental_view",
+    "graph_triangle_count",
+    "histogram_equi_depth",
+    # --- past the 50-wide window: relational backlog cohort, leads round 7 ---
+    "nest_order_lines",
+    "scalar_bitwise_family",
+    "agg_higher_moments",
+    "events_hour_dow_heatmap",
+    "features_user_daily",
+    "attribution_last_touch",
+    "markov_event_transitions",
+    "events_anomaly_zscore",
+    "rfm_segmentation",
+    "abc_pareto_analysis",
+    "funnel_time_to_convert",
+    "basket_affinity_lift",
+    "regression_ols_exact",
+    "events_burst_hours",
+    "orders_monthly_growth",
+    "window_rank_delta",
+    "events_interarrival_stats",
+    "stat_chi_square",
+    "agg_mean_family",
+    "survival_kaplan_meier",
+    "stats_winsorized",
+    "warehouse_snapshot_diff",
+    "dq_expectations_report",
+    "dq_key_skew_gini",
+    "orders_pareto_skyline",
+    "layout_zorder_clustering",
+    "source_partition_pruned_read",
+    "graph_degree_stats",
+    "customer_value_decay",
+    "events_top_paths_3step",
+    "scalar_calendar_edges",
+    "agg_bitmap_distinct",
+    "orders_open_backlog_daily",
+    "events_rolling_wau",
+    "stat_mann_kendall_trend",
+    "events_anomaly_iqr",
+    "orders_cohort_ltv_curve",
+    "supplier_ontime_rate",
+    "events_user_lifecycle_states",
+    "events_autocorr_lags",
+    "orders_benford_first_digit",
+    "warehouse_right_to_forget",
+    "scalar_string_shape",
+    "warehouse_mv_rewrite",
+    "agg_boolean_family",
+    "regression_per_group_trend",
+    "source_schema_merge_read",
+    "source_csv_malformed_handling",
+    "orders_duplicate_suspects",
+    "stat_anova_weekday_revenue",
 )
 
 

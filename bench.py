@@ -150,6 +150,13 @@ def main() -> None:
     # line would outgrow a conservative tail budget, keep only the
     # slowest queries in it and flag the truncation.
     print("# full per-query timings: " + json.dumps(timings), file=sys.stderr)
+    # Persist the FULL per-query map so round-over-round comparison
+    # survives the stdout truncation without a judge re-run. Committed
+    # alongside each round's bench run.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+        fh.write("\n")
     line = json.dumps(out)
     if len(line) > 1800:
         slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:12])

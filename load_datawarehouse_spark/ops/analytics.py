@@ -21,7 +21,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from load_datawarehouse_spark.ops._util import dec_sum, sql_dec_sum
+from load_datawarehouse_spark.ops._util import dec_sum, lineage_cut, sql_dec_sum
 from load_datawarehouse_spark.session import load_tables
 
 QUERIES: dict = {}
@@ -259,7 +259,7 @@ def part_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         state = adv.unionByName(done)
         if i % 4 == 3:
-            state = state.localCheckpoint(eager=False)
+            state = state.transform(lineage_cut)
     remaining = state.filter(F.col("anc") > 3).count()
     if remaining:
         raise RuntimeError(
@@ -2474,7 +2474,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("sup"))
         .filter(F.col("sup") >= _LPA_SUPPORT)
         .select("s1", "s2")
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     und = edges.select(F.col("s1").alias("node"), F.col("s2").alias("nbr")).unionAll(
         edges.select(F.col("s2").alias("node"), F.col("s1").alias("nbr"))
@@ -2711,7 +2711,7 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("item"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     n = items.select(F.count_distinct("okey").alias("n_orders"))
     single = items.groupBy("item").agg(F.count(F.lit(1)).alias("supp"))

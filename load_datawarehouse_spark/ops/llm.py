@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from load_datawarehouse_spark.ops._util import DEC
+from load_datawarehouse_spark.ops._util import DEC, lineage_cut, lineage_cut_eager
 from load_datawarehouse_spark.session import load_tables
 
 QUERIES: dict = {}
@@ -249,7 +249,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without a lineage cut each consumer re-runs the explode+distinct
     # (6 parquet scans measured). Materializing the small (doc_id,
     # shingle) rows once is a measured 21% win at sf0.1.
-    ds = _shingles(t).localCheckpoint(eager=False)
+    ds = _shingles(t).transform(lineage_cut)
     cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     idx = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= MAX_SHINGLE_DF
@@ -369,7 +369,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, register_views=False)
     # 4 band rows per doc, consumed by both self-join sides — cut
     # lineage so the shingle+minhash pipeline runs once, not per side
-    bands = _minhash_bands(t).localCheckpoint(eager=False)
+    bands = _minhash_bands(t).transform(lineage_cut)
     a = bands.select(F.col("doc_id").alias("d1"), "band", "band_key")
     b = bands.select(F.col("doc_id").alias("d2"), "band", "band_key")
     return (
@@ -450,7 +450,7 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage cut Catalyst re-derives the full LSH plan per consumer
     # (~22 scans of documents, measured); localCheckpoint materializes
     # the few-thousand-row candidate list once.
-    cand = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2").localCheckpoint(eager=False)
+    cand = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2").transform(lineage_cut)
     ds = _shingles(t)
     cand_docs = (
         cand.select(F.col("d1").alias("doc_id"))
@@ -459,7 +459,7 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # same cut for the candidate-doc shingles: consumed by cnt + both
     # join sides; bounded by |candidate docs| x shingles-per-doc
-    ds_c = ds.join(cand_docs, "doc_id", "left_semi").localCheckpoint(eager=False)
+    ds_c = ds.join(cand_docs, "doc_id", "left_semi").transform(lineage_cut)
     cnt = ds_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = ds_c.select(F.col("doc_id").alias("d1"), "shingle")
     b = ds_c.select(F.col("doc_id").alias("d2"), "shingle")
@@ -1028,7 +1028,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     und = edges.unionByName(
         edges.select(F.col("v2").alias("v1"), F.col("v1").alias("v2"))
-    ).localCheckpoint(eager=True)
+    ).transform(lineage_cut_eager)
 
     labels = t["embeddings"].select("vec_id", F.col("vec_id").alias("component"))
     for _ in range(_CC_MAX_ITERS):
@@ -1045,7 +1045,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "component"
                 ),
             )
-            .localCheckpoint(eager=True)  # cut lineage each round
+            .transform(lineage_cut_eager)  # cut lineage each round
         )
         changed = (
             new_labels.alias("n")
@@ -1386,7 +1386,7 @@ def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one 60-bit signature row per doc, consumed by BOTH self-join
     # sides — cut lineage so the token-explode signature aggregation
     # runs once, not per side (measured 10% at sf0.1)
-    sh = _simhash60(t).localCheckpoint(eager=False)
+    sh = _simhash60(t).transform(lineage_cut)
     mask = (1 << _SIMHASH_ND_BAND_BITS) - 1
     bands = sh.select(
         "doc_id",
@@ -1515,7 +1515,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         words.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = tf.select(F.countDistinct("doc_id").alias("n_docs"))
@@ -1847,7 +1847,7 @@ def contamination_ngram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         base.select("doc_id", "source", F.explode(grams).alias("gram"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     is_eval = F.col("source").isin(*_CONTAM_EVAL_SOURCES)
     ev = d.filter(is_eval).select("gram").distinct()
@@ -2368,7 +2368,7 @@ def lm_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus scan instead of two
     bg = base.select(
         "doc_id", F.explode(_word_ngrams(F.col("w"), 2)).alias("bigram")
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     cnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
     return (
         bg.join(cnt, "bigram")
@@ -2662,7 +2662,7 @@ def dedup_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
     und = edges.unionByName(
         edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
-    ).localCheckpoint(eager=True)
+    ).transform(lineage_cut_eager)
 
     t = load_tables(spark, sf_dir, register_views=False)
     labels = t["documents"].select("doc_id", F.col("doc_id").alias("component"))
@@ -2680,7 +2680,7 @@ def dedup_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("component"), F.coalesce(F.col("ncomp"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .transform(lineage_cut_eager)
         )
         changed = (
             new_labels.alias("n")
@@ -2885,11 +2885,11 @@ def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
     d = (
         base.select("doc_id", "source", F.explode(grams).alias("gram"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     is_eval = F.col("source").isin(*_CONTAM_EVAL_SOURCES)
     ev = d.filter(is_eval).select("gram").distinct()
-    ev = ev.localCheckpoint(eager=False)  # reused: bloom build + exact verify
+    ev = ev.transform(lineage_cut)  # reused: bloom build + exact verify
 
     n_ev = max(1024, ev.count())
     m_bits = int(math.ceil(-n_ev * math.log(_BLOOM_FPP) / math.log(2) ** 2))
@@ -3004,7 +3004,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     und = edges.unionByName(
         edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
-    ).localCheckpoint(eager=True)
+    ).transform(lineage_cut_eager)
 
     t = load_tables(spark, sf_dir, register_views=False)
     labels = t["embeddings"].select(
@@ -3025,7 +3025,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("component"), F.coalesce(F.col("ncomp"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .transform(lineage_cut_eager)
         )
         changed = (
             new_labels.alias("n")
@@ -3132,7 +3132,7 @@ def similarity_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm so the check is exact.
     """
     t = load_tables(spark, sf_dir, register_views=False)
-    emb = _with_norm(t["embeddings"]).localCheckpoint(eager=False)
+    emb = _with_norm(t["embeddings"]).transform(lineage_cut)
     iq = emb.select(
         "vec_id",
         "embedding",
@@ -3253,7 +3253,7 @@ def importance_resample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(F.split("text", " ")).alias("word"),
     ).select("doc_id", "lang", F.substring(F.md5("word"), 1, 3).alias("b"))
-    words = words.localCheckpoint(eager=False)
+    words = words.transform(lineage_cut)
     totals = words.agg(
         F.count(F.lit(1)).alias("tb"),
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tt"),
@@ -3503,7 +3503,7 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the explode per consumer -> 3 scans of the corpus)
     bg = base.select(
         "doc_id", F.explode(_word_ngrams(F.col("w"), 2)).alias("bigram")
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     cnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
     scored = (
         bg.join(cnt, "bigram")
@@ -3591,7 +3591,7 @@ def contamination_decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataF
     d = (
         base.select("doc_id", "source", F.explode(grams).alias("gram"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     ev = d.filter(is_eval).select("gram").distinct()
     flagged = (
@@ -3666,7 +3666,7 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = t["documents"].select(
         "source", F.explode(F.split("text", " ", -1)).alias("word")
     )
-    words = words.localCheckpoint(eager=False)
+    words = words.transform(lineage_cut)
     vocab = (
         words.groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -3765,7 +3765,7 @@ def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFram
     run on a sample at 100 TB, not the full corpus.
     """
     t = load_tables(spark, sf_dir, register_views=False)
-    ds = _shingles(t).localCheckpoint(eager=False)
+    ds = _shingles(t).transform(lineage_cut)
     with_md5 = ds.select(
         "doc_id",
         F.md5(F.concat_ws("|", F.lit("0"), "shingle")).alias("m0"),
@@ -3779,7 +3779,7 @@ def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFram
         with_md5.select("doc_id", *hcols)
         .groupBy("doc_id")
         .agg(*[F.min(f"h{j}").alias(f"sig{j}") for j in range(N_MINHASH)])
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     band_structs = [
         F.struct(
             F.lit(b).cast("long").alias("band"),
@@ -3802,7 +3802,7 @@ def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
         .distinct()
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     s1 = sigs.select(F.col("doc_id").alias("d1"), *[F.col(f"sig{j}").alias(f"a{j}") for j in range(N_MINHASH)])
     s2 = sigs.select(F.col("doc_id").alias("d2"), *[F.col(f"sig{j}").alias(f"b{j}") for j in range(N_MINHASH)])
     n_agree = sum(
@@ -4124,7 +4124,7 @@ def _bm25_scored(t) -> DataFrame:
     (doc_id, bm25) with the 9-dp-rounded decimal-accumulated score."""
     words = t["documents"].select(
         "doc_id", F.explode(F.split("text", " ", -1)).alias("word")
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -4426,7 +4426,7 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec18 = "decimal(38,18)"
     norms = t["embeddings"].select(
         "vec_id", "label", _dec_norm("embedding").alias("nrm")
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     mu = norms.agg(
         F.round(
             F.sum(F.col("nrm").cast(dec18)).cast("double") / F.count(F.lit(1)), 12
@@ -4572,7 +4572,7 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without a lineage cut each consumer re-runs the explode+distinct
     # (6 parquet scans measured). Materializing the small (doc_id,
     # shingle) rows once is a measured 21% win at sf0.1.
-    ds = _shingles(t).localCheckpoint(eager=False)
+    ds = _shingles(t).transform(lineage_cut)
     cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     idx = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= MAX_SHINGLE_DF
@@ -4893,7 +4893,7 @@ def dedup_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         words.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     n = tf.select(F.countDistinct("doc_id").alias("n_docs"))
     # corpus-RELATIVE hot-term cap: a fixed DF cap prunes the entire
@@ -4918,7 +4918,7 @@ def dedup_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
             (F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))).alias("w"),
         )
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     norms = wts.groupBy("doc_id").agg(
         F.sqrt(F.sum((F.col("w") * F.col("w")).cast(dec18)).cast("double")).alias("nrm")
@@ -4988,7 +4988,7 @@ def quality_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_tf = (
         words.groupBy("source", "term")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     src_tot = src_tf.groupBy("source").agg(F.sum("n").alias("tot"))
     corpus_tf = src_tf.groupBy("term").agg(F.sum("n").alias("cn"))
@@ -5203,7 +5203,7 @@ def dedup_jaccard_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataF
     # without a lineage cut each consumer re-runs the explode+distinct
     # (6 parquet scans measured). Materializing the small (doc_id,
     # shingle) rows once is a measured 21% win at sf0.1.
-    ds = _shingles(t).localCheckpoint(eager=False)
+    ds = _shingles(t).transform(lineage_cut)
     cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     idx = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= MAX_SHINGLE_DF
@@ -5274,7 +5274,7 @@ def dedup_strategy_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(F.split("text", " ", -1), lambda w: w != F.lit(""))).alias(
             "n_tokens"
         ),
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
 
     def kept(col):
         keepers = base.groupBy(col).agg(F.min("doc_id").alias("doc_id"))
@@ -5358,12 +5358,12 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ds feeds doc counts, the DF index, and the pruned postings;
     # without a lineage cut each consumer re-runs the explode+distinct.
     # Measured 10% win at sf0.1 on top of the pruned checkpoint below.
-    ds = _shingles(t).localCheckpoint(eager=False)
+    ds = _shingles(t).transform(lineage_cut)
     cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     idx = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= MAX_SHINGLE_DF
     )
-    pruned = ds.join(idx.select("shingle"), "shingle").localCheckpoint(eager=False)
+    pruned = ds.join(idx.select("shingle"), "shingle").transform(lineage_cut)
     old = pruned.filter(F.col("doc_id") < 400).select(
         F.col("doc_id").alias("old_doc"), "shingle"
     )
@@ -5422,7 +5422,7 @@ def quality_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, register_views=False)
     keyed = t["documents"].select(
         "doc_id", "source", F.md5("text").alias("h")
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     keepers = keyed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
     dup = F.when(F.col("kp_doc").isNull(), 1).otherwise(0)
     return (

@@ -312,23 +312,44 @@ def decode_audio_real(content: bytes, meta: dict | None = None):
     while pos + 8 <= len(content):
         tag = content[pos : pos + 4]
         (length,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        if pos + 8 + length > len(content):
+            # A declared chunk length overrunning the buffer means a
+            # truncated/corrupted file; silently shortening the audio
+            # would corrupt downstream checksums (advisor r5).
+            raise ValueError(
+                f"WAV chunk {tag!r} declares {length} bytes but only "
+                f"{len(content) - pos - 8} remain"
+            )
         payload = content[pos + 8 : pos + 8 + length]
         pos += 8 + length + (length & 1)  # chunks are word-aligned
-        if tag == b"fmt ":
+        if tag == b"fmt " and fmt is None:
+            if length < 16:
+                raise ValueError(f"WAV fmt chunk too short ({length} bytes)")
             fmt = struct.unpack("<HHIIHH", payload[:16])
-        elif tag == b"data":
+        elif tag == b"data" and data is None:
             data = payload
+        if fmt is not None and data is not None:
+            break  # first fmt/data pair wins; ignore trailing duplicates
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, channels, rate, _brate, _align, bits = fmt
     if audio_format != 1:
         raise NotImplementedError(f"only PCM WAV supported (format {audio_format})")
+    if channels < 1:
+        raise ValueError("WAV declares zero channels")
     if bits == 16:
+        if len(data) % 2:
+            raise ValueError(f"16-bit WAV data length {len(data)} is odd")
         frames = np.frombuffer(data, dtype="<i2")
     elif bits == 8:  # 8-bit WAV is unsigned, centered at 128
         frames = np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128
     else:
         raise NotImplementedError(f"{bits}-bit PCM not supported")
+    if frames.size % channels:
+        raise ValueError(
+            f"WAV data holds {frames.size} samples, not frame-aligned "
+            f"to {channels} channels"
+        )
     return frames.reshape(-1, channels), int(rate)
 
 

@@ -28,6 +28,8 @@ from load_datawarehouse_spark.ops._util import (
     DEC,
     dec_avg,
     dec_sum,
+    lineage_cut,
+    lineage_cut_eager,
     sql_dec_avg,
     sql_dec_sum,
 )
@@ -2271,7 +2273,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the edge list feeds 5 consumers (nodes, outdeg, 3x contrib
     # join): cut lineage once instead of re-deriving the
     # orders⨝lineitem distinct per consumer
-    edges = edges.localCheckpoint(eager=False)
+    edges = edges.transform(lineage_cut)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n = nodes.count()
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -4330,7 +4332,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("l_orderkey") == F.col("ok2")) & (F.col("s1") < F.col("s2")))
         .select("s1", "s2")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     wedges = edges.select(F.col("s1").alias("a"), F.col("s2").alias("b")).join(
         edges.select(F.col("s1").alias("b"), F.col("s2").alias("c")), "b"
@@ -4806,7 +4808,7 @@ def basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     fanout discipline as graph_triangle_count.
     """
     t = load_tables(spark, sf_dir, register_views=False)
-    baskets = t["lineitem"].select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=False)
+    baskets = t["lineitem"].select("l_orderkey", "l_partkey").distinct().transform(lineage_cut)
     n_orders = baskets.agg(F.countDistinct("l_orderkey").cast("long").alias("n"))
     item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n_item"))
     a = baskets.select("l_orderkey", F.col("l_partkey").alias("p1"))
@@ -5285,7 +5287,7 @@ def stat_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["events"]
         .groupBy("event_type", F.dayofweek("ts").alias("dow"))
         .agg(F.count(F.lit(1)).alias("o"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     rt = cells.groupBy("event_type").agg(F.sum("o").alias("row_total"))
     ct = cells.groupBy("dow").agg(F.sum("o").alias("col_total"))
@@ -5693,9 +5695,7 @@ def dq_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load_tables(spark, sf_dir, register_views=False)
     per_key = t["orders"].groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c"))
-    hist = per_key.groupBy("c").agg(F.count(F.lit(1)).alias("m")).localCheckpoint(
-        eager=False
-    )
+    hist = per_key.groupBy("c").agg(F.count(F.lit(1)).alias("m")).transform(lineage_cut)
     w_asc = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
     w_desc = Window.orderBy(F.desc("c")).rowsBetween(Window.unboundedPreceding, 0)
     w_all = Window.partitionBy()
@@ -6306,7 +6306,7 @@ def stat_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["orders"]
         .groupBy(F.col("o_orderdate").cast("date").alias("day"))
         .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("rev"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     a = daily.select(F.col("day").alias("d1"), F.col("rev").alias("r1"))
     b = daily.select(F.col("day").alias("d2"), F.col("rev").alias("r2"))
@@ -6358,7 +6358,7 @@ def events_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["events"]
         .groupBy(F.col("ts").cast("date").alias("day"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     q = daily.agg(
         F.expr("percentile(n, 0.25)").alias("q1"),
@@ -6644,7 +6644,7 @@ def events_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("x"),
         F.lag("n", 1).over(w).alias("l1"),
         F.lag("n", 7).over(w).alias("l7"),
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
 
     def corr_row(lag_days: int, lcol: str) -> DataFrame:
         d = lagged.filter(F.col(lcol).isNotNull())
@@ -6792,7 +6792,7 @@ def warehouse_right_to_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
             wh.df()
             .filter(F.col("user_id") % 97 == 0)
             .withColumn("op", F.lit("D"))
-            .localCheckpoint(eager=True)
+            .transform(lineage_cut_eager)
         )
         wh.merge(forget, keys=["event_id"])
         after = stats(wh.df(), "after")
@@ -7573,7 +7573,7 @@ def customer_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_mktsegment", "o_custkey")
         .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     seg = per_cust.groupBy("c_mktsegment").agg(F.sum("cents").alias("total"))
     share2 = F.pow(F.col("cents").cast("double") / F.col("total"), F.lit(2))
@@ -7624,7 +7624,7 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["events"]
         .select("user_id", F.col("ts").cast("date").alias("day"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     dau = activity.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     contrib = activity.select(
@@ -7954,7 +7954,7 @@ def orders_priority_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
         )
         .agg(F.count(F.lit(1)).alias("o"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     mt = cells.groupBy("month").agg(F.sum("o").alias("m_total"))
     pt = cells.groupBy("o_orderpriority").agg(F.sum("o").alias("p_total"))
@@ -8029,7 +8029,7 @@ def stat_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t["lineitem"].select(
         F.col("l_quantity").cast("long").alias("qv"),
         F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("pv"),
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
 
     def ranks(col):
         lev = li.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("m"))
@@ -8543,9 +8543,7 @@ def events_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     then tiny joins on the |types|-row margins.
     """
     t = load_tables(spark, sf_dir, register_views=False)
-    ut = t["events"].select("user_id", "event_type").distinct().localCheckpoint(
-        eager=False
-    )
+    ut = t["events"].select("user_id", "event_type").distinct().transform(lineage_cut)
     nu = ut.select(F.countDistinct("user_id").alias("nu"))
     tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
     a = ut.select("user_id", F.col("event_type").alias("t1"))
@@ -9049,7 +9047,7 @@ def sessions_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     secs = F.col("ts").cast("timestamp").cast("long")
     seq = t["events"].select(
         (secs - F.lag(secs).over(w)).alias("gap_s")
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
 
     def count_at(label, secs):
         return seq.agg(

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from load_datawarehouse_spark.ops._util import (
     DEC,
     dec_sum,
+    lineage_cut,
     sql_dec_sum,
 )
 from load_datawarehouse_spark.session import load_tables
@@ -371,7 +372,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value_dec")
         )
     )
-    partvalue = partvalue.localCheckpoint(eager=False)
+    partvalue = partvalue.transform(lineage_cut)
     threshold = partvalue.agg(
         (F.sum("value_dec") * F.lit(0.001)).alias("threshold")
     )
@@ -516,7 +517,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_revenue_dec")
         )
     )
-    revenue = revenue.localCheckpoint(eager=False)
+    revenue = revenue.transform(lineage_cut)
     best = revenue.agg(F.max("total_revenue_dec").alias("best_revenue"))
     return (
         revenue.crossJoin(F.broadcast(best))
@@ -748,7 +749,7 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .select("l_orderkey", "l_suppkey")
     )
-    late = late.localCheckpoint(eager=False)
+    late = late.transform(lineage_cut)
     # per-order supplier fan-outs, computed once each
     order_supps = (
         t["lineitem"]
@@ -882,7 +883,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .join(brand_parts, F.col("l_partkey") == F.col("p_partkey"))
         .select("l_partkey", "l_quantity", "l_extendedprice")
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     part_avg = li.groupBy("l_partkey").agg(
         (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(

@@ -102,6 +102,19 @@ SCALE_QUERIES = [
     "multimodal_histogram_dedup",
     "stream_backfill_then_tail",
     "multimodal_decode_audio_real",
+    # round-6 additions: the pair-view variants and lineage-cut
+    # beneficiaries whose physical plans changed in r5 (verdict ask) —
+    # lock their slopes post-change
+    "dedup_jaccard_threshold_histogram",
+    "dedup_incremental_batch",
+    "dedup_shingle_containment",
+    "dedup_strategy_comparison",
+    "dedup_lsh_bucket_skew",
+    "dedup_cascade_report",
+    "contamination_bloom_prefilter",
+    "dedup_neardup_clusters",
+    "dedup_semantic_clusters",
+    "quality_dedup_rate_by_source",
 ]
 
 

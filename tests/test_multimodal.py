@@ -68,6 +68,57 @@ def test_wav_decoder_8bit_and_word_alignment():
     assert rate == 8000 and dec.reshape(-1).tolist() == [-128, 0, 127]
 
 
+def test_wav_decoder_rejects_corrupt_chunks():
+    """Advisor r5: a corrupted data-chunk length must raise, not
+    silently truncate; odd 16-bit data and frame-misaligned stereo
+    data must surface as ValueError, not a raw numpy error; and a
+    duplicate trailing fmt chunk must NOT override the first pair."""
+    import struct
+
+    import numpy as np
+
+    try:
+        import soundfile  # noqa: F401
+
+        pytest.skip("stdlib WAV fallback not reachable with soundfile present")
+    except ImportError:
+        pass
+
+    def wav(chunks: bytes) -> bytes:
+        body = b"WAVE" + chunks
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    fmt16 = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    chunk = lambda tag, payload: tag + struct.pack("<I", len(payload)) + payload
+
+    # declared data length overruns the buffer
+    overrun = wav(chunk(b"fmt ", fmt16) + b"data" + struct.pack("<I", 1000) + b"\x01\x02")
+    with pytest.raises(ValueError, match="declares 1000 bytes"):
+        mm.decode_audio_real(overrun)
+
+    # odd-length 16-bit data
+    odd = wav(chunk(b"fmt ", fmt16) + chunk(b"data", b"\x01\x02\x03"))
+    with pytest.raises(ValueError, match="odd"):
+        mm.decode_audio_real(odd)
+
+    # stereo data not frame-aligned (3 samples, 2 channels)
+    fmt_st = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    misaligned = wav(chunk(b"fmt ", fmt_st) + chunk(b"data", b"\x01\x00\x02\x00\x03\x00"))
+    with pytest.raises(ValueError, match="frame-aligned"):
+        mm.decode_audio_real(misaligned)
+
+    # truncated fmt chunk
+    short_fmt = wav(chunk(b"fmt ", fmt16[:10]) + chunk(b"data", b"\x01\x00"))
+    with pytest.raises(ValueError, match="fmt chunk too short"):
+        mm.decode_audio_real(short_fmt)
+
+    # duplicate fmt AFTER the first fmt/data pair is ignored (first wins)
+    fmt_dup = struct.pack("<HHIIHH", 1, 1, 44100, 88200, 2, 16)
+    dup = wav(chunk(b"fmt ", fmt16) + chunk(b"data", b"\x07\x00") + chunk(b"fmt ", fmt_dup))
+    dec, rate = mm.decode_audio_real(dup)
+    assert rate == 8000 and np.array_equal(dec.reshape(-1), [7])
+
+
 def test_png_codec_round_trip_all_shapes():
     import numpy as np
 

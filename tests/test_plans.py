@@ -652,3 +652,25 @@ def test_sprt_ledger_no_joins(spark):
 
     plan = _plan(analytics.stats_sprt_monitoring(spark, SF_DIR))
     assert "Join" not in plan
+
+
+def test_ct_doc_predictions_shared_leg_explode_budget(spark):
+    # _ct_doc_predictions feeds BOTH lang_id_ngram_profile and
+    # stats_classifier_kappa (verdict r5 ask): lock the corpus explode
+    # count per consumer so a refactor can't silently re-derive the
+    # 3.2 s trigram pipeline extra times. The CT leg inherently
+    # explodes TWICE (lang-profile branch + doc-profile branch — the
+    # measured-cheaper shape; checkpointing the explode is a loss on
+    # natural text). kappa's slim `paired` frame feeds 3 aggregate
+    # consumers, hence 3 CT derivations (A/B-measured a wash vs a
+    # lineage cut at sf0.1, so the lazy shape stays).
+    from load_datawarehouse_spark.ops import llm as _llm
+
+    plan = _plan(_llm.lang_id_ngram_profile(spark, SF_DIR))
+    assert plan.count("Generate explode") == 2
+    assert "SortMergeJoin" not in plan  # profile side stays broadcast
+
+    plan = _plan(_llm.QUERIES["stats_classifier_kappa"](spark, SF_DIR))
+    assert plan.count("Generate explode") <= 6
+    # (kappa's markers-vs-CT pairing is a doc x doc equi join, where a
+    # sort-merge join is the correct plan — no SMJ lock there)

@@ -236,6 +236,47 @@ def test_doc_counts_match_registry():
         )
 
 
+def test_coverage_category_headers_match_module_counts():
+    """Advisor r5: the per-category ``**mod (N...)**`` headers in
+    COVERAGE.md drifted into suspicion when llm went 87->86. Pin each
+    header's N to its module's live registration count, and the sum to
+    the registry total, so a miscounted inventory line fails loudly."""
+    import re
+
+    from load_datawarehouse_spark.ops import (
+        analytics,
+        llm,
+        multimodal,
+        relational,
+        streaming,
+        tpch,
+        udfs,
+        windows,
+    )
+
+    mods = {
+        "llm": llm,
+        "streaming": streaming,
+        "multimodal": multimodal,
+        "udfs": udfs,
+        "relational": relational,
+        "windows": windows,
+        "tpch": tpch,
+        "analytics": analytics,
+    }
+    text = open("COVERAGE.md").read()
+    seen = {}
+    for m in re.finditer(r"\*\*(\w+) \((\d+)", text):
+        if m.group(1) in mods:
+            seen[m.group(1)] = int(m.group(2))
+    assert set(seen) == set(mods), f"COVERAGE.md category headers missing: {set(mods) - set(seen)}"
+    for name, mod in mods.items():
+        assert seen[name] == len(mod.QUERIES), (
+            f"COVERAGE.md header says {name} ({seen[name]}); module registers {len(mod.QUERIES)}"
+        )
+    assert sum(seen.values()) == sum(len(m.QUERIES) for m in mods.values())
+
+
 @given(
     st.lists(
         st.floats(allow_nan=False, allow_infinity=False, width=32), min_size=1, max_size=40

@@ -113,7 +113,17 @@ SCALE_QUERIES = [
     "dedup_cascade_report",
     "contamination_bloom_prefilter",
     "dedup_neardup_clusters",
-    "dedup_semantic_clusters",
+    # dedup_semantic_clusters stays OUT (measured round 6): on the
+    # REPLICATED sf1 embeddings every vector gains ~10 perturbed
+    # near-copies, so the label-blocked cosine>=0.3 pair graph is
+    # ~100x denser with long similarity chains — min-label
+    # propagation needs many diameter rounds over that dense graph
+    # (>35 min for one timing at sf1). Like graph_triangle_count,
+    # that is a synthetic-replication artifact, not an engine
+    # property: on a real corpus near-dup density per doc is ~flat.
+    # The CC-family engine slope is measured by
+    # dedup_neardup_clusters (same propagation loop, shingle-LSH
+    # candidate edges, slope 6.0).
     "quality_dedup_rate_by_source",
 ]
 
@@ -154,10 +164,16 @@ def main() -> None:
     queries = entry_mod.queries()
 
     out: dict[str, dict] = {}
+    errors: dict[str, str] = {}
     for name in SCALE_QUERIES:
         fn = queries[name]
-        t_small, n_small = _time(fn, spark, small)
-        t_big, n_big = _time(fn, spark, big)
+        try:
+            t_small, n_small = _time(fn, spark, small)
+            t_big, n_big = _time(fn, spark, big)
+        except Exception as exc:  # one pathological query must not lose the run
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr, flush=True)
+            continue
         out[name] = {
             "sf0.1_sec": round(t_small, 3),
             "sf1_sec": round(t_big, 3),
@@ -193,6 +209,12 @@ def main() -> None:
         "corpus — slope_per_output_row shows per-pair cost FALLING at "
         "scale. Word-exploding text ops (tfidf, dsir, contamination, "
         "perplexity buckets) process 10x the words and stay sublinear. "
+        "DF-capped index ops (tfidf_cosine_pairs, shingle_containment) "
+        "emit FEWER pairs at sf1: replication multiplies every term's "
+        "document frequency ~10x, pushing most terms over the absolute "
+        "MAX_*_DF prune cap — the cap is a per-corpus tuning knob "
+        "(scale it with corpus size on real data); their raw slopes "
+        "measure the pre-prune index build, which stays linear-ish. "
         "skew_stress_sf1: selective hot-key salting vs the unsalted "
         "shuffle on a zipfian key at sf1."
     )
@@ -205,6 +227,8 @@ def main() -> None:
         "queries": out,
         "skew_stress_sf1": skew,
     }
+    if errors:
+        result["errors"] = errors
     with open(os.path.join(here, "SCALECHECK.json"), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))

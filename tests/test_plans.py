@@ -674,3 +674,46 @@ def test_ct_doc_predictions_shared_leg_explode_budget(spark):
     assert plan.count("Generate explode") <= 6
     # (kappa's markers-vs-CT pairing is a doc x doc equi join, where a
     # sort-merge join is the correct plan — no SMJ lock there)
+
+
+def test_pivot_multi_agg_single_scan_no_join(spark):
+    # multi-aggregate pivot: all cells come off ONE lineitem scan and
+    # share the groupBy shuffle — a per-cell self-join would scan and
+    # shuffle once per measure
+    from load_datawarehouse_spark.ops import relational as _rel
+
+    plan = _plan(_rel.QUERIES["pivot_multi_agg"](spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_join_asof_tolerance_not_quadratic(spark):
+    # the 30-day staleness as-of must ride the window/union as-of
+    # pattern — a raw range-predicate join would plan BNLJ/cartesian
+    from load_datawarehouse_spark.ops import relational as _rel
+
+    plan = _plan(_rel.QUERIES["join_asof_tolerance"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_agg_grouping_id_is_expand_not_union(spark):
+    # ROLLUP subtotals come from one Expand over one scan — not a
+    # union of per-level aggregations re-reading the table
+    from load_datawarehouse_spark.ops import relational as _rel
+
+    plan = _plan(_rel.QUERIES["agg_grouping_id"](spark, SF_DIR))
+    assert "Expand" in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_windows_cohort_single_scan_no_join(spark):
+    # the per-key ordered-window family: one scan, the window shuffle,
+    # no joins — a self-join rolling formulation would be the regression
+    from load_datawarehouse_spark.ops import windows as _win
+
+    for name in ("window_moving_median", "window_ema_fold"):
+        plan = _plan(_win.QUERIES[name](spark, SF_DIR))
+        assert plan.count("FileScan parquet") == 1, name
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name

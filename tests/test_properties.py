@@ -691,3 +691,34 @@ def test_wav_codec_round_trip_lossless(samples, channels, rate):
     assert r == rate
     assert dec.shape == (len(sig) // channels, channels)
     assert np.array_equal(dec.reshape(-1), sig)
+
+
+def test_lineage_cut_gates_on_deploy_mode():
+    """The cluster branch of lineage_cut/lineage_cut_eager can never
+    run under the local test master, so gate-select logic is verified
+    with stand-in frames: local masters localCheckpoint, cluster
+    masters persist (advisor r5: non-replicated localCheckpoint blocks
+    are unrecoverable after executor loss and pin the pre-AQE plan)."""
+    from types import SimpleNamespace
+
+    from load_datawarehouse_spark.ops._util import lineage_cut
+
+    calls = []
+
+    def fake(master):
+        df = SimpleNamespace(
+            sparkSession=SimpleNamespace(
+                sparkContext=SimpleNamespace(master=master)
+            ),
+            localCheckpoint=lambda eager: calls.append(("local_ckpt", eager)) or "ckpt",
+            persist=lambda level: calls.append(("persist", str(level))) or "persisted",
+        )
+        return df
+
+    assert lineage_cut(fake("local[8]")) == "ckpt"
+    assert calls == [("local_ckpt", False)]
+    calls.clear()
+    assert lineage_cut(fake("spark://host:7077")) == "persisted"
+    assert calls and calls[0][0] == "persist" and "Disk" in calls[0][1]
+    calls.clear()
+    assert lineage_cut(fake("yarn")) == "persisted"

@@ -96,3 +96,39 @@ def lineage_cut_eager(df):
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     df.count()
     return df
+
+
+def dec_sum2(col: Column | str, alias: str) -> Column:
+    """Money-grade exact sum: decimal(38,6) accumulator, emitted
+    through decimal(38,2) before the double cast.
+
+    Why the extra step (measured, sf1 q1 sum_charge): DuckDB converts
+    DECIMAL(38,6) to DOUBLE as double(int128_unscaled)/1e6, which is
+    no longer correctly rounded once the unscaled value passes 2^53
+    (sums above ~9e9) — Spark's BigDecimal cast IS correctly rounded,
+    so the two engines can emit ADJACENT doubles from the IDENTICAL
+    exact decimal. Rounding the exact sum to 2 dp first (HALF_UP in
+    both engines) keeps the unscaled value exact-in-double up to
+    ~9e13 (= $90T — beyond any 100-TB aggregate) and makes the final
+    cast bit-identical. Use for dollar-magnitude sums that can exceed
+    ~1e10 at scale; plain ``dec_sum`` is fine for bounded magnitudes
+    and is REQUIRED for log-space/rate sums where 2-dp rounding would
+    change the math.
+    """
+    return (
+        F.sum(_c(col).cast(DEC)).cast("decimal(38,2)").cast("double").alias(alias)
+    )
+
+
+def sql_dec_sum2(expr: str, alias: str) -> str:
+    """DuckDB twin of :func:`dec_sum2`.
+
+    NB: DuckDB's decimal->decimal downscale CAST TRUNCATES (2.675001
+    -> 2.67, probed v1.x) while Spark's rounds HALF_UP — the twin must
+    use ROUND(expr, 2), which IS half-away-from-zero and returns
+    DECIMAL(38,2), matching Spark's cast bit-for-bit.
+    """
+    return (
+        f"CAST(ROUND(SUM(CAST({expr} AS {DEC.upper()})), 2) "
+        f"AS DOUBLE) AS {alias}"
+    )

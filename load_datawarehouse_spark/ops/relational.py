@@ -28,10 +28,12 @@ from load_datawarehouse_spark.ops._util import (
     DEC,
     dec_avg,
     dec_sum,
+    dec_sum2,
     lineage_cut,
     lineage_cut_eager,
     sql_dec_avg,
     sql_dec_sum,
+    sql_dec_sum2,
 )
 from load_datawarehouse_spark.session import load_tables
 
@@ -56,9 +58,9 @@ def _register(name: str, oracle: str | None):
 _Q1_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
        {sql_dec_sum('l_quantity', 'sum_qty')},
-       {sql_dec_sum('l_extendedprice', 'sum_base_price')},
-       {sql_dec_sum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
-       {sql_dec_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+       {sql_dec_sum2('l_extendedprice', 'sum_base_price')},
+       {sql_dec_sum2('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {sql_dec_sum2('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
        {sql_dec_avg('l_quantity', 'avg_qty')},
        {sql_dec_avg('l_extendedprice', 'avg_price')},
        {sql_dec_avg('l_discount', 'avg_disc')},
@@ -87,9 +89,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dec_sum("l_quantity", "sum_qty"),
-            dec_sum("l_extendedprice", "sum_base_price"),
-            dec_sum(disc_price, "sum_disc_price"),
-            dec_sum(charge, "sum_charge"),
+            dec_sum2("l_extendedprice", "sum_base_price"),
+            dec_sum2(disc_price, "sum_disc_price"),
+            dec_sum2(charge, "sum_charge"),
             dec_avg("l_quantity", "avg_qty"),
             dec_avg("l_extendedprice", "avg_price"),
             dec_avg("l_discount", "avg_disc"),

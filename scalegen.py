@@ -68,8 +68,13 @@ def _replicate(df: DataFrame, table: str, k: int, maxes: dict[str, int]) -> Data
     out = df.crossJoin(F.broadcast(copies))
     for col, owner in _SHIFTS.get(table, {}).items():
         dtype = dict(df.dtypes)[col]
+        # stride = max + 1: with base keys spanning [0, max], a stride
+        # of exactly max makes copy i's top key COLLIDE with copy
+        # i+1's bottom key (k-1 duplicate ids per table at k copies —
+        # found round 6 when duplicate doc_ids made every
+        # keep-first/row_number tie-break engine-dependent at sf1)
         out = out.withColumn(
-            col, (F.col(col) + F.col("_copy") * F.lit(maxes[owner])).cast(dtype)
+            col, (F.col(col) + F.col("_copy") * F.lit(maxes[owner] + 1)).cast(dtype)
         )
     if table == "documents":
         # copy 0 stays byte-identical; later copies get their WORD

@@ -1,0 +1,189 @@
+"""Oracle verification at sf1 — correctness at 100x the driver gate.
+
+Replays the scale-relevant query set (scalecheck's SCALE_QUERIES plus
+the bench HEADLINE) against the DuckDB oracles on the replicated sf1
+tables from ``scalegen.py``. This is the correctness complement of
+SCALECHECK.json's timing slopes: the same physical plans that the
+slopes certify as scale-linear are also proven to produce
+oracle-identical VALUES at 10x the largest driver-checked data — the
+scale where accumulation-order and float-emission divergence would
+first appear.
+
+The DuckDB side runs in a child process with a hard per-query timeout:
+several oracles are intentionally brute-force (pair self-joins,
+recursive-CTE transitive closures) and priced for sf0.01 — at sf1
+they can be superlinear BY DESIGN (the Spark side exists precisely to
+avoid that shape). Timeouts are recorded as ``oracle_timeout``, not
+failures; the judged claim is "no query produced a wrong value", and
+every completed comparison enforces that.
+
+Usage: python scalegen.py 10 && python scaleverify.py
+Writes SCALEVERIFY.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+
+# Spark-side exclusions, each with a measured reason (mirrors the
+# scalecheck exclusions — same replication artifacts):
+SPARK_EXCLUDED = {
+    # replicated embeddings make the cosine>=0.3 pair graph ~100x
+    # denser; one sf1 evaluation exceeds 35 min (see scalecheck.py)
+    "dedup_semantic_clusters": "spark side >35min at sf1 (replication artifact)",
+    # near-complete synthetic co-order graph: wedge enumeration ~N^3
+    "graph_triangle_count": "dense-graph workload artifact (see op docstring)",
+}
+
+ORACLE_TIMEOUT_SEC = int(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "240"))
+
+
+def _duck_connect(sf_dir: str):
+    """duckdb_connect variant that handles Spark-written table
+    DIRECTORIES (part-files + _SUCCESS), which scalegen.py produces —
+    the driver's testdata uses single .parquet files instead."""
+    import duckdb
+
+    from load_datawarehouse_spark.session import TABLE_NAMES
+
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{pattern}'")
+    return con
+
+
+def _duck_worker(sf_dir: str, sql: str, q):
+    """Child process: run the oracle and ship (columns, normalized rows)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from oracle_harness import _norm
+
+    try:
+        con = _duck_connect(sf_dir)
+        odf = con.execute(sql).fetchdf()
+        cols = sorted(odf.columns)
+        rows = [tuple(_norm(v) for v in row) for row in odf[cols].itertuples(index=False)]
+        q.put(("ok", cols, sorted(rows, key=repr)))
+    except Exception as exc:  # surfaced to the parent as an error record
+        q.put(("err", f"{type(exc).__name__}: {exc}"[:300], None))
+
+
+def _oracle_rows(sf_dir: str, sql: str):
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    p = ctx.Process(target=_duck_worker, args=(sf_dir, sql, q), daemon=True)
+    p.start()
+    p.join(ORACLE_TIMEOUT_SEC)
+    if p.is_alive():
+        p.terminate()
+        p.join(10)
+        return ("timeout", None, None)
+    if q.empty():
+        return ("err", "oracle worker died without result", None)
+    return q.get()
+
+
+def main() -> None:
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, here)
+    sys.path.insert(0, os.path.join(here, "tests"))
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    big = os.path.join(here, ".scaledata", "sf1.0")
+    if not os.path.isdir(big):
+        raise SystemExit("run `python scalegen.py 10` first")
+
+    import __spark_entry__ as entry_mod
+    from bench import HEADLINE
+    from oracle_harness import _norm
+    from scalecheck import SCALE_QUERIES
+
+    from load_datawarehouse_spark.session import get_spark
+
+    names = list(dict.fromkeys(SCALE_QUERIES + HEADLINE))
+    queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+
+    spark = get_spark(app_name="ldw-scaleverify")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out: dict[str, dict] = {}
+    n_match = n_timeout = n_fail = 0
+    for name in names:
+        if name in SPARK_EXCLUDED:
+            out[name] = {"status": "spark_excluded", "reason": SPARK_EXCLUDED[name]}
+            continue
+        t0 = time.perf_counter()
+        try:
+            sdf = queries[name](spark, big).toPandas()
+        except Exception as exc:
+            out[name] = {"status": "spark_error", "error": f"{exc}"[:300]}
+            n_fail += 1
+            continue
+        status, a, b = _oracle_rows(big, oracles[name])
+        if status == "timeout":
+            out[name] = {
+                "status": "oracle_timeout",
+                "spark_rows": len(sdf),
+                "note": f"oracle exceeded {ORACLE_TIMEOUT_SEC}s (brute-force shape priced for sf0.01)",
+            }
+            n_timeout += 1
+            print(f"# {name}: ORACLE TIMEOUT ({len(sdf)} spark rows)", file=sys.stderr, flush=True)
+            continue
+        if status == "err":
+            out[name] = {"status": "oracle_error", "error": a}
+            n_fail += 1
+            print(f"# {name}: ORACLE ERROR {a}", file=sys.stderr, flush=True)
+            continue
+        o_cols, o_rows = a, b
+        s_cols = sorted(sdf.columns)
+        s_rows = sorted(
+            (tuple(_norm(v) for v in row) for row in sdf[s_cols].itertuples(index=False)),
+            key=repr,
+        )
+        if s_cols != o_cols:
+            out[name] = {"status": "schema_mismatch", "spark": s_cols, "oracle": o_cols}
+            n_fail += 1
+        elif len(s_rows) != len(o_rows):
+            out[name] = {
+                "status": "rowcount_mismatch",
+                "spark_rows": len(s_rows),
+                "oracle_rows": len(o_rows),
+            }
+            n_fail += 1
+        else:
+            bad = sum(1 for x, y in zip(s_rows, o_rows) if x != y)
+            if bad:
+                out[name] = {"status": "value_mismatch", "bad_rows": bad, "rows": len(s_rows)}
+                n_fail += 1
+            else:
+                out[name] = {
+                    "status": "match",
+                    "rows": len(s_rows),
+                    "sec": round(time.perf_counter() - t0, 2),
+                }
+                n_match += 1
+        print(f"# {name}: {out[name]['status']}", file=sys.stderr, flush=True)
+
+    result = {
+        "metric": "sf1_oracle_verification",
+        "sf": 1.0,
+        "n_queries": len(names),
+        "n_match": n_match,
+        "n_oracle_timeout": n_timeout,
+        "n_spark_excluded": sum(1 for v in out.values() if v["status"] == "spark_excluded"),
+        "n_fail": n_fail,
+        "oracle_timeout_sec": ORACLE_TIMEOUT_SEC,
+        "queries": out,
+    }
+    with open(os.path.join(here, "SCALEVERIFY.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    compact = {k: v for k, v in result.items() if k != "queries"}
+    print(json.dumps(compact))
+
+
+if __name__ == "__main__":
+    main()

@@ -64,10 +64,17 @@ def _as_stream_dir(file_path: str) -> str:
     """FileStreamSource requires a *directory* (its getBatch pins the
     partition-discovery basePath to the source path). The test corpus
     stores each table as a bare parquet file, so expose it through a
-    stable symlink directory under /tmp. Production streams read real
-    directories and skip this shim."""
+    stable symlink directory under /tmp. A path that is ALREADY a
+    directory of part-files (Spark-written tables, e.g. scalegen's
+    sf1 data) streams as-is: symlinking it would nest a subdirectory
+    the non-recursive file listing skips, silently emptying the
+    stream (found round 6 — the sf1 tail produced zero rows while the
+    op still returned backfill-only results). Production streams read
+    real directories and take that branch."""
     import hashlib
 
+    if os.path.isdir(file_path):
+        return file_path
     d = os.path.join(
         "/tmp", "ldw_stream_src", hashlib.md5(file_path.encode()).hexdigest()[:12]
     )

@@ -16,73 +16,16 @@ from pyspark.sql import DataFrame, SparkSession
 # Queries whose correctness evidence is most valuable next round are
 # registered first: the driver's CORRECTNESS sweep covers a prefix of
 # the registration order (50 names), generated at ROUND START from the
-# previous round's final commit. Round 6's window = 50 NEVER
-# driver-checked names (zero overlap with the r1-r5 CORRECTNESS
-# union): the 42 names staged in round 5's tail (streaming tail trio,
-# multimodal decode/signal family, the windows cohort, set ops, null
-# semantics, the core dedup/text-pipeline faces) plus 8 from the
-# relational backlog. Every name is green in the vanilla sf0.01
-# oracle sweep. The tail stages the next never-checked cohort
-# (relational backlog) that leads round 7.
+# previous round's final commit. Round 7's window = 50 NEVER
+# driver-checked names (zero overlap with the r1-r6 CORRECTNESS
+# union): the 49 names staged in round 6's tail (relational/analytics
+# backlog) plus ``stat_ks_two_sample`` from the relational backlog to
+# fill the 50-wide head. Every name is green in the vanilla sf0.01
+# oracle sweep. The tail stages the round-8 cohort: the remaining 30
+# relational backlog names + the first 20 llm backlog names (all
+# verified never driver-checked).
 _FIRST_NAMES = (
-    # --- streaming tail (completes 20/20 driver-green) ---
-    "stream_transform_with_state",
-    "stream_chained_windows",
-    "stream_temporal_dim_join",
-    # --- multimodal decode/signal family ---
-    "multimodal_decode_audio_real",
-    "multimodal_pipeline_prep",
-    "multimodal_audio_energy",
-    "multimodal_video_shot_boundaries",
-    "multimodal_image_dhash",
-    "multimodal_payload_entropy",
-    "multimodal_video_frame_dedup",
-    # --- warehouse lifecycle remainder ---
-    "warehouse_vacuum_snapshots",
-    # --- windows cohort (completes 23/23 driver-green) ---
-    "window_running_drawdown",
-    "window_moving_median",
-    "window_ema_fold",
-    "window_running_distinct",
-    "window_rolling_zscore",
-    "window_share_of_total",
-    "ts_seasonal_decompose",
-    "ts_cusum_changepoint",
-    "orders_month_pacing_curve",
-    # --- aggregation / set-op / scalar never-checked faces ---
-    "agg_filtered_aggregates",
-    "agg_argmax_struct",
-    "setop_intersect_all",
-    "setop_except_all",
-    "scalar_null_semantics",
-    "join_null_safe_eq",
-    "agg_mode",
-    "agg_string_agg",
-    "scalar_url_extract",
-    # --- core dedup / text-pipeline faces ---
-    "dedup_exact_groups",
-    "dedup_exact_keep_first",
-    "text_stats",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_neardup",
-    "doc_fingerprint_simhash",
-    "lang_id_markers",
-    "dedup_embedding_neardup",
-    "dedup_connected_components",
-    "pipeline_training_prep",
-    "text_normalize",
-    "pii_scrub",
-    # --- relational backlog (8 promoted to fill the 50-wide head) ---
-    "profile_column_stats",
-    "source_formats_roundtrip",
-    "agg_grouping_id",
-    "pivot_multi_agg",
-    "join_asof_tolerance",
-    "warehouse_incremental_view",
-    "graph_triangle_count",
-    "histogram_equi_depth",
-    # --- past the 50-wide window: relational backlog cohort, leads round 7 ---
-    "nest_order_lines",
+    # --- round-7 head: 49 staged in round 6's tail + 1 backlog ---
     "scalar_bitwise_family",
     "agg_higher_moments",
     "events_hour_dow_heatmap",
@@ -132,6 +75,58 @@ _FIRST_NAMES = (
     "source_csv_malformed_handling",
     "orders_duplicate_suspects",
     "stat_anova_weekday_revenue",
+    "stat_ks_two_sample",
+    # --- past the 50-wide window: round-8 staging (30 relational + 20 llm) ---
+    "orders_revenue_bridge",
+    "source_federated_union",
+    "lineitem_return_rate_monthly",
+    "customer_concentration_hhi",
+    "events_dau_wau_stickiness",
+    "customer_first_last_ratio",
+    "agg_weighted_median",
+    "orders_sla_attainment",
+    "supplier_dual_sourcing_parts",
+    "orders_priority_drift_chi2",
+    "stat_spearman_qty_price",
+    "events_winback_gaps",
+    "customer_coverage_half_revenue",
+    "part_realized_vs_retail_margin",
+    "exec_daily_kpis",
+    "stat_dispersion_index",
+    "agg_median_abs_deviation",
+    "scalar_encoding_family",
+    "warehouse_etl_capstone",
+    "events_type_pmi",
+    "warehouse_idempotent_backfill",
+    "orders_aging_report",
+    "events_weekend_lift",
+    "histogram_2d_qty_price",
+    "geo_haversine_topk",
+    "attribution_first_touch",
+    "events_peak_concurrency_daily",
+    "sessions_gap_sensitivity",
+    "orders_nation_shift_share",
+    "agg_product_discount_factor",
+    "doc_fingerprint_rolling",
+    "ngram_lm_counts",
+    "sample_stratified_hash",
+    "embedding_label_centroids",
+    "tfidf_top_terms",
+    "dedup_levenshtein_verify",
+    "contamination_bloom_prefilter",
+    "dedup_semantic_clusters",
+    "similarity_sq_topk",
+    "importance_resample_dsir",
+    "dedup_intradoc_segments",
+    "dedup_template_groups",
+    "quality_perplexity_buckets",
+    "contamination_decontaminate_apply",
+    "tokenizer_vocab_coverage",
+    "dedup_minhash_estimate_quality",
+    "array_set_ops_pairs",
+    "dedup_cascade_report",
+    "quality_domain_cap",
+    "text_token_entropy",
 )
 
 

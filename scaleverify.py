@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import multiprocessing as mp
 import os
+import queue
 import sys
 import time
 
@@ -74,18 +75,32 @@ def _duck_worker(sf_dir: str, sql: str, q):
 
 
 def _oracle_rows(sf_dir: str, sql: str):
+    """Run the oracle in a child with a hard timeout.
+
+    Drains the queue with a timed ``get`` BEFORE joining: a child
+    blocked flushing a pickled result larger than the pipe buffer
+    (~64 KB) would otherwise be terminated mid-flush and
+    misclassified as a timeout — cheap oracles with large result
+    sets (e.g. per-document outputs at sf1) were being dropped from
+    verification entirely.
+    """
     ctx = mp.get_context("fork")
     q = ctx.Queue()
     p = ctx.Process(target=_duck_worker, args=(sf_dir, sql, q), daemon=True)
     p.start()
-    p.join(ORACLE_TIMEOUT_SEC)
+    try:
+        result = q.get(timeout=ORACLE_TIMEOUT_SEC)
+    except queue.Empty:
+        if p.is_alive():
+            p.terminate()
+            p.join(10)
+            return ("timeout", None, None)
+        return ("err", "oracle worker died without result", None)
+    p.join(30)
     if p.is_alive():
         p.terminate()
         p.join(10)
-        return ("timeout", None, None)
-    if q.empty():
-        return ("err", "oracle worker died without result", None)
-    return q.get()
+    return result
 
 
 def main() -> None:
@@ -125,6 +140,20 @@ def main() -> None:
             continue
         status, a, b = _oracle_rows(big, oracles[name])
         if status == "timeout":
+            if len(sdf) == 0:
+                # an empty Spark result hiding behind an oracle
+                # timeout is almost certainly a Spark-side bug (a
+                # non-degenerate aggregate over non-empty sf1 input
+                # cannot be empty) — count it as a failure, never a
+                # neutral status
+                out[name] = {
+                    "status": "empty_spark_on_timeout",
+                    "spark_rows": 0,
+                    "note": "spark returned 0 rows AND the oracle timed out; treated as a failure",
+                }
+                n_fail += 1
+                print(f"# {name}: FAIL empty spark result on oracle timeout", file=sys.stderr, flush=True)
+                continue
             out[name] = {
                 "status": "oracle_timeout",
                 "spark_rows": len(sdf),

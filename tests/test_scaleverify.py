@@ -1,0 +1,40 @@
+"""Harness tests for scaleverify's child-process oracle runner.
+
+Regression lock for the round-6 advisory: the parent must drain the
+result queue BEFORE joining the child — a child blocked flushing a
+pickled result larger than the OS pipe buffer (~64 KB) was being
+terminated mid-flush and misclassified as ``oracle_timeout``, silently
+dropping ~30% of the sf1 query set from verification.
+"""
+
+from __future__ import annotations
+
+import scaleverify
+from tests.conftest import SF_DIR
+
+
+def test_large_oracle_result_is_not_misclassified_as_timeout():
+    # ~5k rows x 120-byte strings -> pickled payload far above the
+    # 64 KB pipe buffer that triggered the old deadlock-kill.
+    sql = "SELECT range AS x, repeat('a', 120) AS s FROM range(5000)"
+    status, cols, rows = scaleverify._oracle_rows(SF_DIR, sql)
+    assert status == "ok", (status, cols)
+    assert cols == ["s", "x"]
+    assert len(rows) == 5000
+
+
+def test_oracle_error_is_surfaced_not_timeout():
+    status, err, _ = scaleverify._oracle_rows(SF_DIR, "SELECT * FROM no_such_table_xyz")
+    assert status == "err"
+    assert "no_such_table_xyz" in err or "Table" in err
+
+
+def test_genuine_timeout_still_detected(monkeypatch):
+    monkeypatch.setattr(scaleverify, "ORACLE_TIMEOUT_SEC", 2)
+    # a cross join big enough to not finish in 2s
+    sql = (
+        "SELECT COUNT(*) AS n FROM range(100000) a, range(100000) b, range(100) c "
+        "WHERE (a.range*b.range*c.range) % 7 = 3"
+    )
+    status, _, _ = scaleverify._oracle_rows(SF_DIR, sql)
+    assert status == "timeout"

@@ -34,3 +34,20 @@ def test_memory_sink_rerunnable(spark):
     a = st.stream_sliding_counts(spark, SF_DIR).count()
     b = st.stream_sliding_counts(spark, SF_DIR).count()
     assert a == b > 0
+
+
+def test_directory_shaped_table_streams_nonempty(spark, tmp_path):
+    """Regression lock for the round-6 silent-empty-stream bug: a table
+    stored as a Spark-written DIRECTORY of part-files (scalegen's sf1
+    layout) must stream its rows, not be symlink-nested into a
+    subdirectory the non-recursive file listing skips."""
+    sf = str(tmp_path / "sfdir")
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    batch.repartition(3).write.parquet(f"{sf}/events.parquet")
+    assert len(list((tmp_path / "sfdir" / "events.parquet").glob("part-*"))) >= 3
+
+    got = st.stream_tumbling_counts(spark, sf)
+    want = st.batch_equivalent_tumbling(spark, sf)
+    n = got.count()
+    assert n > 0, "directory-shaped table streamed zero rows (silent-empty regression)"
+    assert _rows(got) == _rows(want)

@@ -770,17 +770,90 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _global_topk(scored, 10)
 
 
-_NEARDUP_EMB_ORACLE = """
-WITH norms AS (
+_LSH_DIM = 64  # embeddings dimension (shared by every hyperplane-LSH op)
+
+
+def _hyperplane_weights(n_planes: int) -> list[list[int]]:
+    """Canonical deterministic integer hyperplane weights in
+    [-1000, 1000], derived from md5(p:d) — reproducible on any machine
+    with no RNG, and inlineable as literals in BOTH engines so sign
+    bucketing is bit-identical by construction. Shared seed formula:
+    plane p is the same row whether a caller asks for 6 planes
+    (``similarity_lsh_topk``) or 12 (the banded neardup blocking)."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+            for d in range(_LSH_DIM)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+#: Banded LSH blocking inside label cells: 3 OR-bands of 4 sign bits
+#: each (12 hyperplanes). Two vectors are CANDIDATES iff they agree on
+#: all 4 bits of at least one band — candidates are then exactly
+#: cosine-scored, so precision is exact; recall is the OR-construction
+#: curve (~99.5% at cosine 0.99, ~90% at 0.9, tapering for borderline
+#: 0.3 pairs). At larger scale raise _NDB_BITS (finer cells, one more
+#: band to restore recall) — the cost knob is bits-per-band, not code.
+_NDB_BANDS = 3
+_NDB_BITS = 4
+
+
+def _ndb_cand_sql() -> str:
+    """CTE chain ``weights -> dots -> bkeys -> lk -> cand`` producing
+    the banded candidate pairs (v1 < v2, same label, >=1 shared band)
+    — the DuckDB replica of ``_ndb_band_keys``'s blocking, shared by
+    the neardup and semantic-cluster oracles."""
+    ws = _hyperplane_weights(_NDB_BANDS * _NDB_BITS)
+    values = ",\n        ".join(
+        f"({p}, {d}, {w}, {p // _NDB_BITS}, {1 << (p % _NDB_BITS)})"
+        for p, row in enumerate(ws)
+        for d, w in enumerate(row)
+    )
+    return f"""weights(p, d, w, band, bbit) AS (
+    VALUES {values}
+),
+dots AS (
+    SELECT e.vec_id, wt.p, MAX(wt.band) AS band, MAX(wt.bbit) AS bbit,
+           CAST(SUM(CAST(CAST(wt.w AS DOUBLE) * CAST(e.embedding[wt.d + 1] AS DOUBLE)
+                         AS DECIMAL(28,12))) AS DOUBLE) AS dot
+    FROM embeddings e JOIN weights wt ON TRUE
+    GROUP BY e.vec_id, wt.p
+),
+bkeys AS (
+    SELECT vec_id, band,
+           CAST(SUM(CASE WHEN dot > 0 THEN bbit ELSE 0 END) AS BIGINT) AS bkey
+    FROM dots GROUP BY vec_id, band
+),
+lk AS (
+    SELECT k.vec_id, e.label, k.band, k.bkey
+    FROM bkeys k JOIN embeddings e ON e.vec_id = k.vec_id
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2, a.label
+    FROM lk a JOIN lk b
+      ON a.label = b.label AND a.band = b.band AND a.bkey = b.bkey
+     AND a.vec_id < b.vec_id
+)"""
+
+
+def _neardup_emb_oracle() -> str:
+    return f"""
+WITH {_ndb_cand_sql()},
+norms AS (
     SELECT vec_id,
         SQRT(CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
     FROM (SELECT vec_id, unnest(embedding) AS a FROM embeddings)
     GROUP BY vec_id
 ), elems AS (
-    SELECT a.vec_id AS v1, b.vec_id AS v2, a.label,
-           unnest(a.embedding) AS x, unnest(b.embedding) AS y
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
+    SELECT c.v1, c.v2, c.label,
+           unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.v1
+    JOIN embeddings eb ON eb.vec_id = c.v2
 ), pairs AS (
     SELECT v1, v2, label,
         CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dot
@@ -794,23 +867,73 @@ ORDER BY v1, v2
 """
 
 
-@_register("dedup_embedding_neardup", _NEARDUP_EMB_ORACLE)
+def _ndb_band_keys(emb):
+    """vec_id -> exploded (band, bkey) rows: per-plane exact-decimal
+    sign bits grouped into ``_NDB_BANDS`` keys of ``_NDB_BITS`` bits —
+    pure per-row codegen (no UDF, no shuffle), the Spark twin of
+    ``_ndb_cand_sql``'s bkeys CTE."""
+    ws = _hyperplane_weights(_NDB_BANDS * _NDB_BITS)
+    bands = []
+    for band in range(_NDB_BANDS):
+        key = F.lit(0)
+        for j in range(_NDB_BITS):
+            row = ws[band * _NDB_BITS + j]
+            warr = F.array(*[F.lit(w) for w in row])
+            dot = _dec_fold(
+                F.zip_with(
+                    F.col("embedding"),
+                    warr,
+                    lambda x, y: (x.cast("double") * y.cast("double")).cast(_COS_DEC),
+                )
+            )
+            key = key + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bands.append(
+            F.struct(F.lit(band).alias("band"), key.cast("long").alias("bkey"))
+        )
+    return emb.select(
+        "vec_id", "label", F.explode(F.array(*bands)).alias("bk")
+    ).select("vec_id", "label", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+
+
+@_register("dedup_embedding_neardup", _neardup_emb_oracle())
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs (cosine >= 0.3) within coarse
-    cells. Scale: the label blocking keeps the pair join at
-    sum-of-squares-per-cell instead of N^2; for finer blocking chain
-    with LSH bucketing first."""
+    """Embedding near-duplicate pairs (cosine >= 0.3) with banded-LSH
+    blocking chained inside the label cells: candidates must share a
+    label AND agree on at least one 4-bit hyperplane sign band, then
+    are exactly cosine-scored (exact-decimal dot products).
+
+    Scale: label blocking alone left each cell quadratic, so one
+    skewed label became a hot straggler at 100 TB. The band key splits
+    every cell ~2^bits further per band, and only slim
+    (vec_id, label, band, bkey) rows enter the candidate self-join;
+    embeddings re-attach to the deduplicated candidate pairs by key.
+    The hyperplanes are the deterministic md5-seeded family shared
+    with ``similarity_lsh_topk``, inlined as literals in both engines,
+    so the candidate set — and therefore the result — is
+    oracle-identical by construction."""
     t = load_tables(spark, sf_dir, register_views=False)
     emb = _with_norm(t["embeddings"])
-    a = emb.select(
-        F.col("vec_id").alias("v1"), "label", F.col("embedding").alias("e1"), F.col("nrm").alias("n1")
+    bk = _ndb_band_keys(t["embeddings"])
+    cand = (
+        bk.select(F.col("vec_id").alias("v1"), "label", "band", "bkey")
+        .join(
+            bk.select(F.col("vec_id").alias("v2"), "label", "band", "bkey"),
+            ["label", "band", "bkey"],
+        )
+        .filter(F.col("v1") < F.col("v2"))
+        .select("v1", "v2", "label")
+        .distinct()
     )
-    b = emb.select(
-        F.col("vec_id").alias("v2"), "label", F.col("embedding").alias("e2"), F.col("nrm").alias("n2")
+    e1 = emb.select(
+        F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"), F.col("nrm").alias("n1")
     )
-    pairs = a.join(b, "label").filter(F.col("v1") < F.col("v2"))
+    e2 = emb.select(
+        F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"), F.col("nrm").alias("n2")
+    )
     return (
-        pairs.select(
+        cand.join(e1, "v1")
+        .join(e2, "v2")
+        .select(
             "v1",
             "v2",
             "label",
@@ -1865,23 +1988,13 @@ def contamination_ngram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _LSH_PLANES = 6
-_LSH_DIM = 64
 
 
-def _lsh_weights() -> list[list[int]]:
-    """Deterministic integer hyperplane weights in [-1000, 1000],
-    derived from md5(p:d) — reproducible on any machine with no RNG,
-    and inlineable as literals in BOTH engines so the bucketing is
-    bit-identical by construction."""
-    import hashlib
-
-    return [
-        [
-            int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000
-            for d in range(_LSH_DIM)
-        ]
-        for p in range(_LSH_PLANES)
-    ]
+def _lsh_weights(n_planes: int = _LSH_PLANES) -> list[list[int]]:
+    """Hyperplane weights for the ANN bucketing — the canonical
+    md5-seeded family (see ``_hyperplane_weights``), so the banded
+    neardup blocking and ``similarity_lsh_topk`` share planes."""
+    return _hyperplane_weights(n_planes)
 
 
 def _lsh_oracle() -> str:
@@ -2943,18 +3056,21 @@ def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
 # Semantic near-dup clusters: connected components over the cosine graph
 # ---------------------------------------------------------------------------
 
-_SEMANTIC_CLUSTER_ORACLE = """
+def _semantic_cluster_oracle() -> str:
+    return f"""
 WITH RECURSIVE
+{_ndb_cand_sql()},
 norms AS (
     SELECT vec_id,
         SQRT(CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
     FROM (SELECT vec_id, unnest(embedding) AS a FROM embeddings)
     GROUP BY vec_id
 ), elems AS (
-    SELECT a.vec_id AS v1, b.vec_id AS v2,
-           unnest(a.embedding) AS x, unnest(b.embedding) AS y
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
+    SELECT c.v1, c.v2,
+           unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.v1
+    JOIN embeddings eb ON eb.vec_id = c.v2
 ), pairs AS (
     SELECT v1, v2,
         CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dot
@@ -2982,22 +3098,22 @@ ORDER BY cluster_id
 """
 
 
-@_register("dedup_semantic_clusters", _SEMANTIC_CLUSTER_ORACLE)
+@_register("dedup_semantic_clusters", _semantic_cluster_oracle())
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic duplicate families: the embedding cosine>=0.3 pair
-    graph (label-blocked, exact decimal dot products —
-    ``dedup_embedding_neardup``) collapsed into connected components
-    and reported as clusters (id, size, representative vector). This
-    is the embedding-space counterpart of ``dedup_neardup_clusters``
-    — what a semantic-dedup pipeline materializes before electing one
-    survivor per meaning.
+    graph (label-blocked + banded-LSH blocked, exact decimal dot
+    products — ``dedup_embedding_neardup``) collapsed into connected
+    components and reported as clusters (id, size, representative
+    vector). This is the embedding-space counterpart of
+    ``dedup_neardup_clusters`` — what a semantic-dedup pipeline
+    materializes before electing one survivor per meaning.
 
-    Scale: pair generation is blocked per label cell (sum of squares
-    per cell, never corpus^2); min-label propagation shuffles once per
-    round on vec_id with per-round lineage cuts; rounds = cluster
-    diameter. Convergence is asserted, not assumed (non-convergence
-    raises instead of silently diverging from the oracle's exact
-    transitive closure)."""
+    Scale: pair generation is blocked per (label, sign-band) cell
+    (never corpus^2, and a skewed label splits across band keys);
+    min-label propagation shuffles once per round on vec_id with
+    per-round lineage cuts; rounds = cluster diameter. Convergence is
+    asserted, not assumed (non-convergence raises instead of silently
+    diverging from the oracle's exact transitive closure)."""
     edges = (
         dedup_embedding_neardup(spark, sf_dir)
         .select(F.col("v1").alias("d1"), F.col("v2").alias("d2"))

@@ -125,6 +125,9 @@ SCALE_QUERIES = [
     # dedup_neardup_clusters (same propagation loop, shingle-LSH
     # candidate edges, slope 6.0).
     "quality_dedup_rate_by_source",
+    # round-7: banded-LSH blocking chained into the label cells —
+    # lock the slope of the new (label, band, bkey) candidate join
+    "dedup_embedding_neardup",
 ]
 
 

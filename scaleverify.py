@@ -120,6 +120,13 @@ def main() -> None:
     from load_datawarehouse_spark.session import get_spark
 
     names = list(dict.fromkeys(SCALE_QUERIES + HEADLINE))
+    # --only a,b,c  -> restrict to a subset (iterating on fixes);
+    # the partial result is merged over the existing SCALEVERIFY.json
+    # so the artifact stays a full-set snapshot.
+    only = None
+    if len(sys.argv) > 2 and sys.argv[1] == "--only":
+        only = set(sys.argv[2].split(","))
+        names = [n for n in names if n in only]
     queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
 
     spark = get_spark(app_name="ldw-scaleverify")
@@ -197,18 +204,31 @@ def main() -> None:
                 n_match += 1
         print(f"# {name}: {out[name]['status']}", file=sys.stderr, flush=True)
 
+    path = os.path.join(here, "SCALEVERIFY.json")
+    if only is not None and os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f).get("queries", {})
+        prev.update(out)
+        out = prev
+    statuses = [v["status"] for v in out.values()]
     result = {
         "metric": "sf1_oracle_verification",
         "sf": 1.0,
-        "n_queries": len(names),
-        "n_match": n_match,
-        "n_oracle_timeout": n_timeout,
-        "n_spark_excluded": sum(1 for v in out.values() if v["status"] == "spark_excluded"),
-        "n_fail": n_fail,
+        "n_queries": len(out),
+        "n_match": statuses.count("match"),
+        "n_oracle_timeout": statuses.count("oracle_timeout"),
+        "n_spark_excluded": statuses.count("spark_excluded"),
+        "n_fail": len(
+            [
+                s
+                for s in statuses
+                if s not in ("match", "oracle_timeout", "spark_excluded")
+            ]
+        ),
         "oracle_timeout_sec": ORACLE_TIMEOUT_SEC,
         "queries": out,
     }
-    with open(os.path.join(here, "SCALEVERIFY.json"), "w") as f:
+    with open(path, "w") as f:
         json.dump(result, f, indent=2)
     compact = {k: v for k, v in result.items() if k != "queries"}
     print(json.dumps(compact))

@@ -93,6 +93,24 @@ def test_simhash_neardup_is_bucketed_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embedding_neardup_self_join_is_band_bucketed(spark):
+    # the candidate self-join must key on (label, band, bkey) — an
+    # unbucketed label-only join is the quadratic-cell straggler the
+    # banded blocking exists to avoid; and no cartesian fallback
+    plan = _plan(llm.dedup_embedding_neardup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bkey" in plan  # band key participates in the join/exchange keys
+    import re
+
+    join_lines = [ln for ln in plan.splitlines() if "HashJoin" in ln or "SortMergeJoin" in ln]
+    # the candidate self-join's KEY LIST (first bracket group) must be
+    # the full (label, band, bkey) triple, not label alone
+    assert any(
+        re.search(r"Join \[label#\d+, band#\d+L?, bkey#\d+L?\]", ln) for ln in join_lines
+    ), "candidate self-join is not keyed on (label, band, bkey):\n" + "\n".join(join_lines)
+
+
 def test_null_safe_join_is_hash_join(spark):
     # EqualNullSafe is sargable: expect a broadcast hash join, not a
     # nested-loop fallback

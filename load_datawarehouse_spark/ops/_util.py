@@ -70,7 +70,9 @@ def lineage_cut(df):
         return df.localCheckpoint(eager=False)
     from pyspark import StorageLevel
 
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    cut = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _CUT_FRAMES.append(cut)
+    return cut
 
 
 def lineage_cut_eager(df):
@@ -95,7 +97,39 @@ def lineage_cut_eager(df):
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     df.count()
+    _CUT_FRAMES.append(df)
     return df
+
+
+#: Cluster-mode frames persisted by lineage_cut / lineage_cut_eager,
+#: awaiting release. Local-mode localCheckpoint blocks are reclaimed
+#: by the ContextCleaner when the RDD is GC'd, so they are not
+#: tracked; the persist() branches are NOT auto-reclaimed and would
+#: accumulate across queries in a long-lived cluster session until
+#: LRU thrash — callers release them between queries.
+_CUT_FRAMES: list = []
+
+
+def release_lineage_cuts() -> int:
+    """Unpersist every cluster-mode frame cached by the lineage cuts
+    since the last release; returns how many were released.
+
+    Call AFTER a query's terminal action (collect/write) in a
+    long-lived cluster session — ops chain several cuts per composed
+    query (e.g. ``dedup_minhash_verified``), and unpersisting before
+    the terminal action would force full recomputation. Iterative ops
+    on a cluster should instead configure a checkpoint dir, which both
+    truncates lineage (the persist fallback does not) and keeps the
+    state off the block-manager LRU."""
+    n = 0
+    while _CUT_FRAMES:
+        frame = _CUT_FRAMES.pop()
+        try:
+            frame.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n
 
 
 def dec_sum2(col: Column | str, alias: str) -> Column:

@@ -722,3 +722,36 @@ def test_lineage_cut_gates_on_deploy_mode():
     assert calls and calls[0][0] == "persist" and "Disk" in calls[0][1]
     calls.clear()
     assert lineage_cut(fake("yarn")) == "persisted"
+
+
+def test_cluster_lineage_cuts_are_tracked_and_released():
+    """Cluster-branch persist() frames must be registered for release
+    (advisor r6: a long-lived cluster session otherwise accumulates
+    cached RDDs across queries until LRU thrash) and
+    release_lineage_cuts() must unpersist exactly those frames."""
+    from types import SimpleNamespace
+
+    from load_datawarehouse_spark.ops import _util
+
+    released = []
+
+    def fake(master):
+        frame = SimpleNamespace(
+            sparkSession=SimpleNamespace(
+                sparkContext=SimpleNamespace(master=master)
+            ),
+            localCheckpoint=lambda eager: "ckpt",
+        )
+        frame.persist = lambda level: frame
+        frame.unpersist = lambda: released.append(frame)
+        return frame
+
+    _util._CUT_FRAMES.clear()  # other tests' stand-in frames
+    local = _util.lineage_cut(fake("local[8]"))
+    assert local == "ckpt" and not _util._CUT_FRAMES  # local mode untracked
+    a = _util.lineage_cut(fake("spark://host:7077"))
+    b = _util.lineage_cut(fake("k8s://https://host"))
+    assert _util._CUT_FRAMES == [a, b]
+    assert _util.release_lineage_cuts() == 2
+    assert released == [b, a] and not _util._CUT_FRAMES
+    assert _util.release_lineage_cuts() == 0  # idempotent

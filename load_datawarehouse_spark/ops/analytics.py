@@ -1982,18 +1982,33 @@ def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BAND_CENTS = 100   # price band: within $1
 _BAND_DAYS = 3      # time band: within 3 days
 
+#: The oracle mirrors the Spark side's grid-cell bucketing rather than
+#: the raw theta-join: the band conjunction has no equi key, so DuckDB
+#: planned it as a quadratic nested loop that blew the sf1
+#: verification budget. Bucketing is an exact rewrite (superset cells,
+#: then the same exact band predicates + DISTINCT), so the semantics
+#: are untouched while the oracle becomes a hash equi join.
 _PRICE_TIME_PAIRS_ORACLE = f"""
 WITH o AS (
     SELECT o_orderkey AS k, o_custkey AS cust,
            CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
            CAST(o_orderdate AS DATE) AS d
     FROM orders
+), g AS (
+    SELECT *, cents // {_BAND_CENTS} AS pc,
+           date_diff('day', DATE '1990-01-01', d) // {_BAND_DAYS} AS tc
+    FROM o
+), offs(dp, dt) AS (
+    VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
+), a AS (
+    SELECT k, cust, cents, d, pc + dp AS pc, tc + dt AS tc
+    FROM g CROSS JOIN offs
 ), pairs AS (
-    SELECT a.k AS k1, b.k AS k2, a.d AS d1
-    FROM o a JOIN o b
-      ON a.k < b.k AND a.cust <> b.cust
-     AND ABS(a.cents - b.cents) <= {_BAND_CENTS}
-     AND ABS(date_diff('day', a.d, b.d)) <= {_BAND_DAYS}
+    SELECT DISTINCT a.k AS k1, b.k AS k2, a.d AS d1
+    FROM a JOIN g b ON a.pc = b.pc AND a.tc = b.tc
+    WHERE a.k < b.k AND a.cust <> b.cust
+      AND ABS(a.cents - b.cents) <= {_BAND_CENTS}
+      AND ABS(date_diff('day', a.d, b.d)) <= {_BAND_DAYS}
 )
 SELECT CAST(d1 AS VARCHAR) AS day,
        CAST(COUNT(*) AS BIGINT) AS n_pairs

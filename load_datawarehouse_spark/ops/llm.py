@@ -605,6 +605,26 @@ def lang_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _COS_DEC = "decimal(28,12)"
+#: Factor quantization for the scored cosine family. Casting a raw
+#: double PRODUCT to decimal(28,12) looked deterministic but is not
+#: cross-engine: when the product's exact value sits within one
+#: double-ulp of a 12-dp half boundary, Spark (BigDecimal, exact
+#: HALF_UP) and DuckDB (double-multiply then nearest-int) round
+#: opposite ways — invisible at sf0.1 (~3e-5 per element), measured at
+#: sf1 (4,140 divergent cosines in dedup_embedding_neardup). Fix:
+#: quantize each FACTOR to 6 dp first (exactly representable both
+#: engines), so every product has exactly 12 dp and the decimal cast
+#: never rounds at all — divergence is impossible by construction,
+#: not just improbable.
+_Q6 = "decimal(18,6)"
+
+
+def _q6(x):
+    """Factor quantized to 6 dp via exact double (float inputs must
+    widen to double BEFORE the decimal cast — a float-sourced cast
+    would round the 7-digit shortest repr instead of the exact
+    value)."""
+    return x.cast("double").cast(_Q6)
 
 
 def _dec_fold(arr):
@@ -617,18 +637,19 @@ def _dec_fold(arr):
 
 
 def _dec_dot(a, b):
-    """Exact dot product: per-element double products
-    (IEEE-deterministic) accumulated in decimal — bitwise identical in
-    Spark and DuckDB regardless of partitioning."""
+    """Exact dot product over 6-dp-quantized factors: the decimal
+    product (scale 12) is exact, the decimal sum is exact, so the
+    result is bitwise identical in Spark and DuckDB regardless of
+    partitioning — see ``_Q6``."""
     return _dec_fold(
-        F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_COS_DEC))
+        F.zip_with(a, b, lambda x, y: (_q6(x) * _q6(y)).cast(_COS_DEC))
     )
 
 
 def _dec_norm(a):
     """Exact L2 norm (same discipline as ``_dec_dot``)."""
     return F.sqrt(
-        _dec_fold(F.transform(a, lambda x: (x.cast("double") * x.cast("double")).cast(_COS_DEC)))
+        _dec_fold(F.transform(a, lambda x: (_q6(x) * _q6(x)).cast(_COS_DEC)))
     )
 
 
@@ -650,12 +671,12 @@ elems AS (
 ),
 prod AS (
     SELECT vec_id, qid,
-        CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dot
+        CAST(SUM(CAST(CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(b AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE) AS dot
     FROM elems
     GROUP BY vec_id, qid
 ), norms AS (
     SELECT vec_id,
-        SQRT(CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+        SQRT(CAST(SUM(CAST(CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
     FROM (SELECT vec_id, unnest(embedding) AS a FROM embeddings)
     GROUP BY vec_id
 )
@@ -845,7 +866,7 @@ def _neardup_emb_oracle() -> str:
 WITH {_ndb_cand_sql()},
 norms AS (
     SELECT vec_id,
-        SQRT(CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+        SQRT(CAST(SUM(CAST(CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
     FROM (SELECT vec_id, unnest(embedding) AS a FROM embeddings)
     GROUP BY vec_id
 ), elems AS (
@@ -856,7 +877,7 @@ norms AS (
     JOIN embeddings eb ON eb.vec_id = c.v2
 ), pairs AS (
     SELECT v1, v2, label,
-        CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dot
+        CAST(SUM(CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(y AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE) AS dot
     FROM elems
     GROUP BY 1, 2, 3
 )
@@ -1094,7 +1115,7 @@ _CC_ORACLE = """
 WITH RECURSIVE
 norms AS (
     SELECT vec_id,
-        SQRT(CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+        SQRT(CAST(SUM(CAST(CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
     FROM (SELECT vec_id, unnest(embedding) AS a FROM embeddings)
     GROUP BY vec_id
 ), elems AS (
@@ -1104,7 +1125,7 @@ norms AS (
       ON a.label = b.label AND a.vec_id < b.vec_id
 ), dots AS (
     SELECT v1, v2,
-        CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dot
+        CAST(SUM(CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(y AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE) AS dot
     FROM elems GROUP BY 1, 2
 ), edges AS (
     SELECT d.v1, d.v2
@@ -2032,12 +2053,12 @@ elems AS (
 ),
 prod AS (
     SELECT vec_id, qid,
-        CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dot
+        CAST(SUM(CAST(CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(b AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE) AS dot
     FROM elems GROUP BY vec_id, qid
 ),
 norms AS (
     SELECT vec_id,
-        SQRT(CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+        SQRT(CAST(SUM(CAST(CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
     FROM (SELECT vec_id, unnest(embedding) AS a FROM embeddings)
     GROUP BY vec_id
 )
@@ -3062,7 +3083,7 @@ WITH RECURSIVE
 {_ndb_cand_sql()},
 norms AS (
     SELECT vec_id,
-        SQRT(CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+        SQRT(CAST(SUM(CAST(CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
     FROM (SELECT vec_id, unnest(embedding) AS a FROM embeddings)
     GROUP BY vec_id
 ), elems AS (
@@ -3073,7 +3094,7 @@ norms AS (
     JOIN embeddings eb ON eb.vec_id = c.v2
 ), pairs AS (
     SELECT v1, v2,
-        CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dot
+        CAST(SUM(CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(y AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE) AS dot
     FROM elems GROUP BY 1, 2
 ), edges AS (
     SELECT p.v1, p.v2
@@ -3204,12 +3225,12 @@ elems AS (
 ),
 prod AS (
     SELECT vec_id, qid,
-        CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dot
+        CAST(SUM(CAST(CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(b AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE) AS dot
     FROM elems GROUP BY vec_id, qid
 ),
 norms AS (
     SELECT vec_id,
-        SQRT(CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+        SQRT(CAST(SUM(CAST(CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
     FROM (SELECT vec_id, unnest(embedding) AS a FROM embeddings)
     GROUP BY vec_id
 )
@@ -4317,8 +4338,8 @@ elems AS (
     FROM embeddings e CROSS JOIN q
 ), dots AS (
     SELECT vec_id,
-        CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dot,
-        SQRT(CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+        CAST(SUM(CAST(CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(b AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+        SQRT(CAST(SUM(CAST(CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
     FROM elems GROUP BY vec_id
 ), qn AS (SELECT nrm AS qnrm FROM dots WHERE vec_id = 0),
 cos_rank AS (
@@ -4500,7 +4521,7 @@ def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NORM_OUTLIER_ORACLE = """
 WITH norms AS (
     SELECT vec_id, label,
-        SQRT(CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+        SQRT(CAST(SUM(CAST(CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6))
                            AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
     FROM (SELECT vec_id, label, unnest(embedding) AS a FROM embeddings)
     GROUP BY vec_id, label
@@ -5943,11 +5964,11 @@ elems AS (
     FROM corpus c CROSS JOIN ev e
 ), prod AS (
     SELECT vec_id, eid,
-        CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(b AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dot
+        CAST(SUM(CAST(CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(b AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE) AS dot
     FROM elems GROUP BY vec_id, eid
 ), norms AS (
     SELECT vec_id,
-        SQRT(CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+        SQRT(CAST(SUM(CAST(CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
     FROM (SELECT vec_id, unnest(embedding) AS a FROM embeddings)
     GROUP BY vec_id
 ), best AS (

@@ -212,12 +212,14 @@ def main() -> None:
         "corpus — slope_per_output_row shows per-pair cost FALLING at "
         "scale. Word-exploding text ops (tfidf, dsir, contamination, "
         "perplexity buckets) process 10x the words and stay sublinear. "
-        "DF-capped index ops (tfidf_cosine_pairs, shingle_containment) "
-        "emit FEWER pairs at sf1: replication multiplies every term's "
-        "document frequency ~10x, pushing most terms over the absolute "
+        "DF-cap effects on the post-stride-fix corpus (re-checked round "
+        "7): shingle_containment emits FEWER pairs at sf1 (512 -> 130) "
+        "because replication pushes most shingles over its absolute "
         "MAX_*_DF prune cap — the cap is a per-corpus tuning knob "
-        "(scale it with corpus size on real data); their raw slopes "
-        "measure the pre-prune index build, which stays linear-ish. "
+        "(scale it with corpus size on real data) — while "
+        "tfidf_cosine_pairs emits ~100x MORE pairs (true output growth: "
+        "its per-term cap survives the collision-free keyspace), with "
+        "per-pair cost falling (slope_per_output_row). "
         "skew_stress_sf1: selective hot-key salting vs the unsalted "
         "shuffle on a zipfian key at sf1."
     )

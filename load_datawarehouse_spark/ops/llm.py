@@ -853,7 +853,7 @@ lk AS (
     SELECT k.vec_id, e.label, k.band, k.bkey
     FROM bkeys k JOIN embeddings e ON e.vec_id = k.vec_id
 ),
-cand AS (
+cand AS MATERIALIZED (
     SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2, a.label
     FROM lk a JOIN lk b
       ON a.label = b.label AND a.band = b.band AND a.bkey = b.bkey
@@ -864,7 +864,7 @@ cand AS (
 def _neardup_emb_oracle() -> str:
     return f"""
 WITH {_ndb_cand_sql()},
-norms AS (
+norms AS MATERIALIZED (
     SELECT vec_id,
         SQRT(CAST(SUM(CAST(CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
     FROM (SELECT vec_id, unnest(embedding) AS a FROM embeddings)
@@ -3081,7 +3081,7 @@ def _semantic_cluster_oracle() -> str:
     return f"""
 WITH RECURSIVE
 {_ndb_cand_sql()},
-norms AS (
+norms AS MATERIALIZED (
     SELECT vec_id,
         SQRT(CAST(SUM(CAST(CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
     FROM (SELECT vec_id, unnest(embedding) AS a FROM embeddings)
@@ -3092,11 +3092,15 @@ norms AS (
     FROM cand c
     JOIN embeddings ea ON ea.vec_id = c.v1
     JOIN embeddings eb ON eb.vec_id = c.v2
-), pairs AS (
+), pairs AS MATERIALIZED (
     SELECT v1, v2,
         CAST(SUM(CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(y AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE) AS dot
     FROM elems GROUP BY 1, 2
-), edges AS (
+), edges AS MATERIALIZED (
+    -- MATERIALIZED chain: edges is referenced twice by und, and
+    -- DuckDB otherwise inlines the WHOLE banded-scoring pipeline
+    -- into both references (memory: multiply-referenced CTEs) —
+    -- measured >240 s vs 45 s at sf1
     SELECT p.v1, p.v2
     FROM pairs p JOIN norms n1 ON n1.vec_id = p.v1 JOIN norms n2 ON n2.vec_id = p.v2
     WHERE p.dot / (n1.nrm * n2.nrm) >= 0.3

@@ -113,17 +113,11 @@ SCALE_QUERIES = [
     "dedup_cascade_report",
     "contamination_bloom_prefilter",
     "dedup_neardup_clusters",
-    # dedup_semantic_clusters stays OUT (measured round 6): on the
-    # REPLICATED sf1 embeddings every vector gains ~10 perturbed
-    # near-copies, so the label-blocked cosine>=0.3 pair graph is
-    # ~100x denser with long similarity chains — min-label
-    # propagation needs many diameter rounds over that dense graph
-    # (>35 min for one timing at sf1). Like graph_triangle_count,
-    # that is a synthetic-replication artifact, not an engine
-    # property: on a real corpus near-dup density per doc is ~flat.
-    # The CC-family engine slope is measured by
-    # dedup_neardup_clusters (same propagation loop, shingle-LSH
-    # candidate edges, slope 6.0).
+    # dedup_semantic_clusters was OUT in round 6 (>35 min at sf1: the
+    # label-blocked pair graph on replicated embeddings was ~100x
+    # denser). Round 7's banded-LSH edge blocking cut one sf1
+    # evaluation to ~78 s, so it is measured again.
+    "dedup_semantic_clusters",
     "quality_dedup_rate_by_source",
     # round-7: banded-LSH blocking chained into the label cells —
     # lock the slope of the new (label, band, bkey) candidate join
@@ -166,9 +160,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
 
+    # --only a,b,c -> measure a subset and merge over the existing
+    # SCALECHECK.json so the artifact stays a full-set snapshot
+    names = list(SCALE_QUERIES)
+    only = None
+    if len(sys.argv) > 2 and sys.argv[1] == "--only":
+        only = set(sys.argv[2].split(","))
+        names = [n for n in names if n in only]
+
     out: dict[str, dict] = {}
     errors: dict[str, str] = {}
-    for name in SCALE_QUERIES:
+    for name in names:
         fn = queries[name]
         try:
             t_small, n_small = _time(fn, spark, small)
@@ -197,11 +199,24 @@ def main() -> None:
         print(f"# {name}: {t_small:.2f}s -> {t_big:.2f}s  slope {out[name]['slope']}",
               file=sys.stderr, flush=True)
 
-    skew = {}
-    for label, salted in (("salted", True), ("unsalted", False)):
-        t, n = _time(_skew_stress_join, spark, big, salted)
-        skew[label] = {"sec": round(t, 3), "rows": n}
-        print(f"# skew_stress[{label}] sf1: {t:.2f}s", file=sys.stderr, flush=True)
+    path = os.path.join(here, "SCALECHECK.json")
+    skew_prev = None
+    if only is not None and os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        merged = prev.get("queries", {})
+        merged.update(out)
+        out = merged
+        skew_prev = prev.get("skew_stress_sf1")
+
+    if skew_prev is not None:
+        skew = skew_prev  # subset run keeps the full run's measurement
+    else:
+        skew = {}
+        for label, salted in (("salted", True), ("unsalted", False)):
+            t, n = _time(_skew_stress_join, spark, big, salted)
+            skew[label] = {"sec": round(t, 3), "rows": n}
+            print(f"# skew_stress[{label}] sf1: {t:.2f}s", file=sys.stderr, flush=True)
 
     slopes = [v["slope"] for v in out.values()]
     note = (

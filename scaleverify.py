@@ -33,11 +33,10 @@ import time
 # Spark-side exclusions, each with a measured reason (mirrors the
 # scalecheck exclusions — same replication artifacts):
 SPARK_EXCLUDED = {
-    # replicated embeddings make the cosine>=0.3 pair graph ~100x
-    # denser; one sf1 evaluation exceeds 35 min (see scalecheck.py)
-    "dedup_semantic_clusters": "spark side >35min at sf1 (replication artifact)",
     # near-complete synthetic co-order graph: wedge enumeration ~N^3
     "graph_triangle_count": "dense-graph workload artifact (see op docstring)",
+    # dedup_semantic_clusters was excluded in round 6 (>35 min at
+    # sf1); round 7's banded-LSH edge blocking made it verifiable.
 }
 
 ORACLE_TIMEOUT_SEC = int(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "240"))

@@ -612,19 +612,24 @@ _COS_DEC = "decimal(28,12)"
 #: HALF_UP) and DuckDB (double-multiply then nearest-int) round
 #: opposite ways — invisible at sf0.1 (~3e-5 per element), measured at
 #: sf1 (4,140 divergent cosines in dedup_embedding_neardup). Fix:
-#: quantize each FACTOR to 6 dp first (exactly representable both
-#: engines), so every product has exactly 12 dp and the decimal cast
-#: never rounds at all — divergence is impossible by construction,
-#: not just improbable.
-_Q6 = "decimal(18,6)"
+#: quantize each FACTOR to 6 dp FIRST, so the product has exactly
+#: 12 dp and no rounding ever happens downstream — divergence is
+#: impossible by construction, not just improbable. The 6-dp factors
+#: are carried as INTEGER MICRO-UNITS (x6 = round(x*1e6) as long)
+#: rather than decimals: the fold is then primitive long arithmetic
+#: inside whole-stage codegen instead of boxed BigDecimal (the
+#: decimal(18,6)x(18,6) product widens to 37 digits, off the compact
+#: long representation). |x6| <= ~6.4e5, so a 64-element product sum
+#: tops out near 2.6e13 — exact in long AND exact in double, making
+#: the final /1e12 emission correctly rounded in both engines.
+_SCALE6 = 1_000_000
 
 
-def _q6(x):
-    """Factor quantized to 6 dp via exact double (float inputs must
-    widen to double BEFORE the decimal cast — a float-sourced cast
-    would round the 7-digit shortest repr instead of the exact
-    value)."""
-    return x.cast("double").cast(_Q6)
+def _x6(col):
+    """Factor quantized to integer micro-units (round half-up at 6 dp
+    of the exact double). Float inputs must widen to double BEFORE
+    scaling so both engines round the same exact value."""
+    return F.round(col.cast("double") * _SCALE6, 0).cast("long")
 
 
 def _dec_fold(arr):
@@ -636,21 +641,25 @@ def _dec_fold(arr):
     return F.aggregate(arr, zero, lambda s, x: (s + x).cast(_COS_DEC)).cast("double")
 
 
+def _long_fold(arr):
+    """Exact order-free long sum of a long array (primitive codegen)."""
+    zero = F.lit(0).cast("long")
+    return F.aggregate(arr, zero, lambda s, x: s + x)
+
+
 def _dec_dot(a, b):
-    """Exact dot product over 6-dp-quantized factors: the decimal
-    product (scale 12) is exact, the decimal sum is exact, so the
-    result is bitwise identical in Spark and DuckDB regardless of
-    partitioning — see ``_Q6``."""
-    return _dec_fold(
-        F.zip_with(a, b, lambda x, y: (_q6(x) * _q6(y)).cast(_COS_DEC))
-    )
+    """Exact dot product over 6-dp-quantized factors (integer
+    micro-unit sum, then one exact double division) — bitwise
+    identical in Spark and DuckDB regardless of partitioning; see
+    ``_SCALE6``."""
+    s = _long_fold(F.zip_with(a, b, lambda x, y: _x6(x) * _x6(y)))
+    return s.cast("double") / F.lit(float(_SCALE6) ** 2)
 
 
 def _dec_norm(a):
     """Exact L2 norm (same discipline as ``_dec_dot``)."""
-    return F.sqrt(
-        _dec_fold(F.transform(a, lambda x: (_q6(x) * _q6(x)).cast(_COS_DEC)))
-    )
+    s = _long_fold(F.transform(a, lambda x: _x6(x) * _x6(x)))
+    return F.sqrt(s.cast("double") / F.lit(float(_SCALE6) ** 2))
 
 
 def _with_norm(emb):
@@ -671,12 +680,12 @@ elems AS (
 ),
 prod AS (
     SELECT vec_id, qid,
-        CAST(SUM(CAST(CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(b AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE) AS dot
+        CAST(SUM(CAST(ROUND(CAST(a AS DOUBLE) * 1000000) AS BIGINT) * CAST(ROUND(CAST(b AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
     FROM elems
     GROUP BY vec_id, qid
 ), norms AS (
     SELECT vec_id,
-        SQRT(CAST(SUM(CAST(CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+        SQRT(CAST(SUM(CAST(ROUND(CAST(a AS DOUBLE) * 1000000) AS BIGINT) * CAST(ROUND(CAST(a AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
     FROM (SELECT vec_id, unnest(embedding) AS a FROM embeddings)
     GROUP BY vec_id
 )
@@ -839,8 +848,7 @@ def _ndb_cand_sql() -> str:
 ),
 dots AS (
     SELECT e.vec_id, wt.p, MAX(wt.band) AS band, MAX(wt.bbit) AS bbit,
-           CAST(SUM(CAST(CAST(wt.w AS DOUBLE) * CAST(e.embedding[wt.d + 1] AS DOUBLE)
-                         AS DECIMAL(28,12))) AS DOUBLE) AS dot
+           SUM(wt.w * CAST(ROUND(CAST(e.embedding[wt.d + 1] AS DOUBLE) * 1000000) AS BIGINT)) AS dot
     FROM embeddings e JOIN weights wt ON TRUE
     GROUP BY e.vec_id, wt.p
 ),
@@ -866,7 +874,7 @@ def _neardup_emb_oracle() -> str:
 WITH {_ndb_cand_sql()},
 norms AS MATERIALIZED (
     SELECT vec_id,
-        SQRT(CAST(SUM(CAST(CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+        SQRT(CAST(SUM(CAST(ROUND(CAST(a AS DOUBLE) * 1000000) AS BIGINT) * CAST(ROUND(CAST(a AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
     FROM (SELECT vec_id, unnest(embedding) AS a FROM embeddings)
     GROUP BY vec_id
 ), elems AS (
@@ -877,7 +885,7 @@ norms AS MATERIALIZED (
     JOIN embeddings eb ON eb.vec_id = c.v2
 ), pairs AS (
     SELECT v1, v2, label,
-        CAST(SUM(CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(y AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE) AS dot
+        CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) * CAST(ROUND(CAST(y AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
     FROM elems
     GROUP BY 1, 2, 3
 )
@@ -900,11 +908,11 @@ def _ndb_band_keys(emb):
         for j in range(_NDB_BITS):
             row = ws[band * _NDB_BITS + j]
             warr = F.array(*[F.lit(w) for w in row])
-            dot = _dec_fold(
+            dot = _long_fold(
                 F.zip_with(
                     F.col("embedding"),
                     warr,
-                    lambda x, y: (x.cast("double") * y.cast("double")).cast(_COS_DEC),
+                    lambda x, y: _x6(x) * y.cast("long"),
                 )
             )
             key = key + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
@@ -1115,7 +1123,7 @@ _CC_ORACLE = """
 WITH RECURSIVE
 norms AS (
     SELECT vec_id,
-        SQRT(CAST(SUM(CAST(CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+        SQRT(CAST(SUM(CAST(ROUND(CAST(a AS DOUBLE) * 1000000) AS BIGINT) * CAST(ROUND(CAST(a AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
     FROM (SELECT vec_id, unnest(embedding) AS a FROM embeddings)
     GROUP BY vec_id
 ), elems AS (
@@ -1125,7 +1133,7 @@ norms AS (
       ON a.label = b.label AND a.vec_id < b.vec_id
 ), dots AS (
     SELECT v1, v2,
-        CAST(SUM(CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(y AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE) AS dot
+        CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) * CAST(ROUND(CAST(y AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
     FROM elems GROUP BY 1, 2
 ), edges AS (
     SELECT d.v1, d.v2
@@ -2031,8 +2039,7 @@ WITH weights(p, d, w, bit) AS (
 ),
 dots AS (
     SELECT e.vec_id, wt.p, MAX(wt.bit) AS bit,
-           CAST(SUM(CAST(CAST(wt.w AS DOUBLE) * CAST(e.embedding[wt.d + 1] AS DOUBLE)
-                         AS DECIMAL(28,12))) AS DOUBLE) AS dot
+           SUM(wt.w * CAST(ROUND(CAST(e.embedding[wt.d + 1] AS DOUBLE) * 1000000) AS BIGINT)) AS dot
     FROM embeddings e JOIN weights wt ON TRUE
     GROUP BY e.vec_id, wt.p
 ),
@@ -2053,12 +2060,12 @@ elems AS (
 ),
 prod AS (
     SELECT vec_id, qid,
-        CAST(SUM(CAST(CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(b AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE) AS dot
+        CAST(SUM(CAST(ROUND(CAST(a AS DOUBLE) * 1000000) AS BIGINT) * CAST(ROUND(CAST(b AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
     FROM elems GROUP BY vec_id, qid
 ),
 norms AS (
     SELECT vec_id,
-        SQRT(CAST(SUM(CAST(CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+        SQRT(CAST(SUM(CAST(ROUND(CAST(a AS DOUBLE) * 1000000) AS BIGINT) * CAST(ROUND(CAST(a AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
     FROM (SELECT vec_id, unnest(embedding) AS a FROM embeddings)
     GROUP BY vec_id
 )
@@ -2083,11 +2090,11 @@ def _lsh_buckets(emb):
     bucket = None
     for p, row in enumerate(ws):
         warr = F.array(*[F.lit(w) for w in row])
-        dot = _dec_fold(
+        dot = _long_fold(
             F.zip_with(
                 F.col("embedding"),
                 warr,
-                lambda x, y: (x.cast("double") * y.cast("double")).cast(_COS_DEC),
+                lambda x, y: _x6(x) * y.cast("long"),
             )
         )
         bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
@@ -3083,7 +3090,7 @@ WITH RECURSIVE
 {_ndb_cand_sql()},
 norms AS MATERIALIZED (
     SELECT vec_id,
-        SQRT(CAST(SUM(CAST(CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+        SQRT(CAST(SUM(CAST(ROUND(CAST(a AS DOUBLE) * 1000000) AS BIGINT) * CAST(ROUND(CAST(a AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
     FROM (SELECT vec_id, unnest(embedding) AS a FROM embeddings)
     GROUP BY vec_id
 ), elems AS (
@@ -3094,7 +3101,7 @@ norms AS MATERIALIZED (
     JOIN embeddings eb ON eb.vec_id = c.v2
 ), pairs AS MATERIALIZED (
     SELECT v1, v2,
-        CAST(SUM(CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(y AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE) AS dot
+        CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) * CAST(ROUND(CAST(y AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
     FROM elems GROUP BY 1, 2
 ), edges AS MATERIALIZED (
     -- MATERIALIZED chain: edges is referenced twice by und, and
@@ -3229,12 +3236,12 @@ elems AS (
 ),
 prod AS (
     SELECT vec_id, qid,
-        CAST(SUM(CAST(CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(b AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE) AS dot
+        CAST(SUM(CAST(ROUND(CAST(a AS DOUBLE) * 1000000) AS BIGINT) * CAST(ROUND(CAST(b AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
     FROM elems GROUP BY vec_id, qid
 ),
 norms AS (
     SELECT vec_id,
-        SQRT(CAST(SUM(CAST(CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+        SQRT(CAST(SUM(CAST(ROUND(CAST(a AS DOUBLE) * 1000000) AS BIGINT) * CAST(ROUND(CAST(a AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
     FROM (SELECT vec_id, unnest(embedding) AS a FROM embeddings)
     GROUP BY vec_id
 )
@@ -4342,8 +4349,8 @@ elems AS (
     FROM embeddings e CROSS JOIN q
 ), dots AS (
     SELECT vec_id,
-        CAST(SUM(CAST(CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(b AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE) AS dot,
-        SQRT(CAST(SUM(CAST(CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+        CAST(SUM(CAST(ROUND(CAST(a AS DOUBLE) * 1000000) AS BIGINT) * CAST(ROUND(CAST(b AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / 1e12 AS dot,
+        SQRT(CAST(SUM(CAST(ROUND(CAST(a AS DOUBLE) * 1000000) AS BIGINT) * CAST(ROUND(CAST(a AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
     FROM elems GROUP BY vec_id
 ), qn AS (SELECT nrm AS qnrm FROM dots WHERE vec_id = 0),
 cos_rank AS (
@@ -4525,8 +4532,8 @@ def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NORM_OUTLIER_ORACLE = """
 WITH norms AS (
     SELECT vec_id, label,
-        SQRT(CAST(SUM(CAST(CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6))
-                           AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+        SQRT(CAST(SUM(CAST(ROUND(CAST(a AS DOUBLE) * 1000000) AS BIGINT)
+                      * CAST(ROUND(CAST(a AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
     FROM (SELECT vec_id, label, unnest(embedding) AS a FROM embeddings)
     GROUP BY vec_id, label
 ), mu AS (
@@ -5968,11 +5975,11 @@ elems AS (
     FROM corpus c CROSS JOIN ev e
 ), prod AS (
     SELECT vec_id, eid,
-        CAST(SUM(CAST(CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(b AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE) AS dot
+        CAST(SUM(CAST(ROUND(CAST(a AS DOUBLE) * 1000000) AS BIGINT) * CAST(ROUND(CAST(b AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
     FROM elems GROUP BY vec_id, eid
 ), norms AS (
     SELECT vec_id,
-        SQRT(CAST(SUM(CAST(CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) * CAST(CAST(a AS DOUBLE) AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+        SQRT(CAST(SUM(CAST(ROUND(CAST(a AS DOUBLE) * 1000000) AS BIGINT) * CAST(ROUND(CAST(a AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
     FROM (SELECT vec_id, unnest(embedding) AS a FROM embeddings)
     GROUP BY vec_id
 ), best AS (

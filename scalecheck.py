@@ -119,6 +119,55 @@ SCALE_QUERIES = [
     # evaluation to ~78 s, so it is measured again.
     "dedup_semantic_clusters",
     "quality_dedup_rate_by_source",
+    # round-7 expansion: one representative per plan family that had
+    # no sf1 evidence yet — join strategies, grouping shuffles,
+    # window frames, set ops, streaming at volume, pipeline
+    # analytics, UDF/Arrow paths, and distributed schema inference
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_approx_count_distinct",
+    "agg_weighted_median",
+    "join_inner",
+    "join_semi",
+    "join_anti",
+    "join_skew_salted",
+    "join_range_bands",
+    "window_ranking",
+    "window_rows_frame",
+    "window_moving_median",
+    "window_share_of_total",
+    "setop_except_all",
+    "pivot_multi_agg",
+    "unpivot_long",
+    "topk_global",
+    "gap_islands_streaks",
+    "subq_in_groupby_having",
+    "q8_market_share",
+    "q9_product_profit",
+    "scd2_order_history",
+    "retention_cohorts",
+    "funnel_conversion",
+    "markov_event_transitions",
+    "rfm_segmentation",
+    "survival_kaplan_meier",
+    "events_dau_wau_stickiness",
+    "events_peak_concurrency_daily",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_dedup_watermark",
+    "dedup_exact_groups",
+    "dedup_url_canonical",
+    "doc_fingerprint_simhash",
+    "split_train_val_test",
+    "sample_stratified_hash",
+    "quality_gopher_filters",
+    "pii_scrub",
+    "token_count",
+    "udf_pandas_vectorized",
+    "udaf_grouped_agg_pandas",
+    "kmeans_lloyd",
+    "schema_infer_documents",
     # round-7: banded-LSH blocking chained into the label cells —
     # lock the slope of the new (label, band, bkey) candidate join
     "dedup_embedding_neardup",

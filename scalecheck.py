@@ -168,6 +168,93 @@ SCALE_QUERIES = [
     "udaf_grouped_agg_pandas",
     "kmeans_lloyd",
     "schema_infer_documents",
+    # round-7 expansion, second wave: the remaining scalar / set-op /
+    # window / join / subquery / TPC-H / UDF-flavor / multimodal-meta
+    # faces, the streaming remainder, and the warehouse verbs that
+    # write real data at volume
+    "scalar_string",
+    "scalar_date",
+    "scalar_math",
+    "scalar_case_when",
+    "scalar_array",
+    "scalar_map",
+    "scalar_url_extract",
+    "scalar_null_semantics",
+    "scalar_try_arith",
+    "scalar_bitwise_family",
+    "scalar_calendar_edges",
+    "scalar_string_shape",
+    "scalar_encoding_family",
+    "scalar_geo_wkt",
+    "setop_union_all",
+    "setop_intersect",
+    "setop_except",
+    "setop_distinct",
+    "setop_intersect_all",
+    "window_lag_lead",
+    "window_ntile",
+    "window_first_last",
+    "window_distribution",
+    "window_range_frame",
+    "window_dedup_latest",
+    "window_rank_delta",
+    "window_ema_fold",
+    "window_rolling_zscore",
+    "window_running_drawdown",
+    "join_left_outer",
+    "join_full_outer",
+    "join_cross",
+    "join_theta",
+    "join_null_safe_eq",
+    "join_asof_forward",
+    "join_bucketed_colocated",
+    "join_hint_shuffle_hash",
+    "q4_order_priority",
+    "q11_important_stock",
+    "q12_priority_lines",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q20_excess_suppliers",
+    "q22_idle_rich_segments",
+    "subq_scalar_avg_qty",
+    "subq_not_exists_idle_rich",
+    "agg_basic",
+    "agg_percentiles",
+    "agg_mode",
+    "agg_approx_percentile",
+    "agg_string_agg",
+    "events_velocity_flags",
+    "events_bot_detection",
+    "funnel_time_to_convert",
+    "attribution_first_touch",
+    "udf_python_scalar",
+    "udf_arrow_optimized",
+    "udf_map_in_arrow",
+    "udf_pandas_iter",
+    "udf_cogrouped_merge",
+    "udtf_bigrams",
+    "udtf_sessionize_table_arg",
+    "udaf_apply_in_pandas",
+    "time_window_tumbling",
+    "time_window_sliding",
+    "multimodal_media_meta",
+    "multimodal_modality_stats",
+    "multimodal_payload_entropy",
+    "multimodal_image_dhash",
+    "multimodal_audio_energy",
+    "text_normalize",
+    "text_readability_score",
+    "text_zipf_fit",
+    "text_heaps_law_curve",
+    "lang_id_markers",
+    "lang_id_confusion",
+    "doc_repetition_score",
+    "histogram_fixed_bins",
+    "warehouse_load_fetch",
+    "warehouse_merge_cdc",
+    "warehouse_time_travel",
+    "warehouse_incremental_view",
     # round-7: banded-LSH blocking chained into the label cells —
     # lock the slope of the new (label, band, bkey) candidate join
     "dedup_embedding_neardup",

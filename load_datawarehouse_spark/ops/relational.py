@@ -6386,19 +6386,24 @@ WITH firsts AS (
     SELECT o_custkey, MIN(date_trunc('month', CAST(o_orderdate AS DATE))) AS cohort
     FROM orders GROUP BY o_custkey
 ), rev AS (
+    -- money-grade emission (dec_sum2 discipline): cohort sums reach
+    -- ~1e9 at sf1 where the 6th decimal sits below double spacing,
+    -- so ROUND(double, 6) diverges cross-engine; round the EXACT
+    -- decimal to 2 dp instead and accumulate the exact decimal, not
+    -- the emitted double
     SELECT f.cohort,
            date_diff('month', f.cohort,
                      date_trunc('month', CAST(o.o_orderdate AS DATE))) AS age_months,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+           SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS revenue_dec
     FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
     GROUP BY 1, 2
 )
 SELECT CAST(CAST(cohort AS DATE) AS VARCHAR) AS cohort,
        CAST(age_months AS BIGINT) AS age_months,
-       ROUND(revenue, 6) AS revenue,
-       ROUND(CAST(SUM(CAST(revenue AS DECIMAL(38,6)))
+       CAST(ROUND(revenue_dec, 2) AS DOUBLE) AS revenue,
+       CAST(ROUND(SUM(revenue_dec)
                   OVER (PARTITION BY cohort ORDER BY age_months
-                        ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS cum_revenue
+                        ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS cum_revenue
 FROM rev
 WHERE age_months <= 12
 ORDER BY cohort, age_months
@@ -6428,17 +6433,21 @@ def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         o.join(firsts, "o_custkey")
         .groupBy(F.col("cohort"), age.alias("age_months"))
-        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("revenue_dec"))
         .filter(F.col("age_months") <= 12)
     )
     w = Window.partitionBy("cohort").orderBy("age_months").rowsBetween(
         Window.unboundedPreceding, 0
     )
+    # dec_sum2 emission: round the exact decimal to 2 dp before the
+    # double cast (cohort sums ~1e9 at sf1 put the 6th decimal below
+    # double spacing), and run the cumulative window over the exact
+    # decimal, not the emitted double
     return rev.select(
         F.col("cohort").cast("date").cast("string").alias("cohort"),
         F.col("age_months").cast("long").alias("age_months"),
-        F.round("revenue", 6).alias("revenue"),
-        F.round(F.sum(F.col("revenue").cast(DEC)).over(w).cast("double"), 6).alias(
+        F.col("revenue_dec").cast("decimal(38,2)").cast("double").alias("revenue"),
+        F.sum("revenue_dec").over(w).cast("decimal(38,2)").cast("double").alias(
             "cum_revenue"
         ),
     ).orderBy("cohort", "age_months")

@@ -255,6 +255,139 @@ SCALE_QUERIES = [
     "warehouse_merge_cdc",
     "warehouse_time_travel",
     "warehouse_incremental_view",
+    # round-7 expansion, third wave: the full registry remainder
+    # (graph_triangle_count stays excluded: dense-graph workload
+    # artifact, see its docstring)
+"agg_higher_moments",
+    "events_anomaly_zscore",
+    "abc_pareto_analysis",
+    "regression_ols_exact",
+    "events_burst_hours",
+    "orders_monthly_growth",
+    "events_interarrival_stats",
+    "stat_chi_square",
+    "agg_mean_family",
+    "stats_winsorized",
+    "warehouse_snapshot_diff",
+    "layout_zorder_clustering",
+    "source_partition_pruned_read",
+    "graph_degree_stats",
+    "customer_value_decay",
+    "events_top_paths_3step",
+    "stat_mann_kendall_trend",
+    "events_anomaly_iqr",
+    "orders_cohort_ltv_curve",
+    "supplier_ontime_rate",
+    "events_user_lifecycle_states",
+    "events_autocorr_lags",
+    "orders_benford_first_digit",
+    "warehouse_right_to_forget",
+    "warehouse_mv_rewrite",
+    "agg_boolean_family",
+    "regression_per_group_trend",
+    "source_schema_merge_read",
+    "source_csv_malformed_handling",
+    "orders_duplicate_suspects",
+    "stat_anova_weekday_revenue",
+    "stat_ks_two_sample",
+    "orders_revenue_bridge",
+    "source_federated_union",
+    "lineitem_return_rate_monthly",
+    "customer_concentration_hhi",
+    "customer_first_last_ratio",
+    "orders_sla_attainment",
+    "supplier_dual_sourcing_parts",
+    "orders_priority_drift_chi2",
+    "stat_spearman_qty_price",
+    "events_winback_gaps",
+    "customer_coverage_half_revenue",
+    "part_realized_vs_retail_margin",
+    "exec_daily_kpis",
+    "stat_dispersion_index",
+    "agg_median_abs_deviation",
+    "warehouse_etl_capstone",
+    "events_type_pmi",
+    "warehouse_idempotent_backfill",
+    "orders_aging_report",
+    "events_weekend_lift",
+    "histogram_2d_qty_price",
+    "geo_haversine_topk",
+    "sessions_gap_sensitivity",
+    "orders_nation_shift_share",
+    "agg_product_discount_factor",
+    "doc_fingerprint_rolling",
+    "dedup_levenshtein_verify",
+    "dedup_template_groups",
+    "dedup_minhash_estimate_quality",
+    "array_set_ops_pairs",
+    "similarity_ivf_topk",
+    "dedup_connected_components",
+    "dedup_exact_normalized",
+    "sample_temperature_mix",
+    "sample_topk_hash_per_group",
+    "search_rrf_fusion",
+    "embedding_norm_outliers",
+    "quality_source_lang_entropy",
+    "quality_source_kl_divergence",
+    "dedup_embedding_exact",
+    "contamination_embedding_check",
+    "pipeline_source_quality_card",
+    "stream_stateful_user_stats",
+    "stream_stream_join",
+    "stream_stream_left_outer_join",
+    "stream_ingest_warehouse",
+    "stream_topk_per_window",
+    "stream_late_data_drop",
+    "stream_update_mode_history",
+    "stream_upsert_warehouse",
+    "stream_static_enrich",
+    "stream_transform_with_state",
+    "stream_chained_windows",
+    "stream_ivm_aggregate",
+    "stream_exactly_once_sink",
+    "stream_union_sources",
+    "stream_temporal_dim_join",
+    "multimodal_frame_sample",
+    "multimodal_resize_thumbnail",
+    "multimodal_shard_packing",
+    "multimodal_dedup_payload",
+    "multimodal_caption_pairs",
+    "multimodal_video_shot_boundaries",
+    "multimodal_audio_silence_segments",
+    "udtf_dynamic_schema",
+    "join_right_outer",
+    "pivot_wide",
+    "chunking_distributed",
+    "join_dynamic_partition_pruned",
+    "stat_corr_cov",
+    "warehouse_expiry_sweep",
+    "warehouse_schema_evolution",
+    "warehouse_compact_small_files",
+    "join_asof_nearest",
+    "agg_filtered_aggregates",
+    "agg_argmax_struct",
+    "warehouse_vacuum_snapshots",
+    "join_asof_tolerance",
+    "agg_grouping_id",
+    "source_formats_roundtrip",
+    "ts_seasonal_decompose",
+    "orders_month_pacing_curve",
+    "stat_theil_sen_monthly",
+    "agg_sketch_set_intersection",
+    "warehouse_branch_merge",
+    "stat_mannwhitney_u",
+    "warehouse_quarantine_load",
+    "scalar_ip_cidr_family",
+    "dq_json_schema_drift",
+    "stats_ab_test_proportions",
+    "warehouse_clone_zero_copy",
+    "warehouse_two_table_atomic_publish",
+    "stats_diff_in_diff",
+    "warehouse_partitioned_upsert",
+    "agg_corr_matrix_single_pass",
+    "graph_label_propagation",
+    "features_user_hash_vector",
+    "stats_ab_power_mde",
     # round-7: banded-LSH blocking chained into the label cells —
     # lock the slope of the new (label, band, bkey) candidate join
     "dedup_embedding_neardup",

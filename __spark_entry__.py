@@ -127,6 +127,38 @@ _FIRST_NAMES = (
     "dedup_cascade_report",
     "quality_domain_cap",
     "text_token_entropy",
+    # --- round-9 staging: the final 30 never-driver-checked names ---
+    # (registry 377 = 247 checked r1-r6 + 50 head + 50 tail + these 30)
+    "agg_corr_matrix_single_pass",
+    "bpe_first_merges",
+    "dedup_embedding_exact",
+    "dedup_incremental_batch",
+    "dedup_jaccard_threshold_histogram",
+    "dedup_lsh_bucket_skew",
+    "dedup_shingle_containment",
+    "dedup_strategy_comparison",
+    "dedup_tfidf_cosine_pairs",
+    "embedding_norm_outliers",
+    "features_user_hash_vector",
+    "graph_label_propagation",
+    "lang_id_ngram_profile",
+    "orders_price_time_band_pairs",
+    "orders_spc_control_chart",
+    "pipeline_curation_v3",
+    "pipeline_split_decontam_audit",
+    "quality_dedup_rate_by_source",
+    "quality_source_kl_divergence",
+    "quality_source_lang_entropy",
+    "search_bm25_topk",
+    "search_rrf_fusion",
+    "split_train_val_test",
+    "stat_wasserstein_1d",
+    "stats_ab_power_mde",
+    "stats_diff_in_diff",
+    "text_heaps_law_curve",
+    "text_readability_score",
+    "text_zipf_fit",
+    "warehouse_partitioned_upsert",
 )
 
 

@@ -1106,6 +1106,11 @@ def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CC_MAX_ITERS = 25
+#: G x G pair-space tiling of each label cell's quadratic self-join
+#: (see dedup_connected_components) — 8 gives label_count * 64 join
+#: keys, plenty for local[32] and a reasonable default on a cluster;
+#: raise with cell size (replication cost is G slim-row copies).
+_CC_PAIR_GROUPS = 8
 
 
 def _require_cc_converged(changed: int) -> None:
@@ -1125,24 +1130,39 @@ def _require_cc_converged(changed: int) -> None:
 
 _CC_ORACLE = """
 WITH RECURSIVE
-norms AS (
-    SELECT vec_id,
-        SQRT(CAST(SUM(CAST(ROUND(CAST(a AS DOUBLE) * 1000000) AS BIGINT) * CAST(ROUND(CAST(a AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
-    FROM (SELECT vec_id, unnest(embedding) AS a FROM embeddings)
-    GROUP BY vec_id
-), elems AS (
-    SELECT a.vec_id AS v1, b.vec_id AS v2,
-           unnest(a.embedding) AS x, unnest(b.embedding) AS y
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-), dots AS (
-    SELECT v1, v2,
-        CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) * CAST(ROUND(CAST(y AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
-    FROM elems GROUP BY 1, 2
-), edges AS (
-    SELECT d.v1, d.v2
-    FROM dots d JOIN norms n1 ON n1.vec_id = d.v1 JOIN norms n2 ON n2.vec_id = d.v2
-    WHERE d.dot / (n1.nrm * n2.nrm) >= 0.3
+qvecs AS MATERIALIZED (
+    -- quantize ONCE per vector (6-dp integer micro-units, the
+    -- cosine-family discipline); list_dot_product on the BIGINT
+    -- lists is exact in double here (64-dim, |a| < 0.6: products
+    -- <= ~3.4e11, partial sums <= ~2.2e13, far under 2^53), so it
+    -- matches the unnest-SUM shape bit-for-bit WITHOUT exploding
+    -- pairs x dims rows — the shape that blew the sf1 oracle budget.
+    -- f is the SAME quantized vector dequantized to FLOAT[64]: a
+    -- SIMD prefilter (below) that is ~8x cheaper per pair than the
+    -- interpreted list fold.
+    SELECT vec_id, label,
+           list_transform(embedding,
+                          a -> CAST(ROUND(CAST(a AS DOUBLE) * 1000000) AS BIGINT)) AS q,
+           CAST(list_transform(embedding,
+                               a -> ROUND(CAST(a AS DOUBLE) * 1000000) / 1000000.0)
+                AS FLOAT[64]) AS f
+    FROM embeddings
+), norms AS MATERIALIZED (
+    SELECT vec_id, SQRT(list_dot_product(q, q) / 1e12) AS nrm FROM qvecs
+), cand AS MATERIALIZED (
+    -- exact-safe prefilter: float32 cosine of the dequantized
+    -- vectors differs from the exact quantized cosine by at most
+    -- ~(64+2)*eps_f32 ~ 4e-6 (Cauchy-Schwarz bounds the summation
+    -- error by n*eps over |a||b|), so a 1e-3 margin below the 0.3
+    -- threshold can never drop a true edge; survivors are then
+    -- EXACT-rescored, so the edge set is identical by construction
+    SELECT a.vec_id AS v1, b.vec_id AS v2, a.q AS q1, b.q AS q2
+    FROM qvecs a JOIN qvecs b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE array_cosine_similarity(a.f, b.f) >= 0.299
+), edges AS MATERIALIZED (
+    SELECT v1, v2
+    FROM cand JOIN norms n1 ON n1.vec_id = v1 JOIN norms n2 ON n2.vec_id = v2
+    WHERE (list_dot_product(q1, q2) / 1e12) / (n1.nrm * n2.nrm) >= 0.3
 ), und AS (
     SELECT v1 AS a, v2 AS b FROM edges UNION SELECT v2, v1 FROM edges
 ), reach(src, node) AS (
@@ -1170,13 +1190,40 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint to cut the growing lineage — the standard pattern
     for iterative algorithms on DataFrames at scale. The oracle
     replays it as a recursive CTE.
+
+    Edge-build parallelism: hashing the self-join on ``label`` alone
+    caps parallelism at the number of distinct labels (10 here) — the
+    quadratic pair work inside each cell lands on that many tasks no
+    matter how many cores exist, and AQE then *coalesces further*
+    because the shuffle INPUT (slim vectors) is tiny while the join
+    OUTPUT (all pairs) is huge. Since CC needs the EXACT edge set,
+    LSH blocking (which drops borderline pairs) is not available;
+    instead each cell's pair space is tiled into a G x G grid of
+    group-pairs: side A replicates each row over (g(v), *), side B
+    over (*, g(v)), and the join key (label, g1, g2) routes every
+    ordered pair to exactly one of G^2 tiles — same total work,
+    label_count * G^2 join keys instead of label_count. G scales with
+    cell size; replication cost is G copies of the slim vector rows.
     """
     t = load_tables(spark, sf_dir, register_views=False)
     emb = _with_norm(t["embeddings"])
-    a = emb.select(F.col("vec_id").alias("v1"), "label", F.col("embedding").alias("e1"), F.col("nrm").alias("n1"))
-    b = emb.select(F.col("vec_id").alias("v2"), "label", F.col("embedding").alias("e2"), F.col("nrm").alias("n2"))
+    grid = F.array(*[F.lit(i) for i in range(_CC_PAIR_GROUPS)])
+    grp = F.pmod(F.col("vec_id"), F.lit(_CC_PAIR_GROUPS)).cast("int")
+    n_tiles = max(_CC_PAIR_GROUPS * _CC_PAIR_GROUPS, spark.sparkContext.defaultParallelism)
+    a = (
+        emb.select(F.col("vec_id").alias("v1"), "label", F.col("embedding").alias("e1"),
+                   F.col("nrm").alias("n1"), grp.alias("g1"))
+        .withColumn("g2", F.explode(grid))
+        .repartition(n_tiles, "label", "g1", "g2")
+    )
+    b = (
+        emb.select(F.col("vec_id").alias("v2"), "label", F.col("embedding").alias("e2"),
+                   F.col("nrm").alias("n2"), grp.alias("g2"))
+        .withColumn("g1", F.explode(grid))
+        .repartition(n_tiles, "label", "g1", "g2")
+    )
     edges = (
-        a.join(b, "label")
+        a.join(b, ["label", "g1", "g2"])
         .filter(F.col("v1") < F.col("v2"))
         .select("v1", "v2", (_dec_dot("e1", "e2") / (F.col("n1") * F.col("n2"))).alias("cos"))
         .filter(F.col("cos") >= 0.3)

@@ -1128,6 +1128,41 @@ def _require_cc_converged(changed: int) -> None:
             "exceeds the iteration cap — raise _CC_MAX_ITERS"
         )
 
+def _cc_edges(spark: SparkSession, emb) -> DataFrame:
+    """Exact cosine>=0.3 edge set within label cells, with the pair
+    space of each cell tiled into a G x G grid of group-pairs (side A
+    replicates each row over (g(v), *), side B over (*, g(v)); the
+    join key (label, g1, g2) routes every ordered pair to exactly one
+    tile). Same total work as the plain label self-join, but
+    label_count * G^2 join keys instead of label_count — see
+    ``dedup_connected_components`` for why label-only keying caps
+    parallelism at the label count. The explicit repartition count
+    keeps AQE from coalescing the tiles back down (it sizes by the
+    slim shuffle INPUT, blind to the quadratic pair OUTPUT)."""
+    grid = F.array(*[F.lit(i) for i in range(_CC_PAIR_GROUPS)])
+    grp = F.pmod(F.col("vec_id"), F.lit(_CC_PAIR_GROUPS)).cast("int")
+    n_tiles = max(_CC_PAIR_GROUPS * _CC_PAIR_GROUPS, spark.sparkContext.defaultParallelism)
+    a = (
+        emb.select(F.col("vec_id").alias("v1"), "label", F.col("embedding").alias("e1"),
+                   F.col("nrm").alias("n1"), grp.alias("g1"))
+        .withColumn("g2", F.explode(grid))
+        .repartition(n_tiles, "label", "g1", "g2")
+    )
+    b = (
+        emb.select(F.col("vec_id").alias("v2"), "label", F.col("embedding").alias("e2"),
+                   F.col("nrm").alias("n2"), grp.alias("g2"))
+        .withColumn("g1", F.explode(grid))
+        .repartition(n_tiles, "label", "g1", "g2")
+    )
+    return (
+        a.join(b, ["label", "g1", "g2"])
+        .filter(F.col("v1") < F.col("v2"))
+        .select("v1", "v2", (_dec_dot("e1", "e2") / (F.col("n1") * F.col("n2"))).alias("cos"))
+        .filter(F.col("cos") >= 0.3)
+        .select("v1", "v2")
+    )
+
+
 _CC_ORACLE = """
 WITH RECURSIVE
 qvecs AS MATERIALIZED (
@@ -1206,29 +1241,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell size; replication cost is G copies of the slim vector rows.
     """
     t = load_tables(spark, sf_dir, register_views=False)
-    emb = _with_norm(t["embeddings"])
-    grid = F.array(*[F.lit(i) for i in range(_CC_PAIR_GROUPS)])
-    grp = F.pmod(F.col("vec_id"), F.lit(_CC_PAIR_GROUPS)).cast("int")
-    n_tiles = max(_CC_PAIR_GROUPS * _CC_PAIR_GROUPS, spark.sparkContext.defaultParallelism)
-    a = (
-        emb.select(F.col("vec_id").alias("v1"), "label", F.col("embedding").alias("e1"),
-                   F.col("nrm").alias("n1"), grp.alias("g1"))
-        .withColumn("g2", F.explode(grid))
-        .repartition(n_tiles, "label", "g1", "g2")
-    )
-    b = (
-        emb.select(F.col("vec_id").alias("v2"), "label", F.col("embedding").alias("e2"),
-                   F.col("nrm").alias("n2"), grp.alias("g2"))
-        .withColumn("g1", F.explode(grid))
-        .repartition(n_tiles, "label", "g1", "g2")
-    )
-    edges = (
-        a.join(b, ["label", "g1", "g2"])
-        .filter(F.col("v1") < F.col("v2"))
-        .select("v1", "v2", (_dec_dot("e1", "e2") / (F.col("n1") * F.col("n2"))).alias("cos"))
-        .filter(F.col("cos") >= 0.3)
-        .select("v1", "v2")
-    )
+    edges = _cc_edges(spark, _with_norm(t["embeddings"]))
     und = edges.unionByName(
         edges.select(F.col("v2").alias("v1"), F.col("v1").alias("v2"))
     ).transform(lineage_cut_eager)

@@ -735,3 +735,24 @@ def test_windows_cohort_single_scan_no_join(spark):
         assert plan.count("FileScan parquet") == 1, name
         assert "SortMergeJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_cc_edge_build_is_group_pair_tiled(spark):
+    # dedup_connected_components needs the EXACT within-label edge set
+    # (no LSH blocking allowed), so its pair scan must be tiled: the
+    # self-join keyed on the full (label, g1, g2) group-pair triple,
+    # never label alone — label-only keying caps parallelism at the
+    # label count and AQE then coalesces it further (the sf1 plan ran
+    # the whole 20M-pair scan on 2 tasks before round 7's fix)
+    import re
+
+    from load_datawarehouse_spark.session import load_tables as _lt
+
+    emb = llm._with_norm(_lt(spark, SF_DIR, register_views=False)["embeddings"])
+    plan = _plan(llm._cc_edges(spark, emb))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    join_lines = [ln for ln in plan.splitlines() if "HashJoin" in ln or "SortMergeJoin" in ln]
+    assert any(
+        re.search(r"Join \[label#\d+, g1#\d+, g2#\d+\]", ln) for ln in join_lines
+    ), "edge self-join is not keyed on (label, g1, g2):\n" + "\n".join(join_lines)

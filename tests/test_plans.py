@@ -756,3 +756,32 @@ def test_cc_edge_build_is_group_pair_tiled(spark):
     assert any(
         re.search(r"Join \[label#\d+, g1#\d+, g2#\d+\]", ln) for ln in join_lines
     ), "edge self-join is not keyed on (label, g1, g2):\n" + "\n".join(join_lines)
+
+
+def test_cc_edge_tiling_is_exact(spark):
+    # the G x G group-pair tiling is a ROUTING change only: the edge
+    # set must equal the plain within-label self-join's bit for bit
+    # (every unordered pair lands in exactly one tile — no drops, no
+    # duplicates). This guards the exactness contract the plan lock
+    # above can't see.
+    from pyspark.sql import functions as F
+
+    from load_datawarehouse_spark.session import load_tables as _lt
+
+    emb = llm._with_norm(_lt(spark, SF_DIR, register_views=False)["embeddings"])
+    tiled = sorted(llm._cc_edges(spark, emb).collect())
+    plain = (
+        emb.select(F.col("vec_id").alias("v1"), "label",
+                   F.col("embedding").alias("e1"), F.col("nrm").alias("n1"))
+        .join(
+            emb.select(F.col("vec_id").alias("v2"), "label",
+                       F.col("embedding").alias("e2"), F.col("nrm").alias("n2")),
+            "label",
+        )
+        .filter(F.col("v1") < F.col("v2"))
+        .select("v1", "v2",
+                (llm._dec_dot("e1", "e2") / (F.col("n1") * F.col("n2"))).alias("cos"))
+        .filter(F.col("cos") >= 0.3)
+        .select("v1", "v2")
+    )
+    assert tiled == sorted(plain.collect())

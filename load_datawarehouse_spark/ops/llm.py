@@ -957,11 +957,14 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("v1", "v2", "label")
         .distinct()
     )
-    e1 = emb.select(
-        F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"), F.col("nrm").alias("n1")
-    )
-    e2 = emb.select(
-        F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"), F.col("nrm").alias("n2")
+    # quantize once per vector BEFORE the candidate joins (not inside
+    # the per-pair fold) — same values, 2*dim fewer ROUND+casts per
+    # candidate pair (the _cc_edges A/B: -39% on the pair stage)
+    q = F.transform("embedding", _x6)
+    e1 = emb.select(F.col("vec_id").alias("v1"), q.alias("q1"), F.col("nrm").alias("n1"))
+    e2 = emb.select(F.col("vec_id").alias("v2"), q.alias("q2"), F.col("nrm").alias("n2"))
+    dot = _long_fold(F.zip_with("q1", "q2", lambda x, y: x * y)).cast("double") / F.lit(
+        float(_SCALE6) ** 2
     )
     return (
         cand.join(e1, "v1")
@@ -970,7 +973,7 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v1",
             "v2",
             "label",
-            (_dec_dot("e1", "e2") / (F.col("n1") * F.col("n2"))).alias("cosine"),
+            (dot / (F.col("n1") * F.col("n2"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.3)
         .orderBy("v1", "v2")
@@ -1138,26 +1141,36 @@ def _cc_edges(spark: SparkSession, emb) -> DataFrame:
     ``dedup_connected_components`` for why label-only keying caps
     parallelism at the label count. The explicit repartition count
     keeps AQE from coalescing the tiles back down (it sizes by the
-    slim shuffle INPUT, blind to the quadratic pair OUTPUT)."""
+    slim shuffle INPUT, blind to the quadratic pair OUTPUT).
+
+    The 6-dp quantization (``_x6``) is applied ONCE per vector BEFORE
+    the join: inlining ``_dec_dot`` on the raw embeddings would
+    re-round both operands inside the per-pair fold — 2*dim ROUND+cast
+    per pair instead of per row (A/B at sf0.1: 1.33 s -> 0.81 s;
+    values identical, it is the same quantize-then-multiply order)."""
     grid = F.array(*[F.lit(i) for i in range(_CC_PAIR_GROUPS)])
     grp = F.pmod(F.col("vec_id"), F.lit(_CC_PAIR_GROUPS)).cast("int")
     n_tiles = max(_CC_PAIR_GROUPS * _CC_PAIR_GROUPS, spark.sparkContext.defaultParallelism)
+    q = F.transform("embedding", _x6)
     a = (
-        emb.select(F.col("vec_id").alias("v1"), "label", F.col("embedding").alias("e1"),
+        emb.select(F.col("vec_id").alias("v1"), "label", q.alias("q1"),
                    F.col("nrm").alias("n1"), grp.alias("g1"))
         .withColumn("g2", F.explode(grid))
         .repartition(n_tiles, "label", "g1", "g2")
     )
     b = (
-        emb.select(F.col("vec_id").alias("v2"), "label", F.col("embedding").alias("e2"),
+        emb.select(F.col("vec_id").alias("v2"), "label", q.alias("q2"),
                    F.col("nrm").alias("n2"), grp.alias("g2"))
         .withColumn("g1", F.explode(grid))
         .repartition(n_tiles, "label", "g1", "g2")
     )
+    dot = _long_fold(F.zip_with("q1", "q2", lambda x, y: x * y)).cast("double") / F.lit(
+        float(_SCALE6) ** 2
+    )
     return (
         a.join(b, ["label", "g1", "g2"])
         .filter(F.col("v1") < F.col("v2"))
-        .select("v1", "v2", (_dec_dot("e1", "e2") / (F.col("n1") * F.col("n2"))).alias("cos"))
+        .select("v1", "v2", (dot / (F.col("n1") * F.col("n2"))).alias("cos"))
         .filter(F.col("cos") >= 0.3)
         .select("v1", "v2")
     )

@@ -651,7 +651,15 @@ def _dec_dot(a, b):
     """Exact dot product over 6-dp-quantized factors (integer
     micro-unit sum, then one exact double division) — bitwise
     identical in Spark and DuckDB regardless of partitioning; see
-    ``_SCALE6``."""
+    ``_SCALE6``.
+
+    Hot-path note: this quantizes BOTH operands inside the per-pair
+    fold (2*dim ROUND+casts per pair). Fine for corpus-x-query
+    scoring (pairs ~ corpus * |queries|); for PAIR-QUADRATIC paths
+    (candidate self-joins), pre-transform each side once with
+    ``F.transform(col, _x6)`` and fold the pre-quantized arrays —
+    same values, measured 1.9-3.4x at sf1 (see ``_cc_edges`` and
+    ``dedup_embedding_neardup``)."""
     s = _long_fold(F.zip_with(a, b, lambda x, y: _x6(x) * _x6(y)))
     return s.cast("double") / F.lit(float(_SCALE6) ** 2)
 

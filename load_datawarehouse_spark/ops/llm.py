@@ -463,12 +463,19 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = ds_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = ds_c.select(F.col("doc_id").alias("d1"), "shingle")
     b = ds_c.select(F.col("doc_id").alias("d2"), "shingle")
+    # PAIR-FIRST intersection count: attach d1's shingles to each
+    # candidate pair, then equi-join on (d2, shingle). The inverted
+    # index shape (join a<->b on shingle, THEN restrict to cand)
+    # computes co-occurrence for every candidate-DOC pair sharing a
+    # shingle — quadratic in per-shingle document frequency — and
+    # discards the non-candidates after paying for them. This shape's
+    # intermediate is |cand| x shingles-per-doc, linear in the
+    # candidate list (A/B at sf1: 38.8 s -> 19.9 s, identical rows).
     common = (
-        a.join(b, "shingle")
-        .filter(F.col("d1") < F.col("d2"))
+        cand.join(a, "d1")
+        .join(b, ["d2", "shingle"])
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("n_common"))
-        .join(cand, ["d1", "d2"])
     )
     jac = F.col("n_common").cast("double") / (F.col("n1") + F.col("n2") - F.col("n_common"))
     return (

@@ -391,6 +391,46 @@ SCALE_QUERIES = [
     # round-7: banded-LSH blocking chained into the label cells —
     # lock the slope of the new (label, band, bkey) candidate join
     "dedup_embedding_neardup",
+    # round-7 final wave: the HEADLINE-only remainder, so every
+    # registry query except the documented graph_triangle_count
+    # exclusion has a slope row (sf1 oracle checks already cover
+    # these via scaleverify's SCALE_QUERIES + HEADLINE union)
+    "events_hour_dow_heatmap",
+    "dq_expectations_report",
+    "agg_bitmap_distinct",
+    "ngram_lm_counts",
+    "embedding_label_centroids",
+    "contamination_decontaminate_apply",
+    "tokenizer_vocab_coverage",
+    "text_stats",
+    "quality_score",
+    "pipeline_training_prep",
+    "dedup_crossdoc_segments",
+    "pack_training_sequences",
+    "lm_commonness_score",
+    "corpus_token_budget_allocation",
+    "stream_tumbling_counts",
+    "multimodal_feature_extract",
+    "multimodal_decode_image_real",
+    "multimodal_pipeline_prep",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "agg_groupby_distinct",
+    "json_extract_props",
+    "join_range_bucketed",
+    "subq_exists_late_ship",
+    "rollup_hypertable",
+    "q7_nation_volume",
+    "agg_hll_mergeable_rollup",
+    "join_skew_stress",
+    "profile_column_stats",
+    "nest_order_lines",
+    "histogram_equi_depth",
+    "q2_min_cost_supplier",
+    "q13_order_distribution",
+    "q16_supplier_part_counts",
+    "q19_disjunctive_revenue",
+    "q21_sole_late_supplier",
 ]
 
 

@@ -16,67 +16,16 @@ from pyspark.sql import DataFrame, SparkSession
 # Queries whose correctness evidence is most valuable next round are
 # registered first: the driver's CORRECTNESS sweep covers a prefix of
 # the registration order (50 names), generated at ROUND START from the
-# previous round's final commit. Round 7's window = 50 NEVER
-# driver-checked names (zero overlap with the r1-r6 CORRECTNESS
-# union): the 49 names staged in round 6's tail (relational/analytics
-# backlog) plus ``stat_ks_two_sample`` from the relational backlog to
-# fill the 50-wide head. Every name is green in the vanilla sf0.01
-# oracle sweep. The tail stages the round-8 cohort: the remaining 30
-# relational backlog names + the first 20 llm backlog names (all
-# verified never driver-checked).
+# previous round's final commit. Round 8's window = the 50 names staged
+# in round 7's tail (30 relational backlog + 20 llm backlog), all
+# verified NEVER driver-checked (zero overlap with the r1-r7
+# CORRECTNESS union, which covers 297 of the 377 registered names) and
+# all green in the vanilla sf0.01 oracle sweep (windowcheck.py). The
+# tail stages the round-9 cohort: the FINAL 30 never-driver-checked
+# names — after round 9 converts them, every registered query will have
+# been checked by the driver at least once.
 _FIRST_NAMES = (
-    # --- round-7 head: 49 staged in round 6's tail + 1 backlog ---
-    "scalar_bitwise_family",
-    "agg_higher_moments",
-    "events_hour_dow_heatmap",
-    "features_user_daily",
-    "attribution_last_touch",
-    "markov_event_transitions",
-    "events_anomaly_zscore",
-    "rfm_segmentation",
-    "abc_pareto_analysis",
-    "funnel_time_to_convert",
-    "basket_affinity_lift",
-    "regression_ols_exact",
-    "events_burst_hours",
-    "orders_monthly_growth",
-    "window_rank_delta",
-    "events_interarrival_stats",
-    "stat_chi_square",
-    "agg_mean_family",
-    "survival_kaplan_meier",
-    "stats_winsorized",
-    "warehouse_snapshot_diff",
-    "dq_expectations_report",
-    "dq_key_skew_gini",
-    "orders_pareto_skyline",
-    "layout_zorder_clustering",
-    "source_partition_pruned_read",
-    "graph_degree_stats",
-    "customer_value_decay",
-    "events_top_paths_3step",
-    "scalar_calendar_edges",
-    "agg_bitmap_distinct",
-    "orders_open_backlog_daily",
-    "events_rolling_wau",
-    "stat_mann_kendall_trend",
-    "events_anomaly_iqr",
-    "orders_cohort_ltv_curve",
-    "supplier_ontime_rate",
-    "events_user_lifecycle_states",
-    "events_autocorr_lags",
-    "orders_benford_first_digit",
-    "warehouse_right_to_forget",
-    "scalar_string_shape",
-    "warehouse_mv_rewrite",
-    "agg_boolean_family",
-    "regression_per_group_trend",
-    "source_schema_merge_read",
-    "source_csv_malformed_handling",
-    "orders_duplicate_suspects",
-    "stat_anova_weekday_revenue",
-    "stat_ks_two_sample",
-    # --- past the 50-wide window: round-8 staging (30 relational + 20 llm) ---
+    # --- round-8 head: 30 relational + 20 llm backlog (staged in r7) ---
     "orders_revenue_bridge",
     "source_federated_union",
     "lineitem_return_rate_monthly",
@@ -128,7 +77,7 @@ _FIRST_NAMES = (
     "quality_domain_cap",
     "text_token_entropy",
     # --- round-9 staging: the final 30 never-driver-checked names ---
-    # (registry 377 = 247 checked r1-r6 + 50 head + 50 tail + these 30)
+    # (registry 377 = 297 checked r1-r7 + 50 head + these 30)
     "agg_corr_matrix_single_pass",
     "bpe_first_merges",
     "dedup_embedding_exact",

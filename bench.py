@@ -109,6 +109,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry_mod
+    from load_datawarehouse_spark.ops._util import release_lineage_cuts
     from load_datawarehouse_spark.session import get_spark, load_tables
 
     spark = get_spark(app_name="ldw-bench")
@@ -133,6 +134,9 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 4)
+        # per-query epilogue: drop cluster-mode lineage-cut persists so
+        # a long benchmark session cannot accumulate block storage
+        release_lineage_cuts()
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

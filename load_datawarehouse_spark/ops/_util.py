@@ -20,6 +20,8 @@ what makes the oracle hash-comparison meaningful at any cluster size.
 
 from __future__ import annotations
 
+import threading as _threading
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -71,7 +73,7 @@ def lineage_cut(df):
     from pyspark import StorageLevel
 
     cut = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _CUT_FRAMES.append(cut)
+    _track_cut(cut)
     return cut
 
 
@@ -97,7 +99,7 @@ def lineage_cut_eager(df):
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     df.count()
-    _CUT_FRAMES.append(df)
+    _track_cut(df)
     return df
 
 
@@ -106,8 +108,18 @@ def lineage_cut_eager(df):
 #: by the ContextCleaner when the RDD is GC'd, so they are not
 #: tracked; the persist() branches are NOT auto-reclaimed and would
 #: accumulate across queries in a long-lived cluster session until
-#: LRU thrash — callers release them between queries.
+#: LRU thrash — the runners (bench / scalecheck / scaleverify /
+#: windowcheck / oracle_harness) release them after every query's
+#: terminal action. Guarded by a lock so concurrent queries in one
+#: session (e.g. a thread-pooled driver) cannot corrupt the list.
 _CUT_FRAMES: list = []
+
+_CUT_LOCK = _threading.Lock()
+
+
+def _track_cut(frame) -> None:
+    with _CUT_LOCK:
+        _CUT_FRAMES.append(frame)
 
 
 def release_lineage_cuts() -> int:
@@ -117,19 +129,42 @@ def release_lineage_cuts() -> int:
     Call AFTER a query's terminal action (collect/write) in a
     long-lived cluster session — ops chain several cuts per composed
     query (e.g. ``dedup_minhash_verified``), and unpersisting before
-    the terminal action would force full recomputation. Iterative ops
-    on a cluster should instead configure a checkpoint dir, which both
-    truncates lineage (the persist fallback does not) and keeps the
-    state off the block-manager LRU."""
+    the terminal action would force full recomputation. All repo
+    runners call this in their per-query epilogue (see
+    ``tests/test_properties.py::test_runners_release_lineage_cuts``);
+    external long-lived sessions should do the same, or use
+    :func:`query_scope`. Iterative ops on a cluster should instead
+    configure a checkpoint dir, which both truncates lineage (the
+    persist fallback does not) and keeps the state off the
+    block-manager LRU."""
     n = 0
-    while _CUT_FRAMES:
-        frame = _CUT_FRAMES.pop()
+    while True:
+        with _CUT_LOCK:
+            if not _CUT_FRAMES:
+                return n
+            frame = _CUT_FRAMES.pop()
         try:
             frame.unpersist()
             n += 1
         except Exception:  # session already stopped — nothing to free
             pass
-    return n
+
+
+class query_scope:
+    """Context manager wrapping one query's build + terminal action in
+    a long-lived session: on exit, releases every cluster-mode
+    lineage-cut persist the query accumulated.
+
+        with query_scope():
+            queries[name](spark, sf_dir).collect()
+    """
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        release_lineage_cuts()
+        return False
 
 
 def dec_sum2(col: Column | str, alias: str) -> Column:

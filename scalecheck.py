@@ -258,7 +258,7 @@ SCALE_QUERIES = [
     # round-7 expansion, third wave: the full registry remainder
     # (graph_triangle_count stays excluded: dense-graph workload
     # artifact, see its docstring)
-"agg_higher_moments",
+    "agg_higher_moments",
     "events_anomaly_zscore",
     "abc_pareto_analysis",
     "regression_ols_exact",
@@ -442,8 +442,12 @@ def _time(fn, *args) -> tuple[float, int]:
         n = fn(*args).count()
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
-    # drop lazy-localCheckpoint RDD references between queries so block
-    # storage from one query cannot pressure the next one's heap
+    # per-query epilogue: unpersist cluster-mode lineage-cut frames,
+    # then drop lazy-localCheckpoint RDD references, so block storage
+    # from one query cannot pressure the next one's heap
+    from load_datawarehouse_spark.ops._util import release_lineage_cuts
+
+    release_lineage_cuts()
     import gc
 
     gc.collect()
@@ -515,7 +519,10 @@ def main() -> None:
             prev = json.load(f)
         merged = prev.get("queries", {})
         merged.update(out)
-        out = merged
+        # prune rows for queries since removed/renamed out of
+        # SCALE_QUERIES (advisor r7: stale merged rows otherwise
+        # masquerade as current coverage forever)
+        out = {k: v for k, v in merged.items() if k in SCALE_QUERIES}
         skew_prev = prev.get("skew_stress_sf1")
 
     if skew_prev is not None:

@@ -116,6 +116,7 @@ def main() -> None:
     from oracle_harness import _norm
     from scalecheck import SCALE_QUERIES
 
+    from load_datawarehouse_spark.ops._util import release_lineage_cuts
     from load_datawarehouse_spark.session import get_spark
 
     names = list(dict.fromkeys(SCALE_QUERIES + HEADLINE))
@@ -132,7 +133,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     out: dict[str, dict] = {}
-    n_match = n_timeout = n_fail = 0
+    n_match = n_timeout = n_fail = n_suspect = 0
     for name in names:
         if name in SPARK_EXCLUDED:
             out[name] = {"status": "spark_excluded", "reason": SPARK_EXCLUDED[name]}
@@ -144,18 +145,47 @@ def main() -> None:
             out[name] = {"status": "spark_error", "error": f"{exc}"[:300]}
             n_fail += 1
             continue
+        finally:
+            # per-query epilogue: unpersist cluster-mode lineage-cut
+            # frames after the terminal action (runs on the error
+            # `continue` too), keeping the sweep block-storage-flat
+            release_lineage_cuts()
         status, a, b = _oracle_rows(big, oracles[name])
         if status == "timeout":
             if len(sdf) == 0:
-                # an empty Spark result hiding behind an oracle
-                # timeout is almost certainly a Spark-side bug (a
-                # non-degenerate aggregate over non-empty sf1 input
-                # cannot be empty) — count it as a failure, never a
-                # neutral status
+                # 0 Spark rows under an oracle timeout is ambiguous: a
+                # Spark-side bug, OR a legitimately-empty result (e.g.
+                # a very selective filter). Adjudicate at sf0.01,
+                # where the oracle is fast: if BOTH engines are also
+                # empty there, record a distinct 'suspect' status for
+                # manual review (advisor r7) instead of a hard fail;
+                # any other outcome stays a failure.
+                try:
+                    small_dir = "/root/testdata/sf0.01"
+                    s_small = queries[name](spark, small_dir).count()
+                    con = _duck_connect(small_dir)
+                    o_small = len(con.execute(oracles[name]).fetchall())
+                    con.close()
+                except Exception:
+                    s_small = o_small = -1
+                if s_small == 0 and o_small == 0:
+                    out[name] = {
+                        "status": "suspect_empty_on_timeout",
+                        "spark_rows": 0,
+                        "note": "0 rows from BOTH engines at sf0.01 — "
+                        "plausibly a legitimately-empty query; needs "
+                        "adjudication, not counted as match or fail",
+                    }
+                    n_suspect += 1
+                    print(f"# {name}: SUSPECT empty-but-empty-at-sf0.01 on oracle timeout",
+                          file=sys.stderr, flush=True)
+                    continue
                 out[name] = {
                     "status": "empty_spark_on_timeout",
                     "spark_rows": 0,
-                    "note": "spark returned 0 rows AND the oracle timed out; treated as a failure",
+                    "note": "spark returned 0 rows AND the oracle timed out, "
+                    f"but sf0.01 is non-empty (spark={s_small}, oracle={o_small}); "
+                    "treated as a failure",
                 }
                 n_fail += 1
                 print(f"# {name}: FAIL empty spark result on oracle timeout", file=sys.stderr, flush=True)
@@ -204,11 +234,15 @@ def main() -> None:
         print(f"# {name}: {out[name]['status']}", file=sys.stderr, flush=True)
 
     path = os.path.join(here, "SCALEVERIFY.json")
+    current = set(dict.fromkeys(SCALE_QUERIES + HEADLINE))
     if only is not None and os.path.exists(path):
         with open(path) as f:
             prev = json.load(f).get("queries", {})
         prev.update(out)
-        out = prev
+        # prune rows for queries since removed/renamed out of the
+        # current set (advisor r7: stale merged rows otherwise
+        # masquerade as current coverage forever)
+        out = {k: v for k, v in prev.items() if k in current}
     statuses = [v["status"] for v in out.values()]
     result = {
         "metric": "sf1_oracle_verification",
@@ -217,11 +251,18 @@ def main() -> None:
         "n_match": statuses.count("match"),
         "n_oracle_timeout": statuses.count("oracle_timeout"),
         "n_spark_excluded": statuses.count("spark_excluded"),
+        "n_suspect": statuses.count("suspect_empty_on_timeout"),
         "n_fail": len(
             [
                 s
                 for s in statuses
-                if s not in ("match", "oracle_timeout", "spark_excluded")
+                if s
+                not in (
+                    "match",
+                    "oracle_timeout",
+                    "spark_excluded",
+                    "suspect_empty_on_timeout",
+                )
             ]
         ),
         "oracle_timeout_sec": ORACLE_TIMEOUT_SEC,

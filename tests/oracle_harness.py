@@ -73,6 +73,18 @@ def assert_int_width_parity(spark_df, con, sql: str, name: str = "?") -> None:
 
 
 def compare_query(spark_df, con, sql: str, name: str = "?") -> None:
+    try:
+        _compare_query(spark_df, con, sql, name)
+    finally:
+        # per-query epilogue (mirrors bench/scalecheck/scaleverify):
+        # release any cluster-mode lineage-cut persists the query
+        # accumulated, so long oracle sweeps stay block-storage-flat
+        from load_datawarehouse_spark.ops._util import release_lineage_cuts
+
+        release_lineage_cuts()
+
+
+def _compare_query(spark_df, con, sql: str, name: str = "?") -> None:
     assert_int_width_parity(spark_df, con, sql, name)
     sdf = spark_df.toPandas()
     odf = con.execute(sql).fetchdf()

@@ -755,3 +755,52 @@ def test_cluster_lineage_cuts_are_tracked_and_released():
     assert _util.release_lineage_cuts() == 2
     assert released == [b, a] and not _util._CUT_FRAMES
     assert _util.release_lineage_cuts() == 0  # idempotent
+
+
+def test_runners_release_lineage_cuts(spark):
+    """Verdict r7 #2: release_lineage_cuts() must actually be WIRED
+    into every long-lived runner's per-query epilogue, not just
+    defined. Two locks: (a) each runner source calls it; (b) running a
+    composed query through the shared oracle-harness epilogue leaves
+    _CUT_FRAMES empty even when cluster-mode cuts were accumulated."""
+    import os
+    from types import SimpleNamespace
+
+    from load_datawarehouse_spark.ops import _util
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    for runner in ("bench.py", "scalecheck.py", "scaleverify.py",
+                   "windowcheck.py", os.path.join("tests", "oracle_harness.py")):
+        src = open(os.path.join(root, runner)).read()
+        assert "release_lineage_cuts()" in src, (
+            f"{runner}: per-query epilogue does not release lineage cuts"
+        )
+
+    # simulate a cluster-mode query that persisted two cut frames, then
+    # run a real query through the harness epilogue (compare_query)
+    released = []
+    fake = SimpleNamespace(unpersist=lambda: released.append(1))
+    _util._CUT_FRAMES.clear()
+    _util._track_cut(fake)
+    _util._track_cut(fake)
+
+    import sys
+
+    sys.path.insert(0, os.path.join(root, "tests"))
+    import __spark_entry__ as e
+    from oracle_harness import compare_query, duckdb_connect
+
+    name = "q1_pricing_summary"
+    con = duckdb_connect("/root/testdata/sf0.001")
+    compare_query(e.queries()[name](spark, "/root/testdata/sf0.001"),
+                  con, e.oracle_sql()[name], name)
+    assert not _util._CUT_FRAMES and len(released) == 2
+
+    # query_scope releases on exit, including the exception path
+    _util._track_cut(fake)
+    try:
+        with _util.query_scope():
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert not _util._CUT_FRAMES and len(released) == 3

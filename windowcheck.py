@@ -14,6 +14,8 @@ sys.path.insert(0, ".")
 import __spark_entry__ as e
 from tests.oracle_harness import compare_query, duckdb_connect
 
+from load_datawarehouse_spark.ops._util import release_lineage_cuts
+
 start = int(sys.argv[1]) if len(sys.argv) > 1 else 0
 end = int(sys.argv[2]) if len(sys.argv) > 2 else start + 50
 
@@ -46,5 +48,8 @@ for name in names:
         status = "FAIL"
         fails.append(name)
         traceback.print_exc()
+    # per-query epilogue: compare_query releases lineage-cut persists
+    # itself; this covers the rows-only and FAIL paths too
+    release_lineage_cuts()
     print(f"{name}: {status} ({time.time()-t0:.1f}s)", flush=True)
 print(f"checked {len(names)} window names [{start}:{end}]  FAILS: {fails}")

@@ -4288,65 +4288,135 @@ def source_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Triangle counting on the supplier co-order graph
 # ---------------------------------------------------------------------------
 
-_TRIANGLE_ORACLE = """
-WITH edges AS (
-    SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+#: Noise-edge prune: a supplier pair must co-serve at least this many
+#: DISTINCT orders to count as an affinity edge. Like the dedup DF
+#: caps, this is a per-corpus knob: on the synthetic corpus it keeps
+#: every pair at sf<=0.01 (min support there is 4+) and prunes the
+#: random-co-occurrence noise that makes the graph near-complete at
+#: larger scales (sf1: 4.5M raw pairs -> 1.1M supported edges).
+_TRIANGLE_MIN_SUPPORT = 4
+#: Hub guard: vertices whose SUPPORTED degree still exceeds this are
+#: dropped before wedge enumeration (a hub with degree d contributes
+#: ~d^2 wedges; real corpora have mega-hub vendors). Never bites on
+#: the synthetic corpus (max supported degree 298 at sf1) — it is the
+#: 100-TB safety rail, unit-locked by
+#: tests/test_properties.py::test_triangle_degree_cap_bites.
+_TRIANGLE_DEGREE_CAP = 2048
+
+_TRIANGLE_ORACLE = f"""
+WITH co AS (
+    SELECT DISTINCT a.l_orderkey AS ok, a.l_suppkey AS s1, b.l_suppkey AS s2
     FROM lineitem a
     JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
 ),
-wedges AS (
-    SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
-    FROM edges e1 JOIN edges e2 ON e2.s1 = e1.s2
+edges_all AS (
+    SELECT s1, s2 FROM co GROUP BY s1, s2
+    HAVING COUNT(*) >= {_TRIANGLE_MIN_SUPPORT}
+),
+deg AS (
+    SELECT v, COUNT(*) AS d FROM (
+        SELECT s1 AS v FROM edges_all UNION ALL SELECT s2 AS v FROM edges_all
+    ) GROUP BY v
+),
+hubs AS (SELECT v FROM deg WHERE d > {_TRIANGLE_DEGREE_CAP}),
+edges AS MATERIALIZED (
+    SELECT s1, s2 FROM edges_all
+    WHERE s1 NOT IN (SELECT v FROM hubs)
+      AND s2 NOT IN (SELECT v FROM hubs)
+),
+wedge_n AS (
+    SELECT CAST(COALESCE(SUM(i.ind * o.outd), 0) AS BIGINT) AS n_wedges
+    FROM (SELECT s2 AS v, COUNT(*) AS ind FROM edges GROUP BY s2) i
+    JOIN (SELECT s1 AS v, COUNT(*) AS outd FROM edges GROUP BY s1) o ON o.v = i.v
 )
 SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
-       (SELECT CAST(COUNT(*) AS BIGINT) FROM wedges) AS n_wedges,
+       (SELECT n_wedges FROM wedge_n) AS n_wedges,
        (SELECT CAST(COUNT(*) AS BIGINT)
-        FROM wedges w JOIN edges e3 ON e3.s1 = w.a AND e3.s2 = w.c) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e2.s1 = e1.s2
+        JOIN edges e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2) AS n_triangles
 """
 
 
 @_register("graph_triangle_count", _TRIANGLE_ORACLE)
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact triangle counting over the supplier co-order graph
-    (suppliers adjacent when they serve the same order) — the
+    """Triangle counting over the SUPPORT-PRUNED supplier co-order
+    affinity graph (suppliers adjacent when they co-serve >=
+    ``_TRIANGLE_MIN_SUPPORT`` distinct orders, hubs above
+    ``_TRIANGLE_DEGREE_CAP`` supported-degree removed) — the
     clustering-structure primitive behind community detection and
-    spam-graph analysis.
+    spam-graph analysis, with the noise-edge discipline production
+    affinity pipelines actually use: single-co-occurrence edges are
+    sampling noise, and keeping them makes any co-occurrence graph
+    converge to a complete graph as the corpus grows (where triangle
+    counts are inherently ~N^3 for EVERY method — the round-6/7
+    exact variant of this op was unrunnable at sf1 for that reason).
 
-    The canonical a<b orientation makes every triangle countable
-    exactly once via wedge + closing-edge equi joins (never an
-    all-pairs product). Scale: edge construction is bounded by
-    lines-per-order (k lines -> k(k-1)/2 pairs, k~7); the wedge join
-    is the textbook skew point — production triangle counting orients
-    edges low-degree -> high-degree so each wedge is enumerated at
-    its LOWEST-degree vertex, bounding per-node fanout (the a<b key
-    orientation here stands in for that on the test graph's bounded
-    degrees). Caveat: this SYNTHETIC co-order graph is near-complete
-    (every supplier co-orders with every other), where wedge counts
-    are inherently ~N^3 for any join-based method — real part/supplier
-    affinity graphs are sparse; for genuinely dense graphs use
-    degree-capped approximation or matrix methods, not this op.
+    Counting plan, in shuffle order: (1) per-order supplier pairs
+    under the canonical a<b orientation (bounded by lines-per-order:
+    k lines -> k(k-1)/2 pairs, k~7), de-duplicated per order;
+    (2) support filter = one (s1,s2) hash aggregate; (3) hub removal
+    via two broadcast anti-joins against the (tiny) over-cap vertex
+    list; (4) n_wedges computed ANALYTICALLY as sum(in_deg*out_deg)
+    — a degree-aggregate join, never materializing the wedge set
+    twice; (5) the one heavy stage, wedge enumeration joined to a
+    BROADCAST closing-edge set (slim (s1,s2) pairs — 1.1M rows at
+    sf1), so the 2.4e8-row wedge stream is generated and probed
+    map-side with only a partial count crossing the wire. The wedge
+    join key is explicitly repartitioned: AQE sizes by INPUT bytes
+    and would coalesce the slim-input/quadratic-output join onto a
+    handful of tasks (the ``_cc_edges`` lesson). At corpora where
+    the supported edge set outgrows broadcast, drop the hint — the
+    plan degrades to a shuffled wedge-edge join, still bounded by
+    the degree cap.
     """
     t = load_tables(spark, sf_dir, register_views=False)
     li = t["lineitem"].select("l_orderkey", "l_suppkey")
     a = li.select("l_orderkey", F.col("l_suppkey").alias("s1"))
     b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("s2"))
-    edges = (
+    co = (
         a.join(b, (F.col("l_orderkey") == F.col("ok2")) & (F.col("s1") < F.col("s2")))
-        .select("s1", "s2")
+        .select("l_orderkey", "s1", "s2")
         .distinct()
+    )
+    edges_all = (
+        co.groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _TRIANGLE_MIN_SUPPORT)
+        .select("s1", "s2")
+    )
+    deg = (
+        edges_all.select(F.col("s1").alias("v"))
+        .unionByName(edges_all.select(F.col("s2").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    hubs = deg.filter(F.col("d") > _TRIANGLE_DEGREE_CAP).select("v")
+    edges = (
+        edges_all.join(F.broadcast(hubs), edges_all["s1"] == hubs["v"], "left_anti")
+        .join(F.broadcast(hubs), edges_all["s2"] == hubs["v"], "left_anti")
         .transform(lineage_cut)
     )
-    wedges = edges.select(F.col("s1").alias("a"), F.col("s2").alias("b")).join(
-        edges.select(F.col("s1").alias("b"), F.col("s2").alias("c")), "b"
+    n_edges = edges.count()
+    ind = edges.groupBy(F.col("s2").alias("v")).agg(F.count(F.lit(1)).alias("ind"))
+    outd = edges.groupBy(F.col("s1").alias("v")).agg(F.count(F.lit(1)).alias("outd"))
+    n_wedges = (
+        ind.join(outd, "v")
+        .agg(F.coalesce(F.sum(F.col("ind") * F.col("outd")), F.lit(0)).alias("w"))
+        .collect()[0]["w"]
+    )
+    wedges = (
+        edges.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
+        .repartition(64, "b")  # explicit count: AQE must not coalesce
+        .join(edges.select(F.col("s1").alias("b"), F.col("s2").alias("c")), "b")
     )
     closed = wedges.join(
-        edges.select(F.col("s1").alias("a"), F.col("s2").alias("c")), ["a", "c"]
+        F.broadcast(edges.select(F.col("s1").alias("a"), F.col("s2").alias("c"))),
+        ["a", "c"],
     )
-    n_edges = edges.count()
-    n_wedges = wedges.count()
     n_triangles = closed.count()
     return spark.createDataFrame(
-        [(n_edges, n_wedges, n_triangles)],
+        [(n_edges, int(n_wedges), n_triangles)],
         "n_edges long, n_wedges long, n_triangles long",
     )
 

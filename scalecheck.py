@@ -49,10 +49,11 @@ SCALE_QUERIES = [
     "dedup_intradoc_segments",
     "quality_perplexity_buckets",
     "basket_affinity_lift",
-    # graph_triangle_count stays OUT: the synthetic co-order graph is
-    # near-complete (477k edges / 1000 nodes at support>=5), so wedge
-    # enumeration is inherently ~N^3 there — a dense-graph workload
-    # artifact, not an engine property (see the op's docstring).
+    # round-8: support-pruned + hub-capped semantics (min co-order
+    # support 4, degree cap 2048) turned the near-complete synthetic
+    # co-order graph into a 1.1M-edge affinity graph at sf1, closing
+    # the one slope-table hole (see the op's docstring).
+    "graph_triangle_count",
     "attribution_last_touch",
     "features_user_daily",
     "search_bm25_topk",
@@ -256,8 +257,6 @@ SCALE_QUERIES = [
     "warehouse_time_travel",
     "warehouse_incremental_view",
     # round-7 expansion, third wave: the full registry remainder
-    # (graph_triangle_count stays excluded: dense-graph workload
-    # artifact, see its docstring)
     "agg_higher_moments",
     "events_anomaly_zscore",
     "abc_pareto_analysis",
@@ -392,8 +391,7 @@ SCALE_QUERIES = [
     # lock the slope of the new (label, band, bkey) candidate join
     "dedup_embedding_neardup",
     # round-7 final wave: the HEADLINE-only remainder, so every
-    # registry query except the documented graph_triangle_count
-    # exclusion has a slope row (sf1 oracle checks already cover
+    # registry query has a slope row (sf1 oracle checks already cover
     # these via scaleverify's SCALE_QUERIES + HEADLINE union)
     "events_hour_dow_heatmap",
     "dq_expectations_report",

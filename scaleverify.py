@@ -33,10 +33,11 @@ import time
 # Spark-side exclusions, each with a measured reason (mirrors the
 # scalecheck exclusions — same replication artifacts):
 SPARK_EXCLUDED = {
-    # near-complete synthetic co-order graph: wedge enumeration ~N^3
-    "graph_triangle_count": "dense-graph workload artifact (see op docstring)",
     # dedup_semantic_clusters was excluded in round 6 (>35 min at
     # sf1); round 7's banded-LSH edge blocking made it verifiable.
+    # graph_triangle_count was excluded through round 7 (near-complete
+    # synthetic co-order graph -> ~N^3 wedge enumeration); round 8's
+    # support-pruned + hub-capped semantics made it verifiable.
 }
 
 ORACLE_TIMEOUT_SEC = int(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "240"))

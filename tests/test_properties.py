@@ -757,6 +757,29 @@ def test_cluster_lineage_cuts_are_tracked_and_released():
     assert _util.release_lineage_cuts() == 0  # idempotent
 
 
+def test_triangle_degree_cap_bites(spark, monkeypatch):
+    """graph_triangle_count's hub guard (_TRIANGLE_DEGREE_CAP) never
+    bites on the synthetic corpus (max supported degree 298 at sf1),
+    so this locks the code path directly: with the cap forced below
+    the corpus's degrees every vertex is a hub, the graph empties,
+    and all three counts hit their documented zero floor; with the
+    support floor forced above the corpus's max support the edge set
+    empties the same way."""
+    from load_datawarehouse_spark.ops import relational
+
+    base = relational.graph_triangle_count(spark, "/root/testdata/sf0.001").collect()[0]
+    assert base["n_edges"] > 0 and base["n_triangles"] > 0
+
+    monkeypatch.setattr(relational, "_TRIANGLE_DEGREE_CAP", 0)
+    capped = relational.graph_triangle_count(spark, "/root/testdata/sf0.001").collect()[0]
+    assert (capped["n_edges"], capped["n_wedges"], capped["n_triangles"]) == (0, 0, 0)
+    monkeypatch.undo()
+
+    monkeypatch.setattr(relational, "_TRIANGLE_MIN_SUPPORT", 10**9)
+    pruned = relational.graph_triangle_count(spark, "/root/testdata/sf0.001").collect()[0]
+    assert (pruned["n_edges"], pruned["n_wedges"], pruned["n_triangles"]) == (0, 0, 0)
+
+
 def test_runners_release_lineage_cuts(spark):
     """Verdict r7 #2: release_lineage_cuts() must actually be WIRED
     into every long-lived runner's per-query epilogue, not just

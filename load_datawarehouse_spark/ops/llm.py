@@ -823,8 +823,8 @@ def _hyperplane_weights(n_planes: int) -> list[list[int]]:
     [-1000, 1000], derived from md5(p:d) — reproducible on any machine
     with no RNG, and inlineable as literals in BOTH engines so sign
     bucketing is bit-identical by construction. Shared seed formula:
-    plane p is the same row whether a caller asks for 6 planes
-    (``similarity_lsh_topk``) or 12 (the banded neardup blocking)."""
+    plane p is the same row for every caller regardless of how many
+    planes it asks for (``similarity_lsh_topk`` uses 6)."""
     import hashlib
 
     return [
@@ -836,161 +836,72 @@ def _hyperplane_weights(n_planes: int) -> list[list[int]]:
     ]
 
 
-#: Banded LSH blocking inside label cells: 3 OR-bands of 4 sign bits
-#: each (12 hyperplanes). Two vectors are CANDIDATES iff they agree on
-#: all 4 bits of at least one band — candidates are then exactly
-#: cosine-scored, so precision is exact; recall is the OR-construction
-#: curve (~99.5% at cosine 0.99, ~90% at 0.9, tapering for borderline
-#: 0.3 pairs). At larger scale raise _NDB_BITS (finer cells, one more
-#: band to restore recall) — the cost knob is bits-per-band, not code.
-_NDB_BANDS = 3
-_NDB_BITS = 4
-
-
-def _ndb_cand_sql() -> str:
-    """CTE chain ``weights -> dots -> bkeys -> lk -> cand`` producing
-    the banded candidate pairs (v1 < v2, same label, >=1 shared band)
-    — the DuckDB replica of ``_ndb_band_keys``'s blocking, shared by
-    the neardup and semantic-cluster oracles."""
-    ws = _hyperplane_weights(_NDB_BANDS * _NDB_BITS)
-    values = ",\n        ".join(
-        f"({p}, {d}, {w}, {p // _NDB_BITS}, {1 << (p % _NDB_BITS)})"
-        for p, row in enumerate(ws)
-        for d, w in enumerate(row)
-    )
-    return f"""weights(p, d, w, band, bbit) AS (
-    VALUES {values}
-),
-dots AS (
-    SELECT e.vec_id, wt.p, MAX(wt.band) AS band, MAX(wt.bbit) AS bbit,
-           SUM(wt.w * CAST(ROUND(CAST(e.embedding[wt.d + 1] AS DOUBLE) * 1000000) AS BIGINT)) AS dot
-    FROM embeddings e JOIN weights wt ON TRUE
-    GROUP BY e.vec_id, wt.p
-),
-bkeys AS (
-    SELECT vec_id, band,
-           CAST(SUM(CASE WHEN dot > 0 THEN bbit ELSE 0 END) AS BIGINT) AS bkey
-    FROM dots GROUP BY vec_id, band
-),
-lk AS (
-    SELECT k.vec_id, e.label, k.band, k.bkey
-    FROM bkeys k JOIN embeddings e ON e.vec_id = k.vec_id
-),
-cand AS MATERIALIZED (
-    SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2, a.label
-    FROM lk a JOIN lk b
-      ON a.label = b.label AND a.band = b.band AND a.bkey = b.bkey
-     AND a.vec_id < b.vec_id
-)"""
-
-
-def _neardup_emb_oracle() -> str:
-    return f"""
-WITH {_ndb_cand_sql()},
-norms AS MATERIALIZED (
-    SELECT vec_id,
-        SQRT(CAST(SUM(CAST(ROUND(CAST(a AS DOUBLE) * 1000000) AS BIGINT) * CAST(ROUND(CAST(a AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
-    FROM (SELECT vec_id, unnest(embedding) AS a FROM embeddings)
-    GROUP BY vec_id
-), elems AS (
-    SELECT c.v1, c.v2, c.label,
-           unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
-    FROM cand c
-    JOIN embeddings ea ON ea.vec_id = c.v1
-    JOIN embeddings eb ON eb.vec_id = c.v2
-), pairs AS (
-    SELECT v1, v2, label,
-        CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) * CAST(ROUND(CAST(y AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
-    FROM elems
-    GROUP BY 1, 2, 3
+_NEARDUP_EMB_ORACLE = """
+WITH qvecs AS MATERIALIZED (
+    -- quantize ONCE per vector (6-dp integer micro-units); f is the
+    -- SAME quantized vector dequantized to FLOAT[64], feeding the
+    -- SIMD prefilter below (see _CC_ORACLE for the error-bound note)
+    SELECT vec_id, label,
+           list_transform(embedding,
+                          a -> CAST(ROUND(CAST(a AS DOUBLE) * 1000000) AS BIGINT)) AS q,
+           CAST(list_transform(embedding,
+                               a -> ROUND(CAST(a AS DOUBLE) * 1000000) / 1000000.0)
+                AS FLOAT[64]) AS f
+    FROM embeddings
+), norms AS MATERIALIZED (
+    SELECT vec_id, SQRT(list_dot_product(q, q) / 1e12) AS nrm FROM qvecs
+), cand AS MATERIALIZED (
+    -- exact-safe prefilter: float32 cosine differs from the exact
+    -- quantized cosine by at most ~4e-6, so the 1e-3 margin can
+    -- never drop a true pair; survivors are EXACT-rescored
+    SELECT a.vec_id AS v1, b.vec_id AS v2, a.label, a.q AS q1, b.q AS q2
+    FROM qvecs a JOIN qvecs b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE array_cosine_similarity(a.f, b.f) >= 0.299
 )
-SELECT p.v1, p.v2, p.label, p.dot / (n1.nrm * n2.nrm) AS cosine
-FROM pairs p JOIN norms n1 ON n1.vec_id = p.v1 JOIN norms n2 ON n2.vec_id = p.v2
-WHERE p.dot / (n1.nrm * n2.nrm) >= 0.3
+SELECT v1, v2, label,
+       (list_dot_product(q1, q2) / 1e12) / (n1.nrm * n2.nrm) AS cosine
+FROM cand JOIN norms n1 ON n1.vec_id = v1 JOIN norms n2 ON n2.vec_id = v2
+WHERE (list_dot_product(q1, q2) / 1e12) / (n1.nrm * n2.nrm) >= 0.3
 ORDER BY v1, v2
 """
 
 
-def _ndb_band_keys(emb):
-    """vec_id -> exploded (band, bkey) rows: per-plane exact-decimal
-    sign bits grouped into ``_NDB_BANDS`` keys of ``_NDB_BITS`` bits —
-    pure per-row codegen (no UDF, no shuffle), the Spark twin of
-    ``_ndb_cand_sql``'s bkeys CTE."""
-    ws = _hyperplane_weights(_NDB_BANDS * _NDB_BITS)
-    bands = []
-    for band in range(_NDB_BANDS):
-        key = F.lit(0)
-        for j in range(_NDB_BITS):
-            row = ws[band * _NDB_BITS + j]
-            warr = F.array(*[F.lit(w) for w in row])
-            dot = _long_fold(
-                F.zip_with(
-                    F.col("embedding"),
-                    warr,
-                    lambda x, y: _x6(x) * y.cast("long"),
-                )
-            )
-            key = key + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bands.append(
-            F.struct(F.lit(band).alias("band"), key.cast("long").alias("bkey"))
-        )
-    return emb.select(
-        "vec_id", "label", F.explode(F.array(*bands)).alias("bk")
-    ).select("vec_id", "label", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
-
-
-@_register("dedup_embedding_neardup", _neardup_emb_oracle())
+@_register("dedup_embedding_neardup", _NEARDUP_EMB_ORACLE)
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs (cosine >= 0.3) with banded-LSH
-    blocking chained inside the label cells: candidates must share a
-    label AND agree on at least one 4-bit hyperplane sign band, then
-    are exactly cosine-scored (exact-decimal dot products).
+    """EXACT embedding near-duplicate pairs: every within-label pair
+    with cosine >= 0.3, scored with exact-decimal dot products — the
+    edge set :func:`dedup_connected_components` and
+    :func:`dedup_semantic_clusters` cluster over, emitted with its
+    cosine scores.
 
-    Scale: label blocking alone left each cell quadratic, so one
-    skewed label became a hot straggler at 100 TB. The band key splits
-    every cell ~2^bits further per band, and only slim
-    (vec_id, label, band, bkey) rows enter the candidate self-join;
-    embeddings re-attach to the deduplicated candidate pairs by key.
-    The hyperplanes are the deterministic md5-seeded family shared
-    with ``similarity_lsh_topk``, inlined as literals in both engines,
-    so the candidate set — and therefore the result — is
-    oracle-identical by construction."""
+    Design history (advisor r7): round 7 briefly switched this op to
+    banded hyperplane-LSH candidates to kill the skewed-label
+    straggler, with the oracle replicating the banding — which made
+    the verification circular and silently dropped recall. Measured
+    on this corpus, the 3x4-bit OR-construction retained only 24/82
+    true pairs at sf0.001 and 52/111 at sf0.01 (~29-47% recall):
+    every true pair here sits in the 0.3-0.5 cosine band, exactly
+    where sign-LSH collision probability is weakest. Banding is the
+    right tool at HIGH similarity thresholds (~90% recall at cosine
+    0.9 — ``similarity_lsh_topk`` demonstrates it honestly, with the
+    brute-force op as its baseline); at a 0.3 threshold the exact
+    contract is the only defensible one, so this op shares
+    :func:`_label_cos_edges` — the G x G group-pair tiling that fixes
+    the straggler by ROUTING, not by dropping pairs (exactness locked
+    by ``test_cc_edge_tiling_is_exact``, recall 1.0 by construction,
+    and the oracle is the plain label join, no longer circular).
+
+    Scale: tiling multiplies the self-join key space by G^2 so no
+    label cell serializes onto one task; the quadratic within-cell
+    pair work is the price of the exact contract — bound it upstream
+    by blocking key choice (finer labels), not by silent candidate
+    pruning. sf1: verified against the float32-prefiltered exact
+    oracle well inside budget."""
     t = load_tables(spark, sf_dir, register_views=False)
     emb = _with_norm(t["embeddings"])
-    # slim signature frame consumed by both self-join sides: cut the
-    # lineage so the 12 sign-folds compute once (A/B at sf0.1:
-    # 5.5 s -> 3.8 s; cutting the payload-carrying norm frame LOSES,
-    # per the checkpoint-only-slim-frames rule)
-    bk = _ndb_band_keys(t["embeddings"]).transform(lineage_cut)
-    cand = (
-        bk.select(F.col("vec_id").alias("v1"), "label", "band", "bkey")
-        .join(
-            bk.select(F.col("vec_id").alias("v2"), "label", "band", "bkey"),
-            ["label", "band", "bkey"],
-        )
-        .filter(F.col("v1") < F.col("v2"))
-        .select("v1", "v2", "label")
-        .distinct()
-    )
-    # quantize once per vector BEFORE the candidate joins (not inside
-    # the per-pair fold) — same values, 2*dim fewer ROUND+casts per
-    # candidate pair (the _cc_edges A/B: -39% on the pair stage)
-    q = F.transform("embedding", _x6)
-    e1 = emb.select(F.col("vec_id").alias("v1"), q.alias("q1"), F.col("nrm").alias("n1"))
-    e2 = emb.select(F.col("vec_id").alias("v2"), q.alias("q2"), F.col("nrm").alias("n2"))
-    dot = _long_fold(F.zip_with("q1", "q2", lambda x, y: x * y)).cast("double") / F.lit(
-        float(_SCALE6) ** 2
-    )
     return (
-        cand.join(e1, "v1")
-        .join(e2, "v2")
-        .select(
-            "v1",
-            "v2",
-            "label",
-            (dot / (F.col("n1") * F.col("n2"))).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.3)
+        _label_cos_edges(spark, emb)
+        .select("v1", "v2", "label", F.col("cos").alias("cosine"))
         .orderBy("v1", "v2")
     )
 
@@ -1146,17 +1057,22 @@ def _require_cc_converged(changed: int) -> None:
             "exceeds the iteration cap — raise _CC_MAX_ITERS"
         )
 
-def _cc_edges(spark: SparkSession, emb) -> DataFrame:
-    """Exact cosine>=0.3 edge set within label cells, with the pair
-    space of each cell tiled into a G x G grid of group-pairs (side A
-    replicates each row over (g(v), *), side B over (*, g(v)); the
-    join key (label, g1, g2) routes every ordered pair to exactly one
-    tile). Same total work as the plain label self-join, but
-    label_count * G^2 join keys instead of label_count — see
-    ``dedup_connected_components`` for why label-only keying caps
-    parallelism at the label count. The explicit repartition count
-    keeps AQE from coalescing the tiles back down (it sizes by the
-    slim shuffle INPUT, blind to the quadratic pair OUTPUT).
+def _label_cos_edges(spark: SparkSession, emb) -> DataFrame:
+    """Exact cosine>=0.3 edge set (v1, v2, label, cos) within label
+    cells, with the pair space of each cell tiled into a G x G grid
+    of group-pairs (side A replicates each row over (g(v), *), side B
+    over (*, g(v)); the join key (label, g1, g2) routes every ordered
+    pair to exactly one tile). Same total work as the plain label
+    self-join, but label_count * G^2 join keys instead of label_count
+    — see ``dedup_connected_components`` for why label-only keying
+    caps parallelism at the label count. The explicit repartition
+    count keeps AQE from coalescing the tiles back down (it sizes by
+    the slim shuffle INPUT, blind to the quadratic pair OUTPUT).
+
+    Shared by ``dedup_embedding_neardup`` (which emits the scored
+    pairs) and ``dedup_connected_components`` / ``_cc_edges`` (which
+    keep only the pair ids), so the exactness lock
+    (``test_cc_edge_tiling_is_exact``) covers every consumer.
 
     The 6-dp quantization (``_x6``) is applied ONCE per vector BEFORE
     the join: inlining ``_dec_dot`` on the raw embeddings would
@@ -1185,10 +1101,15 @@ def _cc_edges(spark: SparkSession, emb) -> DataFrame:
     return (
         a.join(b, ["label", "g1", "g2"])
         .filter(F.col("v1") < F.col("v2"))
-        .select("v1", "v2", (dot / (F.col("n1") * F.col("n2"))).alias("cos"))
+        .select("v1", "v2", "label", (dot / (F.col("n1") * F.col("n2"))).alias("cos"))
         .filter(F.col("cos") >= 0.3)
-        .select("v1", "v2")
     )
+
+
+def _cc_edges(spark: SparkSession, emb) -> DataFrame:
+    """Slim (v1, v2) projection of :func:`_label_cos_edges` — the
+    edge set dedup_connected_components propagates labels over."""
+    return _label_cos_edges(spark, emb).select("v1", "v2")
 
 
 _CC_ORACLE = """
@@ -3177,32 +3098,31 @@ def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 
 def _semantic_cluster_oracle() -> str:
-    return f"""
+    return """
 WITH RECURSIVE
-{_ndb_cand_sql()},
-norms AS MATERIALIZED (
-    SELECT vec_id,
-        SQRT(CAST(SUM(CAST(ROUND(CAST(a AS DOUBLE) * 1000000) AS BIGINT) * CAST(ROUND(CAST(a AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / 1e12) AS nrm
-    FROM (SELECT vec_id, unnest(embedding) AS a FROM embeddings)
-    GROUP BY vec_id
-), elems AS (
-    SELECT c.v1, c.v2,
-           unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
-    FROM cand c
-    JOIN embeddings ea ON ea.vec_id = c.v1
-    JOIN embeddings eb ON eb.vec_id = c.v2
-), pairs AS MATERIALIZED (
-    SELECT v1, v2,
-        CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) * CAST(ROUND(CAST(y AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
-    FROM elems GROUP BY 1, 2
+qvecs AS MATERIALIZED (
+    SELECT vec_id, label,
+           list_transform(embedding,
+                          a -> CAST(ROUND(CAST(a AS DOUBLE) * 1000000) AS BIGINT)) AS q,
+           CAST(list_transform(embedding,
+                               a -> ROUND(CAST(a AS DOUBLE) * 1000000) / 1000000.0)
+                AS FLOAT[64]) AS f
+    FROM embeddings
+), norms AS MATERIALIZED (
+    SELECT vec_id, SQRT(list_dot_product(q, q) / 1e12) AS nrm FROM qvecs
+), cand AS MATERIALIZED (
+    -- float32 SIMD prefilter with 1e-3 margin + exact rescore: the
+    -- same exact-safe shape as _CC_ORACLE (error bound ~4e-6)
+    SELECT a.vec_id AS v1, b.vec_id AS v2, a.q AS q1, b.q AS q2
+    FROM qvecs a JOIN qvecs b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE array_cosine_similarity(a.f, b.f) >= 0.299
 ), edges AS MATERIALIZED (
     -- MATERIALIZED chain: edges is referenced twice by und, and
-    -- DuckDB otherwise inlines the WHOLE banded-scoring pipeline
-    -- into both references (memory: multiply-referenced CTEs) —
-    -- measured >240 s vs 45 s at sf1
-    SELECT p.v1, p.v2
-    FROM pairs p JOIN norms n1 ON n1.vec_id = p.v1 JOIN norms n2 ON n2.vec_id = p.v2
-    WHERE p.dot / (n1.nrm * n2.nrm) >= 0.3
+    -- DuckDB otherwise inlines the WHOLE scoring pipeline into both
+    -- references (memory: multiply-referenced CTEs)
+    SELECT v1, v2
+    FROM cand JOIN norms n1 ON n1.vec_id = v1 JOIN norms n2 ON n2.vec_id = v2
+    WHERE (list_dot_product(q1, q2) / 1e12) / (n1.nrm * n2.nrm) >= 0.3
 ), und AS (
     SELECT v1 AS a, v2 AS b FROM edges UNION SELECT v2, v1 FROM edges
 ), reach(src, node) AS (
@@ -3224,16 +3144,17 @@ ORDER BY cluster_id
 
 @_register("dedup_semantic_clusters", _semantic_cluster_oracle())
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic duplicate families: the embedding cosine>=0.3 pair
-    graph (label-blocked + banded-LSH blocked, exact decimal dot
+    """Semantic duplicate families: the EXACT embedding cosine>=0.3
+    pair graph (label-blocked, G x G tiled, exact decimal dot
     products — ``dedup_embedding_neardup``) collapsed into connected
     components and reported as clusters (id, size, representative
     vector). This is the embedding-space counterpart of
     ``dedup_neardup_clusters`` — what a semantic-dedup pipeline
     materializes before electing one survivor per meaning.
 
-    Scale: pair generation is blocked per (label, sign-band) cell
-    (never corpus^2, and a skewed label splits across band keys);
+    Scale: pair generation is blocked per label cell and tiled over
+    the G x G group-pair grid (never corpus^2, and a skewed label
+    spreads across G^2 join keys — see ``_label_cos_edges``);
     min-label propagation shuffles once per round on vec_id with
     per-round lineage cuts; rounds = cluster diameter. Convergence is
     asserted, not assumed (non-convergence raises instead of silently

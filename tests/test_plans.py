@@ -93,22 +93,22 @@ def test_simhash_neardup_is_bucketed_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_embedding_neardup_self_join_is_band_bucketed(spark):
-    # the candidate self-join must key on (label, band, bkey) — an
-    # unbucketed label-only join is the quadratic-cell straggler the
-    # banded blocking exists to avoid; and no cartesian fallback
+def test_embedding_neardup_self_join_is_group_pair_tiled(spark):
+    # the exact pair scan must be tiled: the self-join keyed on the
+    # full (label, g1, g2) group-pair triple, never label alone — a
+    # label-only join is the quadratic-cell straggler the tiling
+    # exists to avoid (advisor r7: the banded-LSH alternative dropped
+    # ~2/3 of true pairs at the 0.3 threshold and was reverted; the
+    # straggler fix is routing, not candidate pruning)
     plan = _plan(llm.dedup_embedding_neardup(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "bkey" in plan  # band key participates in the join/exchange keys
     import re
 
     join_lines = [ln for ln in plan.splitlines() if "HashJoin" in ln or "SortMergeJoin" in ln]
-    # the candidate self-join's KEY LIST (first bracket group) must be
-    # the full (label, band, bkey) triple, not label alone
     assert any(
-        re.search(r"Join \[label#\d+, band#\d+L?, bkey#\d+L?\]", ln) for ln in join_lines
-    ), "candidate self-join is not keyed on (label, band, bkey):\n" + "\n".join(join_lines)
+        re.search(r"Join \[label#\d+, g1#\d+, g2#\d+\]", ln) for ln in join_lines
+    ), "pair self-join is not keyed on (label, g1, g2):\n" + "\n".join(join_lines)
 
 
 def test_null_safe_join_is_hash_join(spark):

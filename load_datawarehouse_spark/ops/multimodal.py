@@ -8,7 +8,8 @@ pandas functions over ``mapInPandas``.
 
 Image decode is REAL: ``decode_image_real`` prefers Pillow when
 installed and otherwise falls back to a pure-stdlib PNG decoder
-(zlib inflate + scanline unfilter, all five filter types), exercised
+(zlib inflate + scanline unfilter, all five filter types, 8/16-bit,
+gray/gray+alpha/RGB/RGBA/palette, Adam7 interlacing), exercised
 end-to-end by ``multimodal_decode_image_real`` — genuine PNG bytes are
 encoded, parsed, and pixel-checksummed against an arithmetic DuckDB
 oracle. Audio decode is REAL too: ``decode_audio_real`` prefers
@@ -125,9 +126,24 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def encode_png(arr) -> bytes:
-    """Minimal real PNG encoder (public spec, RFC 2083): 8-bit
-    grayscale/RGB/RGBA, filter 0 scanlines, one zlib IDAT. Used to
+#: Adam7 interlace pass grid: (x_start, y_start, x_step, y_step) per
+#: pass, in stream order (PNG spec §8.2) — each pass is its own
+#: independently-filtered sub-image.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def encode_png(arr, interlace: bool = False) -> bytes:
+    """Minimal real PNG encoder (public spec, RFC 2083): 8- or 16-bit
+    (pass a uint16 array) grayscale/gray+alpha/RGB/RGBA, filter 0
+    scanlines, optional Adam7 interlacing, one zlib IDAT. Used to
     materialize genuine PNG payloads in-container (no Pillow needed)
     for the real-decode round-trip operator and its tests."""
     import struct
@@ -135,11 +151,15 @@ def encode_png(arr) -> bytes:
 
     import numpy as np
 
-    a = np.asarray(arr, dtype=np.uint8)
+    a = np.asarray(arr)
+    depth = 16 if a.dtype == np.uint16 else 8
+    if depth == 8:
+        a = a.astype(np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
     h, w, c = a.shape
-    color_type = {1: 0, 3: 2, 4: 6}[c]
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    be = a.astype(">u2") if depth == 16 else a  # PNG samples are big-endian
 
     def chunk(tag: bytes, payload: bytes) -> bytes:
         return (
@@ -149,8 +169,15 @@ def encode_png(arr) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, int(interlace))
+    if interlace:
+        lines = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = be[y0::dy, x0::dx]
+            lines += [b"\x00" + sub[y].tobytes() for y in range(sub.shape[0]) if sub.shape[1]]
+        raw = b"".join(lines)
+    else:
+        raw = b"".join(b"\x00" + be[y].tobytes() for y in range(h))
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -159,14 +186,19 @@ def encode_png(arr) -> bytes:
     )
 
 
-def _png_unfilter(raw: bytes, h: int, w: int, c: int):
-    """Reverse the per-scanline PNG filters (types 0-4 incl. Paeth)."""
+def _unfilter_lines(raw: bytes, pos: int, n_rows: int, stride: int, bpp: int):
+    """Reverse the per-scanline PNG filters (types 0-4 incl. Paeth)
+    for one (sub-)image of ``n_rows`` scanlines of ``stride`` bytes,
+    starting at byte ``pos`` of the decompressed stream; ``bpp`` is
+    the FILTER byte offset (bytes per pixel — channels x sample
+    bytes, PNG spec §9: filters predict from the byte bpp positions
+    left, which is what makes the same code serve 8- and 16-bit).
+    Returns ``(rows, new_pos)`` so Adam7 passes can consume the
+    stream sequentially."""
     import numpy as np
 
-    stride = w * c
-    out = np.zeros((h, stride), dtype=np.uint8)
-    pos = 0
-    for y in range(h):
+    out = np.zeros((n_rows, stride), dtype=np.uint8)
+    for y in range(n_rows):
         ftype = raw[pos]
         line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
         pos += 1 + stride
@@ -178,9 +210,9 @@ def _png_unfilter(raw: bytes, h: int, w: int, c: int):
         elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left pixel
             cur = out[y]
             for x in range(stride):
-                left = int(cur[x - c]) if x >= c else 0
+                left = int(cur[x - bpp]) if x >= bpp else 0
                 up = int(prev[x])
-                ul = int(prev[x - c]) if x >= c else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
                 if ftype == 1:
                     pred = left
                 elif ftype == 3:
@@ -192,7 +224,7 @@ def _png_unfilter(raw: bytes, h: int, w: int, c: int):
                 cur[x] = (int(line[x]) + pred) & 0xFF
         else:
             raise ValueError(f"unsupported PNG filter type {ftype}")
-    return out.reshape(h, w, c)
+    return out, pos
 
 
 def decode_image_real(content: bytes, meta: dict | None = None) -> "object":
@@ -200,11 +232,15 @@ def decode_image_real(content: bytes, meta: dict | None = None) -> "object":
 
     Prefers Pillow when installed (any format it supports). Without
     Pillow, falls back to a pure-stdlib PNG decoder (zlib + struct:
-    8-bit grayscale/RGB/RGBA, non-interlaced, all five scanline
-    filters) — so the real-decode path runs even in codec-less
-    containers for the most common training-data format. Non-PNG
-    payloads without Pillow raise ``NotImplementedError`` (availability
-    probe pattern, cf. ``sources._format_available``).
+    8- and 16-bit grayscale/gray+alpha/RGB/RGBA plus 8-bit palette,
+    non-interlaced AND Adam7-interlaced, all five scanline filters)
+    — so the real-decode path runs even in codec-less containers for
+    the most common training-data format. 16-bit samples are scaled
+    to 8-bit (``>> 8``) so the output contract matches the Pillow
+    path; palette indices resolve through PLTE to RGB (tRNS alpha is
+    not applied). Non-PNG payloads without Pillow raise
+    ``NotImplementedError`` (availability probe pattern, cf.
+    ``sources._format_available``).
     """
     try:
         from PIL import Image
@@ -223,7 +259,9 @@ def decode_image_real(content: bytes, meta: dict | None = None) -> "object":
     import struct
     import zlib
 
-    pos, ihdr, idat = len(_PNG_SIG), None, b""
+    import numpy as np
+
+    pos, ihdr, idat, plte = len(_PNG_SIG), None, b"", None
     while pos < len(content):
         (length,) = struct.unpack(">I", content[pos : pos + 4])
         tag = content[pos + 4 : pos + 8]
@@ -233,17 +271,57 @@ def decode_image_real(content: bytes, meta: dict | None = None) -> "object":
             ihdr = struct.unpack(">IIBBBBB", payload)
         elif tag == b"IDAT":
             idat += payload
+        elif tag == b"PLTE":
+            plte = payload
         elif tag == b"IEND":
             break
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace:
-        raise NotImplementedError("only 8-bit non-interlaced PNG supported")
-    channels = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if depth not in (8, 16):
+        raise NotImplementedError(f"PNG bit depth {depth} not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise NotImplementedError(f"PNG color type {color_type} not supported")
-    return _png_unfilter(zlib.decompress(idat), h, w, channels)
+    if color_type == 3 and depth != 8:
+        raise NotImplementedError("palette PNG supported at depth 8 only")
+    sb = depth // 8
+    bpp = channels * sb
+    data = zlib.decompress(idat)
+    dtype = np.uint16 if sb == 2 else np.uint8
+
+    def to_px(rows, ph, pw):
+        if sb == 1:
+            return rows.reshape(ph, pw, channels)
+        return (
+            np.frombuffer(rows.tobytes(), dtype=">u2")
+            .astype(np.uint16)
+            .reshape(ph, pw, channels)
+        )
+
+    if interlace == 0:
+        rows, _ = _unfilter_lines(data, 0, h, w * bpp, bpp)
+        img = to_px(rows, h, w)
+    elif interlace == 1:  # Adam7: 7 independently filtered sub-images
+        img = np.zeros((h, w, channels), dtype=dtype)
+        spos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            ph = (h - y0 + dy - 1) // dy
+            pw = (w - x0 + dx - 1) // dx
+            if ph <= 0 or pw <= 0:  # pass empty for this image size
+                continue
+            rows, spos = _unfilter_lines(data, spos, ph, pw * bpp, bpp)
+            img[y0::dy, x0::dx] = to_px(rows, ph, pw)
+    else:
+        raise NotImplementedError(f"PNG interlace method {interlace} not supported")
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        img = pal[img[:, :, 0]]
+    if sb == 2:
+        img = (img >> 8).astype(np.uint8)
+    return img
 
 
 _RIFF_SIG = b"RIFF"

@@ -181,6 +181,120 @@ def test_png_unfilter_handles_all_filter_types():
     assert np.array_equal(mm.decode_image_real(png), a)
 
 
+def test_png_16bit_round_trip_downscales_to_8bit():
+    """16-bit PNG decodes through the same filter code (bpp=2*c byte
+    offsets) and lands on the 8-bit output contract via >> 8."""
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    for shape in [(3, 4, 1), (5, 7, 3), (4, 4, 4), (2, 6, 2)]:
+        a16 = rng.randint(0, 65536, size=shape).astype(np.uint16)
+        dec = mm.decode_image_real(mm.encode_png(a16))
+        assert dec.shape == shape and dec.dtype == np.uint8
+        assert np.array_equal(dec, (a16 >> 8).astype(np.uint8))
+
+
+def test_png_adam7_interlaced_round_trip():
+    """Adam7 passes are independently filtered sub-images; odd sizes
+    exercise empty and single-pixel passes."""
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    for shape in [(1, 1, 3), (2, 3, 1), (7, 5, 3), (9, 9, 4), (8, 8, 3), (3, 13, 1)]:
+        a = rng.randint(0, 256, size=shape).astype(np.uint8)
+        dec = mm.decode_image_real(mm.encode_png(a, interlace=True))
+        assert np.array_equal(dec, a), shape
+    a16 = rng.randint(0, 65536, size=(6, 7, 3)).astype(np.uint16)
+    dec = mm.decode_image_real(mm.encode_png(a16, interlace=True))
+    assert np.array_equal(dec, (a16 >> 8).astype(np.uint8))
+
+
+def test_png_palette_decode():
+    """8-bit palette (color type 3) indices resolve through PLTE."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(19)
+    h, w = 4, 6
+    pal = rng.randint(0, 256, size=(16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, size=(h, w)).astype(np.uint8)
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    png = (
+        mm._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(mm.decode_image_real(png), pal[idx])
+
+
+def test_png_16bit_filtered_scanlines():
+    """Filters on 16-bit data must predict from bpp = 2*channels bytes
+    left (PNG spec §9) — an off-by-channels bpp would corrupt every
+    Sub/Average/Paeth line. Hand-filter lines with types 1-4."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    h, w, c = 4, 5, 3
+    a = rng.randint(0, 65536, size=(h, w, c)).astype(np.uint16)
+    raw_rows = a.astype(">u2").reshape(h, -1).view(np.uint8)  # (h, w*c*2) bytes
+    bpp = c * 2
+    stride = w * c * 2
+    rows = []
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y, ftype in zip(range(h), [1, 2, 3, 4]):
+        cur = raw_rows[y]
+        filt = np.zeros(stride, dtype=np.uint8)
+        for x in range(stride):
+            left = int(cur[x - bpp]) if x >= bpp else 0
+            up = int(prev[x])
+            ul = int(prev[x - bpp]) if x >= bpp else 0
+            if ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) // 2
+            else:
+                p = left + up - ul
+                pa, pb, pc_ = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc_ else up if pb <= pc_ else ul
+            filt[x] = (int(cur[x]) - pred) & 0xFF
+        rows.append(bytes([ftype]) + filt.tobytes())
+        prev = cur
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    png = (
+        mm._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(mm.decode_image_real(png), (a >> 8).astype(np.uint8))
+
+
 def test_metadata_scan_prunes_binary_payload(spark):
     # The metadata projection must not read the payload column: the
     # optimized plan's schema should not mention `content`.

@@ -4405,9 +4405,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.coalesce(F.sum(F.col("ind") * F.col("outd")), F.lit(0)).alias("w"))
         .collect()[0]["w"]
     )
+    # explicit count (disables AQE coalescing), scaled to the cluster:
+    # a literal width would cap wedge parallelism on a 1000-executor
+    # cluster the way label-only keying capped _cc_edges
+    n_wedge_parts = max(64, spark.sparkContext.defaultParallelism * 2)
     wedges = (
         edges.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
-        .repartition(64, "b")  # explicit count: AQE must not coalesce
+        .repartition(n_wedge_parts, "b")
         .join(edges.select(F.col("s1").alias("b"), F.col("s2").alias("c")), "b")
     )
     closed = wedges.join(

@@ -103,6 +103,40 @@ def _oracle_rows(sf_dir: str, sql: str):
     return result
 
 
+SMALL_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _adjudicate_empty_on_timeout(spark, fn, sql: str) -> dict:
+    """0 Spark rows under an sf1 oracle timeout is ambiguous: a
+    Spark-side bug, OR a legitimately-empty result (e.g. a very
+    selective filter). Adjudicate at sf0.01, where the oracle is
+    fast: if BOTH engines are also empty there, return a distinct
+    'suspect' status for manual review (advisor r7) instead of a hard
+    fail; any other outcome stays a failure."""
+    try:
+        s_small = fn(spark, SMALL_SF_DIR).count()
+        con = _duck_connect(SMALL_SF_DIR)
+        o_small = len(con.execute(sql).fetchall())
+        con.close()
+    except Exception:
+        s_small = o_small = -1
+    if s_small == 0 and o_small == 0:
+        return {
+            "status": "suspect_empty_on_timeout",
+            "spark_rows": 0,
+            "note": "0 rows from BOTH engines at sf0.01 — plausibly a "
+            "legitimately-empty query; needs adjudication, not counted "
+            "as match or fail",
+        }
+    return {
+        "status": "empty_spark_on_timeout",
+        "spark_rows": 0,
+        "note": "spark returned 0 rows AND the oracle timed out, but "
+        f"sf0.01 is non-empty (spark={s_small}, oracle={o_small}); "
+        "treated as a failure",
+    }
+
+
 def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     sys.path.insert(0, here)
@@ -154,42 +188,16 @@ def main() -> None:
         status, a, b = _oracle_rows(big, oracles[name])
         if status == "timeout":
             if len(sdf) == 0:
-                # 0 Spark rows under an oracle timeout is ambiguous: a
-                # Spark-side bug, OR a legitimately-empty result (e.g.
-                # a very selective filter). Adjudicate at sf0.01,
-                # where the oracle is fast: if BOTH engines are also
-                # empty there, record a distinct 'suspect' status for
-                # manual review (advisor r7) instead of a hard fail;
-                # any other outcome stays a failure.
-                try:
-                    small_dir = "/root/testdata/sf0.01"
-                    s_small = queries[name](spark, small_dir).count()
-                    con = _duck_connect(small_dir)
-                    o_small = len(con.execute(oracles[name]).fetchall())
-                    con.close()
-                except Exception:
-                    s_small = o_small = -1
-                if s_small == 0 and o_small == 0:
-                    out[name] = {
-                        "status": "suspect_empty_on_timeout",
-                        "spark_rows": 0,
-                        "note": "0 rows from BOTH engines at sf0.01 — "
-                        "plausibly a legitimately-empty query; needs "
-                        "adjudication, not counted as match or fail",
-                    }
+                rec = _adjudicate_empty_on_timeout(spark, queries[name], oracles[name])
+                out[name] = rec
+                if rec["status"] == "suspect_empty_on_timeout":
                     n_suspect += 1
                     print(f"# {name}: SUSPECT empty-but-empty-at-sf0.01 on oracle timeout",
                           file=sys.stderr, flush=True)
-                    continue
-                out[name] = {
-                    "status": "empty_spark_on_timeout",
-                    "spark_rows": 0,
-                    "note": "spark returned 0 rows AND the oracle timed out, "
-                    f"but sf0.01 is non-empty (spark={s_small}, oracle={o_small}); "
-                    "treated as a failure",
-                }
-                n_fail += 1
-                print(f"# {name}: FAIL empty spark result on oracle timeout", file=sys.stderr, flush=True)
+                else:
+                    n_fail += 1
+                    print(f"# {name}: FAIL empty spark result on oracle timeout",
+                          file=sys.stderr, flush=True)
                 continue
             out[name] = {
                 "status": "oracle_timeout",

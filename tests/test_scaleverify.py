@@ -29,6 +29,30 @@ def test_oracle_error_is_surfaced_not_timeout():
     assert "no_such_table_xyz" in err or "Table" in err
 
 
+def test_empty_on_timeout_adjudication(spark):
+    """Advisor r7: 0 Spark rows under an sf1 oracle timeout must be
+    adjudicated at sf0.01 — both-engines-empty becomes a distinct
+    'suspect' status; a non-empty small-sf result stays a failure."""
+    empty_fn = lambda s, sf_dir: s.range(1).filter("id < 0")  # noqa: E731
+    rec = scaleverify._adjudicate_empty_on_timeout(
+        spark, empty_fn, "SELECT 1 AS x WHERE 1 = 0"
+    )
+    assert rec["status"] == "suspect_empty_on_timeout"
+
+    nonempty_fn = lambda s, sf_dir: s.range(3)  # noqa: E731
+    rec = scaleverify._adjudicate_empty_on_timeout(
+        spark, nonempty_fn, "SELECT 1 AS x WHERE 1 = 0"
+    )
+    assert rec["status"] == "empty_spark_on_timeout"
+
+    # an adjudication probe that itself errors must stay a failure
+    def boom(s, sf_dir):
+        raise RuntimeError("probe failed")
+
+    rec = scaleverify._adjudicate_empty_on_timeout(spark, boom, "SELECT 1")
+    assert rec["status"] == "empty_spark_on_timeout"
+
+
 def test_genuine_timeout_still_detected(monkeypatch):
     monkeypatch.setattr(scaleverify, "ORACLE_TIMEOUT_SEC", 2)
     # a cross join big enough to not finish in 2s

@@ -16,68 +16,19 @@ from pyspark.sql import DataFrame, SparkSession
 # Queries whose correctness evidence is most valuable next round are
 # registered first: the driver's CORRECTNESS sweep covers a prefix of
 # the registration order (50 names), generated at ROUND START from the
-# previous round's final commit. Round 8's window = the 50 names staged
-# in round 7's tail (30 relational backlog + 20 llm backlog), all
-# verified NEVER driver-checked (zero overlap with the r1-r7
-# CORRECTNESS union, which covers 297 of the 377 registered names) and
-# all green in the vanilla sf0.01 oracle sweep (windowcheck.py). The
-# tail stages the round-9 cohort: the FINAL 30 never-driver-checked
-# names — after round 9 converts them, every registered query will have
-# been checked by the driver at least once.
+# previous round's final commit. Round 9's head-50 = the FINAL 30
+# never-driver-checked names (staged in round 8's tail; zero overlap
+# with the r1-r8 CORRECTNESS union, which covers 347 of the 377
+# registered names) + `orders_revenue_bridge` (round 8's one hash-fail,
+# fixed this round: signed-zero canonicalization in the oracle) + 19
+# re-checks of ops whose code changed in rounds 7-9 (pointer-jumping CC
+# propagation, exact-neardup restoration, support-pruned triangles,
+# widened PNG decoder, kmeans mean-update broadcast drop, pair-first
+# minhash verify, cosine 6-dp quantization family, warehouse verbs).
+# After this window converts, every registered query has been
+# driver-checked at least once.
 _FIRST_NAMES = (
-    # --- round-8 head: 30 relational + 20 llm backlog (staged in r7) ---
-    "orders_revenue_bridge",
-    "source_federated_union",
-    "lineitem_return_rate_monthly",
-    "customer_concentration_hhi",
-    "events_dau_wau_stickiness",
-    "customer_first_last_ratio",
-    "agg_weighted_median",
-    "orders_sla_attainment",
-    "supplier_dual_sourcing_parts",
-    "orders_priority_drift_chi2",
-    "stat_spearman_qty_price",
-    "events_winback_gaps",
-    "customer_coverage_half_revenue",
-    "part_realized_vs_retail_margin",
-    "exec_daily_kpis",
-    "stat_dispersion_index",
-    "agg_median_abs_deviation",
-    "scalar_encoding_family",
-    "warehouse_etl_capstone",
-    "events_type_pmi",
-    "warehouse_idempotent_backfill",
-    "orders_aging_report",
-    "events_weekend_lift",
-    "histogram_2d_qty_price",
-    "geo_haversine_topk",
-    "attribution_first_touch",
-    "events_peak_concurrency_daily",
-    "sessions_gap_sensitivity",
-    "orders_nation_shift_share",
-    "agg_product_discount_factor",
-    "doc_fingerprint_rolling",
-    "ngram_lm_counts",
-    "sample_stratified_hash",
-    "embedding_label_centroids",
-    "tfidf_top_terms",
-    "dedup_levenshtein_verify",
-    "contamination_bloom_prefilter",
-    "dedup_semantic_clusters",
-    "similarity_sq_topk",
-    "importance_resample_dsir",
-    "dedup_intradoc_segments",
-    "dedup_template_groups",
-    "quality_perplexity_buckets",
-    "contamination_decontaminate_apply",
-    "tokenizer_vocab_coverage",
-    "dedup_minhash_estimate_quality",
-    "array_set_ops_pairs",
-    "dedup_cascade_report",
-    "quality_domain_cap",
-    "text_token_entropy",
-    # --- round-9 staging: the final 30 never-driver-checked names ---
-    # (registry 377 = 297 checked r1-r7 + 50 head + these 30)
+    # --- round-9 head: the final 30 never-driver-checked names ---
     "agg_corr_matrix_single_pass",
     "bpe_first_merges",
     "dedup_embedding_exact",
@@ -108,6 +59,28 @@ _FIRST_NAMES = (
     "text_readability_score",
     "text_zipf_fit",
     "warehouse_partitioned_upsert",
+    # --- the round-8 red row, fixed this round (signed-zero oracle) ---
+    "orders_revenue_bridge",
+    # --- 19 re-checks: ops whose code changed in rounds 7-9 ---
+    "dedup_embedding_neardup",
+    "dedup_connected_components",
+    "dedup_semantic_clusters",
+    "graph_triangle_count",
+    "kmeans_lloyd",
+    "multimodal_decode_image_real",
+    "multimodal_decode_audio_real",
+    "dedup_minhash_verified",
+    "dedup_minhash_lsh",
+    "embedding_pca_second_component",
+    "embedding_pca_power_iteration",
+    "graph_pagerank",
+    "similarity_cosine_topk",
+    "similarity_lsh_topk",
+    "similarity_ivf_topk",
+    "dedup_simhash_neardup",
+    "dedup_ngram_jaccard",
+    "warehouse_merge_cdc",
+    "warehouse_load_fetch",
 )
 
 

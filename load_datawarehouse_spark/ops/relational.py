@@ -7441,12 +7441,12 @@ WITH m AS (
     FROM m
 )
 SELECT month,
-       ROUND(CAST(cents - pc AS DOUBLE) / 100, 6) AS delta_rev,
-       ROUND((n - pn) * (CAST(pc AS DOUBLE) / pn) / 100, 6) AS volume_effect,
-       ROUND(pn * (CAST(cents AS DOUBLE) / n - CAST(pc AS DOUBLE) / pn) / 100, 6)
+       ROUND(CAST(cents - pc AS DOUBLE) / 100, 6) + 0 AS delta_rev,
+       ROUND((n - pn) * (CAST(pc AS DOUBLE) / pn) / 100, 6) + 0 AS volume_effect,
+       ROUND(pn * (CAST(cents AS DOUBLE) / n - CAST(pc AS DOUBLE) / pn) / 100, 6) + 0
            AS price_effect,
        ROUND((n - pn) * (CAST(cents AS DOUBLE) / n - CAST(pc AS DOUBLE) / pn) / 100,
-             6) AS mix_effect
+             6) + 0 AS mix_effect
 FROM lagged WHERE pn IS NOT NULL
 ORDER BY month
 """
@@ -7462,8 +7462,14 @@ def orders_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All inputs are exact integers (order counts, cent sums); each
     effect is a deterministic double expression of four integers,
-    rounded 6 dp. Scale: one aggregation to the bounded month series;
-    the lag runs over that tiny series.
+    rounded 6 dp. The oracle adds ``+ 0`` after each ROUND to
+    canonicalize IEEE signed zero: a zero-delta month makes
+    ``0 x negative`` = -0.0, which DuckDB's ROUND preserves while
+    Spark's F.round (BigDecimal, no signed zero) emits 0.0 — the
+    driver's formatted-value hash distinguishes them. ``-0.0 + 0``
+    is +0.0 under round-to-nearest, aligning both engines. Scale:
+    one aggregation to the bounded month series; the lag runs over
+    that tiny series.
     """
     t = load_tables(spark, sf_dir, register_views=False)
     m = (

@@ -13,6 +13,7 @@ import math
 from decimal import Decimal
 
 import duckdb
+import numpy as _np
 
 from load_datawarehouse_spark.session import TABLE_NAMES
 
@@ -30,7 +31,7 @@ def _norm(v):
     if v is None:
         return None
     if isinstance(v, Decimal):
-        return float(v)
+        v = float(v)  # fall through: Decimal("-0") -> -0.0 must stay signed
     if isinstance(v, _dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, _dt.date):
@@ -38,9 +39,19 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            # The driver's formatted-value hash distinguishes IEEE -0.0
+            # from 0.0, but Python `==` does not (-0.0 == 0.0 is True) —
+            # exactly the blind spot that let the orders_revenue_bridge
+            # divergence through CORRECTNESS_r08. Canonicalize zeros to
+            # sign-carrying strings so local sweeps see what the driver
+            # sees.
+            return "-0.0" if math.copysign(1.0, v) < 0.0 else "0.0"
         return v
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple, _np.ndarray)):
         return tuple(_norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
     return v
 
 

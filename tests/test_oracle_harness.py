@@ -1,0 +1,63 @@
+"""Regression tests for the oracle-compare normalizer.
+
+The driver hashes FORMATTED values, so representational divergences
+that Python ``==`` cannot see (IEEE signed zero: ``-0.0 == 0.0`` is
+True) must be made visible by ``_norm`` — CORRECTNESS_r08's one red
+row (`orders_revenue_bridge`) slipped through exactly this gap.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import duckdb
+import numpy as np
+import pytest
+
+from oracle_harness import _norm, compare_query
+
+
+def test_norm_distinguishes_signed_zero():
+    assert _norm(-0.0) != _norm(0.0)
+    assert _norm(0.0) == _norm(0.0)
+    assert _norm(-0.0) == _norm(-0.0)
+
+
+def test_norm_signed_zero_nested():
+    # top-level floats were covered by the round-8 sweep; arrays and
+    # structs must get the same canonicalization
+    assert _norm([-0.0, 1.0]) != _norm([0.0, 1.0])
+    assert _norm((2.0, [-0.0])) != _norm((2.0, [0.0]))
+    assert _norm({"a": -0.0}) != _norm({"a": 0.0})
+    assert _norm(np.array([-0.0])) != _norm(np.array([0.0]))
+
+
+def test_norm_signed_zero_through_decimal():
+    # DuckDB DECIMAL columns can carry Decimal("-0"); float() of it is -0.0
+    assert _norm(Decimal("-0")) != _norm(Decimal("0"))
+
+
+def test_norm_nan_and_inf_stable():
+    assert _norm(float("nan")) == "NaN"
+    assert _norm(float("inf")) == _norm(float("inf"))
+    assert _norm(float("-inf")) != _norm(float("inf"))
+    assert _norm(np.float64(-0.0)) != _norm(np.float64(0.0))
+
+
+def test_norm_numpy_str_not_exploded():
+    assert _norm(np.str_("ab")) == "ab"
+
+
+def test_compare_query_detects_signed_zero(spark):
+    # end-to-end: a Spark +0.0 against an oracle -0.0 must FAIL the
+    # compare even though rowcount/schema/Python-== all agree
+    sdf = spark.createDataFrame([(0.0,)], "x double")
+    con = duckdb.connect()
+    # NB: a literal `-0.0` parses via DECIMAL and loses the sign;
+    # `0.0 * -1` is evaluated in doubles and keeps it
+    with pytest.raises(AssertionError, match="row mismatches"):
+        compare_query(
+            sdf, con, "SELECT CAST(0.0 AS DOUBLE) * -1 AS x", "signed_zero"
+        )
+    # and the positive control: matching signs pass
+    compare_query(sdf, con, "SELECT CAST(0.0 AS DOUBLE) AS x", "signed_zero_ok")

@@ -785,3 +785,35 @@ def test_cc_edge_tiling_is_exact(spark):
         .select("v1", "v2")
     )
     assert tiled == sorted(plain.collect())
+
+
+def test_kmeans_mean_update_join_not_broadcast(spark):
+    # the Lloyd mean-update joins the exploded element stream with the
+    # per-vector assignment frame — O(corpus) rows on BOTH sides. A
+    # broadcast hint on the assignment side was the round-8 scale
+    # finding: fine at sf0.1, fatal at 100x. With auto-broadcast off
+    # (the 100-TB reality for a per-vector frame) the plan must be a
+    # co-partitioned sort-merge/shuffled-hash join, never a broadcast.
+    from pyspark.sql import functions as F
+
+    from load_datawarehouse_spark.session import load_tables as _lt
+
+    emb = _lt(spark, SF_DIR, register_views=False)["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    elems = emb.repartition(8, "vec_id").select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    # same derivation shape as the real loop: assignment out of a
+    # groupBy("vec_id") so it arrives hash-partitioned on the join key
+    assign = elems.groupBy("vec_id").agg(
+        (F.sum("x") > 0).cast("long").alias("cluster")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(llm._km_mean_update(elems, assign))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan, plan

@@ -28,7 +28,16 @@ from pyspark.sql import DataFrame, SparkSession
 # After this window converts, every registered query has been
 # driver-checked at least once.
 _FIRST_NAMES = (
-    # --- round-9 head: the final 30 never-driver-checked names ---
+    # --- round-10 head: ops whose PLANS changed this round (the
+    # broadcast-audit de-hinting + the kmeans persist drop) — every
+    # registered query is already driver-checked, so the window is
+    # 100% re-checks of changed code ---
+    "dedup_minhash_estimate_quality",
+    "dq_expectations_report",
+    "basket_affinity_lift",
+    "contamination_decontaminate_apply",
+    "kmeans_lloyd",
+    # --- re-checks (round-9 window, all green there) ---
     "agg_corr_matrix_single_pass",
     "bpe_first_merges",
     "dedup_embedding_exact",
@@ -59,14 +68,13 @@ _FIRST_NAMES = (
     "text_readability_score",
     "text_zipf_fit",
     "warehouse_partitioned_upsert",
-    # --- the round-8 red row, fixed this round (signed-zero oracle) ---
+    # --- re-checks: ops whose code changed in rounds 7-9, plus the
+    # round-8 red row (signed-zero oracle, fixed in round 9) ---
     "orders_revenue_bridge",
-    # --- 19 re-checks: ops whose code changed in rounds 7-9 ---
     "dedup_embedding_neardup",
     "dedup_connected_components",
     "dedup_semantic_clusters",
     "graph_triangle_count",
-    "kmeans_lloyd",
     "multimodal_decode_image_real",
     "multimodal_decode_audio_real",
     "dedup_minhash_verified",

@@ -4879,9 +4879,14 @@ def basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: pair generation is per-order (k items -> k(k-1)/2 pairs,
     bounded by basket size, never catalog x catalog); the support
-    HAVING prunes the long tail before the lift joins; item counts
-    broadcast. The classic retail-analytics shape, same bounded-
-    fanout discipline as graph_triangle_count.
+    HAVING prunes the long tail before the lift joins. The per-item
+    count frame has one row per distinct partkey — sf-proportional —
+    so the lift joins carry NO broadcast hint (the hints that were
+    here until round 10 were the round-9 scale-killer class); both
+    sides are keyed on partkey and AQE broadcasts at runtime only if
+    the post-HAVING side is actually small. Only the 1-row n_orders
+    aggregate is force-broadcast. Same bounded-fanout discipline as
+    graph_triangle_count.
     """
     t = load_tables(spark, sf_dir, register_views=False)
     baskets = t["lineitem"].select("l_orderkey", "l_partkey").distinct().transform(lineage_cut)
@@ -4897,11 +4902,11 @@ def basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pair.join(
-            F.broadcast(item.select(F.col("l_partkey").alias("p1"), F.col("n_item").alias("n1"))),
+            item.select(F.col("l_partkey").alias("p1"), F.col("n_item").alias("n1")),
             "p1",
         )
         .join(
-            F.broadcast(item.select(F.col("l_partkey").alias("p2"), F.col("n_item").alias("n2"))),
+            item.select(F.col("l_partkey").alias("p2"), F.col("n_item").alias("n2")),
             "p2",
         )
         .crossJoin(F.broadcast(n_orders))
@@ -5685,7 +5690,10 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain checks, each emitting (rule, n_checked, n_failed).
 
     Scale: each rule is a scan-local aggregate except the FK check
-    (broadcast-able dim side) and uniqueness (count vs count-distinct
+    (equi join on the key, NO forced broadcast — customer is
+    sf-proportional, so the hint that was here until round 10 was a
+    scale-killer; AQE broadcasts at runtime only if the dim side is
+    actually small) and uniqueness (count vs count-distinct
     in one Expand-based aggregate — no self-join). The checks over the
     same table deliberately stay separate aggregates so each rule's
     plan prunes to exactly the columns it reads; a 100-TB run fuses
@@ -5704,7 +5712,7 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r1 = rule(o, "orders.o_totalprice > 0",
               F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
-    fk = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"), "left")
+    fk = o.join(c.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"), "left")
     r2 = rule(fk, "orders.o_custkey fk customer",
               F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
     r3 = o.agg(

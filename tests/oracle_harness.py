@@ -27,6 +27,12 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+#: Identity-unique tag for canonicalized float sentinels (NaN, signed
+#: zero): tuples carrying it can never equal any engine-produced value,
+#: so canonicalization cannot create false matches (round-9 ADVICE).
+_FLOAT_TAG = object()
+
+
 def _norm(v):
     if v is None:
         return None
@@ -36,17 +42,27 @@ def _norm(v):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, _dt.date):
         return v.isoformat()
+    if isinstance(v, _np.floating):
+        # np.float32 (DuckDB REAL / Spark FloatType via fetchdf or
+        # toPandas) must reach the same NaN / signed-zero
+        # canonicalization as Python floats — round-9 ADVICE blind spot
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            # tagged sentinel: a genuine VARCHAR "NaN" (or a real
+            # array value like ['float', 'NaN']) must never compare
+            # equal to a float NaN (round-9 ADVICE) — _FLOAT_TAG is an
+            # identity-unique object no engine value can produce
+            return (_FLOAT_TAG, "NaN")
         if v == 0.0:
             # The driver's formatted-value hash distinguishes IEEE -0.0
             # from 0.0, but Python `==` does not (-0.0 == 0.0 is True) —
             # exactly the blind spot that let the orders_revenue_bridge
             # divergence through CORRECTNESS_r08. Canonicalize zeros to
-            # sign-carrying strings so local sweeps see what the driver
-            # sees.
-            return "-0.0" if math.copysign(1.0, v) < 0.0 else "0.0"
+            # sign-carrying tagged sentinels (a bare string sentinel
+            # would false-match a genuine VARCHAR "0.0") so local
+            # sweeps see what the driver sees.
+            return (_FLOAT_TAG, "-0.0") if math.copysign(1.0, v) < 0.0 else (_FLOAT_TAG, "0.0")
         return v
     if isinstance(v, (list, tuple, _np.ndarray)):
         return tuple(_norm(x) for x in v)

@@ -38,10 +38,35 @@ def test_norm_signed_zero_through_decimal():
 
 
 def test_norm_nan_and_inf_stable():
-    assert _norm(float("nan")) == "NaN"
+    assert _norm(float("nan")) == _norm(float("nan"))
     assert _norm(float("inf")) == _norm(float("inf"))
     assert _norm(float("-inf")) != _norm(float("inf"))
     assert _norm(np.float64(-0.0)) != _norm(np.float64(0.0))
+
+
+def test_norm_sentinels_never_match_real_strings():
+    # round-9 ADVICE: a bare-string sentinel ("0.0" / "NaN") would make
+    # a float 0.0 compare equal to a genuine VARCHAR '0.0'. The tagged
+    # sentinels must be unequal to every engine-producible value —
+    # including an array that happens to spell out the old tuple form.
+    assert _norm(0.0) != _norm("0.0")
+    assert _norm(-0.0) != _norm("-0.0")
+    assert _norm(float("nan")) != _norm("NaN")
+    assert _norm(float("nan")) != _norm(["float", "NaN"])
+    assert _norm(0.0) != _norm(["float", "0.0"])
+
+
+def test_norm_float32_canonicalized():
+    # round-9 ADVICE: np.float32 (DuckDB REAL / Spark FloatType via
+    # fetchdf/toPandas) bypassed the float branch entirely, so NaN and
+    # signed zero in 32-bit columns kept the raw-object blind spots
+    assert _norm(np.float32("nan")) == _norm(float("nan"))
+    assert _norm(np.float32(-0.0)) != _norm(np.float32(0.0))
+    assert _norm(np.float32(-0.0)) == _norm(-0.0)
+    assert _norm(np.float32(1.5)) == _norm(1.5)
+    assert _norm(np.array([np.float32(-0.0)], dtype=np.float32)) != _norm(
+        np.array([np.float32(0.0)], dtype=np.float32)
+    )
 
 
 def test_norm_numpy_str_not_exploded():

@@ -789,11 +789,20 @@ def test_cc_edge_tiling_is_exact(spark):
 
 def test_kmeans_mean_update_join_not_broadcast(spark):
     # the Lloyd mean-update joins the exploded element stream with the
-    # per-vector assignment frame — O(corpus) rows on BOTH sides. A
-    # broadcast hint on the assignment side was the round-8 scale
-    # finding: fine at sf0.1, fatal at 100x. With auto-broadcast off
-    # (the 100-TB reality for a per-vector frame) the plan must be a
-    # co-partitioned sort-merge/shuffled-hash join, never a broadcast.
+    # per-vector assignment frame — O(corpus) rows on BOTH sides. Two
+    # locked properties, with auto-broadcast off (the 100-TB reality
+    # for a per-vector frame):
+    #  1. round-8 finding: no broadcast of either side — the plan must
+    #     be a co-partitioned sort-merge/shuffled-hash join;
+    #  2. round-9 finding: no ENSURE_REQUIREMENTS re-exchange of the
+    #     element stream on vec_id — both sides must consume the ONE
+    #     visible repartition exchange (persisting elems hid its
+    #     partitioning under AQE and re-shuffled + re-sorted both
+    #     O(corpus x dim) sides every iteration, doubling SCALEVERIFY
+    #     kmeans time). The only ENSURE exchange allowed is the final
+    #     k x dim (cluster, pos) aggregate.
+    import re
+
     from pyspark.sql import functions as F
 
     from load_datawarehouse_spark.session import load_tables as _lt
@@ -801,12 +810,13 @@ def test_kmeans_mean_update_join_not_broadcast(spark):
     emb = _lt(spark, SF_DIR, register_views=False)["embeddings"].select(
         "vec_id", "embedding"
     )
+    # the REAL derivation shape from kmeans_lloyd: visible repartition,
+    # no persist; assignment out of a groupBy("vec_id") over the same
+    # exchange so it arrives hash-partitioned on the join key
     elems = emb.repartition(8, "vec_id").select(
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
     )
-    # same derivation shape as the real loop: assignment out of a
-    # groupBy("vec_id") so it arrives hash-partitioned on the join key
     assign = elems.groupBy("vec_id").agg(
         (F.sum("x") > 0).cast("long").alias("cluster")
     )
@@ -817,3 +827,57 @@ def test_kmeans_mean_update_join_not_broadcast(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan, plan
+    ensure_on_vecid = [
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"Exchange hashpartitioning\(vec_id.*ENSURE_REQUIREMENTS", ln)
+    ]
+    assert not ensure_on_vecid, plan
+    # exactly: 2 visible repartitions (AQE-reused at runtime) + the
+    # final (cluster, pos) aggregate exchange — nothing else
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3, plan
+
+
+def _plan_no_autobroadcast(spark, fn):
+    # with auto-broadcast OFF, any BroadcastExchange left in the plan
+    # is a FORCED hint — the assertions below are exact hint censuses
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        return _plan(fn(spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_minhash_estimate_no_forced_corpus_broadcast(spark):
+    # round-9 verdict: this diagnostic force-broadcast FOUR O(corpus)
+    # frames (the per-doc signature table twice, the candidate-pair
+    # frame, the per-doc shingle counts). All hints are gone — every
+    # join is an equi join on d1/d2, AQE may broadcast at runtime only
+    # when a side is actually small.
+    plan = _plan_no_autobroadcast(spark, llm.dedup_minhash_estimate_quality)
+    assert "BroadcastExchange" not in plan, plan
+
+
+def test_dq_expectations_fk_check_not_forced_broadcast(spark):
+    # the FK-orphan rule joined orders against a FORCED broadcast of
+    # the full customer table — sf-proportional, fatal at the 100-TB
+    # design point. Now a bare equi join on the pruned key column.
+    plan = _plan_no_autobroadcast(spark, relational.dq_expectations_report)
+    assert "BroadcastExchange" not in plan, plan
+
+
+def test_basket_lift_item_counts_not_forced_broadcast(spark):
+    # per-part item counts are catalog-proportional; the only frame
+    # allowed to keep a forced broadcast is the 1-row n_orders
+    # aggregate
+    plan = _plan_no_autobroadcast(spark, relational.basket_affinity_lift)
+    assert plan.count("BroadcastExchange") == 1, plan
+
+
+def test_decontaminate_flagged_set_not_forced_broadcast(spark):
+    # the flagged-doc set is contamination-fraction-proportional
+    # (unbounded on adversarial corpora) — no hint; the only forced
+    # broadcast left is the fixed-size eval-suite gram set
+    plan = _plan_no_autobroadcast(spark, llm.contamination_decontaminate_apply)
+    assert plan.count("BroadcastExchange") == 1, plan

@@ -112,14 +112,34 @@ def _adjudicate_empty_on_timeout(spark, fn, sql: str) -> dict:
     selective filter). Adjudicate at sf0.01, where the oracle is
     fast: if BOTH engines are also empty there, return a distinct
     'suspect' status for manual review (advisor r7) instead of a hard
-    fail; any other outcome stays a failure."""
+    fail; any other outcome stays a failure. A probe that ERRORS is
+    reported as exactly that (round-8 ADVICE: it used to claim
+    'sf0.01 is non-empty (spark=-1, oracle=-1)' and leaked the DuckDB
+    connection); the probe's lineage-cut persists are released after
+    its terminal action like every other runner's."""
+    from load_datawarehouse_spark.ops._util import release_lineage_cuts
+
+    con = None
+    probe_err = None
     try:
         s_small = fn(spark, SMALL_SF_DIR).count()
         con = _duck_connect(SMALL_SF_DIR)
         o_small = len(con.execute(sql).fetchall())
-        con.close()
-    except Exception:
+    except Exception as exc:
+        probe_err = f"{type(exc).__name__}: {exc}"[:300]
         s_small = o_small = -1
+    finally:
+        if con is not None:
+            con.close()
+        release_lineage_cuts()
+    if probe_err is not None:
+        return {
+            "status": "empty_spark_on_timeout",
+            "spark_rows": 0,
+            "note": "spark returned 0 rows AND the oracle timed out, "
+            f"and the sf0.01 adjudication probe itself errored "
+            f"({probe_err}); treated as a failure",
+        }
     if s_small == 0 and o_small == 0:
         return {
             "status": "suspect_empty_on_timeout",
@@ -277,10 +297,17 @@ def main() -> None:
         "oracle_timeout_sec": ORACLE_TIMEOUT_SEC,
         "queries": out,
     }
+    # certification gate (round-8 ADVICE): suspects BLOCK — an
+    # unadjudicated empty-on-timeout is not a pass, so the sweep only
+    # certifies when every non-excluded query is a match or a priced
+    # oracle timeout with a non-empty Spark result
+    result["certified"] = result["n_fail"] == 0 and result["n_suspect"] == 0
     with open(path, "w") as f:
         json.dump(result, f, indent=2)
     compact = {k: v for k, v in result.items() if k != "queries"}
     print(json.dumps(compact))
+    if not result["certified"]:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -27,10 +27,35 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-#: Identity-unique tag for canonicalized float sentinels (NaN, signed
-#: zero): tuples carrying it can never equal any engine-produced value,
-#: so canonicalization cannot create false matches (round-9 ADVICE).
-_FLOAT_TAG = object()
+class _CanonFloat:
+    """Canonicalized float sentinel (NaN, signed zero).
+
+    Equality demands ``isinstance(other, _CanonFloat)``, so a sentinel
+    can never compare equal to any engine-produced value — a genuine
+    VARCHAR "0.0"/"NaN" or an array spelling out a tuple form (the
+    round-9 ADVICE false-match blind spot). Unlike an identity-unique
+    tag object, it survives PICKLING with value semantics:
+    ``scaleverify`` normalizes oracle rows in a child process and
+    ships them to the parent for comparison, where an identity tag
+    would unpickle as a different object and mismatch every zero/NaN
+    row (found live: 7601 spurious bad rows at sf1)."""
+
+    __slots__ = ("s",)
+
+    def __init__(self, s: str) -> None:
+        self.s = s
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, _CanonFloat) and other.s == self.s
+
+    def __ne__(self, other) -> bool:
+        return not self.__eq__(other)
+
+    def __hash__(self) -> int:
+        return hash(("__canon_float__", self.s))
+
+    def __repr__(self) -> str:
+        return f"CanonFloat({self.s})"
 
 
 def _norm(v):
@@ -51,18 +76,17 @@ def _norm(v):
         if math.isnan(v):
             # tagged sentinel: a genuine VARCHAR "NaN" (or a real
             # array value like ['float', 'NaN']) must never compare
-            # equal to a float NaN (round-9 ADVICE) — _FLOAT_TAG is an
-            # identity-unique object no engine value can produce
-            return (_FLOAT_TAG, "NaN")
+            # equal to a float NaN (round-9 ADVICE)
+            return _CanonFloat("NaN")
         if v == 0.0:
             # The driver's formatted-value hash distinguishes IEEE -0.0
             # from 0.0, but Python `==` does not (-0.0 == 0.0 is True) —
             # exactly the blind spot that let the orders_revenue_bridge
             # divergence through CORRECTNESS_r08. Canonicalize zeros to
-            # sign-carrying tagged sentinels (a bare string sentinel
-            # would false-match a genuine VARCHAR "0.0") so local
-            # sweeps see what the driver sees.
-            return (_FLOAT_TAG, "-0.0") if math.copysign(1.0, v) < 0.0 else (_FLOAT_TAG, "0.0")
+            # sign-carrying _CanonFloat sentinels (a bare string
+            # sentinel would false-match a genuine VARCHAR "0.0") so
+            # local sweeps see what the driver sees.
+            return _CanonFloat("-0.0") if math.copysign(1.0, v) < 0.0 else _CanonFloat("0.0")
         return v
     if isinstance(v, (list, tuple, _np.ndarray)):
         return tuple(_norm(x) for x in v)

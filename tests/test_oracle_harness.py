@@ -86,3 +86,16 @@ def test_compare_query_detects_signed_zero(spark):
         )
     # and the positive control: matching signs pass
     compare_query(sdf, con, "SELECT CAST(0.0 AS DOUBLE) AS x", "signed_zero_ok")
+
+
+def test_norm_sentinels_survive_pickling():
+    # scaleverify normalizes oracle rows in a CHILD process and ships
+    # them to the parent; sentinel equality must be value-based so it
+    # survives the pickle round-trip (an identity tag mismatched every
+    # zero/NaN row at sf1 — 7601 spurious bad rows, round 10)
+    import pickle
+
+    for v in (0.0, -0.0, float("nan")):
+        assert _norm(v) == pickle.loads(pickle.dumps(_norm(v)))
+    assert pickle.loads(pickle.dumps(_norm(0.0))) != _norm(-0.0)
+    assert pickle.loads(pickle.dumps(_norm(0.0))) != _norm("0.0")

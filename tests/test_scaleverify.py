@@ -62,3 +62,34 @@ def test_genuine_timeout_still_detected(monkeypatch):
     )
     status, _, _ = scaleverify._oracle_rows(SF_DIR, sql)
     assert status == "timeout"
+
+
+def test_probe_error_note_and_no_connection_leak(spark):
+    """Round-8 ADVICE: a probe that errors must say so in its note
+    (not claim 'sf0.01 is non-empty (spark=-1, oracle=-1)') and close
+    the DuckDB connection it opened."""
+
+    def boom(s, sf_dir):
+        raise RuntimeError("probe exploded here")
+
+    rec = scaleverify._adjudicate_empty_on_timeout(spark, boom, "SELECT 1 AS x")
+    assert rec["status"] == "empty_spark_on_timeout"
+    assert "probe itself errored" in rec["note"]
+    assert "probe exploded here" in rec["note"]
+    assert "non-empty" not in rec["note"]
+
+
+def test_certification_blocks_on_suspects():
+    """Round-8 ADVICE: n_suspect > 0 must BLOCK certification — an
+    unadjudicated empty-on-timeout is not a pass."""
+    ok = {"n_fail": 0, "n_suspect": 0}
+    sus = {"n_fail": 0, "n_suspect": 1}
+    bad = {"n_fail": 2, "n_suspect": 0}
+    gate = lambda r: r["n_fail"] == 0 and r["n_suspect"] == 0  # noqa: E731
+    assert gate(ok) and not gate(sus) and not gate(bad)
+    # and the live script encodes exactly that predicate + a non-zero
+    # exit so cron/driver wrappers cannot mistake a suspect sweep for
+    # a certified one
+    src = open("scaleverify.py").read()
+    assert 'result["certified"] = result["n_fail"] == 0 and result["n_suspect"] == 0' in src
+    assert 'if not result["certified"]:' in src

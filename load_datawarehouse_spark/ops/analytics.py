@@ -21,7 +21,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from load_datawarehouse_spark.ops._util import dec_sum, lineage_cut, sql_dec_sum
+from load_datawarehouse_spark.ops._util import bcast_bounded, dec_sum, lineage_cut, sql_dec_sum
 from load_datawarehouse_spark.session import load_tables
 
 QUERIES: dict = {}
@@ -339,7 +339,7 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bounds = (
         bkt_counts.withColumn("cum_before", F.coalesce(F.sum("bn").over(wcum), F.lit(0)))
-        .crossJoin(F.broadcast(m))
+        .crossJoin(bcast_bounded(m, "1-row aggregate"))
         .select(
             "event_type",
             "bkt",
@@ -355,7 +355,10 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     keyed = ev.join(
-        F.broadcast(bounds.filter(F.col("full") | F.col("boundary"))),
+        bcast_bounded(
+            bounds.filter(F.col("full") | F.col("boundary")),
+            "event_type x fixed bucket grid",
+        ),
         ["event_type", "bkt"],
     )
     kept_full = keyed.filter(F.col("full"))
@@ -545,7 +548,7 @@ def geo_radius_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.range(-1, 2).select(F.col("id").alias("dlo"))
     )
     a = (
-        pts.crossJoin(F.broadcast(offsets))
+        pts.crossJoin(bcast_bounded(offsets, "3x3 neighbor offsets: 9 rows"))
         .select(
             F.col("c_custkey").alias("c1"),
             F.col("lat").alias("lat1"),
@@ -658,9 +661,9 @@ def agg_sketch_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_union = F.col("exact_a") + F.col("exact_b") - F.col("exact_both")
     tol = F.lit(0.08) * exact_union + F.lit(2.0)
     return (
-        pairs.join(F.broadcast(pa), "ta")
-        .join(F.broadcast(pb), "tb")
-        .join(F.broadcast(both), ["ta", "tb"])
+        pairs.join(bcast_bounded(pa, "per event_type: type-domain-bounded"), "ta")
+        .join(bcast_bounded(pb, "per event_type: type-domain-bounded"), "tb")
+        .join(bcast_bounded(both, "event_type pairs: type-domain-bounded"), ["ta", "tb"])
         .select(
             "ta",
             "tb",
@@ -1042,7 +1045,7 @@ def stat_subsample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     draws = (
         t["orders"]
         .select("o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
-        .crossJoin(F.broadcast(reps))
+        .crossJoin(bcast_bounded(reps, "bootstrap replicate ids: fixed B rows"))
         .filter(nib % 2 == 0)
     )
     means = draws.groupBy("b").agg(
@@ -1112,7 +1115,8 @@ def basket_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     what keeps the combinatorial join tractable at scale
     (the level-2 companion is ``basket_affinity_lift``).
 
-    Scale: the brand dim is broadcast; the triple expansion fans out
+    Scale: the brand lookup joins bare (part is sf-proportional;
+    AQE broadcasts while small); the triple expansion fans out
     per order over its PRUNED distinct items (baskets are small, the
     b1<b2<b3 ordering generates each triple once), and the support
     threshold is corpus-relative so the plan's selectivity is stable
@@ -1121,20 +1125,22 @@ def basket_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, register_views=False)
     items = (
         t["lineitem"]
-        .join(F.broadcast(t["part"].select("p_partkey", "p_brand")),
+        .join(t["part"].select("p_partkey", "p_brand"),
               F.col("l_partkey") == F.col("p_partkey"))
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("item"))
         .distinct()
     )
     n = items.select(F.count_distinct("okey").alias("n_orders"))
     freq1 = (
-        items.crossJoin(F.broadcast(n))
+        items.crossJoin(bcast_bounded(n, "1-row aggregate"))
         .groupBy("item", "n_orders")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") * 10000 >= _TRIPLES_MIN_SUPPORT_BPS * F.col("n_orders"))
         .select("item")
     )
-    pruned = items.join(F.broadcast(freq1), "item").select("okey", "item")
+    pruned = items.join(
+        bcast_bounded(freq1, "p_brand domain: <= 25 values"), "item"
+    ).select("okey", "item")
     a = pruned.select("okey", F.col("item").alias("b1"))
     b = pruned.select("okey", F.col("item").alias("b2"))
     c = pruned.select("okey", F.col("item").alias("b3"))
@@ -1145,7 +1151,7 @@ def basket_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("b3") > F.col("b2"))
         .groupBy("b1", "b2", "b3")
         .agg(F.count(F.lit(1)).alias("support"))
-        .crossJoin(F.broadcast(n))
+        .crossJoin(bcast_bounded(n, "1-row aggregate"))
         .filter(F.col("support") * 10000 >= _TRIPLES_MIN_SUPPORT_BPS * F.col("n_orders"))
         .select("b1", "b2", "b3", F.col("support").cast("long"))
         .orderBy("b1", "b2", "b3")
@@ -1832,7 +1838,7 @@ def stat_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("date")
         .alias("mid")
     )
-    tagged = t["orders"].crossJoin(F.broadcast(mid)).select(
+    tagged = t["orders"].crossJoin(bcast_bounded(mid, "1-row aggregate")).select(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         (F.col("o_orderdate").cast("date") >= F.col("mid")).alias("late"),
     )
@@ -1855,7 +1861,7 @@ def stat_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.col("gap")
     )
     return (
-        steps.crossJoin(F.broadcast(n))
+        steps.crossJoin(bcast_bounded(n, "1-row aggregate"))
         .groupBy("na", "nb")
         .agg(
             F.round(
@@ -1940,7 +1946,7 @@ def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         - 1
     )
-    cells = t["events"].crossJoin(F.broadcast(mid)).select(
+    cells = t["events"].crossJoin(bcast_bounded(mid, "1-row aggregate")).select(
         F.when(nib % 2 == 0, "T").otherwise("C").alias("arm"),
         F.when(F.col("ts").cast("date") >= F.col("m"), "post")
         .otherwise("pre")
@@ -2046,7 +2052,7 @@ def orders_price_time_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     offs = spark.range(-1, 2).select(F.col("id").alias("dp")).crossJoin(
         spark.range(-1, 2).select(F.col("id").alias("dt"))
     )
-    a = o.crossJoin(F.broadcast(offs)).select(
+    a = o.crossJoin(bcast_bounded(offs, "3x3 neighbor offsets: 9 rows")).select(
         F.col("k").alias("k1"),
         F.col("cust").alias("c1"),
         F.col("cents").alias("v1"),
@@ -2154,7 +2160,7 @@ def orders_spc_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mid"),
     )
     base = (
-        days.crossJoin(F.broadcast(horizon))
+        days.crossJoin(bcast_bounded(horizon, "1-row aggregate"))
         .filter(F.col("day") < F.col("mid"))
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -2175,9 +2181,9 @@ def orders_spc_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("band"),
     )
     return (
-        days.crossJoin(F.broadcast(horizon))
+        days.crossJoin(bcast_bounded(horizon, "1-row aggregate"))
         .filter(F.col("day") >= F.col("mid"))
-        .crossJoin(F.broadcast(lim))
+        .crossJoin(bcast_bounded(lim, "1-row aggregate"))
         .select(
             F.col("day").cast("string").alias("day"),
             "cents",
@@ -2721,7 +2727,7 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = (
         t["lineitem"]
         .join(
-            F.broadcast(t["part"].select("p_partkey", "p_brand")),
+            t["part"].select("p_partkey", "p_brand"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("item"))
@@ -2741,9 +2747,9 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx = single.select(F.col("item").alias("x"), F.col("supp").alias("supp_x"))
     sy = single.select(F.col("item").alias("y"), F.col("supp").alias("supp_y"))
     return (
-        pair.join(F.broadcast(sx), "x")
-        .join(F.broadcast(sy), "y")
-        .crossJoin(F.broadcast(n))
+        pair.join(bcast_bounded(sx, "p_brand domain: <= 25 values"), "x")
+        .join(bcast_bounded(sy, "p_brand domain: <= 25 values"), "y")
+        .crossJoin(bcast_bounded(n, "1-row aggregate"))
         .filter(F.col("supp_xy") * 10000 >= _RULES_MIN_CONF_BPS * F.col("supp_x"))
         .select(
             F.col("x").alias("antecedent"),
@@ -2926,7 +2932,7 @@ def stat_empirical_bayes_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_cust.filter(F.col("cust") < 200)
-        .crossJoin(F.broadcast(prior))
+        .crossJoin(bcast_bounded(prior, "1-row aggregate"))
         .select(
             "cust",
             F.col("n").cast("long").alias("n_lines"),
@@ -2990,7 +2996,7 @@ def pipeline_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     sprt_df = stats_sprt_monitoring(spark, sf_dir)
     last_day = sprt_df.agg(F.max("day").alias("d"))
     sprt = (
-        sprt_df.join(F.broadcast(last_day), sprt_df.day == F.col("d"))
+        sprt_df.join(bcast_bounded(last_day, "1-row aggregate"), sprt_df.day == F.col("d"))
         .select(F.lit("sprt_final_llr").alias("metric"), F.col("cum_llr").alias("value"))
     )
     return ab.unionByName(mde).unionByName(did).unionByName(sprt).orderBy("metric")

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from load_datawarehouse_spark.ops._util import DEC, lineage_cut, lineage_cut_eager
+from load_datawarehouse_spark.ops._util import DEC, bcast_bounded, lineage_cut, lineage_cut_eager
 from load_datawarehouse_spark.session import load_tables
 
 QUERIES: dict = {}
@@ -774,7 +774,7 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), F.col("nrm").alias("qnrm")
     )
     scored = (
-        emb.crossJoin(F.broadcast(q))
+        emb.crossJoin(bcast_bounded(q, "query set: 5 vectors"))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
@@ -804,7 +804,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("qnrm"),
     )
     scored = (
-        emb.join(F.broadcast(q), emb.label == F.col("qlabel"))
+        emb.join(bcast_bounded(q, "query set: 5 vectors"), emb.label == F.col("qlabel"))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
@@ -1733,7 +1733,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = tf.select(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
         tf.join(df, "term")
-        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(bcast_bounded(n_docs, "1-row aggregate"))
         .select(
             "doc_id",
             "term",
@@ -2065,7 +2065,7 @@ def contamination_ngram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = d.filter(is_eval).select("gram").distinct()
     return (
         d.filter(~is_eval)
-        .join(F.broadcast(ev), "gram")
+        .join(bcast_bounded(ev, "eval-suite grams: fixed benchmark size by design"), "gram")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
         .orderBy("doc_id")
@@ -2184,7 +2184,7 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("qbucket"),
     )
     scored = (
-        emb.join(F.broadcast(q), emb.bucket == F.col("qbucket"))
+        emb.join(bcast_bounded(q, "query set: 5 vectors"), emb.bucket == F.col("qbucket"))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
@@ -2396,7 +2396,7 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(p,) + tuple(by_pos[p][c] for c in range(_KM_K)) for p in sorted(by_pos)],
             "pos int, " + ", ".join(f"c{c} double" for c in range(_KM_K)),
         )
-        joined = elems.join(F.broadcast(cdf), "pos")
+        joined = elems.join(bcast_bounded(cdf, "pivoted centroids: dim x k values"), "pos")
         d2cols = [
             F.sum(
                 ((F.col("x") - F.col(f"c{c}")) * (F.col("x") - F.col(f"c{c}"))).cast(
@@ -2440,7 +2440,7 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster long, pos long, centroid double",
     )
     return (
-        cent_df.join(F.broadcast(sizes), "cluster")
+        cent_df.join(bcast_bounded(sizes, "k cluster sizes"), "cluster")
         .select("cluster", "pos", "centroid", "n_members")
         .orderBy("cluster", "pos")
     )
@@ -2537,14 +2537,14 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, register_views=False)
     per_src = t["documents"].groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     tot = per_src.agg(F.sum("n_docs").cast("long").alias("n_total"))
-    w = per_src.crossJoin(F.broadcast(tot)).withColumn(
+    w = per_src.crossJoin(bcast_bounded(tot, "1-row aggregate")).withColumn(
         "w_dec",
         F.sqrt(F.col("n_docs").cast("double") / F.col("n_total")).cast(_COS_DEC),
     )
     norm = w.agg(F.sum("w_dec").cast("double").alias("w_sum"))
     share = F.col("w_dec").cast("double") / F.col("w_sum")
     return (
-        w.crossJoin(F.broadcast(norm))
+        w.crossJoin(bcast_bounded(norm, "1-row aggregate"))
         .select(
             "source",
             "n_docs",
@@ -2799,7 +2799,7 @@ def pipeline_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = rep.filter(~F.col("source").isin(*_CONTAM_EVAL_SOURCES))
     flagged = (
         train.select("doc_id", F.explode(grams8).alias("gram"))
-        .join(F.broadcast(eval_grams), "gram")
+        .join(bcast_bounded(eval_grams, "eval-suite grams: fixed benchmark size by design"), "gram")
         .select("doc_id")
         .distinct()
     )
@@ -3162,7 +3162,7 @@ def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
         .drop("bloom_pos")
     )
     return (
-        candidates.join(F.broadcast(ev), "gram")  # exact verify: FPs die here
+        candidates.join(bcast_bounded(ev, "eval-suite grams: fixed benchmark size by design"), "gram")  # exact verify: FPs die here
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
         .orderBy("doc_id")
@@ -3365,7 +3365,7 @@ def similarity_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q").alias("qq"),
     )
     coarse = (
-        iq.crossJoin(F.broadcast(qs))
+        iq.crossJoin(bcast_bounded(qs, "query set: 5 vectors"))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
@@ -3384,9 +3384,9 @@ def similarity_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SQ_OVERSAMPLE,
     ).select("qid", "vec_id")
     rescored = (
-        emb.join(F.broadcast(cand), "vec_id")
+        emb.join(bcast_bounded(cand, "queries x oversampled top-k rows"), "vec_id")
         .join(
-            F.broadcast(qs.select("qid", "qv", "qnrm")),
+            bcast_bounded(qs.select("qid", "qv", "qnrm"), "query set: 5 vectors"),
             "qid",
         )
         .select(
@@ -3480,8 +3480,8 @@ def importance_resample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tcnt"),
     )
     weighted = (
-        words.join(F.broadcast(buckets), "b")
-        .crossJoin(F.broadcast(totals))
+        words.join(bcast_bounded(buckets, "fixed hash-bucket table"), "b")
+        .crossJoin(bcast_bounded(totals, "1-row aggregate"))
         .select(
             "doc_id",
             (
@@ -3818,7 +3818,7 @@ def contamination_decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataF
     ev = d.filter(is_eval).select("gram").distinct()
     flagged = (
         d.filter(~is_eval)
-        .join(F.broadcast(ev), "gram")
+        .join(bcast_bounded(ev, "eval-suite grams: fixed benchmark size by design"), "gram")
         .select("doc_id")
         .distinct()
     )
@@ -3897,7 +3897,7 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word", F.lit(1).alias("in_vocab"))
     )
     return (
-        words.join(F.broadcast(vocab), "word", "left")
+        words.join(bcast_bounded(vocab, "top-N vocab: N fixed"), "word", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
@@ -4371,9 +4371,9 @@ def _bm25_scored(t) -> DataFrame:
         / (F.col("tf") + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")))
     )
     return (
-        tf.join(F.broadcast(df), "word")
+        tf.join(bcast_bounded(df, "fixed BM25 query-term list"), "word")
         .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
+        .crossJoin(bcast_bounded(stats, "1-row aggregate"))
         .groupBy("doc_id")
         .agg(F.round(F.sum(term.cast("decimal(38,18)")).cast("double"), 9).alias("bm25"))
     )
@@ -4474,7 +4474,7 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"), F.col("nrm").alias("qnrm")
     )
-    scored = emb.crossJoin(F.broadcast(q)).select(
+    scored = emb.crossJoin(bcast_bounded(q, "query set: 5 vectors")).select(
         F.col("vec_id").alias("doc_id"),
         (_dec_dot("embedding", "qv") / (F.col("nrm") * F.col("qnrm"))).alias("cosine"),
     )
@@ -4660,7 +4660,7 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("nrm").cast(dec18)).cast("double") / F.count(F.lit(1)), 12
         ).alias("mu_r")
     )
-    devs = norms.crossJoin(F.broadcast(mu)).withColumn(
+    devs = norms.crossJoin(bcast_bounded(mu, "1-row aggregate")).withColumn(
         "dev9", F.round((F.col("nrm") - F.col("mu_r")) * 1e9, 0).cast("long")
     )
     sig = devs.agg(
@@ -4669,7 +4669,7 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sigma9")
     )
     return (
-        devs.crossJoin(F.broadcast(sig))
+        devs.crossJoin(bcast_bounded(sig, "1-row aggregate"))
         .select(
             "vec_id",
             "label",
@@ -5131,7 +5131,7 @@ def dedup_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(n))
+        .crossJoin(bcast_bounded(n, "1-row aggregate"))
         .filter(
             F.col("df")
             <= F.greatest(F.lit(MAX_SHINGLE_DF), F.floor(F.col("n_docs") * 5 / 100))
@@ -5140,7 +5140,7 @@ def dedup_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wts = (
         tf.join(df, "term")
-        .crossJoin(F.broadcast(n))
+        .crossJoin(bcast_bounded(n, "1-row aggregate"))
         .select(
             "doc_id",
             "term",
@@ -5224,9 +5224,9 @@ def quality_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.col("n").cast("double") / F.col("tot")
     q = F.col("cn").cast("double") / F.col("ctot")
     return (
-        src_tf.join(F.broadcast(src_tot), "source")
+        src_tf.join(bcast_bounded(src_tot, "per source: source-domain-bounded"), "source")
         .join(corpus_tf, "term")
-        .crossJoin(F.broadcast(corpus_tot))
+        .crossJoin(bcast_bounded(corpus_tot, "1-row aggregate"))
         .groupBy("source")
         .agg(
             F.max("tot").cast("long").alias("n_tokens"),
@@ -5711,8 +5711,8 @@ def text_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t["documents"].agg(F.count(F.lit(1)).alias("n_docs"))
     checkpoints = spark.range(1, 11).select(F.col("id").alias("decile"))
     return (
-        firsts.crossJoin(F.broadcast(n))
-        .crossJoin(F.broadcast(checkpoints))
+        firsts.crossJoin(bcast_bounded(n, "1-row aggregate"))
+        .crossJoin(bcast_bounded(checkpoints, "decile checkpoints: 10 rows"))
         .groupBy("decile", "n_docs")
         .agg(
             F.sum(
@@ -5861,10 +5861,10 @@ def heavy_hitters_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = words.mapInPandas(mg_partition, "word string").distinct()
     tot = words.agg(F.count(F.lit(1)).alias("n"))
     return (
-        words.join(F.broadcast(cand), "word", "left_semi")
+        words.join(bcast_bounded(cand, "Misra-Gries candidates: <= m x partitions"), "word", "left_semi")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .crossJoin(F.broadcast(tot))
+        .crossJoin(bcast_bounded(tot, "1-row aggregate"))
         .filter(F.col("cnt") * _MG_M > F.col("n"))
         .select(
             "word",
@@ -6013,7 +6013,7 @@ def corpus_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFram
     )
     w = per_src.withColumn("wt", F.sqrt(F.col("tokens").cast("double")))
     tot = w.agg(F.sum("wt").alias("tw"))
-    shares = w.crossJoin(F.broadcast(tot)).withColumn(
+    shares = w.crossJoin(bcast_bounded(tot, "1-row aggregate")).withColumn(
         "share", F.lit(_MIX_BUDGET) * F.col("wt") / F.col("tw")
     )
     fl = shares.select(
@@ -6100,7 +6100,7 @@ def contamination_embedding_check(spark: SparkSession, sf_dir: str) -> DataFrame
     corpus = emb.filter(F.col("vec_id") >= 20).select(
         "vec_id", "embedding", _dec_norm("embedding").alias("nrm")
     )
-    pairs = corpus.crossJoin(F.broadcast(ev)).select(
+    pairs = corpus.crossJoin(bcast_bounded(ev, "eval vectors: 20 rows")).select(
         "vec_id",
         F.round(
             _dec_dot("embedding", "evec") / (F.col("nrm") * F.col("enrm")), 6
@@ -6291,7 +6291,7 @@ def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ranked.filter(F.col("rk") <= _PRI_K)
-        .crossJoin(F.broadcast(tau))
+        .crossJoin(bcast_bounded(tau, "1-row aggregate"))
         .select(
             "o_orderkey",
             "cents",
@@ -6382,8 +6382,9 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     v = [(p, 0.125) for p in range(_PCA_DIM)]
     nrm_last = None
     for _ in range(_PCA_ITERS):
-        vdf = F.broadcast(
-            spark.createDataFrame(v, "pos int, v double")
+        vdf = bcast_bounded(
+            spark.createDataFrame(v, "pos int, v double"),
+            "power-iteration vector: dim rows",
         )
         s = (
             elems.join(vdf, "pos")
@@ -6763,8 +6764,8 @@ def _ct_doc_predictions(docs: DataFrame) -> DataFrame:
     langs = docs.select(F.col("lang").alias("cand")).distinct()
     wb = Window.partitionBy("doc_id").orderBy("dist", "cand")
     return (
-        doc_prof.crossJoin(F.broadcast(langs))
-        .join(F.broadcast(lang_prof), ["cand", "gram"], "left")
+        doc_prof.crossJoin(bcast_bounded(langs, "language list: fixed"))
+        .join(bcast_bounded(lang_prof, "per-language trigram profiles: fixed size"), ["cand", "gram"], "left")
         .groupBy("doc_id", "cand")
         .agg(
             F.sum(
@@ -6901,7 +6902,7 @@ def stats_classifier_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     po_ = 1.0 * F.col("agree") / F.col("n")
     pe_ = 1.0 * F.col("exp_agree_n2") / (F.col("n") * F.col("n"))
     return (
-        stats.crossJoin(F.broadcast(pe))
+        stats.crossJoin(bcast_bounded(pe, "1-row aggregate"))
         .select(
             F.col("n").cast("long").alias("n_docs"),
             F.col("agree").cast("long").alias("n_agree"),
@@ -7021,7 +7022,10 @@ def embedding_pca_second_component(spark: SparkSession, sf_dir: str) -> DataFram
         )
 
     def matvec(vrows):
-        vdf = F.broadcast(spark.createDataFrame(vrows, "pos int, v double"))
+        vdf = bcast_bounded(
+            spark.createDataFrame(vrows, "pos int, v double"),
+            "power-iteration vector: dim rows",
+        )
         s = (
             elems.join(vdf, "pos")
             .groupBy("vec_id")

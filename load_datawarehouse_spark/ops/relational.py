@@ -8,8 +8,12 @@ everything here is the Spark-native realization of that surface.
 
 Scale notes are inline per operator. Common principles:
 
-- Dimension tables (region/nation/supplier/part/literal dims) are
-  explicitly ``F.broadcast`` so the join never shuffles the fact side.
+- CONSTANT-bounded dimensions (region/nation, 1-row gates, fixed
+  key domains, literal dims) are force-broadcast via ``bcast_bounded``
+  (bound documented at every call site — COVERAGE.md broadcast table);
+  sf-proportional dims (customer/supplier/part projections) join BARE
+  and rely on AQE's runtime size check, which broadcasts them at bench
+  scale and shuffles soundly at 100 TB (round-10 audit).
 - Fact-fact joins shuffle on their keys once; AQE handles skew.
 - Aggregates are expressed declaratively so Catalyst produces partial
   (map-side) aggregation for free.
@@ -25,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from load_datawarehouse_spark.ops._util import (
+    bcast_bounded,
     DEC,
     dec_avg,
     dec_sum,
@@ -171,12 +176,11 @@ ORDER BY revenue DESC, n_name
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Six-way join: local supplier volume per nation.
 
-    Scale: region/nation/supplier/customer are broadcast (all orders of
-    magnitude smaller than the facts at any SF; customer is ~SF*150k
-    rows — still broadcastable at 100 TB-lineitem scale where customer
-    is ~15 GB... NOT broadcastable there, so customer-orders is left to
-    the planner: at small SF AQE converts it to broadcast, at large SF
-    it's a shuffle join on custkey. The two fact joins shuffle once
+    Scale: region/nation are forced-broadcast (constant 5/25 rows);
+    supplier/customer grow with SF (customer ~SF*150k rows, ~15 GB at
+    the 100-TB point), so their joins are left to the planner: at
+    small SF AQE converts them to broadcast, at large SF they are
+    shuffle joins on their keys. The two fact joins shuffle once
     each on their keys.)
     """
     t = load_tables(spark, sf_dir, register_views=False)
@@ -188,7 +192,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = (
         t["customer"]
-        .join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(bcast_bounded(n.join(bcast_bounded(r, "region: 5 rows"), n.n_regionkey == r.r_regionkey), "nation x region: <= 25 rows"), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(o, F.col("o_custkey") == F.col("c_custkey"))
         .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
@@ -262,7 +266,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: both date and returnflag predicates push down before the
     joins; orders-lineitem shuffles on orderkey; the nation dim is
-    broadcast; the final top-20 is a TakeOrdered (no global sort).
+    forced-broadcast (25 rows), customer AQE-sized; the final top-20
+    is a TakeOrdered (no global sort).
     """
     t = load_tables(spark, sf_dir, register_views=False)
     o = t["orders"].filter(
@@ -272,7 +277,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = t["lineitem"].filter(F.col("l_returnflag") == "R")
     return (
         t["customer"]
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(bcast_bounded(t["nation"], "nation: 25 rows"), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(o, F.col("o_custkey") == F.col("c_custkey"))
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("c_custkey", "c_name", "n_name")
@@ -302,7 +307,7 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, register_views=False)
     return (
         t["customer"]
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(bcast_bounded(t["nation"], "nation: 25 rows"), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_orders"), dec_sum("o_totalprice", "total_value"))
@@ -451,7 +456,7 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross join — only ever dim x dim; broadcast NL at any scale."""
     t = load_tables(spark, sf_dir, register_views=False)
     return (
-        t["region"].crossJoin(F.broadcast(t["nation"])).select("r_name", "n_name").orderBy("r_name", "n_name")
+        t["region"].crossJoin(bcast_bounded(t["nation"], "nation: 25 rows")).select("r_name", "n_name").orderBy("r_name", "n_name")
     )
 
 
@@ -477,7 +482,7 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     s, c, n = t["supplier"], t["customer"], t["nation"]
     return (
         s.join(c, (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal))
-        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(bcast_bounded(n, "nation: 25 rows"), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("n_name")
@@ -513,7 +518,7 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
     o = t["orders"]
     return (
-        o.join(F.broadcast(bands), (o.o_totalprice >= F.col("lo")) & (o.o_totalprice < F.col("hi")))
+        o.join(bcast_bounded(bands, "literal band table: 4 rows"), (o.o_totalprice >= F.col("lo")) & (o.o_totalprice < F.col("hi")))
         .groupBy("band")
         .agg(F.count(F.lit(1)).alias("n_orders"), dec_sum("o_totalprice", "band_value"))
         .orderBy("band")
@@ -1570,7 +1575,7 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = t["orders"].select("o_orderkey", k.alias("k"))
     b = a.select("k").distinct().select(F.col("k").alias("bk"))
     return (
-        a.join(F.broadcast(b), F.col("k").eqNullSafe(F.col("bk")))
+        a.join(bcast_bounded(b, "o_orderpriority domain (+NULL): 6 keys"), F.col("k").eqNullSafe(F.col("bk")))
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("k")
@@ -2055,10 +2060,10 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
     )
     cust = t["customer"].join(
-        F.broadcast(cn), F.col("c_nationkey") == F.col("c_nkey")
+        bcast_bounded(cn, "nation: 25 rows"), F.col("c_nationkey") == F.col("c_nkey")
     ).select("c_custkey", "cust_nation")
     supp = t["supplier"].join(
-        F.broadcast(sn), F.col("s_nationkey") == F.col("s_nkey")
+        bcast_bounded(sn, "nation: 25 rows"), F.col("s_nationkey") == F.col("s_nkey")
     ).select("s_suppkey", "supp_nation")
     pair = (
         (F.col("cust_nation") == "NATION_0") & (F.col("supp_nation") == "NATION_1")
@@ -2121,15 +2126,15 @@ def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = t["nation"].select("n_nationkey", "n_regionkey")
     reg = t["region"].select("r_regionkey", "r_name")
     region_est = (
-        nat_sketch.join(F.broadcast(nat), nat_sketch.c_nationkey == nat.n_nationkey)
-        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        nat_sketch.join(bcast_bounded(nat, "nation: 25 rows"), nat_sketch.c_nationkey == nat.n_nationkey)
+        .join(bcast_bounded(reg, "region: 5 rows"), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name")
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
     )
     exact = (
         t["customer"]
-        .join(F.broadcast(nat), t["customer"].c_nationkey == nat.n_nationkey)
-        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(bcast_bounded(nat, "nation: 25 rows"), t["customer"].c_nationkey == nat.n_nationkey)
+        .join(bcast_bounded(reg, "region: 5 rows"), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name")
         .agg(F.count_distinct("c_custkey").alias("exact_customers"))
     )
@@ -2389,9 +2394,10 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Promotion effect (TPC-H Q14 shape): share of one month's
     revenue from promo parts.
 
-    Scale: shipdate month pushes to the lineitem scan; part is a
-    broadcast dim; both sums accumulate in exact decimal so the final
-    ratio is partitioning-proof."""
+    Scale: shipdate month pushes to the lineitem scan; part is
+    sf-proportional so it joins bare (AQE broadcasts while small);
+    both sums accumulate in exact decimal so the final ratio is
+    partitioning-proof."""
     t = load_tables(spark, sf_dir, register_views=False)
     l = t["lineitem"].filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -2400,7 +2406,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
     promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC))
     return (
-        l.join(F.broadcast(t["part"].select("p_partkey", "p_type")),
+        l.join(t["part"].select("p_partkey", "p_type"),
                F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (
@@ -2618,7 +2624,7 @@ def dpp_join_plan(spark: SparkSession, fact_path: str, dim_path: str) -> DataFra
     )
     fact = spark.read.parquet(fact_path)
     return (
-        fact.join(F.broadcast(dim), fact.o_orderpriority == dim.prio)
+        fact.join(bcast_bounded(dim, "priority dim: 5 rows"), fact.o_orderpriority == dim.prio)
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -3132,7 +3138,7 @@ def agg_argmax_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct per (nation, partition)."""
     t = load_tables(spark, sf_dir, register_views=False)
     j = t["customer"].join(
-        F.broadcast(t["nation"].select("n_nationkey")),
+        bcast_bounded(t["nation"].select("n_nationkey"), "nation: 25 rows"),
         F.col("n_nationkey") == F.col("c_nationkey"),
     )
     top = F.max(F.struct(F.col("c_acctbal").alias("bal"), F.col("c_custkey").alias("key")))
@@ -4356,19 +4362,22 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the canonical a<b orientation (bounded by lines-per-order:
     k lines -> k(k-1)/2 pairs, k~7), de-duplicated per order;
     (2) support filter = one (s1,s2) hash aggregate; (3) hub removal
-    via two broadcast anti-joins against the (tiny) over-cap vertex
-    list; (4) n_wedges computed ANALYTICALLY as sum(in_deg*out_deg)
+    via two anti equi-joins against the over-cap vertex list (its size
+    is 2E/cap — data-proportional, so no forced hint; AQE broadcasts
+    it while small); (4) n_wedges computed ANALYTICALLY as sum(in_deg*out_deg)
     — a degree-aggregate join, never materializing the wedge set
-    twice; (5) the one heavy stage, wedge enumeration joined to a
-    BROADCAST closing-edge set (slim (s1,s2) pairs — 1.1M rows at
-    sf1), so the 2.4e8-row wedge stream is generated and probed
-    map-side with only a partial count crossing the wire. The wedge
-    join key is explicitly repartitioned: AQE sizes by INPUT bytes
-    and would coalesce the slim-input/quadratic-output join onto a
-    handful of tasks (the ``_cc_edges`` lesson). At corpora where
-    the supported edge set outgrows broadcast, drop the hint — the
-    plan degrades to a shuffled wedge-edge join, still bounded by
-    the degree cap.
+    twice; (5) the one heavy stage, wedge enumeration joined to the
+    closing-edge set (slim (s1,s2) pairs — 1.1M rows / ~20 MB at sf1;
+    the edge count is data-proportional, so since the round-10 audit
+    there is NO forced hint and AQE's runtime sizing decides: it
+    broadcasts the edge set while it fits — the 2.4e8-row wedge
+    stream is then generated and probed map-side with only a partial
+    count crossing the wire — and degrades to a sound shuffled
+    wedge-edge join, still bounded by the degree cap, where the edge
+    set outgrows the threshold). The wedge join key is explicitly
+    repartitioned: AQE sizes by INPUT bytes and would coalesce the
+    slim-input/quadratic-output join onto a handful of tasks (the
+    ``_cc_edges`` lesson).
     """
     t = load_tables(spark, sf_dir, register_views=False)
     li = t["lineitem"].select("l_orderkey", "l_suppkey")
@@ -4393,8 +4402,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hubs = deg.filter(F.col("d") > _TRIANGLE_DEGREE_CAP).select("v")
     edges = (
-        edges_all.join(F.broadcast(hubs), edges_all["s1"] == hubs["v"], "left_anti")
-        .join(F.broadcast(hubs), edges_all["s2"] == hubs["v"], "left_anti")
+        edges_all.join(hubs, edges_all["s1"] == hubs["v"], "left_anti")
+        .join(hubs, edges_all["s2"] == hubs["v"], "left_anti")
         .transform(lineage_cut)
     )
     n_edges = edges.count()
@@ -4415,7 +4424,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(edges.select(F.col("s1").alias("b"), F.col("s2").alias("c")), "b")
     )
     closed = wedges.join(
-        F.broadcast(edges.select(F.col("s1").alias("a"), F.col("s2").alias("c"))),
+        edges.select(F.col("s1").alias("a"), F.col("s2").alias("c")),
         ["a", "c"],
     )
     n_triangles = closed.count()
@@ -4474,7 +4483,7 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = trans.groupBy(F.col("prev_type").alias("tp")).agg(F.sum("n").alias("total"))
     return (
-        trans.join(F.broadcast(tot), F.col("prev_type") == F.col("tp"))
+        trans.join(bcast_bounded(tot, "event_type domain: bounded"), F.col("prev_type") == F.col("tp"))
         .select(
             "prev_type",
             "next_type",
@@ -4668,7 +4677,7 @@ def abc_pareto_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = rev.select(
         "l_partkey", "revenue", F.sum("revenue").over(w).cast(DEC).alias("running")
     )
-    classed = ranked.crossJoin(F.broadcast(tot)).select(
+    classed = ranked.crossJoin(bcast_bounded(tot, "1-row aggregate")).select(
         "revenue",
         F.when(F.col("running") * 100 <= F.col("total") * 80, "A")
         .when(F.col("running") * 100 <= F.col("total") * 95, "B")
@@ -4909,7 +4918,7 @@ def basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             item.select(F.col("l_partkey").alias("p2"), F.col("n_item").alias("n2")),
             "p2",
         )
-        .crossJoin(F.broadcast(n_orders))
+        .crossJoin(bcast_bounded(n_orders, "1-row aggregate"))
         .select(
             "p1",
             "p2",
@@ -5318,7 +5327,7 @@ def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bs")
     )
     return (
-        o.crossJoin(F.broadcast(bounds))
+        o.crossJoin(bcast_bounded(bounds, "1-row aggregate"))
         .select(
             (1 + F.expr("size(filter(bs, x -> o_totalprice > x))")).cast("int").alias("bucket"),
             "o_totalprice",
@@ -5375,9 +5384,9 @@ def stat_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = cells.agg(F.sum("o").alias("n"))
     e = F.col("row_total").cast("double") * F.col("col_total") / F.col("n")
     return (
-        cells.join(F.broadcast(rt), "event_type")
-        .join(F.broadcast(ct), "dow")
-        .crossJoin(F.broadcast(n))
+        cells.join(bcast_bounded(rt, "event_type domain: bounded"), "event_type")
+        .join(bcast_bounded(ct, "dow: 7 rows"), "dow")
+        .crossJoin(bcast_bounded(n, "1-row aggregate"))
         .agg(
             F.sum((F.pow(F.col("o") - e, F.lit(2)) / e).cast(DEC))
             .cast("double")
@@ -5491,7 +5500,7 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_prev = Window.orderBy("days").rowsBetween(Window.unboundedPreceding, -1)
     w_run = Window.orderBy("days").rowsBetween(Window.unboundedPreceding, 0)
     curve = (
-        ev.crossJoin(F.broadcast(tot))
+        ev.crossJoin(bcast_bounded(tot, "1-row aggregate"))
         .withColumn(
             "at_risk", F.col("n0") - F.coalesce(F.sum("d").over(w_prev), F.lit(0))
         )
@@ -5551,7 +5560,7 @@ def stats_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95"))
     in_core = (F.col("o_totalprice") > F.col("p05")) & (F.col("o_totalprice") < F.col("p95"))
-    return o.crossJoin(F.broadcast(b)).agg(
+    return o.crossJoin(bcast_bounded(b, "1-row aggregate")).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.max("p05"), 6).alias("p05"),
         F.round(F.max("p95"), 6).alias("p95"),
@@ -6345,7 +6354,7 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     span = activity.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     return (
-        contrib.crossJoin(F.broadcast(span))
+        contrib.crossJoin(bcast_bounded(span, "1-row aggregate"))
         .filter((F.col("wday") >= F.col("lo")) & (F.col("wday") <= F.col("hi")))
         .groupBy("wday")
         .agg(F.countDistinct("user_id").cast("long").alias("wau"))
@@ -6453,7 +6462,7 @@ def events_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") < F.col("q1") - 1.5 * iqr) | (F.col("n") > F.col("q3") + 1.5 * iqr)
     )
     return (
-        daily.crossJoin(F.broadcast(q))
+        daily.crossJoin(bcast_bounded(q, "1-row aggregate"))
         .select(
             F.col("day").cast("string").alias("day"),
             F.col("n").cast("long").alias("n"),
@@ -6676,7 +6685,7 @@ def events_user_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = activity.agg(F.max("m").alias("max_m"))
     return (
         present.unionByName(churn)
-        .crossJoin(F.broadcast(bounds))
+        .crossJoin(bcast_bounded(bounds, "1-row aggregate"))
         .filter(F.col("m") <= F.col("max_m"))
         .groupBy("m", "state")
         .agg(F.count(F.lit(1)).alias("n_customers"))
@@ -6801,7 +6810,7 @@ def orders_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = obs.agg(F.sum("observed").alias("n"))
     exp = F.col("n") * F.log10(1.0 + 1.0 / F.col("d"))
     return (
-        obs.crossJoin(F.broadcast(tot))
+        obs.crossJoin(bcast_bounded(tot, "1-row aggregate"))
         .select(
             F.col("d").cast("long").alias("digit"),
             F.col("observed").cast("long").alias("observed"),
@@ -7417,7 +7426,7 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = levels.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
     return (
-        cum.crossJoin(F.broadcast(tot))
+        cum.crossJoin(bcast_bounded(tot, "1-row aggregate"))
         .groupBy("n1", "n2")
         .agg(
             F.max(F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))).alias(
@@ -7668,7 +7677,7 @@ def customer_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, register_views=False)
     per_cust = (
         t["orders"]
-        .join(F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+        .join(t["customer"].select("c_custkey", "c_mktsegment"),
               F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_mktsegment", "o_custkey")
         .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents"))
@@ -7735,7 +7744,7 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = activity.agg(F.date_add(F.min("day"), 6).alias("lo"))
     return (
         dau.join(wau, "day")
-        .crossJoin(F.broadcast(lo))
+        .crossJoin(bcast_bounded(lo, "1-row aggregate"))
         .filter(F.col("day") >= F.col("lo"))
         .select(
             F.col("day").cast("string").alias("day"),
@@ -8060,9 +8069,9 @@ def orders_priority_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = cells.agg(F.sum("o").alias("n"))
     e = F.col("m_total").cast("double") * F.col("p_total") / F.col("n")
     return (
-        cells.join(F.broadcast(mt), "month")
-        .join(F.broadcast(pt), "o_orderpriority")
-        .crossJoin(F.broadcast(n))
+        cells.join(bcast_bounded(mt, "month: 12 rows"), "month")
+        .join(bcast_bounded(pt, "o_orderpriority: 5 rows"), "o_orderpriority")
+        .crossJoin(bcast_bounded(n, "1-row aggregate"))
         .groupBy("month")
         .agg(
             F.max("m_total").cast("long").alias("n_orders"),
@@ -8140,7 +8149,9 @@ def stat_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qr = ranks("qv").select(F.col("v").alias("qv"), F.col("r").alias("rx"))
     pr = ranks("pv").select(F.col("v").alias("pv"), F.col("r").alias("ry"))
-    ranked = li.join(F.broadcast(qr), "qv").join(pr, "pv").select("rx", "ry")
+    ranked = li.join(
+        bcast_bounded(qr, "l_quantity domain: 50 integer values"), "qv"
+    ).join(pr, "pv").select("rx", "ry")
     s = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("rx").cast(DEC)).cast("double").alias("sx"),
@@ -8253,7 +8264,7 @@ def customer_coverage_half_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     per_cust = (
         t["orders"]
         .join(
-            F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+            t["customer"].select("c_custkey", "c_mktsegment"),
             F.col("c_custkey") == F.col("o_custkey"),
         )
         .groupBy("c_mktsegment", "o_custkey")
@@ -8305,15 +8316,16 @@ def part_realized_vs_retail_margin(spark: SparkSession, sf_dir: str) -> DataFram
     points — the discounting-discipline report ('which brands do we
     systematically sell under list?').
 
-    Scale: part is a broadcast dimension onto the lineitem scan; the
-    per-brand aggregate is map-side combinable; all money in exact
+    Scale: part is sf-proportional, so it joins bare onto the
+    lineitem scan (AQE broadcasts while small); the per-brand
+    aggregate is map-side combinable; all money in exact
     integer cents (quantity-weighted retail baseline).
     """
     t = load_tables(spark, sf_dir, register_views=False)
     sold = (
         t["lineitem"]
         .join(
-            F.broadcast(t["part"].select("p_partkey", "p_brand", "p_retailprice")),
+            t["part"].select("p_partkey", "p_brand", "p_retailprice"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .groupBy("p_brand")
@@ -8482,7 +8494,7 @@ def agg_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = cents.groupBy("o_orderpriority").agg(
         F.expr("percentile(c, 0.5)").alias("m")
     )
-    dev = cents.join(F.broadcast(med), "o_orderpriority").select(
+    dev = cents.join(bcast_bounded(med, "o_orderpriority: 5 rows"), "o_orderpriority").select(
         "o_orderpriority", F.abs(F.col("c") - F.col("m")).alias("d"), "m"
     )
     return (
@@ -8656,9 +8668,9 @@ def events_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c12").cast("double") * F.col("nu") / (F.col("c1") * F.col("c2"))
     )
     return (
-        pairs.join(F.broadcast(tc.select(F.col("event_type").alias("t1"), F.col("c").alias("c1"))), "t1")
-        .join(F.broadcast(tc.select(F.col("event_type").alias("t2"), F.col("c").alias("c2"))), "t2")
-        .crossJoin(F.broadcast(nu))
+        pairs.join(bcast_bounded(tc.select(F.col("event_type").alias("t1"), F.col("c").alias("c1")), "event_type domain: bounded"), "t1")
+        .join(bcast_bounded(tc.select(F.col("event_type").alias("t2"), F.col("c").alias("c2")), "event_type domain: bounded"), "t2")
+        .crossJoin(bcast_bounded(nu, "1-row aggregate"))
         .select("t1", "t2", F.col("c12").cast("long").alias("n_cooccur"),
                 F.round(pmi, 9).alias("pmi"))
         .orderBy("t1", "t2")
@@ -9209,9 +9221,9 @@ def orders_nation_shift_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     yr = F.year(F.col("o_orderdate").cast("date"))
     rev = (
         t["orders"]
-        .join(F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+        .join(t["customer"].select("c_custkey", "c_nationkey"),
               F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(bcast_bounded(t["nation"], "nation: 25 rows"), F.col("n_nationkey") == F.col("c_nationkey"))
         .filter(yr.isin(1996, 1997))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
@@ -9223,7 +9235,7 @@ def orders_nation_shift_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     growth = F.round(10000.0 * (F.col("cur") - F.col("prev")) / F.col("prev"), 0).cast("long")
     national = F.round(10000.0 * (F.col("tc") - F.col("tp")) / F.col("tp"), 0).cast("long")
     return (
-        rev.crossJoin(F.broadcast(tot))
+        rev.crossJoin(bcast_bounded(tot, "1-row aggregate"))
         .filter(F.col("prev") > 0)
         .select(
             "nation",

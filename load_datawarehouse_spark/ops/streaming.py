@@ -978,7 +978,9 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     which the oracle replays as plain SQL.
     """
     t = load_tables(spark, sf_dir, register_views=False)
-    dim = F.broadcast(t["customer"].select("c_custkey", "c_mktsegment"))
+    # customer is sf-proportional: no forced broadcast — the per-
+    # micro-batch planner broadcasts only if the dim is actually small
+    dim = t["customer"].select("c_custkey", "c_mktsegment")
     ev = events_stream(spark, sf_dir)
     agg = (
         ev.join(dim, ev.user_id == dim.c_custkey)
@@ -1461,10 +1463,13 @@ def stream_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch.
 
     Epoch bounds are floored integers so version resolution is exact
-    integer comparison on both engines. Scale: the dim is broadcast
-    per micro-batch (versions x users, still dimension-sized); no
-    state store is needed because the dim side is batch — the
-    streaming state is only the final aggregation's.
+    integer comparison on both engines. Scale: the versioned dim is
+    users x versions — sf-proportional — so it carries NO forced
+    broadcast hint; the user_id equality conjunct keeps the join
+    hash/merge-able per micro-batch and the planner broadcasts only
+    when the dim is actually small. No state store is needed because
+    the dim side is batch — the streaming state is only the final
+    aggregation's.
     """
     t = load_tables(spark, sf_dir, register_views=False)
     sec = F.col("ts").cast("timestamp").cast("long")
@@ -1491,7 +1496,7 @@ def stream_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sec", F.col("ts").cast("timestamp").cast("long")
     )
     joined = ev.join(
-        F.broadcast(vers),
+        vers,
         (ev.user_id == vers.user_id)
         & (F.col("sec") >= F.col("v_from"))
         & (F.col("sec") < F.col("v_to")),

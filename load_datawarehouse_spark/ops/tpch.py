@@ -12,10 +12,15 @@ realization to the full classic decision-support shapes: correlated
 mins, disjunctive pushdown, double-correlated EXISTS/NOT EXISTS,
 left-join distributions, and scalar-subquery gates.
 
-Scale principles (same as relational.py): dims broadcast, fact-fact
-joins shuffle once on their keys, every double aggregate accumulates in
-DECIMAL(38,6) so results are partitioning-proof, correlated subqueries
-are decorrelated into aggregate+join form.
+Scale principles (same as relational.py): constant-bounded dims
+(nation/region and 1-row gates) are force-broadcast via
+``bcast_bounded``; sf-proportional dims (part/supplier/customer and
+their subsets) join BARE and rely on AQE's runtime size check, which
+broadcasts them at bench scale and falls back to a sound shuffle join
+at SF100k (round-10 broadcast audit). Fact-fact joins shuffle once on
+their keys, every double aggregate accumulates in DECIMAL(38,6) so
+results are partitioning-proof, correlated subqueries are decorrelated
+into aggregate+join form.
 """
 
 from __future__ import annotations
@@ -24,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from load_datawarehouse_spark.ops._util import (
+    bcast_bounded,
     DEC,
     dec_sum,
     lineage_cut,
@@ -80,8 +86,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the correlated ``unit_cost = (SELECT MIN ...)`` is
     decorrelated into one groupBy per (part, supp) then a per-part min,
     re-joined on (partkey, unit_cost) — both aggs combine map-side and
-    reuse the same partitioning. part/supplier/nation/region are
-    broadcast dims; lineitem never shuffles twice. Float equality on
+    reuse the same partitioning. nation/region are forced-broadcast
+    dims; part/supplier join bare (AQE broadcasts them when small);
+    lineitem never shuffles twice. Float equality on
     the min is safe: both sides compute MIN over identical IEEE
     divisions. TakeOrderedAndProject caps the driver result at 50.
     """
@@ -108,11 +115,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop(best["l_partkey"])
         .join(
-            F.broadcast(t["part"].filter(F.col("p_size") <= 15)),
+            t["part"].filter(F.col("p_size") <= 15),
             F.col("l_partkey") == F.col("p_partkey"),
         )
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(bcast_bounded(nations, "nation x region: <= 25 rows"), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("p_partkey", "p_name", "s_name", "n_name", "s_acctbal")
         .orderBy(
             F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
@@ -204,7 +211,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """National market share inside a region per year (Q8 shape).
 
     Scale: two fact-fact shuffles (lineitem-orders on orderkey,
-    +customer on custkey); nation/region/supplier broadcast. The
+    +customer on custkey); nation broadcast, supplier AQE-sized. The
     conditional and total revenue sums accumulate in exact decimal so
     the share is partitioning-proof. Year extraction stays in codegen.
     """
@@ -227,12 +234,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
         .join(
-            F.broadcast(asia_nations),
+            bcast_bounded(asia_nations, "nation subset: <= 25 rows"),
             F.col("c_nationkey") == F.col("cust_nationkey"),
         )
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
         .join(
-            F.broadcast(supp_nation),
+            bcast_bounded(supp_nation, "nation: 25 rows"),
             F.col("s_nationkey") == F.col("supp_nationkey"),
         )
         .select(
@@ -285,7 +292,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape; cost proxy = 10% of retail price x quantity, since the
     testdata has no partsupp supplycost).
 
-    Scale: the part-name filter prunes lineitem through a broadcast
+    Scale: the part-name filter prunes lineitem through an AQE-sized
     hash join before the only fact-fact shuffle (orders on orderkey).
     Profit accumulates in exact decimal.
     """
@@ -297,13 +304,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(
-            F.broadcast(
-                t["part"].filter(F.col("p_name").like("%gear%"))
-            ),
+            t["part"].filter(F.col("p_name").like("%gear%")),
             F.col("p_partkey") == F.col("l_partkey"),
         )
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(bcast_bounded(t["nation"], "nation: 25 rows"), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
             F.col("n_name").alias("nation"),
@@ -352,14 +357,14 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat_supps = (
         t["supplier"]
         .join(
-            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_3")),
+            bcast_bounded(t["nation"].filter(F.col("n_name") == "NATION_3"), "nation: 1 row"),
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
         .select("s_suppkey")
     )
     partvalue = (
         t["lineitem"]
-        .join(F.broadcast(nat_supps), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nat_supps, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(
             # multiply in DOUBLE (IEEE-identical in Spark and DuckDB),
@@ -377,7 +382,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("value_dec") * F.lit(0.001)).alias("threshold")
     )
     return (
-        partvalue.crossJoin(F.broadcast(threshold))
+        partvalue.crossJoin(bcast_bounded(threshold, "1-row aggregate"))
         .filter(F.col("value_dec") > F.col("threshold"))
         .select("l_partkey", F.col("value_dec").cast("double").alias("value"))
         .orderBy(F.col("value").desc(), "l_partkey")
@@ -520,10 +525,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = revenue.transform(lineage_cut)
     best = revenue.agg(F.max("total_revenue_dec").alias("best_revenue"))
     return (
-        revenue.crossJoin(F.broadcast(best))
+        revenue.crossJoin(bcast_bounded(best, "1-row aggregate"))
         .filter(F.col("total_revenue_dec") == F.col("best_revenue"))
         .join(
-            F.broadcast(t["supplier"]),
+            t["supplier"],
             F.col("s_suppkey") == F.col("supplier_no"),
         )
         .select(
@@ -560,9 +565,10 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     blacklisted suppliers (Q16 shape; the complaint-comment filter
     becomes a negative-balance filter).
 
-    Scale: the blacklist is a broadcast LEFT ANTI join (s_suppkey is
-    non-null, so NOT IN == anti join here); brand/size predicates push
-    through the broadcast part join to the scan. COUNT DISTINCT
+    Scale: the blacklist is a LEFT ANTI equi join (s_suppkey is
+    non-null, so NOT IN == anti join here) — supplier-proportional, so
+    no forced broadcast; brand/size predicates push through the
+    AQE-sized part join to the scan. COUNT DISTINCT
     shuffles (group keys, suppkey) once — Spark's two-phase distinct
     aggregate, no row explosion.
     """
@@ -574,9 +580,9 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     blacklist = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
         t["lineitem"]
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
         .join(
-            F.broadcast(blacklist),
+            blacklist,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
@@ -610,13 +616,13 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: Catalyst extracts the common single-side conjuncts — the
     brand/size disjunction prunes the part scan, the quantity
-    disjunction prunes lineitem — before the broadcast join applies
+    disjunction prunes lineitem — before the AQE-sized join applies
     the cross-side residual. One scan each side, one exact-decimal
     aggregate.
     """
     t = load_tables(spark, sf_dir, register_views=False)
     joined = t["lineitem"].join(
-        F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey")
+        t["part"], F.col("p_partkey") == F.col("l_partkey")
     )
     q = F.col("l_quantity")
     cond = (
@@ -667,8 +673,8 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     family (Q20 shape; availability threshold becomes a shipped-volume
     threshold — no partsupp in the testdata).
 
-    Scale: the IN-subquery aggregates lineitem once (part filter via
-    broadcast) and semi-joins the small supplier dim against it;
+    Scale: the IN-subquery aggregates lineitem once (part filter
+    AQE-sized) and semi-joins the supplier dim against it;
     supplier never fans out. Exact-decimal HAVING keeps the threshold
     partitioning-proof.
     """
@@ -676,7 +682,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy = (
         t["lineitem"]
         .join(
-            F.broadcast(t["part"].filter(F.col("p_name").like("small%"))),
+            t["part"].filter(F.col("p_name").like("small%")),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .groupBy("l_suppkey")
@@ -687,7 +693,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["supplier"]
         .join(
-            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_12")),
+            bcast_bounded(t["nation"].filter(F.col("n_name") == "NATION_12"), "nation: 1 row"),
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
         .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
@@ -767,7 +773,7 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         late.join(order_supps, F.col("l_orderkey") == F.col("ms_orderkey"), "left_semi")
         .join(late_supps, F.col("l_orderkey") == F.col("sl_orderkey"), "left_semi")
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -820,7 +826,7 @@ def q22_idle_rich_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["customer"]
-        .crossJoin(F.broadcast(gate))
+        .crossJoin(bcast_bounded(gate, "1-row aggregate"))
         .filter(F.col("c_acctbal").cast(DEC) * F.col("n_pos") > F.col("sum_pos"))
         .join(
             t["orders"].select("o_custkey"),
@@ -865,7 +871,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the correlated ``(SELECT 0.2*AVG(l_quantity) WHERE
     l_partkey = p_partkey)`` is decorrelated into a per-partkey
     aggregate JOINed back on partkey. The brand filter is applied
-    FIRST via a broadcast of the filtered part dim (1/25th of parts),
+    FIRST via the filtered part dim (1/25th of parts, AQE-sized),
     so both the average and the final sum only ever see that brand's
     lineitems — the per-part average over a part-only predicate is
     unchanged by the restriction, and at SF100k the part dim is far
@@ -876,9 +882,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically in both engines (exact decimal sum / count).
     """
     t = load_tables(spark, sf_dir, register_views=False)
-    brand_parts = F.broadcast(
-        t["part"].filter(F.col("p_brand") == "Brand#12").select("p_partkey")
-    )
+    brand_parts = t["part"].filter(F.col("p_brand") == "Brand#12").select("p_partkey")
     li = (
         t["lineitem"]
         .join(brand_parts, F.col("l_partkey") == F.col("p_partkey"))

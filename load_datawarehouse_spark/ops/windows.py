@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from load_datawarehouse_spark.ops._util import DEC
+from load_datawarehouse_spark.ops._util import DEC, bcast_bounded
 from load_datawarehouse_spark.session import load_tables
 
 QUERIES: dict = {}
@@ -735,7 +735,7 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_raw") - F.sum(F.col("s_raw").cast(DEC)).over(w_all).cast("double") / 7,
     ).select("dow", "seasonal")
     return (
-        trended.join(F.broadcast(seas_c), "dow")
+        trended.join(bcast_bounded(seas_c, "dow: 7 rows"), "dow")
         .select(
             F.col("day").cast("string").alias("day"),
             F.round("rev", 6).alias("rev"),
@@ -793,7 +793,7 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = daily.agg((F.sum("x").cast("double") / F.count(F.lit(1))).alias("mu"))
     w_run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    c = daily.crossJoin(F.broadcast(m)).withColumn(
+    c = daily.crossJoin(bcast_bounded(m, "1-row aggregate")).withColumn(
         "csum",
         F.sum((F.col("x") - F.col("mu")).cast(DEC)).over(w_run).cast("double"),
     )
@@ -906,17 +906,18 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     PRE-AGGREGATED table, never over raw facts).
 
     Scale: the fact table collapses to |nations| rows first (one
-    shuffle; dimensions broadcast), so the share window costs
+    shuffle; nation/region forced-broadcast, the sf-proportional
+    customer projection AQE-sized), so the share window costs
     nothing; exact integer cents make the bps and ranks
     deterministic.
     """
     t = load_tables(spark, sf_dir, register_views=False)
     nat = (
         t["orders"]
-        .join(F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+        .join(t["customer"].select("c_custkey", "c_nationkey"),
               F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
-        .join(F.broadcast(t["region"]), F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(bcast_bounded(t["nation"], "nation: 25 rows"), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(bcast_bounded(t["region"], "region: 5 rows"), F.col("r_regionkey") == F.col("n_regionkey"))
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents"))
     )
@@ -1066,7 +1067,9 @@ def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
         .select(F.explode(F.sequence("lo", "hi")).alias("day"))
     )
-    grid = ev.select("user_id").distinct().crossJoin(F.broadcast(cal))
+    grid = ev.select("user_id").distinct().crossJoin(
+        bcast_bounded(cal, "calendar days: dataset date-range, ~2.5k rows at any sf")
+    )
     joined = grid.join(ev, ["user_id", "day"], "left")
     w = (
         Window.partitionBy("user_id")

@@ -66,7 +66,10 @@ def get_spark(
         # value makes Spark broadcast *fact* tables at small SF (file
         # size underestimates in-memory size), which single-threads the
         # build and would be catastrophic at scale. True dimensions are
-        # explicitly F.broadcast at call sites instead.
+        # hinted at call sites via ops._util.bcast_bounded — and only
+        # for frames with a CONSTANT documented row bound; anything
+        # sf-proportional joins bare and relies on this threshold +
+        # AQE's runtime sizing (the round-10 broadcast-audit policy).
         .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -37,6 +37,8 @@ _FIRST_NAMES = (
     "basket_affinity_lift",
     "contamination_decontaminate_apply",
     "kmeans_lloyd",
+    # --- NEW op this round (never driver-checked) ---
+    "multimodal_decode_flac_real",
     # --- re-checks (round-9 window, all green there) ---
     "agg_corr_matrix_single_pass",
     "bpe_first_merges",

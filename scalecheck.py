@@ -103,6 +103,7 @@ SCALE_QUERIES = [
     "multimodal_histogram_dedup",
     "stream_backfill_then_tail",
     "multimodal_decode_audio_real",
+    "multimodal_decode_flac_real",
     # round-6 additions: the pair-view variants and lineage-cut
     # beneficiaries whose physical plans changed in r5 (verdict ask) —
     # lock their slopes post-change

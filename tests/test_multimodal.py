@@ -120,13 +120,40 @@ def test_wav_decoder_rejects_corrupt_chunks():
 
 
 def test_png_codec_round_trip_all_shapes():
+    # decode contract (round-8 ADVICE #3): ALWAYS HxWx3, matching the
+    # Pillow path's .convert("RGB") — grayscale replicates luma, RGBA
+    # drops alpha (no compositing), so the shape no longer depends on
+    # whether Pillow happens to be installed
     import numpy as np
 
     rng = np.random.RandomState(7)
     for shape in [(2, 2, 3), (5, 9, 3), (4, 3, 1), (6, 6, 4)]:
         a = rng.randint(0, 256, size=shape).astype(np.uint8)
         dec = mm.decode_image_real(mm.encode_png(a))
-        assert dec.shape == shape and np.array_equal(dec, a)
+        h, w, c = shape
+        assert dec.shape == (h, w, 3)
+        if c == 1:
+            assert np.array_equal(dec, np.repeat(a, 3, axis=2))
+        elif c == 4:
+            assert np.array_equal(dec, a[:, :, :3])
+        else:
+            assert np.array_equal(dec, a)
+
+
+def test_png_gray_alpha_decode_is_rgb():
+    # 2-channel gray+alpha: luma replicated, alpha dropped — Pillow
+    # LA->RGB semantics
+    import numpy as np
+
+    a = np.dstack(
+        [
+            np.arange(12, dtype=np.uint8).reshape(3, 4),
+            np.full((3, 4), 77, dtype=np.uint8),
+        ]
+    )
+    dec = mm.decode_image_real(mm.encode_png(a))
+    assert dec.shape == (3, 4, 3)
+    assert np.array_equal(dec, np.repeat(a[:, :, :1], 3, axis=2))
 
 
 def test_png_unfilter_handles_all_filter_types():
@@ -186,12 +213,22 @@ def test_png_16bit_round_trip_downscales_to_8bit():
     offsets) and lands on the 8-bit output contract via >> 8."""
     import numpy as np
 
+    def to_rgb(a8):
+        c = a8.shape[2]
+        if c == 1:
+            return np.repeat(a8, 3, axis=2)
+        if c == 2:
+            return np.repeat(a8[:, :, :1], 3, axis=2)
+        if c == 4:
+            return a8[:, :, :3]
+        return a8
+
     rng = np.random.RandomState(13)
     for shape in [(3, 4, 1), (5, 7, 3), (4, 4, 4), (2, 6, 2)]:
         a16 = rng.randint(0, 65536, size=shape).astype(np.uint16)
         dec = mm.decode_image_real(mm.encode_png(a16))
-        assert dec.shape == shape and dec.dtype == np.uint8
-        assert np.array_equal(dec, (a16 >> 8).astype(np.uint8))
+        assert dec.shape == (shape[0], shape[1], 3) and dec.dtype == np.uint8
+        assert np.array_equal(dec, to_rgb((a16 >> 8).astype(np.uint8)))
 
 
 def test_png_adam7_interlaced_round_trip():
@@ -199,11 +236,19 @@ def test_png_adam7_interlaced_round_trip():
     exercise empty and single-pixel passes."""
     import numpy as np
 
+    def to_rgb(a8):
+        c = a8.shape[2]
+        if c == 1:
+            return np.repeat(a8, 3, axis=2)
+        if c == 4:
+            return a8[:, :, :3]
+        return a8
+
     rng = np.random.RandomState(17)
     for shape in [(1, 1, 3), (2, 3, 1), (7, 5, 3), (9, 9, 4), (8, 8, 3), (3, 13, 1)]:
         a = rng.randint(0, 256, size=shape).astype(np.uint8)
         dec = mm.decode_image_real(mm.encode_png(a, interlace=True))
-        assert np.array_equal(dec, a), shape
+        assert np.array_equal(dec, to_rgb(a)), shape
     a16 = rng.randint(0, 65536, size=(6, 7, 3)).astype(np.uint16)
     dec = mm.decode_image_real(mm.encode_png(a16, interlace=True))
     assert np.array_equal(dec, (a16 >> 8).astype(np.uint8))
@@ -308,3 +353,149 @@ def test_feature_extract_is_narrow(spark):
         mm._feature_batches, schema=mm._FEAT_SCHEMA
     )
     assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- FLAC codec (round-9 verdict item 6: the soundfile gate closed) ---
+
+
+def _flac_stream(channels, rate, total, frames_bits):
+    """Assemble a FLAC stream from hand-built frame payloads."""
+    w = mm._BitWriter()
+    w.write(4096, 16); w.write(4096, 16)
+    w.write(0, 24); w.write(0, 24)
+    w.write(rate, 20); w.write(channels - 1, 3); w.write(15, 5)
+    w.write(total, 36); w.write(0, 64); w.write(0, 64)
+    sinfo = w.bytes()
+    out = bytearray(mm._FLAC_SIG) + bytes([0x80]) + len(sinfo).to_bytes(3, "big") + sinfo
+    for fb in frames_bits:
+        out += fb
+    return bytes(out)
+
+
+def _flac_frame(chan_code, n_sub_writer, bs, fi=0):
+    """Frame header (+CRC8) + subframes via callback + CRC16."""
+    w = mm._BitWriter()
+    w.write(0x3FFE, 14); w.write(0, 1); w.write(0, 1)
+    w.write(7, 4)       # 16-bit blocksize at end
+    w.write(0, 4)       # rate from STREAMINFO
+    w.write(chan_code, 4)
+    w.write(4, 3)       # 16-bit samples
+    w.write(0, 1)
+    for b in mm._flac_utf8(fi):
+        w.write(b, 8)
+    w.write(bs - 1, 16)
+    assert w.nbits == 0
+    w.write(mm._crc8(bytes(w.buf)), 8)
+    n_sub_writer(w)
+    w.align()
+    frame = bytes(w.buf)
+    return frame + mm._crc16(frame).to_bytes(2, "big")
+
+
+def _verbatim_sub(w, samples, bps):
+    w.write(0, 1); w.write(1, 6); w.write(0, 1)
+    for s in samples:
+        w.write(s & ((1 << bps) - 1), bps)
+
+
+def test_flac_stereo_decorrelation_modes():
+    """left/side, right/side and mid/side frames must reconstruct the
+    original stereo signal; the side channel carries bps+1 bits."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    l = rng.randint(-32768, 32768, size=12).tolist()
+    r = rng.randint(-32768, 32768, size=12).tolist()
+    side = [a - b for a, b in zip(l, r)]
+    mid = [(a + b) >> 1 for a, b in zip(l, r)]
+
+    def ls(w):
+        _verbatim_sub(w, l, 16)
+        _verbatim_sub(w, side, 17)
+
+    def rs(w):
+        _verbatim_sub(w, side, 17)
+        _verbatim_sub(w, r, 16)
+
+    def ms(w):
+        _verbatim_sub(w, mid, 16)
+        _verbatim_sub(w, side, 17)
+
+    for chan_code, sub in [(8, ls), (9, rs), (10, ms)]:
+        blob = _flac_stream(2, 8000, 12, [_flac_frame(chan_code, sub, 12)])
+        dec, rate = mm.decode_flac(blob)
+        assert rate == 8000
+        assert dec[:, 0].tolist() == l and dec[:, 1].tolist() == r, chan_code
+
+
+def test_flac_constant_lpc_escape_and_wasted_bits():
+    import numpy as np
+
+    # CONSTANT subframe
+    def const(w):
+        w.write(0, 1); w.write(0, 6); w.write(0, 1)
+        w.write((-123) & 0xFFFF, 16)
+
+    blob = _flac_stream(1, 16000, 8, [_flac_frame(0, const, 8)])
+    dec, _ = mm.decode_flac(blob)
+    assert dec.reshape(-1).tolist() == [-123] * 8
+
+    # LPC order 1, coeff [1], shift 0 == running sum of residuals
+    x = [100, 90, 95, 95, -40, -40, -41, 7]
+
+    def lpc(w):
+        w.write(0, 1); w.write(32, 6); w.write(0, 1)  # LPC order 1
+        w.write(x[0] & 0xFFFF, 16)  # warmup
+        w.write(3, 4)   # precision 4
+        w.write(0, 5)   # shift 0
+        w.write(1, 4)   # coeff = +1
+        # residual: escape partition (param 0xF), raw 16-bit
+        w.write(0, 2); w.write(0, 4)
+        w.write(0xF, 4); w.write(16, 5)
+        for i in range(1, len(x)):
+            w.write((x[i] - x[i - 1]) & 0xFFFF, 16)
+
+    blob = _flac_stream(1, 16000, 8, [_flac_frame(0, lpc, 8)])
+    dec, _ = mm.decode_flac(blob)
+    assert dec.reshape(-1).tolist() == x
+
+    # wasted bits: all samples share a low zero bit
+    y = [2 * v for v in (-5, 3, 0, 8)]
+
+    def wasted(w):
+        w.write(0, 1); w.write(1, 6)
+        w.write(1, 1)   # wasted-bits flag
+        w.write(1, 1)   # unary 0 -> wasted = 1
+        for v in y:
+            w.write((v >> 1) & 0x7FFF, 15)  # bps reduced to 15
+
+    blob = _flac_stream(1, 16000, 4, [_flac_frame(0, wasted, 4)])
+    dec, _ = mm.decode_flac(blob)
+    assert dec.reshape(-1).tolist() == y
+
+
+def test_flac_crc_violations_raise():
+    import numpy as np
+    import pytest as pt
+
+    sig = np.arange(-50, 50, dtype=np.int16)
+    blob = bytearray(mm.encode_flac(sig, 8000, 1))
+    blob[-1] ^= 0xFF  # corrupt the final frame CRC-16
+    with pt.raises(ValueError, match="CRC-16"):
+        mm.decode_flac(bytes(blob))
+
+
+def test_flac_multiframe_and_via_decode_audio_real():
+    import numpy as np
+
+    try:
+        import soundfile  # noqa: F401
+
+        return  # soundfile would shadow the stdlib path
+    except ImportError:
+        pass
+    rng = np.random.RandomState(9)
+    sig = rng.randint(-32768, 32768, size=(10000, 2)).astype(np.int16)
+    blob = mm.encode_flac(sig, 44100, 2, block_size=4096, fixed=True)
+    dec, rate = mm.decode_audio_real(blob)
+    assert rate == 44100 and np.array_equal(dec, sig)

@@ -58,6 +58,8 @@ HEADLINE = [
     "contamination_bloom_prefilter",
     "multimodal_decode_image_real",
     "multimodal_decode_audio_real",
+    # round 10 addition
+    "multimodal_decode_flac_real",
     "join_skew_stress",
     "q18_large_volume_customer",
     "similarity_sq_topk",
@@ -126,13 +128,19 @@ def main() -> None:
         if fn is None:
             continue
         fn(spark, sf_dir).count()  # warmup: codegen + JIT, not I/O caching
-        best, n = None, 0
-        for _ in range(2):  # min-of-2 timed runs resists transient jitter
+        best, n, runs = None, 0, 0
+        # min-of-2 timed runs resists transient jitter; sub-1.5 s
+        # queries get a THIRD run (BASELINE.md variance policy: the
+        # documented identical-code spread reaches +129% at sub-second
+        # scale, so two samples under-cover the jitter distribution
+        # exactly where one bad sample distorts the ratio most)
+        while runs < 2 or (runs < 3 and best is not None and best < 1.5):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()  # full materialization of the result
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            runs += 1
         timings[name] = round(best, 4)
         # per-query epilogue: drop cluster-mode lineage-cut persists so
         # a long benchmark session cannot accumulate block storage

@@ -83,6 +83,29 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def _spread_small_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin a SMALL single-file scan across the cluster.
+
+    The corpus tables arrive as one parquet file at test scale, so
+    every query's narrow pre-shuffle stage — crucially the trigram /
+    shingle / token explodes that fan a document out ~1000x before the
+    first aggregation — runs as ONE task. Spreading the scan first
+    costs one tiny exchange of the raw rows and parallelizes all of
+    that narrow work (measured: lang_id_ngram_profile 3.14 s -> 1.32 s
+    at sf0.1 on local[32], bit-identical results).
+
+    The guard makes this a structural no-op at scale: it only fires
+    when the scan has FEWER partitions than the cluster has slots, so
+    a 100-TB corpus (thousands of file splits) never re-shuffles. The
+    explicit partition count keeps AQE from re-coalescing the narrow
+    stage by its small INPUT size (it is blind to explode fan-out).
+    """
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 #: Memoized lazy scans keyed by (session id, sf_dir, table). A
 #: DataFrame is just a plan — reusing it skips the repeated footer
 #: read + analysis that otherwise costs ~0.3 s per table per query.
@@ -119,6 +142,8 @@ def load_tables(
             if not os.path.exists(path):
                 continue
             df = spark.read.parquet(path)
+            if name == "documents":
+                df = _spread_small_scan(spark, df)
             if name == "events":
                 # TIMESTAMP(NANOS) arrives as long nanos under
                 # nanosAsLong; truncate to micros exactly like DuckDB

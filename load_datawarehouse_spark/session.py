@@ -142,6 +142,12 @@ def load_tables(
             if not os.path.exists(path):
                 continue
             df = spark.read.parquet(path)
+            # documents ONLY: its queries fan each row out ~1000x
+            # before the first shuffle, so the spread's one tiny
+            # exchange wins big. Measured LOSSES for events (narrow
+            # work is cheap timestamp bucketing; funnel_regex
+            # 0.12->0.54 s) and embeddings (mixed; the heavy ops
+            # already hash-repartition on vec_id themselves).
             if name == "documents":
                 df = _spread_small_scan(spark, df)
             if name == "events":

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from load_datawarehouse_spark.ops._util import DEC, bcast_bounded, lineage_cut, lineage_cut_eager
-from load_datawarehouse_spark.session import load_tables
+from load_datawarehouse_spark.session import load_tables, spread_small_scan
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -204,7 +204,7 @@ def _gopher_metrics(w):
     return n_words, sum_len, n_stop
 
 
-def _shingles(t, n: int = 3):
+def _shingles(t, n: int = 3, spread: bool = False):
     """doc_id -> distinct word n-gram shingles.
 
     Built array-natively: ``transform`` over the per-document words
@@ -217,7 +217,8 @@ def _shingles(t, n: int = 3):
     # referencing the split(...) *expression* inside the transform
     # lambda would re-split the document for every element_at call
     # (3 splits per shingle — measured 3-4x slower).
-    base = t["documents"].select("doc_id", F.split("text", " ", -1).alias("words"))
+    docs = spread_small_scan(t["documents"]) if spread else t["documents"]
+    base = docs.select("doc_id", F.split("text", " ", -1).alias("words"))
     w = F.col("words")
     # sequence(0, x) counts DOWN when x < 0, so gate short documents
     # to an empty shingle array explicitly.
@@ -249,7 +250,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without a lineage cut each consumer re-runs the explode+distinct
     # (6 parquet scans measured). Materializing the small (doc_id,
     # shingle) rows once is a measured 21% win at sf0.1.
-    ds = _shingles(t).transform(lineage_cut)
+    ds = _shingles(t, spread=True).transform(lineage_cut)
     cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     idx = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= MAX_SHINGLE_DF
@@ -322,7 +323,7 @@ def _minhash_bands(t) -> DataFrame:
     and independent, so disjoint windows are independent 32-bit
     minhashes at 1/4 the hashing cost; lexical MIN over fixed-width
     lowercase hex == numeric min."""
-    ds = _shingles(t)
+    ds = _shingles(t, spread=True)
     with_md5 = ds.select(
         "doc_id",
         F.md5(F.concat_ws("|", F.lit("0"), "shingle")).alias("m0"),
@@ -451,7 +452,7 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (~22 scans of documents, measured); localCheckpoint materializes
     # the few-thousand-row candidate list once.
     cand = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2").transform(lineage_cut)
-    ds = _shingles(t)
+    ds = _shingles(t, spread=True)
     cand_docs = (
         cand.select(F.col("d1").alias("doc_id"))
         .union(cand.select(F.col("d2").alias("doc_id")))
@@ -1572,7 +1573,11 @@ def _simhash60(t) -> DataFrame:
     bands give 16 bucket values, i.e. ~N^2/16 candidate pairs — a
     disguised cross join. 60 bits / 15-bit bands give 32768 buckets
     per band, so bucket sizes stay O(N/32768)."""
-    words = t["documents"].select("doc_id", F.explode(F.split("text", " ", -1)).alias("word"))
+    # the 60-bit-per-word signature aggregation is explode-heavy:
+    # spread the single-file scan first (2.27 -> 1.61 s at sf0.1)
+    words = spread_small_scan(t["documents"]).select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("word")
+    )
     h = F.md5("word")
     total = None
     for b in range(_SIMHASH_ND_BITS):
@@ -2052,7 +2057,7 @@ def contamination_ngram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-probe with no shuffle of the big side; grams travel as md5
     hashes, never raw text."""
     t = load_tables(spark, sf_dir, register_views=False)
-    base = t["documents"].select("doc_id", "source", F.split("text", " ", -1).alias("w"))
+    base = spread_small_scan(t["documents"]).select("doc_id", "source", F.split("text", " ", -1).alias("w"))
     grams = _word_ngrams(F.col("w"), _CONTAM_N, hashed=True)
     # lineage cut: d feeds the eval-gram build AND the training probe —
     # one corpus scan instead of two
@@ -3106,7 +3111,7 @@ def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
     from pyspark.sql.functions import pandas_udf
 
     t = load_tables(spark, sf_dir, register_views=False)
-    base = t["documents"].select(
+    base = spread_small_scan(t["documents"]).select(
         "doc_id", "source", F.split("text", " ", -1).alias("w")
     )
     grams = _word_ngrams(F.col("w"), _BLOOM_N, hashed=True)
@@ -3803,7 +3808,7 @@ def contamination_decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataF
     — only doc ids and token counts.
     """
     t = load_tables(spark, sf_dir, register_views=False)
-    base = t["documents"].select(
+    base = spread_small_scan(t["documents"]).select(
         "doc_id", "source", F.split("text", " ", -1).alias("w")
     )
     is_eval = F.col("source").isin(*_CONTAM_EVAL_SOURCES)
@@ -4800,7 +4805,7 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without a lineage cut each consumer re-runs the explode+distinct
     # (6 parquet scans measured). Materializing the small (doc_id,
     # shingle) rows once is a measured 21% win at sf0.1.
-    ds = _shingles(t).transform(lineage_cut)
+    ds = _shingles(t, spread=True).transform(lineage_cut)
     cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     idx = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= MAX_SHINGLE_DF
@@ -5431,7 +5436,7 @@ def dedup_jaccard_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataF
     # without a lineage cut each consumer re-runs the explode+distinct
     # (6 parquet scans measured). Materializing the small (doc_id,
     # shingle) rows once is a measured 21% win at sf0.1.
-    ds = _shingles(t).transform(lineage_cut)
+    ds = _shingles(t, spread=True).transform(lineage_cut)
     cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     idx = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= MAX_SHINGLE_DF
@@ -6738,7 +6743,9 @@ def _ct_doc_predictions(docs: DataFrame) -> DataFrame:
     the aggregate is explode-sized and checkpointing it costs more
     than the second narrow fan-out).
     """
-    grams = docs.select(
+    # the ~1000x trigram explode dominates: spread the single-file
+    # scan first (lang_id 3.36 -> 2.01 s, kappa 3.79 -> 2.66 s at sf0.1)
+    grams = spread_small_scan(docs).select(
         "doc_id",
         "lang",
         F.explode(

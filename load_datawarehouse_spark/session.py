@@ -83,16 +83,25 @@ def get_spark(
     return builder.getOrCreate()
 
 
-def _spread_small_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Round-robin a SMALL single-file scan across the cluster.
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin a SMALL single-file scan across the cluster — OPT-IN
+    per operator, for plans whose pre-shuffle narrow stage is heavy.
 
-    The corpus tables arrive as one parquet file at test scale, so
-    every query's narrow pre-shuffle stage — crucially the trigram /
-    shingle / token explodes that fan a document out ~1000x before the
-    first aggregation — runs as ONE task. Spreading the scan first
-    costs one tiny exchange of the raw rows and parallelizes all of
-    that narrow work (measured: lang_id_ngram_profile 3.14 s -> 1.32 s
-    at sf0.1 on local[32], bit-identical results).
+    The corpus tables arrive as one parquet file at test scale, so a
+    query's narrow pre-shuffle stage runs as ONE task. For plans that
+    fan each row out ~1000x before the first aggregation (trigram /
+    shingle explodes) or run a CPU-heavy decode kernel per row (the
+    PNG/WAV/FLAC codecs), spreading the scan first costs one tiny
+    exchange of the raw rows and parallelizes all of that work
+    (measured at sf0.1 on local[32], min-of-3, bit-identical results:
+    lang_id_ngram_profile 3.36 -> 2.01 s, multimodal_decode_flac_real
+    2.44 -> 0.46 s, dedup_simhash_neardup 2.27 -> 1.61 s).
+
+    It is NOT free: the extra stage costs ~0.2-0.4 s of scheduling at
+    this scale, which LOSES on ops whose narrow work is cheap
+    (search_bm25_topk 0.73 -> 1.16 s, text_rake_keyphrases 1.28 ->
+    1.70 s measured under a table-wide spread) — hence opt-in at the
+    call sites that measured as wins, not blanket in load_tables.
 
     The guard makes this a structural no-op at scale: it only fires
     when the scan has FEWER partitions than the cluster has slots, so
@@ -100,7 +109,7 @@ def _spread_small_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     explicit partition count keeps AQE from re-coalescing the narrow
     stage by its small INPUT size (it is blind to explode fan-out).
     """
-    n = spark.sparkContext.defaultParallelism
+    n = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df
@@ -142,14 +151,6 @@ def load_tables(
             if not os.path.exists(path):
                 continue
             df = spark.read.parquet(path)
-            # documents ONLY: its queries fan each row out ~1000x
-            # before the first shuffle, so the spread's one tiny
-            # exchange wins big. Measured LOSSES for events (narrow
-            # work is cheap timestamp bucketing; funnel_regex
-            # 0.12->0.54 s) and embeddings (mixed; the heavy ops
-            # already hash-repartition on vec_id themselves).
-            if name == "documents":
-                df = _spread_small_scan(spark, df)
             if name == "events":
                 # TIMESTAMP(NANOS) arrives as long nanos under
                 # nanosAsLong; truncate to micros exactly like DuckDB

@@ -829,6 +829,21 @@ def test_runners_release_lineage_cuts(spark):
     assert not _util._CUT_FRAMES and len(released) == 3
 
 
+def test_spread_small_scan_guard(spark):
+    # the spread must fire on an under-parallel frame and be an exact
+    # no-op (same plan object) once the frame already has >= cluster
+    # slots - the property that makes it free on a many-file corpus
+    from load_datawarehouse_spark.session import spread_small_scan
+
+    few = spark.range(1000).coalesce(1)
+    spread = spread_small_scan(few)
+    n = spark.sparkContext.defaultParallelism
+    assert spread.rdd.getNumPartitions() == n
+    assert sorted(r.id for r in spread.collect()) == list(range(1000))
+    wide = spark.range(1000).repartition(n)
+    assert spread_small_scan(wide) is wide
+
+
 def test_no_raw_broadcast_hints():
     """Round-10 broadcast-audit lock (VERDICT r9 "What's wrong" #5):
     every forced broadcast hint in the operator library must go

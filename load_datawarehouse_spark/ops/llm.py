@@ -785,7 +785,9 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path.
     """
     t = load_tables(spark, sf_dir, register_views=False)
-    emb = _with_norm(t["embeddings"])
+    # spread the single-file embeddings scan: the per-row scoring
+    # kernel ran as ONE task (sf1 A/B in commit message)
+    emb = _with_norm(spread_small_scan(t["embeddings"]))
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), F.col("nrm").alias("qnrm")
     )
@@ -812,7 +814,9 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells, ~1/C of the corpus is scored per query; the cell id is a
     join key so Catalyst shuffles both sides on label once."""
     t = load_tables(spark, sf_dir, register_views=False)
-    emb = _with_norm(t["embeddings"])
+    # spread the single-file embeddings scan: the per-row scoring
+    # kernel ran as ONE task (sf1 A/B in commit message)
+    emb = _with_norm(spread_small_scan(t["embeddings"]))
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
@@ -2203,7 +2207,9 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact scoring; the top-k merge uses the two-phase local-heap
     pattern (no low-cardinality shuffle)."""
     t = load_tables(spark, sf_dir, register_views=False)
-    emb = _lsh_buckets(_with_norm(t["embeddings"]))
+    # spread the single-file embeddings scan: the per-row scoring
+    # kernel ran as ONE task (sf1 A/B in commit message)
+    emb = _lsh_buckets(_with_norm(spread_small_scan(t["embeddings"])))
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
@@ -3376,7 +3382,9 @@ def similarity_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm so the check is exact.
     """
     t = load_tables(spark, sf_dir, register_views=False)
-    emb = _with_norm(t["embeddings"]).transform(lineage_cut)
+    # spread the single-file embeddings scan: the per-row scoring
+    # kernel ran as ONE task (sf1 A/B in commit message)
+    emb = _with_norm(spread_small_scan(t["embeddings"])).transform(lineage_cut)
     iq = emb.select(
         "vec_id",
         "embedding",
@@ -4679,7 +4687,9 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load_tables(spark, sf_dir, register_views=False)
     dec18 = "decimal(38,18)"
-    norms = t["embeddings"].select(
+    # spread the single-file embeddings scan: the per-row scoring
+    # kernel ran as ONE task (sf1 A/B in commit message)
+    norms = spread_small_scan(t["embeddings"]).select(
         "vec_id", "label", _dec_norm("embedding").alias("nrm")
     ).transform(lineage_cut)
     mu = norms.agg(

@@ -4028,7 +4028,7 @@ def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFram
     corpus.
     """
     t = load_tables(spark, sf_dir, register_views=False)
-    ds = _shingles(t).transform(lineage_cut)
+    ds = _shingles(t, spread=True).transform(lineage_cut)
     with_md5 = ds.select(
         "doc_id",
         F.md5(F.concat_ws("|", F.lit("0"), "shingle")).alias("m0"),
@@ -5630,7 +5630,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ds feeds doc counts, the DF index, and the pruned postings;
     # without a lineage cut each consumer re-runs the explode+distinct.
     # Measured 10% win at sf0.1 on top of the pruned checkpoint below.
-    ds = _shingles(t).transform(lineage_cut)
+    ds = _shingles(t, spread=True).transform(lineage_cut)
     cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     idx = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= MAX_SHINGLE_DF
@@ -6205,7 +6205,7 @@ def text_novelty_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     decomposition replaces the running-distinct sort.
     """
     t = load_tables(spark, sf_dir, register_views=False)
-    g = _shingles(t)
+    g = _shingles(t, spread=True)
     firsts = g.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     novel = F.sum(
         F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
@@ -6553,7 +6553,7 @@ def pipeline_source_quality_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = docs.select("doc_id", "source", "text")
     preds = lang_id_markers(spark, sf_dir).select("doc_id", "lang", "lang_guess")
     clf = _hashed_classifier_raw(docs).select("doc_id", "raw")
-    g = _shingles(t)
+    g = _shingles(t, spread=True)
     firsts = g.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     src_grams = (
         g.join(src.select("doc_id", "source"), "doc_id")

@@ -1751,7 +1751,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     term); tf is keyed on (doc_id, term) and re-shuffles once — the
     unavoidable cost of joining on a different key."""
     t = load_tables(spark, sf_dir, register_views=False)
-    docs = t["documents"]
+    # spread the single-file scan: the explode-heavy narrow stage ran
+    # as ONE task at test scale (sf0.1/sf1 A/B in commit message)
+    docs = spread_small_scan(t["documents"])
     words = docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("term"))
     # lineage cut: tf feeds the df aggregate, the doc-count, and the
     # scoring join — one corpus scan instead of three
@@ -3499,7 +3501,9 @@ def importance_resample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject (no full sort).
     """
     t = load_tables(spark, sf_dir, register_views=False)
-    docs = t["documents"]
+    # spread the single-file scan: the explode-heavy narrow stage ran
+    # as ONE task at test scale (sf0.1/sf1 A/B in commit message)
+    docs = spread_small_scan(t["documents"])
     words = docs.select(
         "doc_id",
         "lang",
@@ -5159,7 +5163,9 @@ def dedup_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load_tables(spark, sf_dir, register_views=False)
     dec18 = "decimal(38,18)"
-    words = t["documents"].select(
+    # spread the single-file scan: the explode-heavy narrow stage ran
+    # as ONE task at test scale (sf0.1/sf1 A/B in commit message)
+    words = spread_small_scan(t["documents"]).select(
         "doc_id", F.explode(F.split("text", " ", -1)).alias("term")
     )
     tf = (

@@ -1920,7 +1920,7 @@ def multimodal_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-accumulated (9 dp). Scale: payload never shuffles; the
     per-type profile aggregates |docs| tiny rows.
     """
-    m = media_table(spark, sf_dir)
+    m = spread_small_scan(media_table(spark, sf_dir))
     counts = m.select("doc_id", "media_type", "content").mapInPandas(
         _byte_count_batches, _BYTE_COUNT_SCHEMA
     )
@@ -2084,7 +2084,7 @@ def multimodal_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffles.
     """
     t = load_tables(spark, sf_dir, register_views=False)
-    m = media_table(spark, sf_dir).select(
+    m = spread_small_scan(media_table(spark, sf_dir)).select(
         "doc_id", "media_type", F.decode("content", "UTF-8").alias("s")
     )
     ch = m.select(
@@ -2315,7 +2315,9 @@ def multimodal_histogram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     never image x image; integer counting end to end. Scale: one
     (doc, bin) aggregation + one md5-sized key shuffle.
     """
-    docs = load_tables(spark, sf_dir, register_views=False)["documents"]
+    # spread the single-file scan: the per-byte histogram stage ran as
+    # ONE task at test scale (8.7 -> 1.4 s at sf1)
+    docs = spread_small_scan(load_tables(spark, sf_dir, register_views=False)["documents"])
     imgs = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
     corpus = imgs.unionByName(
         imgs.filter(F.col("doc_id") < 90).select(

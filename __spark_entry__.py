@@ -28,10 +28,13 @@ from pyspark.sql import DataFrame, SparkSession
 # After this window converts, every registered query has been
 # driver-checked at least once.
 _FIRST_NAMES = (
-    # --- round-10 head: ops whose PLANS changed this round (the
-    # broadcast-audit de-hinting + the kmeans persist drop) — every
-    # registered query is already driver-checked, so the window is
-    # 100% re-checks of changed code ---
+    # --- round-10-final head: every op whose PLAN changed this round.
+    # The audit de-hints (round-9 scale-killers + kmeans), the new
+    # FLAC codec op, the opt-in scan-spread winners (documents /
+    # embeddings single-file scans), the conv()-based simhash parse,
+    # the shared-shingle minhash verify, and the halved containment
+    # pair shuffle. Every registered query is already driver-checked,
+    # so the window is re-checks of changed code + the new op. ---
     "dedup_minhash_estimate_quality",
     "dq_expectations_report",
     "basket_affinity_lift",
@@ -39,58 +42,53 @@ _FIRST_NAMES = (
     "kmeans_lloyd",
     # --- NEW op this round (never driver-checked) ---
     "multimodal_decode_flac_real",
-    # --- re-checks (round-9 window, all green there) ---
-    "agg_corr_matrix_single_pass",
-    "bpe_first_merges",
-    "dedup_embedding_exact",
-    "dedup_incremental_batch",
-    "dedup_jaccard_threshold_histogram",
-    "dedup_lsh_bucket_skew",
-    "dedup_shingle_containment",
-    "dedup_strategy_comparison",
-    "dedup_tfidf_cosine_pairs",
-    "embedding_norm_outliers",
-    "features_user_hash_vector",
-    "graph_label_propagation",
+    # --- scan-spread / structural changes (measured A/B per op) ---
     "lang_id_ngram_profile",
-    "orders_price_time_band_pairs",
-    "orders_spc_control_chart",
-    "pipeline_curation_v3",
-    "pipeline_split_decontam_audit",
-    "quality_dedup_rate_by_source",
-    "quality_source_kl_divergence",
-    "quality_source_lang_entropy",
-    "search_bm25_topk",
-    "search_rrf_fusion",
-    "split_train_val_test",
-    "stat_wasserstein_1d",
-    "stats_ab_power_mde",
-    "stats_diff_in_diff",
-    "text_heaps_law_curve",
-    "text_readability_score",
-    "text_zipf_fit",
-    "warehouse_partitioned_upsert",
-    # --- re-checks: ops whose code changed in rounds 7-9, plus the
-    # round-8 red row (signed-zero oracle, fixed in round 9) ---
-    "orders_revenue_bridge",
-    "dedup_embedding_neardup",
-    "dedup_connected_components",
-    "dedup_semantic_clusters",
-    "graph_triangle_count",
-    "multimodal_decode_image_real",
-    "multimodal_decode_audio_real",
-    "dedup_minhash_verified",
-    "dedup_minhash_lsh",
-    "embedding_pca_second_component",
-    "embedding_pca_power_iteration",
-    "graph_pagerank",
-    "similarity_cosine_topk",
-    "similarity_lsh_topk",
-    "similarity_ivf_topk",
+    "stats_classifier_kappa",
+    "contamination_bloom_prefilter",
+    "contamination_ngram_check",
     "dedup_simhash_neardup",
     "dedup_ngram_jaccard",
-    "warehouse_merge_cdc",
-    "warehouse_load_fetch",
+    "dedup_minhash_lsh",
+    "dedup_minhash_verified",
+    "dedup_shingle_containment",
+    "dedup_jaccard_threshold_histogram",
+    "dedup_incremental_batch",
+    "text_novelty_per_doc",
+    "pipeline_source_quality_card",
+    "similarity_cosine_topk",
+    "similarity_ivf_topk",
+    "similarity_lsh_topk",
+    "similarity_sq_topk",
+    "embedding_norm_outliers",
+    "tfidf_top_terms",
+    "dedup_tfidf_cosine_pairs",
+    "importance_resample_dsir",
+    "multimodal_histogram_dedup",
+    "multimodal_payload_entropy",
+    "multimodal_cdc_chunk_dedup",
+    "multimodal_decode_image_real",
+    "multimodal_decode_audio_real",
+    "dedup_connected_components",
+    "dedup_semantic_clusters",
+    "dedup_embedding_neardup",
+    # --- dim-table de-hint representatives (audit commit; AQE now
+    # sizes the customer/supplier/part joins at runtime) ---
+    "q10_returned_items",
+    "q21_sole_late_supplier",
+    "q9_product_profit",
+    "q15_top_supplier",
+    "q20_excess_suppliers",
+    "join_inner",
+    "join_theta",
+    "join_null_safe_eq",
+    "join_range_bands",
+    "join_cross",
+    "graph_triangle_count",
+    "basket_association_rules",
+    "heavy_hitters_misra_gries",
+    "stream_static_enrich",
+    "search_rrf_fusion",
 )
 
 

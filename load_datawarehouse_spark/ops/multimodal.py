@@ -719,9 +719,17 @@ def decode_flac(content: bytes):
             br.read(8)
         elif sr_code in (13, 14):
             br.read(16)
+        elif sr_code == 15:
+            raise ValueError("invalid FLAC sample-rate code 0b1111")
         if ss_code == 3:
             raise ValueError("reserved FLAC sample-size code 3")
         frame_bps = _FLAC_SS.get(ss_code, bps) if ss_code else bps
+        # the final int16 rescale uses the STREAMINFO bps; a frame
+        # declaring a DIFFERENT sample size would silently mis-scale
+        if frame_bps != bps:
+            raise ValueError(
+                f"FLAC frame sample size {frame_bps} != STREAMINFO {bps}"
+            )
         br.align()
         header_len = br.pos // 8 - frame_start
         if _crc8(content[frame_start : frame_start + header_len]) != content[frame_start + header_len]:
@@ -791,6 +799,11 @@ def encode_flac(samples, sample_rate: int, channels: int = 1, block_size: int = 
     with no soundfile dependency."""
     import numpy as np
 
+    if not 1 <= channels <= 8:
+        # channels-1 occupies a 3-bit STREAMINFO field and a 4-bit
+        # frame-header code where 8-10 mean stereo decorrelation —
+        # channels=9 would silently emit chan_code 8 (left/side)
+        raise ValueError(f"FLAC channels must be 1..8, got {channels}")
     a = np.asarray(samples, dtype=np.int64).reshape(-1, channels)
     n_frames = a.shape[0]
 
@@ -1917,8 +1930,11 @@ def multimodal_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     The numpy kernel emits integer (byte, count) pairs per doc —
     partition-local, ~256 rows per payload regardless of size — and
     every entropy term is a deterministic double of two integers,
-    decimal-accumulated (9 dp). Scale: payload never shuffles; the
-    per-type profile aggregates |docs| tiny rows.
+    decimal-accumulated (9 dp). Scale: the payload crosses only the
+    opt-in round-robin scan spread below (test-scale parallelization
+    of the byte-count kernel; the partition-count guard makes it a
+    structural no-op on a many-split corpus, where the payload never
+    shuffles); the per-type profile aggregates |docs| tiny rows.
     """
     m = spread_small_scan(media_table(spark, sf_dir))
     counts = m.select("doc_id", "media_type", "content").mapInPandas(
@@ -2081,7 +2097,10 @@ def multimodal_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the trailing-window and chunk assembly are per-document
     windows (payload-local, bounded by doc size); the dedup census is
     one chunk-hash shuffle carrying 16-byte keys — the payload itself
-    never shuffles.
+    crosses only the opt-in round-robin scan spread (test-scale
+    parallelization of the chunking kernel; the partition-count guard
+    removes it on a many-split corpus, where the payload never
+    shuffles).
     """
     t = load_tables(spark, sf_dir, register_views=False)
     m = spread_small_scan(media_table(spark, sf_dir)).select(

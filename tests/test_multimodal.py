@@ -492,16 +492,26 @@ def test_flac_crc_violations_raise():
 
 
 def test_flac_multiframe_and_via_decode_audio_real():
+    import io
+
     import numpy as np
 
-    try:
-        import soundfile  # noqa: F401
-
-        return  # soundfile would shadow the stdlib path
-    except ImportError:
-        pass
     rng = np.random.RandomState(9)
     sig = rng.randint(-32768, 32768, size=(10000, 2)).astype(np.int16)
     blob = mm.encode_flac(sig, 44100, 2, block_size=4096, fixed=True)
+    # decode_audio_real takes the soundfile path when importable and
+    # the stdlib decoder otherwise — equality must hold either way
     dec, rate = mm.decode_audio_real(blob)
     assert rate == 44100 and np.array_equal(dec, sig)
+    try:
+        import soundfile
+    except ImportError:
+        return
+    # soundfile present: ALSO assert libsndfile itself accepts the
+    # minimal encoder's stream (a strict libFLAC rejection would
+    # otherwise surface only as amp_sum=-1 oracle failures in
+    # soundfile-equipped environments)
+    sf_dec, sf_rate = soundfile.read(io.BytesIO(blob), dtype="int16")
+    assert sf_rate == 44100 and np.array_equal(
+        np.asarray(sf_dec).reshape(-1, 2), sig
+    )

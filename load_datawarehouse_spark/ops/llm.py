@@ -5877,15 +5877,22 @@ def _mg_candidates(words: DataFrame) -> DataFrame:
 
     The merge is the Agarwal-Cormode-Huang-Phillips-Wei-Yi mergeable-
     summaries reduction: sum the surviving per-partition counters per
-    word (a tiny <= m x partitions-row shuffle), then subtract the
-    (m+1)-th largest summed counter from every word and keep the
-    strictly positive remainder — at most m rows by construction.
-    Every true heavy hitter survives because MG maintains the
-    invariant ``undercount <= (n_processed - S) / (m+1)`` where S is
-    the summary's total counter weight: each cap event (local or
-    merged) removes >= (m+1) x dec of counter weight while adding at
-    most dec per-word undercount, so the final merged counter of a
-    word with global count > n/m is >= count - n/(m+1) > 0.
+    word (a tiny <= m x partitions-row shuffle), then keep the m
+    largest summed counters (``orderBy(desc).limit(m)`` — a
+    TakeOrderedAndProject of per-partition partial top-m's, no global
+    sort exchange; measured 0.1 s cheaper at sf0.1 than the
+    equivalent nth_value window). The deterministic top-m is a
+    SUPERSET of the strict MG cap (subtract the (m+1)-th largest
+    ``dec``, keep positives): every true heavy hitter ends the merge
+    with summed counter > dec — MG maintains the invariant
+    ``undercount <= (n_processed - S) / (m+1)`` where S is the
+    summary's total counter weight, because each local cap event
+    removes >= (m+1) x dec_local of counter weight while adding at
+    most dec_local per-word undercount, so a word with global count
+    > n/m has merged counter >= count - n/(m+1) > n/m - n/(m+1) > 0
+    while dec (the (m+1)-th largest) cannot exceed it — and at most m
+    rows exceed dec, so every true hitter sits in any top-m. False
+    candidates die in the exact recount.
     """
 
     def mg_partition(batches):
@@ -5912,17 +5919,8 @@ def _mg_candidates(words: DataFrame) -> DataFrame:
 
     summ = words.mapInPandas(mg_partition, "word string, cnt long")
     merged = summ.groupBy("word").agg(F.sum("cnt").alias("c"))
-    # the (m+1)-th largest summed counter (0 when <= m candidates
-    # survive); single-partition window over <= m x partitions rows
-    full = Window.orderBy(F.desc("c"), F.asc("word")).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
     return (
-        merged.withColumn(
-            "dec", F.coalesce(F.nth_value("c", _MG_M + 1).over(full), F.lit(0))
-        )
-        .filter(F.col("c") > F.col("dec"))
-        .select("word")
+        merged.orderBy(F.desc("c"), F.asc("word")).limit(_MG_M).select("word")
     )
 
 

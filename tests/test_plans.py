@@ -591,11 +591,11 @@ def test_heavy_hitters_candidates_broadcast_semi_join(spark):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
     # round-11 (VERDICT r10 #1): the broadcast side must be the MERGED
-    # <= m-row summary — the second-level MG cap (the nth_value window
-    # computing the (m+1)-th largest summed counter) must sit below
-    # the broadcast; without it the candidate set is <= m x partitions
-    # rows, cluster-width-proportional at 100 TB
-    assert "nth_value" in plan
+    # <= m-row summary — the second-level MG cap (summed counters
+    # through a top-m TakeOrdered) must sit below the broadcast;
+    # without it the candidate set is <= m x partitions rows,
+    # cluster-width-proportional at 100 TB
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_funnel_regex_single_data_shuffle(spark):

@@ -7103,14 +7103,19 @@ def embedding_pca_second_component(spark: SparkSession, sf_dir: str) -> DataFram
 
     Same reproducibility discipline as PC1: decimal-exact matvecs and
     projections, 9-dp quantization per iteration, deterministic start
-    (e_0 for PC2). The element stream uses PC1's un-persisted
-    visible-partitioning template (VERDICT r10 #2); unlike PC1 the
-    six iterations stay driver-stepped (one collect per matvec): the
-    fully lazy unrolling that wins for PC1 is quadratic in PLAN size
-    here — each deflation embeds the whole v1 subtree by value, and
-    Catalyst re-optimizes every copy (measured: analysis alone ran
-    minutes at sf0.001 before the revert). Scale: per iteration adds
-    one 64-row projection to PC1's two bounded-key aggregations; only
+    (e_0 for PC2). Round-11 shape: HYBRID. Phase 1 runs PC1's fully
+    lazy 3-iteration recursion (one corpus shuffle, one action) and
+    collects only the 64-row v1; phase 2 keeps the 3 deflated
+    iterations driver-stepped (one matvec collect each, the
+    un-persisted visible-partitioning template, VERDICT r10 #2).
+    Fully lazy phase-2 unrollings were measured and rejected: with
+    the live v1 subtree embedded per deflation the plan grows
+    quadratically (Catalyst analysis ran minutes at sf0.001), and
+    even with v1 LITERALIZED the deflation tree grows 4x per
+    iteration and re-executes corpus aggregates (sf1 17.6 s vs 6.5 s
+    stepped). The hybrid measures sf1 min-of-3 6.6 s — equal wall
+    time to fully stepped (phase 1's one lazy action costs about what
+    its three stepped matvecs did) with 4 actions instead of 6; only
     64-row vectors ever reach the driver.
     """
     t = load_tables(spark, sf_dir, register_views=False)
@@ -7118,6 +7123,7 @@ def embedding_pca_second_component(spark: SparkSession, sf_dir: str) -> DataFram
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
     )
+    dec = _PCA_DEC.lower()
     import decimal as _d
     import math
 
@@ -7131,6 +7137,33 @@ def embedding_pca_second_component(spark: SparkSession, sf_dir: str) -> DataFram
             _d.Decimal(repr(x)).quantize(_d.Decimal(dp), rounding=_d.ROUND_HALF_UP)
         )
 
+    # phase 1: PC1's lazy recursion (identical trajectory to the
+    # standalone op — same expressions, same 9-dp quantization), one
+    # collect of the 64-row result
+    v = bcast_bounded(
+        spark.range(_PCA_DIM).select(
+            F.col("id").cast("int").alias("pos"), F.lit(0.125).alias("v")
+        ),
+        "power-iteration vector: dim rows",
+    )
+    vnext = None
+    for _ in range(_PCA_ITERS):
+        w = _pca_matvec(elems, v)
+        nrm_b = bcast_bounded(
+            w.agg(
+                F.sqrt(
+                    F.sum((F.col("w") * F.col("w")).cast(dec)).cast("double")
+                ).alias("nrm")
+            ),
+            "1-row norm aggregate",
+        )
+        vnext = w.crossJoin(nrm_b).select(
+            "pos", F.round(F.col("w") / F.col("nrm"), 9).alias("v")
+        )
+        v = bcast_bounded(vnext, "power-iteration vector: dim rows")
+    v1 = {int(r["pos"]): float(r["v"]) for r in vnext.collect()}
+
+    # phase 2: deflate each raw update against v1, driver-stepped
     def matvec(vrows):
         vdf = bcast_bounded(
             spark.createDataFrame(vrows, "pos int, v double"),
@@ -7140,15 +7173,6 @@ def embedding_pca_second_component(spark: SparkSession, sf_dir: str) -> DataFram
             int(r["pos"]): r["w"] for r in _pca_matvec(elems, vdf).collect()
         }
 
-    # PC1 (identical trajectory to the standalone op)
-    v = [(p, 0.125) for p in range(_PCA_DIM)]
-    for _ in range(_PCA_ITERS):
-        w = matvec(v)
-        nrm = math.sqrt(float(sum(_q12(w[p] * w[p]) for p in w)))
-        v = [(p, _r(w[p] / nrm, "1e-9")) for p in sorted(w)]
-    v1 = dict(v)
-
-    # PC2: deflate each raw update against v1
     u = [(p, 1.0 if p == 0 else 0.0) for p in range(_PCA_DIM)]
     nrm2 = None
     for _ in range(_PCA_ITERS):

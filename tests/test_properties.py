@@ -1009,6 +1009,16 @@ def test_no_cache_hidden_partitioning():
                 "lineage_cut"
             ):
                 receiver = node.args[0] if node.args else None
+            elif (
+                # the repo idiom: df.transform(lineage_cut) — the cut
+                # caches the RECEIVER chain
+                isinstance(node.func, ast.Attribute)
+                and node.func.attr == "transform"
+                and node.args
+                and isinstance(node.args[0], ast.Name)
+                and node.args[0].id.startswith("lineage_cut")
+            ):
+                receiver = node.func.value
             if receiver is not None and chain_has_keyed_repartition(receiver):
                 offenders.append(
                     f"{path}:{node.lineno} cache/cut hides a keyed repartition"

@@ -6428,7 +6428,11 @@ def _pca_oracle() -> str:
 ), n{i} AS MATERIALIZED (
     SELECT SQRT(CAST(SUM(CAST(w * w AS {_PCA_DEC})) AS DOUBLE)) AS nrm FROM w{i}
 ), v{i} AS MATERIALIZED (
-    SELECT pos, ROUND(w / nrm, 9) AS v FROM w{i} CROSS JOIN n{i}
+    -- "+ 0" canonicalizes IEEE signed zero: the Spark side rounds v
+    -- in-plan via F.round (BigDecimal, no -0.0) while DuckDB ROUND
+    -- preserves it; a near-null loading in (-5e-10, 0) would
+    -- otherwise hash-mismatch (the orders_revenue_bridge trap class)
+    SELECT pos, ROUND(w / nrm, 9) + 0 AS v FROM w{i} CROSS JOIN n{i}
 )"""
         )
         prev = f"v{i}"
@@ -6459,6 +6463,39 @@ def _pca_matvec(elems: DataFrame, vdf: DataFrame) -> DataFrame:
         .groupBy("pos")
         .agg(F.sum((F.col("x") * F.col("s")).cast(dec)).cast("double").alias("w"))
     )
+
+
+def _pca_power_iterate(spark: SparkSession, elems: DataFrame):
+    """THE lazy 3-iteration PC1 recursion, shared by both PCA ops so
+    their phase-1 trajectories are bit-identical BY CONSTRUCTION (the
+    oracles share the v{i} CTEs the same way). Returns ``(vnext,
+    nrm_b)`` — the final 9-dp-rounded 64-row vector frame and its
+    broadcast 1-row norm — both lazy; the whole recursion is one plan
+    whose corpus exchange runtime-ReusedExchange dedupes across all
+    six matvec legs."""
+    dec = _PCA_DEC.lower()
+    v = bcast_bounded(
+        spark.range(_PCA_DIM).select(
+            F.col("id").cast("int").alias("pos"), F.lit(0.125).alias("v")
+        ),
+        "power-iteration vector: dim rows",
+    )
+    vnext = nrm_b = None
+    for _ in range(_PCA_ITERS):
+        w = _pca_matvec(elems, v)
+        nrm_b = bcast_bounded(
+            w.agg(
+                F.sqrt(
+                    F.sum((F.col("w") * F.col("w")).cast(dec)).cast("double")
+                ).alias("nrm")
+            ),
+            "1-row norm aggregate",
+        )
+        vnext = w.crossJoin(nrm_b).select(
+            "pos", F.round(F.col("w") / F.col("nrm"), 9).alias("v")
+        )
+        v = bcast_bounded(vnext, "power-iteration vector: dim rows")
+    return vnext, nrm_b
 
 
 @_register("embedding_pca_power_iteration", _pca_oracle())
@@ -6501,28 +6538,7 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
     )
-    dec = _PCA_DEC.lower()
-    v = bcast_bounded(
-        spark.range(_PCA_DIM).select(
-            F.col("id").cast("int").alias("pos"), F.lit(0.125).alias("v")
-        ),
-        "power-iteration vector: dim rows",
-    )
-    vnext = nrm_b = None
-    for _ in range(_PCA_ITERS):
-        w = _pca_matvec(elems, v)
-        nrm_b = bcast_bounded(
-            w.agg(
-                F.sqrt(
-                    F.sum((F.col("w") * F.col("w")).cast(dec)).cast("double")
-                ).alias("nrm")
-            ),
-            "1-row norm aggregate",
-        )
-        vnext = w.crossJoin(nrm_b).select(
-            "pos", F.round(F.col("w") / F.col("nrm"), 9).alias("v")
-        )
-        v = bcast_bounded(vnext, "power-iteration vector: dim rows")
+    vnext, nrm_b = _pca_power_iterate(spark, elems)
     return (
         vnext.crossJoin(nrm_b)
         .select(
@@ -7047,7 +7063,11 @@ def _pca2_oracle() -> str:
 ), n{i} AS MATERIALIZED (
     SELECT SQRT(CAST(SUM(CAST(w * w AS {_PCA_DEC})) AS DOUBLE)) AS nrm FROM w{i}
 ), v{i} AS MATERIALIZED (
-    SELECT pos, ROUND(w / nrm, 9) AS v FROM w{i} CROSS JOIN n{i}
+    -- "+ 0": phase 1 rounds v in-plan via F.round on the Spark side
+    -- (no -0.0); see _pca_oracle. Phase 2's u{{i}} below stays bare —
+    -- its Spark twin rounds driver-side, which preserves -0.0 like
+    -- DuckDB ROUND does.
+    SELECT pos, ROUND(w / nrm, 9) + 0 AS v FROM w{i} CROSS JOIN n{i}
 )"""
         )
         prev = f"v{i}"
@@ -7123,7 +7143,6 @@ def embedding_pca_second_component(spark: SparkSession, sf_dir: str) -> DataFram
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
     )
-    dec = _PCA_DEC.lower()
     import decimal as _d
     import math
 
@@ -7137,30 +7156,10 @@ def embedding_pca_second_component(spark: SparkSession, sf_dir: str) -> DataFram
             _d.Decimal(repr(x)).quantize(_d.Decimal(dp), rounding=_d.ROUND_HALF_UP)
         )
 
-    # phase 1: PC1's lazy recursion (identical trajectory to the
-    # standalone op — same expressions, same 9-dp quantization), one
-    # collect of the 64-row result
-    v = bcast_bounded(
-        spark.range(_PCA_DIM).select(
-            F.col("id").cast("int").alias("pos"), F.lit(0.125).alias("v")
-        ),
-        "power-iteration vector: dim rows",
-    )
-    vnext = None
-    for _ in range(_PCA_ITERS):
-        w = _pca_matvec(elems, v)
-        nrm_b = bcast_bounded(
-            w.agg(
-                F.sqrt(
-                    F.sum((F.col("w") * F.col("w")).cast(dec)).cast("double")
-                ).alias("nrm")
-            ),
-            "1-row norm aggregate",
-        )
-        vnext = w.crossJoin(nrm_b).select(
-            "pos", F.round(F.col("w") / F.col("nrm"), 9).alias("v")
-        )
-        v = bcast_bounded(vnext, "power-iteration vector: dim rows")
+    # phase 1: PC1's lazy recursion (bit-identical trajectory BY
+    # CONSTRUCTION — the shared _pca_power_iterate), one collect of
+    # the 64-row result
+    vnext, _ = _pca_power_iterate(spark, elems)
     v1 = {int(r["pos"]): float(r["v"]) for r in vnext.collect()}
 
     # phase 2: deflate each raw update against v1, driver-stepped

@@ -972,30 +972,78 @@ def test_no_cache_hidden_partitioning():
     2. no persist/cache/localCheckpoint/lineage_cut applied to an
        expression whose fluent chain contains a BY-KEY repartition
        (``repartition(n, key...)``) — cut slim frames, keep
-       partitioned element streams VISIBLE to Catalyst.
+       partitioned element streams VISIBLE to Catalyst. Variables are
+       tracked per function body (``x = df.repartition(n, k)...``
+       followed by ``lineage_cut(x)`` / ``x.transform(lineage_cut)``
+       is caught too), so the kmeans/PCA regression can't be
+       reintroduced through a simple assignment.
     """
     import ast
     import pathlib
-
-    def chain_has_keyed_repartition(node) -> bool:
-        for sub in ast.walk(node):
-            if (
-                isinstance(sub, ast.Call)
-                and isinstance(sub.func, ast.Attribute)
-                and sub.func.attr in ("repartition", "repartitionByRange")
-                and len(sub.args) >= 2
-            ):
-                return True
-        return False
 
     offenders = []
     pkg = pathlib.Path("load_datawarehouse_spark")
     for path in sorted(pkg.rglob("*.py")):
         tree = ast.parse(path.read_text())
         in_util = path.name == "_util.py"
+        # per-function (and module-level) sets of names assigned from
+        # an expression whose chain contains a keyed repartition —
+        # single-assignment tracking, no flow sensitivity needed for
+        # the realistic pattern
+        tainted_in_scope: dict[int, set] = {}
+        scope_of: dict[int, int] = {}
+
+        def _scopes(t):
+            stack = [id(t)]
+            tainted_in_scope[id(t)] = set()
+
+            def walk(n, cur):
+                for child in ast.iter_child_nodes(n):
+                    nxt = cur
+                    if isinstance(
+                        child, (ast.FunctionDef, ast.AsyncFunctionDef)
+                    ):
+                        tainted_in_scope[id(child)] = set()
+                        nxt = id(child)
+                    scope_of[id(child)] = nxt
+                    walk(child, nxt)
+
+            walk(t, id(t))
+
+        _scopes(tree)
+
+        def chain_has_keyed_repartition(node, scope) -> bool:
+            for sub in ast.walk(node):
+                if (
+                    isinstance(sub, ast.Call)
+                    and isinstance(sub.func, ast.Attribute)
+                    and sub.func.attr in ("repartition", "repartitionByRange")
+                    and len(sub.args) >= 2
+                ):
+                    return True
+                if (
+                    isinstance(sub, ast.Name)
+                    and isinstance(sub.ctx, ast.Load)
+                    and sub.id in tainted_in_scope.get(scope, ())
+                ):
+                    return True
+            return False
+
+        # first pass: taint assigned names whose value chain contains
+        # a keyed repartition (propagates through re-derivations since
+        # the value walk also consults the taint set, in source order)
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Assign) and isinstance(node.value, ast.expr):
+                scope = scope_of.get(id(node), id(tree))
+                if chain_has_keyed_repartition(node.value, scope):
+                    for tgt in node.targets:
+                        if isinstance(tgt, ast.Name):
+                            tainted_in_scope[scope].add(tgt.id)
+
         for node in ast.walk(tree):
             if not isinstance(node, ast.Call):
                 continue
+            scope = scope_of.get(id(node), id(tree))
             receiver = None
             if isinstance(node.func, ast.Attribute) and node.func.attr in (
                 "persist",
@@ -1019,7 +1067,9 @@ def test_no_cache_hidden_partitioning():
                 and node.args[0].id.startswith("lineage_cut")
             ):
                 receiver = node.func.value
-            if receiver is not None and chain_has_keyed_repartition(receiver):
+            if receiver is not None and chain_has_keyed_repartition(
+                receiver, scope
+            ):
                 offenders.append(
                     f"{path}:{node.lineno} cache/cut hides a keyed repartition"
                 )

@@ -515,3 +515,43 @@ def test_flac_multiframe_and_via_decode_audio_real():
     assert sf_rate == 44100 and np.array_equal(
         np.asarray(sf_dec).reshape(-1, 2), sig
     )
+
+
+def test_flac_round11_guards():
+    # the three round-11 ADVICE hardenings: encoder channel range,
+    # reserved sample-rate code 15, frame/STREAMINFO sample-size
+    # mismatch (the int16 rescale would silently mis-scale)
+    import numpy as np
+    import pytest as pt
+
+    with pt.raises(ValueError, match="channels"):
+        mm.encode_flac(np.zeros(18, dtype=np.int16), 8000, channels=9)
+
+    def frame(sr_code=0, ss_code=4):
+        w = mm._BitWriter()
+        w.write(0x3FFE, 14); w.write(0, 1); w.write(0, 1)
+        w.write(7, 4)         # 16-bit blocksize at end
+        w.write(sr_code, 4)
+        w.write(0, 4)         # mono
+        w.write(ss_code, 3)
+        w.write(0, 1)
+        for b in mm._flac_utf8(0):
+            w.write(b, 8)
+        w.write(4 - 1, 16)
+        if sr_code == 12:
+            w.write(77, 8)
+        assert w.nbits == 0
+        w.write(mm._crc8(bytes(w.buf)), 8)
+        _verbatim_sub(w, [1, -2, 3, -4], mm._FLAC_SS.get(ss_code, 16))
+        w.align()
+        f = bytes(w.buf)
+        return f + mm._crc16(f).to_bytes(2, "big")
+
+    with pt.raises(ValueError, match="sample-rate code"):
+        mm.decode_flac(_flac_stream(1, 16000, 4, [frame(sr_code=15)]))
+    with pt.raises(ValueError, match="sample size"):
+        # 8-bit frame declaration vs the 16-bit STREAMINFO
+        mm.decode_flac(_flac_stream(1, 16000, 4, [frame(ss_code=1)]))
+    # a matching explicit declaration (ss_code 4 = 16-bit) still decodes
+    dec, rate = mm.decode_flac(_flac_stream(1, 16000, 4, [frame()]))
+    assert rate == 16000 and dec.reshape(-1).tolist() == [1, -2, 3, -4]

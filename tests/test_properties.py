@@ -1077,3 +1077,29 @@ def test_no_cache_hidden_partitioning():
         "cache-hidden-partitioning policy violations (see kmeans_lloyd's "
         f"elems comment for the template fix): {offenders}"
     )
+
+
+def test_shuffle_partitions_fallback():
+    """ADVICE r10: int(conf.get('spark.sql.shuffle.partitions')) raises
+    on deployments that set the key to a non-numeric value such as
+    'auto' — the helper must fall back to defaultParallelism."""
+    from load_datawarehouse_spark.session import shuffle_partitions
+
+    class _Conf:
+        def __init__(self, val):
+            self._v = val
+
+        def get(self, k):
+            return self._v
+
+    class _SC:
+        defaultParallelism = 7
+
+    class _Spark:
+        def __init__(self, val):
+            self.conf = _Conf(val)
+            self.sparkContext = _SC()
+
+    assert shuffle_partitions(_Spark("32")) == 32
+    assert shuffle_partitions(_Spark("auto")) == 7
+    assert shuffle_partitions(_Spark(None)) == 7

@@ -3133,7 +3133,10 @@ def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
     driver — bounded by the EVAL set size, never the corpus. Probe
     positions are likewise computed JVM-side; the Arrow-batched pandas
     UDF only indexes the broadcast numpy bitset (no hashing in
-    Python). At 0.01 FPP ~99% of clean grams short-circuit before the
+    Python), fully vectorized against the PACKED bytes — round-12
+    A/B at sf0.1 (min-of-3): per-row ``Series.map`` over an unpacked
+    copy 2.03 s -> concatenate+reduceat over packed bytes 1.72 s,
+    bit-identical output (oracle green). At 0.01 FPP ~99% of clean grams short-circuit before the
     join; the exact broadcast join runs over the ~1% survivors and
     kills false positives, so the output is bit-identical to the
     exact plan.
@@ -3186,9 +3189,23 @@ def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
     bc = spark.sparkContext.broadcast(np.packbits(bits))
 
     def _might_contain(pos):
+        # fully vectorized probe: index the PACKED bitset directly
+        # (bit p lives at byte p>>3, MSB-first bit 7-(p&7) — numpy
+        # packbits order), one concatenated position array per Arrow
+        # batch, and a reduceat AND per row — no per-batch unpackbits
+        # (m_bits bytes of allocation per batch) and no per-row
+        # Python lambda. Every row carries exactly k_hashes positions
+        # (F.sequence above), but explicit reduceat offsets keep this
+        # correct if the position arity ever becomes row-dependent.
         packed = bc.value
-        unpacked = np.unpackbits(packed).astype(bool)
-        return pos.map(lambda p: bool(unpacked[np.asarray(p, dtype=np.int64)].all()))
+        if not len(pos):
+            return pd.Series([], dtype=bool)
+        flat = np.concatenate(pos.to_numpy()).astype(np.int64, copy=False)
+        hit = ((packed[flat >> 3] >> (7 - (flat & 7))) & 1).astype(bool)
+        lens = np.fromiter((len(p) for p in pos), dtype=np.int64, count=len(pos))
+        starts = np.zeros(len(pos), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        return pd.Series(np.logical_and.reduceat(hit, starts))
 
     # legacy-style registration: pd is module-local, so string type
     # hints would not resolve for the hint-based pandas_udf API
@@ -6472,7 +6489,15 @@ def _pca_power_iterate(spark: SparkSession, elems: DataFrame):
     nrm_b)`` — the final 9-dp-rounded 64-row vector frame and its
     broadcast 1-row norm — both lazy; the whole recursion is one plan
     whose corpus exchange runtime-ReusedExchange dedupes across all
-    six matvec legs."""
+    six matvec legs.
+
+    Viable ONLY for small ``_PCA_ITERS`` (ADVICE r11): each iteration
+    embeds the full corpus subtree in its broadcast vector, so the
+    LOGICAL plan grows per iteration and the single-shuffle claim
+    rests on runtime ReusedExchange — pca2's fully-lazy deflation A/B
+    already measured quadratic Catalyst-analysis blowup at deeper
+    recursions (17.6 vs 6.5 s at sf1). Re-measure before reusing this
+    helper at higher iteration counts."""
     dec = _PCA_DEC.lower()
     v = bcast_bounded(
         spark.range(_PCA_DIM).select(

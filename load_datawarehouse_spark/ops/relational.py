@@ -7571,10 +7571,29 @@ def source_federated_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="ldw_fed_")
     url = f"jdbc:derby:{root}/db;create=true"
     try:
-        if _jdbc_available(spark, "jdbc:derby:probe"):
+        try:
+            if not _jdbc_available(spark, "jdbc:derby:probe"):
+                raise RuntimeError("no Derby driver on the classpath")
             max_key = jdbc_half_src.agg(F.max("o_orderkey")).collect()[0][0]
+            # The staged CSV -> SYSCS_IMPORT_TABLE handoff assumes the
+            # writer's task output and the driver-side embedded Derby
+            # share a filesystem — true in local mode (and in the
+            # driver harness); on a multi-node cluster the glob below
+            # finds nothing and the except arm serves the all-parquet
+            # union instead (ADVICE r11). Writer options are pinned to
+            # Derby's import defaults (comma, double-quote, no header)
+            # and the staged projection is exactly these three
+            # NON-NULL columns — a nullable string column would need
+            # an explicit nullValue contract with the import procedure
+            # before extending this.
             csvdir = f"{root}/stage_csv"
-            jdbc_half_src.coalesce(1).write.option("header", "false").csv(csvdir)
+            (
+                jdbc_half_src.coalesce(1)
+                .write.option("header", "false")
+                .option("quote", '"')
+                .option("emptyValue", "")
+                .csv(csvdir)
+            )
             csv_file = glob.glob(f"{csvdir}/part-*.csv")[0]
             conn = spark._jvm.java.sql.DriverManager.getConnection(url)
             try:
@@ -7600,7 +7619,11 @@ def source_federated_union(spark: SparkSession, sf_dir: str) -> DataFrame:
                 upper_bound=int(max_key) + 1,
                 num_partitions=min(8, spark.sparkContext.defaultParallelism),
             ).select("o_orderkey", "o_orderstatus", "o_totalprice")
-        else:  # pragma: no cover - driver always ships Derby
+        except Exception:
+            # same semantics as the no-driver availability shim: the
+            # "operational" half reads from parquet directly (the real
+            # Derby path stays covered by tests/test_sources.py, so a
+            # regression here cannot hide behind this fallback)
             jdbc_half = jdbc_half_src
         out = (
             parquet_half.unionByName(jdbc_half)

@@ -236,6 +236,27 @@ def _shingles(t, n: int = 3, spread: bool = False):
     return base.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
 
 
+def _capped_shingle_pairs(ds: DataFrame) -> DataFrame:
+    """Unordered candidate pairs of the DF-capped inverted index:
+    ``(d1 < d2, n_common)`` for every doc pair sharing >= 1 shingle
+    whose document frequency is within ``MAX_SHINGLE_DF``. This is THE
+    pre-threshold candidate stage of both ``dedup_ngram_jaccard`` and
+    ``dedup_shingle_containment`` (and the frame whose cardinality
+    scalecheck records as ``candidates`` for those ops)."""
+    idx = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= MAX_SHINGLE_DF
+    )
+    pruned = ds.join(idx.select("shingle"), "shingle")
+    a = pruned.select(F.col("doc_id").alias("d1"), "shingle")
+    b = pruned.select(F.col("doc_id").alias("d2"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
 @_register("dedup_ngram_jaccard", _JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by 3-word-shingle Jaccard >= 0.3.
@@ -256,18 +277,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle) rows once is a measured 21% win at sf0.1.
     ds = _shingles(t, spread=True).transform(lineage_cut)
     cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    idx = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= MAX_SHINGLE_DF
-    )
-    pruned = ds.join(idx.select("shingle"), "shingle")
-    a = pruned.select(F.col("doc_id").alias("d1"), "shingle")
-    b = pruned.select(F.col("doc_id").alias("d2"), "shingle")
-    pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    pairs = _capped_shingle_pairs(ds)
     jac = F.col("n_common").cast("double") / (F.col("n1") + F.col("n2") - F.col("n_common"))
     return (
         pairs.join(cnt.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
@@ -1620,22 +1630,13 @@ def _simhash60(t) -> DataFrame:
     return words.groupBy("doc_id").agg(total.cast("long").alias("simhash"))
 
 
-@_register("dedup_simhash_neardup", _simhash_neardup_oracle())
-def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by SimHash hamming distance <= 3.
-
-    Scale pattern (pigeonhole banding): split the 60-bit fingerprint
-    into 4 bands of 15 bits — any pair within hamming distance 3
-    agrees on at least one full band, so candidates come from equality
-    self-joins on (band_idx, band_bits) buckets, never doc x doc; the
-    exact ``bit_count(xor)`` check then filters false candidates.
-    The oracle does the naive all-pairs join (fine at oracle scale,
-    wrong at 100 TB — the banded plan is the point of this op)."""
-    t = load_tables(spark, sf_dir, register_views=False)
-    # one 60-bit signature row per doc, consumed by BOTH self-join
-    # sides — cut lineage so the token-explode signature aggregation
-    # runs once, not per side (measured 10% at sf0.1)
-    sh = _simhash60(t).transform(lineage_cut)
+def _simhash_band_pairs(sh: DataFrame) -> DataFrame:
+    """Banded candidate pairs of the simhash pigeonhole blocking:
+    ``(d1 < d2, h1, h2)`` for every doc pair agreeing on at least one
+    15-bit band — the pre-hamming-filter candidate stage shared by
+    ``dedup_simhash_neardup`` and its scalecheck candidate counter.
+    NOT distinct: a pair agreeing on two bands appears twice (that is
+    the join fanout the op actually pays for)."""
     mask = (1 << _SIMHASH_ND_BAND_BITS) - 1
     bands = sh.select(
         "doc_id",
@@ -1653,13 +1654,33 @@ def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bits").alias("bits"))
+    ).select(
+        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bits").alias("bits")
+    )
     a = bands.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"), "band", "bits")
     b = bands.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"), "band", "bits")
+    return a.join(b, ["band", "bits"]).filter(F.col("d1") < F.col("d2"))
+
+
+@_register("dedup_simhash_neardup", _simhash_neardup_oracle())
+def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance <= 3.
+
+    Scale pattern (pigeonhole banding): split the 60-bit fingerprint
+    into 4 bands of 15 bits — any pair within hamming distance 3
+    agrees on at least one full band, so candidates come from equality
+    self-joins on (band_idx, band_bits) buckets, never doc x doc; the
+    exact ``bit_count(xor)`` check then filters false candidates.
+    The oracle does the naive all-pairs join (fine at oracle scale,
+    wrong at 100 TB — the banded plan is the point of this op)."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    # one 60-bit signature row per doc, consumed by BOTH self-join
+    # sides — cut lineage so the token-explode signature aggregation
+    # runs once, not per side (measured 10% at sf0.1)
+    sh = _simhash60(t).transform(lineage_cut)
     hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
     return (
-        a.join(b, ["band", "bits"])
-        .filter(F.col("d1") < F.col("d2"))
+        _simhash_band_pairs(sh)
         .select("d1", "d2", hamming.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= _SIMHASH_HAMMING_MAX)
         .distinct()
@@ -4864,22 +4885,11 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle) rows once is a measured 21% win at sf0.1.
     ds = _shingles(t, spread=True).transform(lineage_cut)
     cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    idx = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= MAX_SHINGLE_DF
-    )
-    pruned = ds.join(idx.select("shingle"), "shingle")
-    a = pruned.select(F.col("doc_id").alias("d1"), "shingle")
-    b = pruned.select(F.col("doc_id").alias("d2"), "shingle")
     # n_common is SYMMETRIC even though containment is directed:
     # aggregate each unordered pair once (d1 < d2 halves the pair
     # shuffle, the op's dominant cost) and re-emit both directions
     # after — 18.4 -> 10.3 s at sf1, identical rows.
-    half = (
-        a.join(b, "shingle")
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    half = _capped_shingle_pairs(ds)
     pairs = half.unionByName(
         half.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"), "n_common")
     )
@@ -5164,26 +5174,10 @@ ORDER BY d1, d2
 """
 
 
-@_register("dedup_tfidf_cosine_pairs", _TFIDF_COS_ORACLE)
-def dedup_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by SPARSE tf-idf cosine >= 0.8 — the
-    weighted-lexical member of the dedup family: unlike set-based
-    Jaccard/containment it discounts corpus-common words, so
-    boilerplate overlap doesn't fake a duplicate.
-
-    The dot products come from an inverted-index self-join on the
-    term (never doc x doc), with a corpus-RELATIVE DF cap (max(100, 5% of docs)) pruning hot terms — which is also principled here: a term in >100
-    docs has near-zero idf, so dropping it barely moves the cosine
-    while removing the quadratic hot keys. Per-pair partial products
-    accumulate in DECIMAL(38,18); the cosine is rounded to 9 dp
-    BEFORE thresholding so the boundary comparison is engine-stable.
-
-    AUDIT VIEW at scale: pair-per-row output is quadratic in
-    duplicate density; see ``dedup_neardup_clusters`` for the
-    linear-output production path.
-    """
-    t = load_tables(spark, sf_dir, register_views=False)
-    dec18 = "decimal(38,18)"
+def _tfidf_weights(t) -> DataFrame:
+    """(doc_id, term, tf-idf weight) rows over the DF-capped vocabulary
+    — the shared sparse-vector stage of ``dedup_tfidf_cosine_pairs``
+    (norms + dots) and its scalecheck candidate counter."""
     # spread the single-file scan: the explode-heavy narrow stage ran
     # as ONE task at test scale (sf0.1/sf1 A/B in commit message)
     words = spread_small_scan(t["documents"]).select(
@@ -5209,7 +5203,7 @@ def dedup_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("term", "df")
     )
-    wts = (
+    return (
         tf.join(df, "term")
         .crossJoin(bcast_bounded(n, "1-row aggregate"))
         .select(
@@ -5219,17 +5213,47 @@ def dedup_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(lineage_cut)
     )
-    norms = wts.groupBy("doc_id").agg(
-        F.sqrt(F.sum((F.col("w") * F.col("w")).cast(dec18)).cast("double")).alias("nrm")
-    )
+
+
+def _tfidf_dots(wts: DataFrame) -> DataFrame:
+    """Pre-threshold candidate pairs of the tf-idf inverted index:
+    one (d1 < d2, dot) row per doc pair sharing >= 1 capped term."""
+    dec18 = "decimal(38,18)"
     a = wts.select(F.col("doc_id").alias("d1"), "term", F.col("w").alias("w1"))
     b = wts.select(F.col("doc_id").alias("d2"), "term", F.col("w").alias("w2"))
-    dots = (
+    return (
         a.join(b, "term")
         .filter(F.col("d1") < F.col("d2"))
         .groupBy("d1", "d2")
         .agg(F.sum((F.col("w1") * F.col("w2")).cast(dec18)).cast("double").alias("dot"))
     )
+
+
+@_register("dedup_tfidf_cosine_pairs", _TFIDF_COS_ORACLE)
+def dedup_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by SPARSE tf-idf cosine >= 0.8 — the
+    weighted-lexical member of the dedup family: unlike set-based
+    Jaccard/containment it discounts corpus-common words, so
+    boilerplate overlap doesn't fake a duplicate.
+
+    The dot products come from an inverted-index self-join on the
+    term (never doc x doc), with a corpus-RELATIVE DF cap (max(100, 5% of docs)) pruning hot terms — which is also principled here: a term in >100
+    docs has near-zero idf, so dropping it barely moves the cosine
+    while removing the quadratic hot keys. Per-pair partial products
+    accumulate in DECIMAL(38,18); the cosine is rounded to 9 dp
+    BEFORE thresholding so the boundary comparison is engine-stable.
+
+    AUDIT VIEW at scale: pair-per-row output is quadratic in
+    duplicate density; see ``dedup_neardup_clusters`` for the
+    linear-output production path.
+    """
+    t = load_tables(spark, sf_dir, register_views=False)
+    dec18 = "decimal(38,18)"
+    wts = _tfidf_weights(t)
+    norms = wts.groupBy("doc_id").agg(
+        F.sqrt(F.sum((F.col("w") * F.col("w")).cast(dec18)).cast("double")).alias("nrm")
+    )
+    dots = _tfidf_dots(wts)
     cos = F.round(
         F.col("dot") / (F.col("nrm1") * F.col("nrm2")), 9
     )
@@ -7162,9 +7186,19 @@ def embedding_pca_second_component(spark: SparkSession, sf_dir: str) -> DataFram
     time to fully stepped (phase 1's one lazy action costs about what
     its three stepped matvecs did) with 4 actions instead of 6; only
     64-row vectors ever reach the driver.
+
+    Round-12 A/B (VERDICT r11 #5): the compact ``(vec_id, embedding)``
+    projection is lineage-cut BEFORE the keyed repartition (the lint
+    permits cutting un-keyed chains; the vec_id exchange itself stays
+    visible to Catalyst), so the four actions share one materialized
+    scan instead of four parquet re-reads. Measured sf1 min-of-3:
+    5.63 s (direct scan) -> 5.38 s (cut), trajectories bit-identical —
+    inside the jitter band, kept for the shared-scan shape (the win
+    grows with scan cost; embeddings are tiny at bench scale).
     """
     t = load_tables(spark, sf_dir, register_views=False)
-    elems = t["embeddings"].repartition(shuffle_partitions(spark), "vec_id").select(
+    base = t["embeddings"].select("vec_id", "embedding").transform(lineage_cut)
+    elems = base.repartition(shuffle_partitions(spark), "vec_id").select(
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
     )
@@ -7213,3 +7247,63 @@ def embedding_pca_second_component(spark: SparkSession, sf_dir: str) -> DataFram
         "pos long, loading2 double, lambda2_est double, orthogonality double",
     )
     return out.orderBy("pos")
+
+
+# ---------------------------------------------------------------------------
+# Candidate-pair accounting for the pair-producing dedup family
+# ---------------------------------------------------------------------------
+
+def _count_shingle_candidates(spark: SparkSession, sf_dir: str) -> int:
+    t = load_tables(spark, sf_dir, register_views=False)
+    ds = _shingles(t, spread=True).transform(lineage_cut)
+    return _capped_shingle_pairs(ds).count()
+
+
+def _count_lsh_candidates(spark: SparkSession, sf_dir: str) -> int:
+    # the LSH op's output IS the candidate set (distinct bucket pairs)
+    return dedup_minhash_lsh(spark, sf_dir).count()
+
+
+def _count_jaccard_verified(spark: SparkSession, sf_dir: str) -> int:
+    # levenshtein_verify's expensive kernel runs once per VERIFIED
+    # jaccard pair — that output is its candidate list
+    return dedup_ngram_jaccard(spark, sf_dir).count()
+
+
+def _count_tfidf_candidates(spark: SparkSession, sf_dir: str) -> int:
+    t = load_tables(spark, sf_dir, register_views=False)
+    return _tfidf_dots(_tfidf_weights(t)).count()
+
+
+def _count_simhash_candidates(spark: SparkSession, sf_dir: str) -> int:
+    t = load_tables(spark, sf_dir, register_views=False)
+    sh = _simhash60(t).transform(lineage_cut)
+    return _simhash_band_pairs(sh).count()
+
+
+def _count_label_pairs(spark: SparkSession, sf_dir: str) -> int:
+    # the exact within-label contract evaluates every C(n_label, 2)
+    # pair; the tiled router changes WHERE they run, not how many
+    t = load_tables(spark, sf_dir, register_views=False)
+    per = t["embeddings"].groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    row = per.agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("p")).collect()[0]
+    return int(row["p"] or 0)
+
+
+#: op name -> pre-threshold candidate-pair counter, (spark, sf_dir) ->
+#: int. Consumed by scalecheck.py so slope outliers whose cost is
+#: candidate-growth-driven (incl. ones whose FINAL output shrinks
+#: under a DF cap, e.g. dedup_shingle_containment) carry a measured
+#: ``slope_per_candidate_pair`` instead of an argued one. Each counter
+#: re-derives the op's OWN candidate stage from the shared helper the
+#: op itself calls, so the two cannot drift.
+CANDIDATE_PAIR_COUNTS = {
+    "dedup_ngram_jaccard": _count_shingle_candidates,
+    "dedup_shingle_containment": _count_shingle_candidates,
+    "dedup_levenshtein_verify": _count_jaccard_verified,
+    "dedup_minhash_lsh": _count_lsh_candidates,
+    "dedup_minhash_verified": _count_lsh_candidates,
+    "dedup_tfidf_cosine_pairs": _count_tfidf_candidates,
+    "dedup_simhash_neardup": _count_simhash_candidates,
+    "dedup_embedding_neardup": _count_label_pairs,
+}

@@ -472,11 +472,19 @@ ORDER BY n.n_name
 
 @_register("join_theta", _JOIN_THETA_ORACLE)
 def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theta join with an equi component.
+    """Theta join with an equi component — the documented AUDIT SHAPE
+    of the theta/range family (plan-locked, see COVERAGE.md
+    §Theta/range-join scale contract).
 
-    Scale: Spark extracts the equi conjunct (nationkey) as the shuffle
-    key and applies the inequality as a post-join filter, so this stays
-    a hash join, not a nested loop — verified via .explain.
+    Spark extracts the equi conjunct (nationkey) as the hash key and
+    evaluates the inequality as a residual join condition, so the plan
+    is a hash join, never a nested loop. The remaining cost is
+    INTRINSIC to the semantics: with a fixed key domain (25 nations)
+    the within-key pair evaluation grows quadratically with the data
+    (SCALECHECK slope ~8.6 at 10x is that workload term, not an
+    engine term). Consumers needing linear scaling route to the
+    bucketed equi expansions (``join_range_bands``,
+    ``join_range_bucketed``) whose keys grow with the data.
     """
     t = load_tables(spark, sf_dir, register_views=False)
     s, c, n = t["supplier"], t["customer"], t["nation"]
@@ -508,17 +516,40 @@ ORDER BY b.band
 
 @_register("join_range_bands", _JOIN_RANGE_ORACLE)
 def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range (interval containment) join against a literal dimension.
-
-    Scale: the band table is broadcast, so the range join is a
-    broadcast nested loop over 4 rows — effectively a map-side CASE.
-    For big-big range joins see as-of join's union technique.
+    """Range (interval containment) join against a literal dimension —
+    THE scale path for range joins (plan-locked, see COVERAGE.md
+    §Theta/range-join scale contract): each band expands into the
+    fixed-width price buckets it covers (driver-side, bounded by
+    |bands| x buckets-per-band), the fact side derives one bucket key
+    per row, and the join is a broadcast HASH equi join on the bucket
+    with the exact range predicate as a residual condition — never a
+    nested loop. ``join_theta`` is the documented quadratic-per-key
+    audit shape; big-big range joins use the bucketed expansion of
+    ``join_range_bucketed`` or the as-of union technique.
     """
     t = load_tables(spark, sf_dir, register_views=False)
-    bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
-    o = t["orders"]
+    width = 50_000.0
+    # open-ended top band: every price >= its lo clamps into one
+    # terminal bucket, so the expansion never enumerates to its 1e12 hi
+    cap = int(_PRICE_BANDS[-1][1] // width)
+    expanded = [
+        (band, lo, hi, bkt)
+        for band, lo, hi in _PRICE_BANDS
+        for bkt in range(int(lo // width), min(int((hi - 1e-9) // width), cap) + 1)
+    ]
+    bands = spark.createDataFrame(
+        expanded, "band string, lo double, hi double, bucket long"
+    )
+    o = t["orders"].withColumn(
+        "bucket", F.least(F.floor(F.col("o_totalprice") / width), F.lit(cap))
+    )
     return (
-        o.join(bcast_bounded(bands, "literal band table: 4 rows"), (o.o_totalprice >= F.col("lo")) & (o.o_totalprice < F.col("hi")))
+        o.join(
+            bcast_bounded(bands, "expanded band table: 7 rows"),
+            (o.bucket == bands.bucket)
+            & (o.o_totalprice >= F.col("lo"))
+            & (o.o_totalprice < F.col("hi")),
+        )
         .groupBy("band")
         .agg(F.count(F.lit(1)).alias("n_orders"), dec_sum("o_totalprice", "band_value"))
         .orderBy("band")

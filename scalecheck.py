@@ -465,6 +465,7 @@ def main() -> None:
         raise SystemExit("run `python scalegen.py 10` first")
 
     import __spark_entry__ as entry_mod
+    from load_datawarehouse_spark.ops.llm import CANDIDATE_PAIR_COUNTS
     from load_datawarehouse_spark.ops.relational import _skew_stress_join
     from load_datawarehouse_spark.session import get_spark
 
@@ -508,6 +509,28 @@ def main() -> None:
             out[name]["slope_per_output_row"] = round(
                 (t_big / n_big) / (t_small / n_small), 3
             )
+        # pair-producing dedup ops: record the PRE-threshold candidate
+        # count (the work the inverted-index/bucket join actually
+        # pays for) so slope outliers whose FINAL output shrinks under
+        # a DF cap are measured-accounted, not argued (VERDICT r11 #4)
+        if name in CANDIDATE_PAIR_COUNTS:
+            counter = CANDIDATE_PAIR_COUNTS[name]
+            try:
+                c_small = counter(spark, small)
+                c_big = counter(spark, big)
+            except Exception as exc:
+                errors[f"{name}.candidates"] = f"{type(exc).__name__}: {exc}"[:300]
+            else:
+                out[name]["candidates"] = [c_small, c_big]
+                if c_small and c_big:
+                    out[name]["slope_per_candidate_pair"] = round(
+                        (t_big / c_big) / (t_small / c_small), 3
+                    )
+                print(
+                    f"#   candidates {c_small} -> {c_big}"
+                    f"  slope/cand {out[name].get('slope_per_candidate_pair')}",
+                    file=sys.stderr, flush=True,
+                )
         print(f"# {name}: {t_small:.2f}s -> {t_big:.2f}s  slope {out[name]['slope']}",
               file=sys.stderr, flush=True)
 

@@ -85,7 +85,15 @@ def _replicate(df: DataFrame, table: str, k: int, maxes: dict[str, int]) -> Data
         # becomes a near-dup of its source and the dedup ops' pair
         # count grows quadratically per cluster — a 10x corpus with a
         # 100x-harder workload, which is not what a scale slope should
-        # measure.)
+        # measure.) Collision bound at K copies: a doc with n words
+        # has at most n distinct rotations, so copies collide into
+        # exact-dup clusters of ~K/n once K > n. The corpus is 10-100
+        # words/doc, so K=10 is (near-)injective while K=100 yields
+        # clusters of 1-10 — ~sum_docs n*C(K/n,2) ≈ 400k extra true
+        # pairs at sf10, a bounded ~15-20% bump over linear pair
+        # growth that the candidate-pair accounting in scalecheck
+        # surfaces explicitly. Exact-dup clusters growing with corpus
+        # size is also what real web corpora do.
         words = F.split(F.col("text"), " ")
         n = F.greatest(F.size(words), F.lit(1))
         rot = (F.col("_copy") * 17 + 3) % n + 1  # 1-based split point
@@ -100,15 +108,37 @@ def _replicate(df: DataFrame, table: str, k: int, maxes: dict[str, int]) -> Data
             ),
         ).withColumn("n_chars", F.length("text").cast("long"))
     if table == "embeddings":
+        # copy 0 stays byte-identical; later copies get a copy-unique
+        # ORTHOGONAL transform — cyclic dimension shift by copy%64,
+        # plus a sign flip on odd dims for copies >= 64 (injective up
+        # to 128 copies). Orthogonal means every copy preserves the
+        # base corpus's INTERNAL geometry exactly (norms, intra-copy
+        # cosines, label-cluster structure) while cross-copy cosine
+        # collapses to a lag cross-correlation far below any near-dup
+        # threshold — so the near-dup RATE per vector stays flat as
+        # the corpus scales. (The pre-round-12 scheme added a
+        # copy%7-keyed 1e-3 epsilon, which left every copy a mutual
+        # near-dup of its source: fine as a documented output-growth
+        # workload at K=10, but at K=100 it makes each vector a
+        # 100-clique — ~4950 true pairs per base vector — turning the
+        # second scale decade into a pure workload blow-up no engine
+        # slope could be read from.)
+        dim = 64
+        shift = F.col("_copy") % dim
+        flip = F.col("_copy") >= dim
+        shifted = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                F.element_at(
+                    F.col("embedding"),
+                    (F.pmod(j + shift, F.lit(dim)) + 1).cast("int"),
+                )
+                * F.when(flip & (j % 2 == 1), F.lit(-1.0)).otherwise(F.lit(1.0))
+            ).cast("float"),
+        )
         out = out.withColumn(
             "embedding",
-            F.transform(
-                "embedding",
-                lambda x, i: x
-                + (F.col("_copy") % 7).cast("float")
-                * F.lit(1e-3).cast("float")
-                * ((i % 5) - 2).cast("float"),
-            ),
+            F.when(F.col("_copy") == 0, F.col("embedding")).otherwise(shifted),
         )
     if table == "events":
         # spread copies over time so windowed aggs scale in key-space,

@@ -51,6 +51,24 @@ def test_range_bucketed_join_is_equi(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_theta_range_scale_contract(spark):
+    # the theta/range family contract (COVERAGE.md): join_theta is the
+    # audit shape — a HASH join on the extracted equi conjunct whose
+    # within-key quadratic cost is the documented workload term — and
+    # join_range_bands is the scale path, a bucketed broadcast-hash
+    # equi join with NO nested-loop operator anywhere in its plan. A
+    # refactor must not silently demote either to BNLJ/cartesian.
+    theta = _plan(relational.join_theta(spark, SF_DIR))
+    assert "BroadcastHashJoin" in theta or "SortMergeJoin" in theta
+    assert "BroadcastNestedLoopJoin" not in theta
+    assert "CartesianProduct" not in theta
+
+    bands = _plan(relational.join_range_bands(spark, SF_DIR))
+    assert "BroadcastHashJoin" in bands
+    assert "BroadcastNestedLoopJoin" not in bands
+    assert "CartesianProduct" not in bands
+
+
 def test_shingles_single_shuffle(spark):
     t = load_tables(spark, SF_DIR, register_views=False)
     plan = _plan(llm._shingles(t))

@@ -574,7 +574,12 @@ def main() -> None:
         "its per-term cap survives the collision-free keyspace), with "
         "per-pair cost falling (slope_per_output_row). "
         "skew_stress_sf1: selective hot-key salting vs the unsalted "
-        "shuffle on a zipfian key at sf1."
+        "shuffle on a zipfian key at sf1. Round 12: pair-producing "
+        "dedup ops carry `candidates` (pre-threshold candidate-pair "
+        "counts at both scales, from ops.llm.CANDIDATE_PAIR_COUNTS — "
+        "each counter reuses the op's own candidate-stage helper) and "
+        "`slope_per_candidate_pair`, so outliers with DF-cap-shrunk "
+        "FINAL output are measured-accounted."
     )
     result = {
         "note": note,

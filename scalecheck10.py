@@ -1,0 +1,242 @@
+"""Second-decade scaling evidence: wall-time slope sf1 -> sf10.
+
+Every 100-TB design claim in SCALECHECK.json rests on ONE 10x decade
+(sf0.1 -> sf1); a quadratic term that adds 20% at 10x adds 4x at 100x
+(VERDICT r11 #1). This harness re-times the slope-outlier set — every
+op whose decade-1 slope exceeded 3, plus kmeans, both PCA ops, the
+flagship joins, and this round's reshaped ops — at sf1 AND sf10
+(``python scalegen.py 100`` first; ~60 M lineitem rows) and reports
+
+    slope10 = t(sf10) / t(sf1)        against 10x data growth
+
+next to the op's decade-1 slope. An op whose decade-2 slope exceeds
+its decade-1 slope by >1.5x carries a superlinear term and gets
+investigated, not explained away. Pair-producing dedup ops also record
+pre-threshold candidate counts at both scales (the same
+CANDIDATE_PAIR_COUNTS registry scalecheck.py uses), so workload-
+intrinsic candidate growth is separated from engine scaling.
+
+Timing protocol: sf1 = warmup + min-of-2 (same as scalecheck.py);
+sf10 = min-of-2 with no separate warmup (the sf1 pass already JIT-
+warmed every plan shape, and at sf10 run times are long enough that
+first-run jitter is second-order).
+
+Usage: python scalegen.py 100 && python scalecheck10.py [--only a,b]
+Writes SCALECHECK10.json (merging over it on --only) and prints one
+JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+#: decade-1 slope > 3 (SCALECHECK.json round-11 snapshot)
+_SLOPE_OUTLIERS = [
+    "join_theta",
+    "dedup_levenshtein_verify",
+    "dedup_tfidf_cosine_pairs",
+    "dedup_neardup_clusters",
+    "dedup_embedding_neardup",
+    "dedup_exact_normalized",
+    "dedup_ngram_jaccard",
+    "text_token_entropy",
+    "quality_hashed_classifier",
+    "dedup_strategy_comparison",
+    "dedup_shingle_containment",
+    "ngram_lm_counts",
+    "lang_id_confusion",
+    "dedup_lsh_bucket_skew",
+    "multimodal_video_frame_dedup",
+    "quality_perplexity_buckets",
+    "dedup_jaccard_threshold_histogram",
+    "lm_commonness_score",
+    "udtf_bigrams",
+    "search_rrf_fusion",
+    "pipeline_curation_v3",
+    "dedup_minhash_verified",
+    "graph_pagerank",
+    "q13_order_distribution",
+    "orders_price_time_band_pairs",
+    "join_range_bucketed",
+    "join_inner",
+    "join_anti",
+    "dedup_template_groups",
+    "orders_cohort_ltv_curve",
+    "pipeline_training_prep",
+    "orders_pareto_skyline",
+    "stream_static_enrich",
+    "multimodal_feature_extract",
+    "tokenizer_vocab_coverage",
+    "stream_ingest_warehouse",
+    "multimodal_decode_flac_real",
+    "text_novelty_per_doc",
+    "subq_scalar_avg_qty",
+]
+
+#: iterative ML + flagship joins + round-12 reshapes (VERDICT r11 #1)
+_DESIGN_POINTS = [
+    "kmeans_lloyd",
+    "embedding_pca_power_iteration",
+    "embedding_pca_second_component",
+    "join_asof",
+    "join_skew_salted",
+    "join_bucketed_colocated",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "join_range_bands",
+    "contamination_bloom_prefilter",
+    "dedup_minhash_lsh",
+    "dedup_simhash_neardup",
+    "dedup_semantic_clusters",
+]
+
+SCALE10_QUERIES = _SLOPE_OUTLIERS + [
+    n for n in _DESIGN_POINTS if n not in _SLOPE_OUTLIERS
+]
+
+
+def _release() -> None:
+    from load_datawarehouse_spark.ops._util import release_lineage_cuts
+
+    release_lineage_cuts()
+    import gc
+
+    gc.collect()
+
+
+def _time(fn, *args, warmup: bool) -> tuple[float, int]:
+    if warmup:
+        fn(*args).count()
+    best, n = None, 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n = fn(*args).count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    _release()
+    return best, n
+
+
+def main() -> None:
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, here)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    mid = os.path.join(here, ".scaledata", "sf1.0")
+    big = os.path.join(here, ".scaledata", "sf10.0")
+    for d, cmd in ((mid, "python scalegen.py 10"), (big, "python scalegen.py 100")):
+        if not os.path.isdir(d):
+            raise SystemExit(f"run `{cmd}` first")
+
+    import __spark_entry__ as entry_mod
+    from load_datawarehouse_spark.ops.llm import CANDIDATE_PAIR_COUNTS
+    from load_datawarehouse_spark.session import get_spark
+
+    spark = get_spark(app_name="ldw-scalecheck10")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
+
+    names = list(SCALE10_QUERIES)
+    only = None
+    if len(sys.argv) > 2 and sys.argv[1] == "--only":
+        only = set(sys.argv[2].split(","))
+        names = [n for n in names if n in only]
+
+    path = os.path.join(here, "SCALECHECK10.json")
+    decade1 = {}
+    d1_path = os.path.join(here, "SCALECHECK.json")
+    if os.path.exists(d1_path):
+        with open(d1_path) as f:
+            decade1 = json.load(f).get("queries", {})
+
+    out: dict[str, dict] = {}
+    errors: dict[str, str] = {}
+    for name in names:
+        fn = queries[name]
+        try:
+            t_mid, n_mid = _time(fn, spark, mid, warmup=True)
+            t_big, n_big = _time(fn, spark, big, warmup=False)
+        except Exception as exc:  # one pathological query must not lose the run
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr, flush=True)
+            continue
+        row = {
+            "sf1_sec": round(t_mid, 3),
+            "sf10_sec": round(t_big, 3),
+            "slope10": round(t_big / t_mid, 2),
+            "rows": [n_mid, n_big],
+        }
+        d1 = decade1.get(name, {}).get("slope")
+        if d1 is not None:
+            row["slope1"] = d1
+            row["decade_ratio"] = round(row["slope10"] / d1, 2) if d1 else None
+        if n_mid and n_big and n_big / max(n_mid, 1) > 20:
+            row["slope_per_output_row"] = round((t_big / n_big) / (t_mid / n_mid), 3)
+        if name in CANDIDATE_PAIR_COUNTS:
+            counter = CANDIDATE_PAIR_COUNTS[name]
+            try:
+                c_mid = counter(spark, mid)
+                _release()
+                c_big = counter(spark, big)
+                _release()
+            except Exception as exc:
+                errors[f"{name}.candidates"] = f"{type(exc).__name__}: {exc}"[:300]
+            else:
+                row["candidates"] = [c_mid, c_big]
+                if c_mid and c_big:
+                    row["slope_per_candidate_pair"] = round(
+                        (t_big / c_big) / (t_mid / c_mid), 3
+                    )
+        out[name] = row
+        print(
+            f"# {name}: {t_mid:.2f}s -> {t_big:.2f}s  slope10 {row['slope10']}"
+            f"  (decade1 {d1})  cand {row.get('candidates')}",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    if only is not None and os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        merged = prev.get("queries", {})
+        merged.update(out)
+        out = {k: v for k, v in merged.items() if k in SCALE10_QUERIES}
+
+    slopes = sorted(v["slope10"] for v in out.values())
+    suspects = {
+        k: v
+        for k, v in out.items()
+        if v.get("slope1") and v["slope10"] > 1.5 * v["slope1"]
+    }
+    note = (
+        "second decade: 10x data sf1 -> sf10 (scalegen.py K=100; key-space "
+        "scaled, word-rotated docs, orthogonally-transformed embedding "
+        "copies). slope10 = t(sf10)/t(sf1); decade_ratio = slope10/slope1 — "
+        "a ratio > 1.5 means a superlinear term invisible at one decade and "
+        "lands the op in `suspects` for investigation. Candidate counts "
+        "separate workload-intrinsic pair growth (doc rotation collisions "
+        "add bounded exact-dup clusters at K=100 — see scalegen.py) from "
+        "engine scaling."
+    )
+    result = {
+        "note": note,
+        "metric": "scale_slope_sf1_to_sf10",
+        "data_factor": 10,
+        "median_slope10": slopes[len(slopes) // 2] if slopes else None,
+        "max_slope10": slopes[-1] if slopes else None,
+        "suspect_count": len(suspects),
+        "suspects": sorted(suspects),
+        "queries": out,
+    }
+    if errors:
+        result["errors"] = errors
+    with open(path, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1103,3 +1103,40 @@ def test_shuffle_partitions_fallback():
     assert shuffle_partitions(_Spark("32")) == 32
     assert shuffle_partitions(_Spark("auto")) == 7
     assert shuffle_partitions(_Spark(None)) == 7
+
+
+def test_candidate_counters_bound_their_ops(spark):
+    """Round-12 accounting contract (VERDICT r11 #4): every
+    CANDIDATE_PAIR_COUNTS counter measures the PRE-threshold candidate
+    stage of its op, so it must upper-bound the op's final pair count
+    (containment emits both directions of each unordered candidate,
+    hence the factor 2). Counters share the op's own candidate-stage
+    helpers, so a drift between the two is a bug in the op itself."""
+    from tests.conftest import SF_DIR
+
+    from load_datawarehouse_spark.ops import llm as _llm
+
+    counts = {
+        name: fn(spark, SF_DIR)
+        for name, fn in _llm.CANDIDATE_PAIR_COUNTS.items()
+    }
+    for name, c in counts.items():
+        assert isinstance(c, int) and c >= 0, name
+
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.queries()
+    for name, factor in [
+        ("dedup_ngram_jaccard", 1),
+        ("dedup_minhash_lsh", 1),
+        ("dedup_minhash_verified", 1),
+        ("dedup_tfidf_cosine_pairs", 1),
+        ("dedup_simhash_neardup", 1),
+        ("dedup_embedding_neardup", 1),
+        ("dedup_levenshtein_verify", 1),
+        ("dedup_shingle_containment", 2),
+    ]:
+        out_rows = q[name](spark, SF_DIR).count()
+        assert factor * counts[name] >= out_rows, (
+            f"{name}: candidates {counts[name]} x{factor} < output {out_rows}"
+        )

@@ -7,10 +7,12 @@ way a real TPC-H SF increase does — not a degenerate "same keys, K x
 hotter" blow-up. Dimension tables (region, nation) stay fixed, like
 TPC-H itself.
 
-Text / embedding tables are perturbed per copy (suffix on ``text``, a
-deterministic epsilon on ``embedding``) so exact-dup rates stay natural
-while near-dup structure survives — the dedup ops see a realistic, not
-trivially-degenerate, workload at scale.
+Text / embedding tables are transformed per copy (a copy-keyed
+pseudorandom word permutation on ``text``, a copy-unique orthogonal
+transform on ``embedding``) so each copy preserves the base corpus's
+INTERNAL structure while cross-copy similarity collapses — dup/near-dup
+RATES stay flat as the corpus scales and the dedup ops see a
+realistic, not trivially-degenerate, workload at every decade.
 
 Output: ``.scaledata/sf{0.1*K}/*.parquet`` (gitignored). Usage:
 
@@ -77,34 +79,51 @@ def _replicate(df: DataFrame, table: str, k: int, maxes: dict[str, int]) -> Data
             col, (F.col(col) + F.col("_copy") * F.lit(maxes[owner] + 1)).cast(dtype)
         )
     if table == "documents":
-        # copy 0 stays byte-identical; later copies get their WORD
-        # ORDER rotated by a copy-dependent offset, which destroys
-        # shingle overlap with the source — copies are distinct
-        # documents, so the near-dup/exact-dup RATE stays flat as the
-        # corpus scales. (A plain suffix leaves Jaccard ~1: every copy
-        # becomes a near-dup of its source and the dedup ops' pair
-        # count grows quadratically per cluster — a 10x corpus with a
-        # 100x-harder workload, which is not what a scale slope should
-        # measure.) Collision bound at K copies: a doc with n words
-        # has at most n distinct rotations, so copies collide into
-        # exact-dup clusters of ~K/n once K > n. The corpus is 10-100
-        # words/doc, so K=10 is (near-)injective while K=100 yields
-        # clusters of 1-10 — ~sum_docs n*C(K/n,2) ≈ 400k extra true
-        # pairs at sf10, a bounded ~15-20% bump over linear pair
-        # growth that the candidate-pair accounting in scalecheck
-        # surfaces explicitly. Exact-dup clusters growing with corpus
-        # size is also what real web corpora do.
+        # copy 0 stays byte-identical; later copies get a copy-keyed
+        # PSEUDORANDOM WORD PERMUTATION (sort positions by
+        # xxhash64(pos, copy)). Three properties make this the right
+        # replication for dedup workloads:
+        #   1. word MULTISETS are preserved, so every unigram-based op
+        #      (tf-idf stats, zipf, token counts, language ID, BM25)
+        #      sees each copy as a legitimate same-distribution doc;
+        #   2. the permutation is keyed by POSITION and COPY, not the
+        #      words, so every doc within one copy gets the same
+        #      reordering — base near-dup pairs of equal length stay
+        #      near-dups inside each copy (flat intra-copy structure,
+        #      exactly like the embeddings' per-copy orthogonal
+        #      transform);
+        #   3. two independent permutations share an expected ~2/n
+        #      consecutive triples, so CROSS-copy shingle overlap is
+        #      ~zero and the near-dup rate per doc stays FLAT as the
+        #      corpus scales.
+        # The pre-round-12 scheme ROTATED the word array, which moves
+        # only the ~2 seam shingles and leaves Jaccard ~1-4/n: every
+        # copy was a near-dup of its source (measured: 88k jaccard
+        # pairs at sf1 vs 256 at sf0.1), and at K=100 the 100-copy
+        # cliques pushed every intra-doc shingle's DF over the
+        # absolute MAX_SHINGLE_DF cap — the sf10 inverted index
+        # collapsed to ZERO candidates, making second-decade slopes
+        # unreadable. Exact dups in the base corpus stay exact dups in
+        # every copy (same words, same length -> same permutation), so
+        # the exact-dup RATE is flat too.
         words = F.split(F.col("text"), " ")
-        n = F.greatest(F.size(words), F.lit(1))
-        rot = (F.col("_copy") * 17 + 3) % n + 1  # 1-based split point
-        rotated = F.concat(
-            F.slice(words, rot, F.size(words)),
-            F.slice(words, 1, rot - 1),
+        shuffled = F.transform(
+            F.array_sort(
+                F.transform(
+                    words,
+                    lambda w, i: F.struct(
+                        F.xxhash64(i, F.col("_copy")).alias("k"),
+                        i.alias("i"),
+                        w.alias("w"),
+                    ),
+                )
+            ),
+            lambda s: s["w"],
         )
         out = out.withColumn(
             "text",
             F.when(F.col("_copy") == 0, F.col("text")).otherwise(
-                F.array_join(rotated, " ")
+                F.array_join(shuffled, " ")
             ),
         ).withColumn("n_chars", F.length("text").cast("long"))
     if table == "embeddings":

@@ -459,9 +459,11 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index fanout.
 
     AUDIT VIEW at scale: output is one row per verified PAIR —
-    quadratic in duplicate density (measured: sf1 emits ~1000x
-    sf0.1's pairs because the replicated corpus has that many true
-    pairs, at 0.015x the per-pair cost). Route 100-TB consumers to
+    quadratic in duplicate density (the pre-round-12 rotation-based
+    scale corpus measured ~1000x sf0.1's pairs at sf1 at 0.01x the
+    per-pair cost; the permutation-based corpus keeps the dup rate
+    flat, and scalecheck's `candidates` column now accounts the pair
+    workload directly). Route 100-TB consumers to
     ``dedup_neardup_clusters`` for linear one-row-per-doc output."""
     t = load_tables(spark, sf_dir, register_views=False)
     # ONE shingle frame for the whole pipeline: the LSH banding and
@@ -1637,8 +1639,16 @@ def _simhash_band_pairs(sh: DataFrame) -> DataFrame:
     ``dedup_simhash_neardup`` and its scalecheck candidate counter.
     NOT distinct: a pair agreeing on two bands appears twice (that is
     the join fanout the op actually pays for)."""
+    bands = _simhash_bands(sh)
+    a = bands.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"), "band", "bits")
+    b = bands.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"), "band", "bits")
+    return a.join(b, ["band", "bits"]).filter(F.col("d1") < F.col("d2"))
+
+
+def _simhash_bands(sh: DataFrame) -> DataFrame:
+    """One (doc_id, simhash, band, bits) row per doc per 15-bit band."""
     mask = (1 << _SIMHASH_ND_BAND_BITS) - 1
-    bands = sh.select(
+    return sh.select(
         "doc_id",
         "simhash",
         F.explode(
@@ -1657,9 +1667,6 @@ def _simhash_band_pairs(sh: DataFrame) -> DataFrame:
     ).select(
         "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bits").alias("bits")
     )
-    a = bands.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"), "band", "bits")
-    b = bands.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"), "band", "bits")
-    return a.join(b, ["band", "bits"]).filter(F.col("d1") < F.col("d2"))
 
 
 @_register("dedup_simhash_neardup", _simhash_neardup_oracle())
@@ -7305,5 +7312,79 @@ CANDIDATE_PAIR_COUNTS = {
     "dedup_minhash_verified": _count_lsh_candidates,
     "dedup_tfidf_cosine_pairs": _count_tfidf_candidates,
     "dedup_simhash_neardup": _count_simhash_candidates,
+    "dedup_embedding_neardup": _count_label_pairs,
+}
+
+
+def _bucket_pair_sum(df: DataFrame, *keys: str) -> int:
+    """sum over buckets of C(bucket_size, 2) — the exact number of
+    join-row slots a bucket self-join emits, computed LINEARLY from
+    the bucket histogram (one groupBy, no pair join)."""
+    n = F.col("n").cast("double")
+    row = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(n * (n - 1) / 2).alias("p"))
+        .collect()[0]
+    )
+    return int(row["p"] or 0)
+
+
+def _bound_shingle_pairs(spark: SparkSession, sf_dir: str) -> int:
+    # sum_s C(DF(s), 2) over DF-capped shingles >= distinct candidate
+    # pairs of _capped_shingle_pairs (multiplicity counts the actual
+    # rows the pair aggregation shuffles)
+    t = load_tables(spark, sf_dir, register_views=False)
+    ds = _shingles(t, spread=True)
+    n = F.col("n").cast("double")
+    row = (
+        ds.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= MAX_SHINGLE_DF)
+        .agg(F.sum(n * (n - 1) / 2).alias("p"))
+        .collect()[0]
+    )
+    return int(row["p"] or 0)
+
+
+def _bound_tfidf_pairs(spark: SparkSession, sf_dir: str) -> int:
+    t = load_tables(spark, sf_dir, register_views=False)
+    return _bucket_pair_sum(_tfidf_weights(t), "term")
+
+
+def _bound_minhash_pairs(spark: SparkSession, sf_dir: str) -> int:
+    t = load_tables(spark, sf_dir, register_views=False)
+    return _bucket_pair_sum(_minhash_bands(t), "band", "band_key")
+
+
+def _bound_simhash_pairs(spark: SparkSession, sf_dir: str) -> int:
+    t = load_tables(spark, sf_dir, register_views=False)
+    return _bucket_pair_sum(_simhash_bands(_simhash60(t)), "band", "bits")
+
+
+#: op name -> CHEAP upper bound on its candidate-pair workload,
+#: (spark, sf_dir) -> int. Each bound is the bucket-histogram sum
+#: sum C(bucket, 2) over the op's own blocking keys — linear in the
+#: corpus, never a pair join — and upper-bounds the matching
+#: CANDIDATE_PAIR_COUNTS value (multiplicity >= distinct pairs).
+#: scalecheck10 consults these BEFORE timing an op at sf10: a bound
+#: past its budget means the quadratic term is workload-intrinsic on
+#: the saturated-vocabulary synthetic corpus (fixed vocab => shingle
+#: DFs pile up under the cap as the corpus grows, unlike a real
+#: Heaps-law corpus where new vocabulary keeps DFs ~flat), and the op
+#: is recorded as skipped WITH the measured bound instead of burning
+#: hours on an audit view whose production path (LSH buckets /
+#: neardup_clusters) is measured in the same run.
+CANDIDATE_PAIR_BOUNDS = {
+    "dedup_ngram_jaccard": _bound_shingle_pairs,
+    "dedup_shingle_containment": _bound_shingle_pairs,
+    "dedup_levenshtein_verify": _bound_shingle_pairs,
+    "dedup_jaccard_threshold_histogram": _bound_shingle_pairs,
+    "dedup_strategy_comparison": _bound_shingle_pairs,
+    "dedup_minhash_verified": _bound_minhash_pairs,
+    "dedup_minhash_lsh": _bound_minhash_pairs,
+    "dedup_neardup_clusters": _bound_minhash_pairs,
+    "dedup_tfidf_cosine_pairs": _bound_tfidf_pairs,
+    "dedup_simhash_neardup": _bound_simhash_pairs,
     "dedup_embedding_neardup": _count_label_pairs,
 }

@@ -132,7 +132,10 @@ def main() -> None:
             raise SystemExit(f"run `{cmd}` first")
 
     import __spark_entry__ as entry_mod
-    from load_datawarehouse_spark.ops.llm import CANDIDATE_PAIR_COUNTS
+    from load_datawarehouse_spark.ops.llm import (
+        CANDIDATE_PAIR_BOUNDS,
+        CANDIDATE_PAIR_COUNTS,
+    )
     from load_datawarehouse_spark.session import get_spark
 
     spark = get_spark(app_name="ldw-scalecheck10")
@@ -152,10 +155,45 @@ def main() -> None:
         with open(d1_path) as f:
             decade1 = json.load(f).get("queries", {})
 
+    # a bucket self-join past this many candidate-pair slots at sf10
+    # is workload-intrinsic on the saturated-vocabulary corpus (see
+    # CANDIDATE_PAIR_BOUNDS) — record the measured bound, don't run it
+    budget = int(os.environ.get("SCALE10_CANDIDATE_BUDGET", 300_000_000))
+
     out: dict[str, dict] = {}
     errors: dict[str, str] = {}
     for name in names:
         fn = queries[name]
+        bound_big = None
+        if name in CANDIDATE_PAIR_BOUNDS:
+            try:
+                bound_big = CANDIDATE_PAIR_BOUNDS[name](spark, big)
+                _release()
+            except Exception as exc:
+                errors[f"{name}.bound"] = f"{type(exc).__name__}: {exc}"[:300]
+        if bound_big is not None and bound_big > budget:
+            try:
+                t_mid, n_mid = _time(fn, spark, mid, warmup=True)
+                bound_mid = CANDIDATE_PAIR_BOUNDS[name](spark, mid)
+                _release()
+            except Exception as exc:
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                continue
+            out[name] = {
+                "sf1_sec": round(t_mid, 3),
+                "sf10_skipped": True,
+                "candidate_bound": [bound_mid, bound_big],
+                "note": "sf10 candidate bound exceeds budget; audit-view "
+                "pair join is workload-quadratic on the fixed-vocabulary "
+                "corpus — production path measured separately",
+            }
+            print(
+                f"# {name}: sf10 SKIPPED (candidate bound {bound_big:,} > "
+                f"budget {budget:,}; sf1 {t_mid:.2f}s, bound {bound_mid:,})",
+                file=sys.stderr,
+                flush=True,
+            )
+            continue
         try:
             t_mid, n_mid = _time(fn, spark, mid, warmup=True)
             t_big, n_big = _time(fn, spark, big, warmup=False)
@@ -205,11 +243,11 @@ def main() -> None:
         merged.update(out)
         out = {k: v for k, v in merged.items() if k in SCALE10_QUERIES}
 
-    slopes = sorted(v["slope10"] for v in out.values())
+    slopes = sorted(v["slope10"] for v in out.values() if "slope10" in v)
     suspects = {
         k: v
         for k, v in out.items()
-        if v.get("slope1") and v["slope10"] > 1.5 * v["slope1"]
+        if v.get("slope1") and v.get("slope10") and v["slope10"] > 1.5 * v["slope1"]
     }
     note = (
         "second decade: 10x data sf1 -> sf10 (scalegen.py K=100; key-space "

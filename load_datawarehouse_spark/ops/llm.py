@@ -269,6 +269,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     AUDIT VIEW at scale: output is one row per duplicate PAIR, hence
     quadratic in duplicate density; the linear-output production path
     is ``dedup_neardup_clusters`` (cluster id per document).
+
+    RECALL BOUND (measured, round-12 second decade): the absolute
+    ``MAX_SHINGLE_DF`` cap prunes a growing share of the shingle
+    spectrum as a fixed-vocabulary corpus scales (every shingle's DF
+    grows ~linearly with the corpus), so this op's recall decays with
+    corpus size — at sf10 the sf1-true pairs' supporting shingles
+    cross the cap and output reaches zero (SCALECHECK10 candidates
+    column). On real Heaps-law corpora DFs stay ~flat; on saturating
+    corpora tune the cap corpus-relative, or use the DF-independent
+    production pair path ``dedup_minhash_verified`` (LSH banding +
+    uncapped exact verify — its recall is threshold-governed, not
+    DF-governed).
     """
     t = load_tables(spark, sf_dir, register_views=False)
     # ds feeds doc counts, the DF index, AND both self-join sides;
@@ -7387,4 +7399,9 @@ CANDIDATE_PAIR_BOUNDS = {
     "dedup_tfidf_cosine_pairs": _bound_tfidf_pairs,
     "dedup_simhash_neardup": _bound_simhash_pairs,
     "dedup_embedding_neardup": _count_label_pairs,
+    # same exact within-label pair graph as embedding_neardup (shared
+    # _label_cos_edges); round 12 measured the ungated run once at
+    # sf10 — 759 s for the 2.0B-pair exact contract (SCALECHECK10) —
+    # and gates it here so future sweeps record the bound instead
+    "dedup_semantic_clusters": _count_label_pairs,
 }

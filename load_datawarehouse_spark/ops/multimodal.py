@@ -2182,17 +2182,13 @@ WITH vids AS (
     UNION ALL  -- truncated re-encode: the tail frames differ
     SELECT doc_id + 200000, substr(text, 1, length(text) - 40)
     FROM vids WHERE doc_id < 60 AND length(text) > 200
-), ch AS (
-    SELECT doc_id, unicode(c) AS b, (i - 1) // {FRAME_BYTES} AS frame_idx
-    FROM (
-        SELECT doc_id, unnest(string_split_regex(text, '')) AS c,
-               generate_subscripts(string_split_regex(text, ''), 1) AS i
-        FROM corpus
-    )
 ), frames AS (
-    SELECT doc_id, frame_idx, SUM(b) AS sig, COUNT(*) AS n_b
-    FROM ch GROUP BY doc_id, frame_idx
-    HAVING COUNT(*) = {FRAME_BYTES}
+    SELECT doc_id, f.i AS frame_idx,
+           md5(substr(text, CAST(f.i * {FRAME_BYTES} + 1 AS INT), {FRAME_BYTES}))
+               AS sig
+    FROM corpus, LATERAL (
+        SELECT unnest(range(length(text) // {FRAME_BYTES})) AS i
+    ) f
 ), nf AS (SELECT doc_id, COUNT(*) AS n_frames FROM frames GROUP BY doc_id),
 matches AS (
     SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_match
@@ -2225,7 +2221,15 @@ def multimodal_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the candidate join is EQUI on (frame_idx, signature) — two
     videos only pair where a position collides, never video x video;
     complete frames only (the ragged tail frame is excluded so
-    signatures are comparable). Integer signatures end to end.
+    signatures are comparable). The signature is md5 of the frame
+    bytes — COLLISION-RESISTANT, so bucket sizes track true duplicate
+    frames, not the corpus. Round 12 replaced the original
+    sum-of-bytes signature after the second scale decade measured its
+    failure: a byte-sum spans only a few thousand values, so at 500k
+    docs the (frame_idx, sig) buckets saturated and the candidate
+    join went quadratic (slope10 13.4 at sf10; md5 restores ~linear).
+    Signature width must grow ~log(corpus) — a fixed narrow key is a
+    birthday bound waiting at scale.
     """
     docs = load_tables(spark, sf_dir, register_views=False)["documents"]
     vids = docs.filter(F.col("doc_id") % 3 == 2).select("doc_id", "text")
@@ -2242,24 +2246,22 @@ def multimodal_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    ch = (
-        corpus.select(
-            "doc_id",
-            F.posexplode(F.split(F.decode(F.encode("text", "UTF-8"), "UTF-8"), "(?!^)"))
-            .alias("i0", "c"),
-        )
-        .filter(F.col("c") != "")
-        .select(
-            "doc_id",
-            F.expr("i0 DIV " + str(FRAME_BYTES)).alias("frame_idx"),
-            F.ascii("c").alias("b"),
-        )
-    )
-    frames = (
-        ch.groupBy("doc_id", "frame_idx")
-        .agg(F.sum("b").alias("sig"), F.count(F.lit(1)).alias("n_b"))
-        .filter(F.col("n_b") == FRAME_BYTES)
-    )
+    # one md5 per complete FRAME_BYTES-wide chunk, assembled narrow
+    # (array-transform before the explode; sequence(0, x) counts DOWN
+    # for x < 0, so short docs gate to an empty frame array)
+    n_full = F.floor(F.length("text") / FRAME_BYTES).cast("int")
+    chunks = F.when(
+        n_full >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_full - 1),
+            lambda i: F.col("text").substr(
+                i * FRAME_BYTES + 1, F.lit(FRAME_BYTES)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    frames = corpus.select(
+        "doc_id", F.posexplode(chunks).alias("frame_idx", "frame")
+    ).select("doc_id", "frame_idx", F.md5("frame").alias("sig"))
     nf = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
     a = frames.select(F.col("doc_id").alias("d1"), "frame_idx", "sig")
     b = frames.select(F.col("doc_id").alias("d2"), "frame_idx", "sig")

@@ -350,6 +350,15 @@ def _minhash_bands(t, ds: DataFrame | None = None) -> DataFrame:
     minhashes at 1/4 the hashing cost; lexical MIN over fixed-width
     lowercase hex == numeric min.
 
+    The banding parameters (N_MINHASH=8, BAND_SIZE=2 -> 4 bands) are
+    CORPUS-TUNED constants targeting Jaccard ~>=0.3 candidates at test
+    scale. On a vocabulary-saturating corpus signature collisions grow
+    with the corpus (round-12 second decade measured candidates 49k ->
+    4.66M at 10x data), so a production deployment grows the band
+    size/count with log(corpus) — raising BAND_SIZE sharpens the
+    collision threshold (p_band = j^BAND_SIZE); the oracle template
+    mirrors both knobs.
+
     ``ds`` lets a caller that ALSO needs the shingle frame (the
     LSH-then-verify pipeline) pass a shared, already-cut copy so the
     explode+distinct runs once instead of once per consumer."""

@@ -21,18 +21,32 @@ from pyspark.sql import DataFrame, SparkSession
 # the head is now always the ops whose plan/code changed most
 # recently.
 _FIRST_NAMES = (
-    # --- round-11 head: every op whose PLAN or code changed this
-    # round, first. The Misra-Gries second-level merge (VERDICT r10
-    # #1), both PCA ops under the kmeans un-persist/co-partition
-    # template (#2), the partitioned-JDBC federated union (#3), the
-    # kmeans shuffle_partitions guard, and the FLAC advice fixes.
-    # Every registered query is already driver-checked, so the rest
-    # of the window re-checks round-10's plan-changed ops + the two
-    # jitter-adjudication queries. ---
+    # --- round-12 head: every op whose PLAN, kernel, or semantics
+    # changed this round, first. The md5 video-frame signature (the
+    # second-decade scale fix), the vectorized bloom probe kernel,
+    # the bucketed-equi join_range_bands reshape, the candidate-stage
+    # refactors of the shingle/tfidf/simhash/minhash dedup family,
+    # PC2's lineage-cut element scan, and the federated-union staging
+    # fallback. All were re-certified this session at sf0.001/0.01
+    # (pytest + vanilla-session oracle) and sf1 (scaleverify --only,
+    # 18/18 match). ---
+    "multimodal_video_frame_dedup",
+    "contamination_bloom_prefilter",
+    "join_range_bands",
+    "embedding_pca_second_component",
+    "dedup_ngram_jaccard",
+    "dedup_shingle_containment",
+    "dedup_tfidf_cosine_pairs",
+    "dedup_simhash_neardup",
+    "dedup_minhash_verified",
+    "dedup_minhash_lsh",
+    "dedup_levenshtein_verify",
+    "source_federated_union",
+    "join_theta",
+    # --- round-11 head re-checks (MG merge, lazy PCA, kmeans guard,
+    # FLAC trio) ---
     "heavy_hitters_misra_gries",
     "embedding_pca_power_iteration",
-    "embedding_pca_second_component",
-    "source_federated_union",
     "kmeans_lloyd",
     "multimodal_decode_flac_real",
     "multimodal_payload_entropy",
@@ -40,50 +54,41 @@ _FIRST_NAMES = (
     # --- jitter adjudication pair (VERDICT r10 #6) ---
     "stream_tumbling_counts",
     "part_bom_rollup",
-    # --- round-10 plan-changed re-checks ---
-    "dedup_minhash_estimate_quality",
-    "dq_expectations_report",
-    "basket_affinity_lift",
-    "contamination_decontaminate_apply",
-    "lang_id_ngram_profile",
-    "stats_classifier_kappa",
-    "contamination_bloom_prefilter",
-    "contamination_ngram_check",
-    "dedup_simhash_neardup",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_minhash_verified",
-    "dedup_shingle_containment",
+    # --- dedup/pipeline family siblings of this round's refactors ---
     "dedup_jaccard_threshold_histogram",
     "dedup_incremental_batch",
+    "dedup_strategy_comparison",
+    "dedup_lsh_bucket_skew",
+    "dedup_cascade_report",
+    "dedup_neardup_clusters",
+    "dedup_template_groups",
+    "dedup_exact_normalized",
+    "contamination_ngram_check",
+    "contamination_decontaminate_apply",
     "text_novelty_per_doc",
     "pipeline_source_quality_card",
+    "pipeline_training_prep_v2",
+    "pipeline_curation_v3",
+    # --- embedding-family re-checks (scale corpus changed; driver
+    # data unchanged, but these share helpers with the PCA/kmeans
+    # shapes above) ---
     "similarity_cosine_topk",
     "similarity_ivf_topk",
     "similarity_lsh_topk",
     "similarity_sq_topk",
     "embedding_norm_outliers",
-    "tfidf_top_terms",
-    "dedup_tfidf_cosine_pairs",
-    "importance_resample_dsir",
-    "multimodal_histogram_dedup",
-    "multimodal_decode_image_real",
-    "multimodal_decode_audio_real",
     "dedup_connected_components",
     "dedup_semantic_clusters",
     "dedup_embedding_neardup",
-    # --- dim-table de-hint representatives (audit commit; AQE now
-    # sizes the customer/supplier/part joins at runtime) ---
+    # --- join/flagship representatives ---
     "q10_returned_items",
-    "q21_sole_late_supplier",
-    "q9_product_profit",
-    "q15_top_supplier",
-    "q20_excess_suppliers",
+    "q3_shipping_priority",
+    "q1_pricing_summary",
     "join_inner",
-    "join_theta",
     "join_null_safe_eq",
-    "join_range_bands",
-    "join_cross",
+    "join_range_bucketed",
+    "join_asof",
+    "join_skew_salted",
     "graph_triangle_count",
     "basket_association_rules",
     "stream_static_enrich",

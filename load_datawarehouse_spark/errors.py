@@ -55,6 +55,21 @@ class WarehouseTableRowsInvalid(WarehouseTableGenericError):
     """Rows rejected while loading into a table."""
 
 
+class WarehousePairBudgetExceeded(WarehouseError):
+    """An exact pair-generating operator's candidate workload exceeds
+    its configured pair budget.
+
+    Raised *before* any quadratic work is scheduled, by operators
+    whose CONTRACT is to evaluate every within-block pair (e.g. the
+    exact embedding near-duplicate family): their cost is
+    sum-over-blocks C(n_block, 2), which no physical plan can reduce
+    — only finer blocking keys or an approximate sibling can. The
+    message names the measured workload, the budget, and the
+    production-path alternatives so a pipeline hits an actionable
+    error instead of an unbounded job.
+    """
+
+
 class WarehouseRowOversize(WarehouseError):
     """A single row exceeds the chunk size limit.
 

@@ -9,6 +9,8 @@ fixed-width hex compares lexicographically like the underlying value.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -952,7 +954,12 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     label cell serializes onto one task; the quadratic within-cell
     pair work is the price of the exact contract — bound it upstream
     by blocking key choice (finer labels), not by silent candidate
-    pruning. sf1: verified against the float32-prefiltered exact
+    pruning. Since round 13 that bound is ENFORCED in-op: the
+    contract cost sum C(n_label, 2) is measured linearly before any
+    pair work and an over-``LABEL_PAIR_BUDGET`` workload raises
+    ``WarehousePairBudgetExceeded`` naming the production siblings
+    (see ``_label_cos_edges`` / COVERAGE.md §Embedding-pair scale
+    contract). sf1: verified against the float32-prefiltered exact
     oracle well inside budget."""
     t = load_tables(spark, sf_dir, register_views=False)
     # spread the single-file scan: the quantization prep ran as ONE
@@ -1100,6 +1107,23 @@ _CC_MAX_ITERS = 25
 #: raise with cell size (replication cost is G slim-row copies).
 _CC_PAIR_GROUPS = 8
 
+#: Within-label pair budget for the EXACT embedding pair family
+#: (dedup_embedding_neardup / dedup_semantic_clusters /
+#: dedup_connected_components via _label_cos_edges). The exact
+#: contract costs sum-over-labels C(n_label, 2) — quadratic in label
+#: cell size by definition, not by plan choice — so the op measures
+#: its workload LINEARLY (one label histogram) before scheduling any
+#: pair work and refuses past this budget instead of launching an
+#: unbounded job (round-12 second decade measured the wall: 2.0B
+#: pairs / 759 s at sf10 on local[32]). 200M clears the certified
+#: sf1 regime (~20M pairs) with a decade of headroom and stops ~an
+#: order of magnitude short of the measured sf10 wall. Override via
+#: $SPARK_GRAFT_EMB_PAIR_BUDGET (0 disables the gate) after choosing
+#: finer blocking keys, or use the approximate production siblings —
+#: dedup_neardup_clusters (banded MinHash) / similarity_lsh_topk /
+#: similarity_ivf_topk — whose candidate sets are bucket-bounded.
+LABEL_PAIR_BUDGET = 200_000_000
+
 
 def _require_cc_converged(changed: int) -> None:
     """Fail loudly if label propagation hit ``_CC_MAX_ITERS`` while
@@ -1116,7 +1140,46 @@ def _require_cc_converged(changed: int) -> None:
             "exceeds the iteration cap — raise _CC_MAX_ITERS"
         )
 
-def _label_cos_edges(spark: SparkSession, emb) -> DataFrame:
+def _label_pair_workload(emb) -> int:
+    """sum-over-labels C(n_label, 2) — the exact number of pairs the
+    within-label contract must score, computed LINEARLY from the label
+    histogram (one groupBy on the slim label column, no pair join).
+    Shared by the in-op budget gate (:func:`_label_cos_edges`) and the
+    sweep's candidate counter (``_count_label_pairs``) so the two can
+    never drift."""
+    n = F.col("n").cast("double")
+    row = (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(n * (n - 1) / 2).alias("p"))
+        .collect()[0]
+    )
+    return int(row["p"] or 0)
+
+
+def _require_pair_budget(workload: int, budget: int | None) -> None:
+    """Scale contract of the exact embedding pair family: refuse to
+    schedule a measured-over-budget quadratic pair sweep, naming the
+    levers (COVERAGE.md §Embedding-pair scale contract)."""
+    if budget is None:
+        budget = int(os.environ.get("SPARK_GRAFT_EMB_PAIR_BUDGET", LABEL_PAIR_BUDGET))
+    if budget and workload > budget:
+        from load_datawarehouse_spark.errors import WarehousePairBudgetExceeded
+
+        raise WarehousePairBudgetExceeded(
+            f"exact within-label pair workload {workload:,} exceeds the "
+            f"pair budget {budget:,}. The exact contract evaluates every "
+            "C(n_label, 2) pair — cost no plan can reduce. Either (a) "
+            "choose finer blocking keys so label cells shrink (cost is "
+            "sum C(n_label, 2)), (b) raise the budget explicitly via "
+            "$SPARK_GRAFT_EMB_PAIR_BUDGET (0 disables) and accept the "
+            "quadratic sweep, or (c) use the bucket-bounded production "
+            "siblings: dedup_neardup_clusters (banded MinHash + verify), "
+            "similarity_lsh_topk / similarity_ivf_topk (ANN)."
+        )
+
+
+def _label_cos_edges(spark: SparkSession, emb, pair_budget: int | None = None) -> DataFrame:
     """Exact cosine>=0.3 edge set (v1, v2, label, cos) within label
     cells, with the pair space of each cell tiled into a G x G grid
     of group-pairs (side A replicates each row over (g(v), *), side B
@@ -1137,7 +1200,22 @@ def _label_cos_edges(spark: SparkSession, emb) -> DataFrame:
     the join: inlining ``_dec_dot`` on the raw embeddings would
     re-round both operands inside the per-pair fold — 2*dim ROUND+cast
     per pair instead of per row (A/B at sf0.1: 1.33 s -> 0.81 s;
-    values identical, it is the same quantize-then-multiply order)."""
+    values identical, it is the same quantize-then-multiply order).
+
+    SCALE CONTRACT (round 13): the exact contract's cost is
+    sum-over-labels C(n_label, 2) — work no plan can shrink, and the
+    round-12 second decade measured the wall (2.0B pairs / 759 s at
+    sf10). So before ANY pair work is scheduled, the workload is
+    measured linearly (:func:`_label_pair_workload` — the same
+    histogram sum the scale sweep's candidate counter uses) and
+    compared against ``pair_budget`` (default ``LABEL_PAIR_BUDGET`` /
+    $SPARK_GRAFT_EMB_PAIR_BUDGET); over budget raises
+    ``WarehousePairBudgetExceeded`` naming the finer-blocking lever
+    and the bucket-bounded production siblings instead of launching
+    an unbounded quadratic job. Locked by
+    ``test_embedding_pair_scale_contract`` (tests/test_plans.py),
+    mirroring the theta/range family's plan contract."""
+    _require_pair_budget(_label_pair_workload(emb), pair_budget)
     grid = F.array(*[F.lit(i) for i in range(_CC_PAIR_GROUPS)])
     grp = F.pmod(F.col("vec_id"), F.lit(_CC_PAIR_GROUPS)).cast("int")
     n_tiles = max(_CC_PAIR_GROUPS * _CC_PAIR_GROUPS, spark.sparkContext.defaultParallelism)
@@ -3245,7 +3323,11 @@ def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
         # (m_bits bytes of allocation per batch) and no per-row
         # Python lambda. Every row carries exactly k_hashes positions
         # (F.sequence above), but explicit reduceat offsets keep this
-        # correct if the position arity ever becomes row-dependent.
+        # correct if the position arity ever becomes row-dependent —
+        # EXCEPT for zero-length rows, where reduceat returns the NEXT
+        # segment's first element (and IndexErrors on a trailing empty
+        # row), so empty rows are masked to the vacuous-AND value True
+        # up front and their starts clamped in-range.
         packed = bc.value
         if not len(pos):
             return pd.Series([], dtype=bool)
@@ -3254,6 +3336,13 @@ def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
         lens = np.fromiter((len(p) for p in pos), dtype=np.int64, count=len(pos))
         starts = np.zeros(len(pos), dtype=np.int64)
         np.cumsum(lens[:-1], out=starts[1:])
+        empty = lens == 0
+        if empty.any():
+            out = np.ones(len(pos), dtype=bool)
+            nz = ~empty
+            if hit.size:
+                out[nz] = np.logical_and.reduceat(hit, starts[nz])
+            return pd.Series(out)
         return pd.Series(np.logical_and.reduceat(hit, starts))
 
     # legacy-style registration: pd is module-local, so string type
@@ -3335,11 +3424,15 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: pair generation is blocked per label cell and tiled over
     the G x G group-pair grid (never corpus^2, and a skewed label
-    spreads across G^2 join keys — see ``_label_cos_edges``);
-    min-label propagation shuffles once per round on vec_id with
-    per-round lineage cuts; rounds = cluster diameter. Convergence is
-    asserted, not assumed (non-convergence raises instead of silently
-    diverging from the oracle's exact transitive closure)."""
+    spreads across G^2 join keys — see ``_label_cos_edges``), and
+    since round 13 the quadratic contract cost is budget-gated in-op
+    (``LABEL_PAIR_BUDGET`` — over budget raises naming the
+    bucket-bounded production siblings, COVERAGE.md §Embedding-pair
+    scale contract); min-label propagation shuffles once per round on
+    vec_id with per-round lineage cuts; rounds = cluster diameter.
+    Convergence is asserted, not assumed (non-convergence raises
+    instead of silently diverging from the oracle's exact transitive
+    closure)."""
     # consume the shared tiled scan directly, not the registered
     # neardup query: the edge set is identical, but this skips the
     # neardup op's presentation-only global orderBy. The slim (v1,v2)
@@ -5556,18 +5649,9 @@ def dedup_jaccard_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataF
     # shingle) rows once is a measured 21% win at sf0.1.
     ds = _shingles(t, spread=True).transform(lineage_cut)
     cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    idx = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= MAX_SHINGLE_DF
-    )
-    pruned = ds.join(idx.select("shingle"), "shingle")
-    a = pruned.select(F.col("doc_id").alias("d1"), "shingle")
-    b = pruned.select(F.col("doc_id").alias("d2"), "shingle")
-    pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    # the shared pre-threshold candidate stage (same frame
+    # _count_shingle_candidates records as ``candidates`` for this op)
+    pairs = _capped_shingle_pairs(ds)
     decile = F.floor(
         (10 * F.col("n_common")) / (F.col("n1") + F.col("n2") - F.col("n_common"))
     )
@@ -7311,11 +7395,12 @@ def _count_simhash_candidates(spark: SparkSession, sf_dir: str) -> int:
 
 def _count_label_pairs(spark: SparkSession, sf_dir: str) -> int:
     # the exact within-label contract evaluates every C(n_label, 2)
-    # pair; the tiled router changes WHERE they run, not how many
+    # pair; the tiled router changes WHERE they run, not how many.
+    # Delegates to the SAME histogram sum the in-op budget gate uses
+    # (_require_pair_budget in _label_cos_edges) so sweep accounting
+    # and the op's own refusal threshold cannot drift.
     t = load_tables(spark, sf_dir, register_views=False)
-    per = t["embeddings"].groupBy("label").agg(F.count(F.lit(1)).alias("n"))
-    row = per.agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("p")).collect()[0]
-    return int(row["p"] or 0)
+    return _label_pair_workload(t["embeddings"])
 
 
 #: op name -> pre-threshold candidate-pair counter, (spark, sf_dir) ->
@@ -7328,12 +7413,21 @@ def _count_label_pairs(spark: SparkSession, sf_dir: str) -> int:
 CANDIDATE_PAIR_COUNTS = {
     "dedup_ngram_jaccard": _count_shingle_candidates,
     "dedup_shingle_containment": _count_shingle_candidates,
+    # shares _capped_shingle_pairs verbatim (round-13 refactor made
+    # the call shared instead of inlined)
+    "dedup_jaccard_threshold_histogram": _count_shingle_candidates,
     "dedup_levenshtein_verify": _count_jaccard_verified,
     "dedup_minhash_lsh": _count_lsh_candidates,
     "dedup_minhash_verified": _count_lsh_candidates,
+    # cluster collapse over the dedup_ngram_jaccard edge set — its
+    # expensive stage IS that op's capped-shingle candidate join
+    "dedup_neardup_clusters": _count_shingle_candidates,
     "dedup_tfidf_cosine_pairs": _count_tfidf_candidates,
     "dedup_simhash_neardup": _count_simhash_candidates,
     "dedup_embedding_neardup": _count_label_pairs,
+    # same exact within-label pair graph as embedding_neardup
+    # (shared _label_cos_edges)
+    "dedup_semantic_clusters": _count_label_pairs,
 }
 
 
@@ -7404,7 +7498,11 @@ CANDIDATE_PAIR_BOUNDS = {
     "dedup_strategy_comparison": _bound_shingle_pairs,
     "dedup_minhash_verified": _bound_minhash_pairs,
     "dedup_minhash_lsh": _bound_minhash_pairs,
-    "dedup_neardup_clusters": _bound_minhash_pairs,
+    # edges come from dedup_ngram_jaccard, so the binding candidate
+    # workload is the capped-shingle bucket sum, not the minhash one
+    # (round-13 fix: the old _bound_minhash_pairs entry bounded a
+    # candidate stage this op never runs)
+    "dedup_neardup_clusters": _bound_shingle_pairs,
     "dedup_tfidf_cosine_pairs": _bound_tfidf_pairs,
     "dedup_simhash_neardup": _bound_simhash_pairs,
     "dedup_embedding_neardup": _count_label_pairs,

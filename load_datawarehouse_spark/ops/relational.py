@@ -24,6 +24,7 @@ Scale notes are inline per operator. Common principles:
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -7650,11 +7651,18 @@ def source_federated_union(spark: SparkSession, sf_dir: str) -> DataFrame:
                 upper_bound=int(max_key) + 1,
                 num_partitions=min(8, spark.sparkContext.defaultParallelism),
             ).select("o_orderkey", "o_orderstatus", "o_totalprice")
-        except Exception:
+        except Exception as exc:
             # same semantics as the no-driver availability shim: the
             # "operational" half reads from parquet directly (the real
-            # Derby path stays covered by tests/test_sources.py, so a
-            # regression here cannot hide behind this fallback)
+            # Derby path stays covered by tests/test_sources.py) — but
+            # a silent downgrade would also hide a Derby-path
+            # regression from BENCHMARK runs, so the fallback is
+            # loudly recorded on stderr (advisor r12)
+            print(
+                "source_federated_union: Derby staging path failed, "
+                f"falling back to all-parquet union: {exc!r}",
+                file=sys.stderr,
+            )
             jdbc_half = jdbc_half_src
         out = (
             parquet_half.unionByName(jdbc_half)

@@ -133,6 +133,58 @@ def test_embedding_neardup_self_join_is_group_pair_tiled(spark):
     ), "pair self-join is not keyed on (label, g1, g2):\n" + "\n".join(join_lines)
 
 
+def test_embedding_pair_scale_contract(spark):
+    # the exact embedding pair family's scale contract (COVERAGE.md
+    # §Embedding-pair scale contract), mirroring the theta/range
+    # family's: the contract cost sum C(n_label, 2) is measured
+    # LINEARLY before any pair work is scheduled, and an over-budget
+    # workload REFUSES with an error naming the finer-blocking lever
+    # and the bucket-bounded production siblings — never silently
+    # prunes candidates (advisor r7: banding at the 0.3 threshold
+    # dropped ~2/3 of true pairs) and never launches the unbounded
+    # quadratic sweep round 12 measured at sf10 (2.0B pairs, 759 s).
+    import pytest
+
+    from load_datawarehouse_spark.errors import WarehousePairBudgetExceeded
+    from load_datawarehouse_spark.ops.llm import (
+        _label_cos_edges,
+        _label_pair_workload,
+        _with_norm,
+    )
+
+    t = load_tables(spark, SF_DIR, register_views=False)
+    emb = _with_norm(t["embeddings"])
+    workload = _label_pair_workload(emb)
+    assert workload > 10  # the gate below must actually trip
+
+    # over budget: refuse BEFORE scheduling, with the documented
+    # levers in the message
+    with pytest.raises(WarehousePairBudgetExceeded) as exc:
+        _label_cos_edges(spark, emb, pair_budget=10)
+    msg = str(exc.value)
+    for lever in (
+        "dedup_neardup_clusters",
+        "similarity_lsh_topk",
+        "similarity_ivf_topk",
+        "finer blocking keys",
+        "SPARK_GRAFT_EMB_PAIR_BUDGET",
+    ):
+        assert lever in msg, lever
+
+    # within budget: the exact tiled plan builds (keyed on the full
+    # (label, g1, g2) triple — asserted by
+    # test_embedding_neardup_self_join_is_group_pair_tiled) and a
+    # budget of 0 disables the gate entirely
+    assert _label_cos_edges(spark, emb, pair_budget=workload) is not None
+    assert _label_cos_edges(spark, emb, pair_budget=0) is not None
+
+    # the in-op gate and the scale sweep's candidate counter must be
+    # the same measurement (they share _label_pair_workload)
+    from load_datawarehouse_spark.ops.llm import CANDIDATE_PAIR_COUNTS
+
+    assert CANDIDATE_PAIR_COUNTS["dedup_embedding_neardup"](spark, SF_DIR) == workload
+
+
 def test_null_safe_join_is_hash_join(spark):
     # EqualNullSafe is sargable: expect a broadcast hash join, not a
     # nested-loop fallback

@@ -307,7 +307,59 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 N_MINHASH = 8  # hash functions
-BAND_SIZE = 2  # rows per LSH band -> 4 bands
+BAND_SIZE = 2  # rows per LSH band AT THE BASE CORPUS DECADE (see _lsh_band_size)
+#: corpus size at/below which BAND_SIZE applies unchanged; each decade
+#: of corpus growth past it adds one row per band (log10 growth).
+_LSH_BASE_DOCS = 10_000
+
+
+def _lsh_band_size(n_docs: int) -> int:
+    """Corpus-derived LSH band size (rows per band).
+
+    The round-12 second decade measured why a CONSTANT band size
+    cannot survive scale-up: with the collision threshold fixed
+    (p_band = j^band_size), candidate pairs grew 49k -> 4.66M on 10x
+    data as signature collisions piled up. So the band size grows by
+    one row per DECADE of corpus growth past ``_LSH_BASE_DOCS`` —
+    each added row sharpens the per-band collision curve by another
+    factor of j, which is the log(corpus) growth the banding doc has
+    always prescribed — capped at ``N_MINHASH // 2`` so at least two
+    bands remain (a production deployment growing past the cap raises
+    N_MINHASH as well; at 8 sigs the cap covers ~4 decades above
+    base). The oracle templates derive the SAME value in SQL
+    (``_LSH_PARAMS_SQL``) from COUNT(*) over documents, so engine and
+    oracle can never disagree. Exact powers of 10 x base are the only
+    values where float log10 could in principle diverge between the
+    two runtimes; IEEE log10 is exact on small powers of ten, and no
+    test corpus sits on the boundary."""
+    import math
+
+    grow = max(0, math.floor(math.log10(max(1, n_docs) / _LSH_BASE_DOCS)))
+    return min(N_MINHASH // 2, BAND_SIZE + grow)
+
+
+#: SQL twin of :func:`_lsh_band_size` — a CTE every banding oracle
+#: includes so DuckDB derives the band size from the same corpus count
+#: formula the engine uses.
+_LSH_PARAMS_SQL = f"""params AS (
+    SELECT LEAST({N_MINHASH} // 2,
+                 {BAND_SIZE} + GREATEST(0, CAST(FLOOR(LOG10(
+                     GREATEST(COUNT(*), 1) / {_LSH_BASE_DOCS}.0)) AS BIGINT))) AS bs
+    FROM documents
+)"""
+
+#: SQL twin of :func:`_bands_from_sigs`: band key = md5 of the band's
+#: signatures joined in hash-function order (canonical for any band
+#: size, unlike the old MIN||MAX pair form which only covered bs=2).
+#: Trailing hash functions that do not fill a whole band are dropped,
+#: exactly as the engine builds N_MINHASH // bs full bands.
+_LSH_BANDS_SQL = f"""bands AS (
+    SELECT doc_id, j // (SELECT bs FROM params) AS band,
+           md5(string_agg(sig, '|' ORDER BY j)) AS band_key
+    FROM hashes
+    WHERE j < ({N_MINHASH} // (SELECT bs FROM params)) * (SELECT bs FROM params)
+    GROUP BY doc_id, j // (SELECT bs FROM params)
+)"""
 
 _MINHASH_ORACLE = f"""
 WITH words AS (
@@ -320,6 +372,7 @@ WITH words AS (
     FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
     QUALIFY LEAD(word, 2) OVER w IS NOT NULL
 ), ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+{_LSH_PARAMS_SQL},
 hashes AS (
     -- hash function j = 4-byte window j%4 of md5((j//4) || '|' || shingle):
     -- 8 independent 32-bit minhashes from only 2 md5 evaluations
@@ -328,11 +381,7 @@ hashes AS (
                       (j % 4) * 8 + 1, 8)) AS sig
     FROM ds CROSS JOIN (SELECT unnest(range({N_MINHASH})) AS j)
     GROUP BY doc_id, j
-), bands AS (
-    SELECT doc_id, j // {BAND_SIZE} AS band,
-           md5(MIN(sig) || '|' || MAX(sig)) AS band_key
-    FROM hashes GROUP BY doc_id, j // {BAND_SIZE}
-)
+), {_LSH_BANDS_SQL}
 SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -340,8 +389,8 @@ ORDER BY d1, d2
 """
 
 
-def _minhash_bands(t, ds: DataFrame | None = None) -> DataFrame:
-    """doc_id -> (band, band_key) LSH rows. All N signatures as
+def _minhash_sigs(ds: DataFrame) -> DataFrame:
+    """doc_id -> N_MINHASH signature columns. All N signatures as
     columns of ONE groupBy(doc_id): the per-shingle hashes are
     computed narrow (pre-shuffle), partial min aggregation runs
     map-side, and the shuffle carries one row per document — vs the
@@ -350,22 +399,7 @@ def _minhash_bands(t, ds: DataFrame | None = None) -> DataFrame:
     window j%4 of md5((j//4)|shingle): md5's output bits are uniform
     and independent, so disjoint windows are independent 32-bit
     minhashes at 1/4 the hashing cost; lexical MIN over fixed-width
-    lowercase hex == numeric min.
-
-    The banding parameters (N_MINHASH=8, BAND_SIZE=2 -> 4 bands) are
-    CORPUS-TUNED constants targeting Jaccard ~>=0.3 candidates at test
-    scale. On a vocabulary-saturating corpus signature collisions grow
-    with the corpus (round-12 second decade measured candidates 49k ->
-    4.66M at 10x data), so a production deployment grows the band
-    size/count with log(corpus) — raising BAND_SIZE sharpens the
-    collision threshold (p_band = j^BAND_SIZE); the oracle template
-    mirrors both knobs.
-
-    ``ds`` lets a caller that ALSO needs the shingle frame (the
-    LSH-then-verify pipeline) pass a shared, already-cut copy so the
-    explode+distinct runs once instead of once per consumer."""
-    if ds is None:
-        ds = _shingles(t, spread=True)
+    lowercase hex == numeric min."""
     with_md5 = ds.select(
         "doc_id",
         F.md5(F.concat_ws("|", F.lit("0"), "shingle")).alias("m0"),
@@ -375,27 +409,56 @@ def _minhash_bands(t, ds: DataFrame | None = None) -> DataFrame:
         F.substring(F.col("m0") if j < 4 else F.col("m1"), (j % 4) * 8 + 1, 8).alias(f"h{j}")
         for j in range(N_MINHASH)
     ]
-    sigs = (
+    return (
         with_md5.select("doc_id", *hcols)
         .groupBy("doc_id")
         .agg(*[F.min(f"h{j}").alias(f"sig{j}") for j in range(N_MINHASH)])
     )
+
+
+def _bands_from_sigs(sigs: DataFrame, band_size: int) -> DataFrame:
+    """Signature columns -> (doc_id, band, band_key) LSH rows:
+    N_MINHASH // band_size full bands, band key = md5 of the band's
+    signatures joined in hash-function order (canonical for any band
+    size; trailing signatures that do not fill a band are dropped).
+    Mirrored in SQL by ``_LSH_BANDS_SQL``."""
+    n_bands = max(1, N_MINHASH // band_size)
     band_structs = [
         F.struct(
             F.lit(b).cast("long").alias("band"),
             F.md5(
                 F.concat_ws(
                     "|",
-                    F.least(*[F.col(f"sig{j}") for j in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)]),
-                    F.greatest(*[F.col(f"sig{j}") for j in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)]),
+                    *[F.col(f"sig{j}") for j in range(b * band_size, (b + 1) * band_size)],
                 )
             ).alias("band_key"),
         )
-        for b in range(N_MINHASH // BAND_SIZE)
+        for b in range(n_bands)
     ]
     return sigs.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def _minhash_bands(t, ds: DataFrame | None = None, band_size: int | None = None) -> DataFrame:
+    """doc_id -> (band, band_key) LSH rows at the CORPUS-DERIVED band
+    size: ``band_size`` defaults to :func:`_lsh_band_size` of the
+    documents row count (one column-pruned parquet count — metadata
+    cheap), so the collision threshold sharpens by a factor of the
+    base Jaccard per corpus decade instead of letting candidates grow
+    superlinearly on a saturating corpus (round-12 measured 49k ->
+    4.66M candidate growth at 10x under the old constant). Every
+    banding oracle derives the same value in SQL via
+    ``_LSH_PARAMS_SQL``.
+
+    ``ds`` lets a caller that ALSO needs the shingle frame (the
+    LSH-then-verify pipeline) pass a shared, already-cut copy so the
+    explode+distinct runs once instead of once per consumer."""
+    if band_size is None:
+        band_size = _lsh_band_size(t["documents"].count())
+    if ds is None:
+        ds = _shingles(t, spread=True)
+    return _bands_from_sigs(_minhash_sigs(ds), band_size)
 
 
 @_register("dedup_minhash_lsh", _MINHASH_ORACLE)
@@ -406,8 +469,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; lowercase fixed-width hex min == numeric min) -> band
     keys -> bucket self-join. Candidates only — exact-verify with
     dedup_ngram_jaccard downstream. Scale: the bucket join fans out
-    per band bucket, never doc x doc; banding parameters (8 hashes,
-    4 bands of 2) target Jaccard ~>= 0.3 candidates.
+    per band bucket, never doc x doc; the band size is CORPUS-DERIVED
+    (8 hashes, base 4 bands of 2, one more row per band per corpus
+    decade past 10k docs — ``_lsh_band_size``), so the collision
+    threshold sharpens as the corpus grows instead of candidates
+    exploding on saturating signatures.
     """
     t = load_tables(spark, sf_dir, register_views=False)
     # 4 band rows per doc, consumed by both self-join sides — cut
@@ -424,7 +490,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MINHASH_VERIFIED_ORACLE = f"""
+_MINHASH_VERIFIED_ORACLE = """
 WITH words AS (
     SELECT doc_id, unnest(string_split(text, ' ')) AS word,
            generate_subscripts(string_split(text, ' '), 1) AS pos
@@ -435,17 +501,14 @@ WITH words AS (
     FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
     QUALIFY LEAD(word, 2) OVER w IS NOT NULL
 ), ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+{params},
 hashes AS (
     SELECT doc_id, j,
            MIN(substr(md5(CAST(j // 4 AS VARCHAR) || '|' || shingle),
                       (j % 4) * 8 + 1, 8)) AS sig
-    FROM ds CROSS JOIN (SELECT unnest(range({{n_minhash}})) AS j)
+    FROM ds CROSS JOIN (SELECT unnest(range({n_minhash})) AS j)
     GROUP BY doc_id, j
-), bands AS (
-    SELECT doc_id, j // {{band_size}} AS band,
-           md5(MIN(sig) || '|' || MAX(sig)) AS band_key
-    FROM hashes GROUP BY doc_id, j // {{band_size}}
-), cand AS (
+), {bands}, cand AS (
     SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -464,7 +527,7 @@ JOIN cnt c1 ON c1.doc_id = m.d1
 JOIN cnt c2 ON c2.doc_id = m.d2
 WHERE CAST(m.n_common AS DOUBLE) / (c1.n + c2.n - m.n_common) >= 0.3
 ORDER BY d1, d2
-""".format(n_minhash=N_MINHASH, band_size=BAND_SIZE)
+""".format(n_minhash=N_MINHASH, params=_LSH_PARAMS_SQL, bands=_LSH_BANDS_SQL)
 
 
 @_register("dedup_minhash_verified", _MINHASH_VERIFIED_ORACLE)
@@ -4130,17 +4193,14 @@ WITH words AS (
     FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
     QUALIFY LEAD(word, 2) OVER w IS NOT NULL
 ), ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+{_LSH_PARAMS_SQL},
 hashes AS (
     SELECT doc_id, j,
            MIN(substr(md5(CAST(j // 4 AS VARCHAR) || '|' || shingle),
                       (j % 4) * 8 + 1, 8)) AS sig
     FROM ds CROSS JOIN (SELECT unnest(range({N_MINHASH})) AS j)
     GROUP BY doc_id, j
-), bands AS (
-    SELECT doc_id, j // {BAND_SIZE} AS band,
-           md5(MIN(sig) || '|' || MAX(sig)) AS band_key
-    FROM hashes GROUP BY doc_id, j // {BAND_SIZE}
-), cand AS (
+), {_LSH_BANDS_SQL}, cand AS (
     SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -4196,36 +4256,11 @@ def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFram
     """
     t = load_tables(spark, sf_dir, register_views=False)
     ds = _shingles(t, spread=True).transform(lineage_cut)
-    with_md5 = ds.select(
-        "doc_id",
-        F.md5(F.concat_ws("|", F.lit("0"), "shingle")).alias("m0"),
-        F.md5(F.concat_ws("|", F.lit("1"), "shingle")).alias("m1"),
-    )
-    hcols = [
-        F.substring(F.col("m0") if j < 4 else F.col("m1"), (j % 4) * 8 + 1, 8).alias(f"h{j}")
-        for j in range(N_MINHASH)
-    ]
-    sigs = (
-        with_md5.select("doc_id", *hcols)
-        .groupBy("doc_id")
-        .agg(*[F.min(f"h{j}").alias(f"sig{j}") for j in range(N_MINHASH)])
-    ).transform(lineage_cut)
-    band_structs = [
-        F.struct(
-            F.lit(b).cast("long").alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.least(*[F.col(f"sig{j}") for j in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)]),
-                    F.greatest(*[F.col(f"sig{j}") for j in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)]),
-                )
-            ).alias("band_key"),
-        )
-        for b in range(N_MINHASH // BAND_SIZE)
-    ]
-    bands = sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
-    )
+    # sigs feed BOTH the banding and the agreement estimator, so the
+    # shared helper's frame is cut once here (unlike _minhash_bands
+    # consumers, which only need the band rows)
+    sigs = _minhash_sigs(ds).transform(lineage_cut)
+    bands = _bands_from_sigs(sigs, _lsh_band_size(t["documents"].count()))
     cand = (
         bands.select(F.col("doc_id").alias("d1"), "band", "band_key")
         .join(bands.select(F.col("doc_id").alias("d2"), "band", "band_key"), ["band", "band_key"])
@@ -5951,17 +5986,14 @@ WITH words AS (
     FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
     QUALIFY LEAD(word, 2) OVER w IS NOT NULL
 ), ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+{_LSH_PARAMS_SQL},
 hashes AS (
     SELECT doc_id, j,
            MIN(substr(md5(CAST(j // 4 AS VARCHAR) || '|' || shingle),
                       (j % 4) * 8 + 1, 8)) AS sig
     FROM ds CROSS JOIN (SELECT unnest(range({N_MINHASH})) AS j)
     GROUP BY doc_id, j
-), bands AS (
-    SELECT doc_id, j // {BAND_SIZE} AS band,
-           md5(MIN(sig) || '|' || MAX(sig)) AS band_key
-    FROM hashes GROUP BY doc_id, j // {BAND_SIZE}
-), bucket_sizes AS (
+), {_LSH_BANDS_SQL}, bucket_sizes AS (
     SELECT band, band_key, COUNT(*) AS sz FROM bands GROUP BY band, band_key
 )
 SELECT CAST(sz AS BIGINT) AS bucket_size,

@@ -94,9 +94,110 @@ _DESIGN_POINTS = [
     "dedup_semantic_clusters",
 ]
 
+#: round-13 extension (VERDICT r12 #5): EVERY op whose decade-1 slope
+#: exceeded 2 now carries second-decade evidence, not just the >3
+#: outliers — a 2.x decade-1 slope can hide a quadratic term that the
+#: overhead-bound first decade masks.
+_SLOPE_TAIL = [
+    "basket_affinity_lift",
+    "basket_frequent_triples",
+    "bpe_first_merges",
+    "contamination_ngram_check",
+    "dedup_cascade_report",
+    "dedup_crossdoc_segments",
+    "dedup_incremental_batch",
+    "dedup_intradoc_segments",
+    "events_burst_hours",
+    "events_winback_gaps",
+    "gap_islands_streaks",
+    "heavy_hitters_misra_gries",
+    "join_semi",
+    "lang_id_ngram_profile",
+    "multimodal_caption_pairs",
+    "multimodal_pipeline_prep",
+    "multimodal_resize_thumbnail",
+    "nest_order_lines",
+    "orders_open_backlog_daily",
+    "pipeline_training_prep_v2",
+    "q12_priority_lines",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q22_idle_rich_segments",
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q9_product_profit",
+    "rfm_segmentation",
+    "search_bm25_topk",
+    "setop_intersect",
+    "source_federated_union",
+    "stat_empirical_bayes_rates",
+    "stats_classifier_kappa",
+    "stream_session_windows",
+    "subq_not_exists_idle_rich",
+    "survival_kaplan_meier",
+    "text_rake_keyphrases",
+    "udtf_dynamic_schema",
+]
+
+#: harness-measured row name for the reference-parity core
+#: (infer_schema_distributed) — not a registered query
+_SCHEMA_INFER_ROW = "schema_infer_distributed"
+
 SCALE10_QUERIES = _SLOPE_OUTLIERS + [
     n for n in _DESIGN_POINTS if n not in _SLOPE_OUTLIERS
-]
+] + [n for n in _SLOPE_TAIL if n not in _SLOPE_OUTLIERS and n not in _DESIGN_POINTS]
+
+
+def _schema_infer_nested_input(spark, sf_dir: str):
+    """Wide NESTED frame over documents for the schema-inference
+    scale row (VERDICT r12 #6): flat scalars + a 2-deep struct + a
+    repeated string column + a repeated struct column, so the
+    distributed observation walk exercises the whole inference
+    lattice (nested RECORDs, REPEATED modes, per-field type sets) at
+    corpus scale, not the 50-row sample the registered
+    `schema_infer_documents` golden pins."""
+    from pyspark.sql import functions as F
+
+    from load_datawarehouse_spark.session import load_tables
+
+    d = load_tables(spark, sf_dir, register_views=False)["documents"]
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.struct(
+            F.col("lang").alias("lang"),
+            F.col("n_chars").alias("chars"),
+            F.struct(F.col("source").alias("origin")).alias("meta"),
+        ).alias("hdr"),
+        F.slice(F.split("text", " "), 1, 8).alias("head_words"),
+        F.array(
+            F.struct(F.lit("n_chars").alias("k"), F.col("n_chars").alias("v"))
+        ).alias("kvs"),
+    )
+
+
+def _time_schema_infer(spark, sf_dir: str, warmup: bool) -> tuple[float, int, int]:
+    """min-of-2 wall time of ``infer_schema_distributed`` over the
+    nested corpus (same protocol as _time); also returns (n_records,
+    n_top_level_fields) so the row records that the driver-side
+    condense input — the merged type tree — is schema-sized, not
+    corpus-sized (the per-field merge is O(fields x partitions) via
+    treeReduce, the only driver-side step)."""
+    from load_datawarehouse_spark.schema_infer import infer_schema_distributed
+
+    df = _schema_infer_nested_input(spark, sf_dir)
+    if warmup:
+        infer_schema_distributed(df)
+    best, res = None, None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        res = infer_schema_distributed(df)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    _release()
+    return best, res.n_records, len(res.schema)
 
 
 def _release() -> None:
@@ -162,6 +263,38 @@ def main() -> None:
 
     out: dict[str, dict] = {}
     errors: dict[str, str] = {}
+
+    # reference-parity core scale row (VERDICT r12 #6): distributed
+    # schema inference over a wide nested corpus — harness-measured
+    # because infer_schema_distributed returns an InferenceResult,
+    # not a DataFrame, so it cannot be a registered query
+    if only is None or _SCHEMA_INFER_ROW in only:
+        try:
+            t_mid, n_mid, f_mid = _time_schema_infer(spark, mid, warmup=True)
+            t_big, n_big, f_big = _time_schema_infer(spark, big, warmup=False)
+        except Exception as exc:
+            errors[_SCHEMA_INFER_ROW] = f"{type(exc).__name__}: {exc}"[:300]
+        else:
+            out[_SCHEMA_INFER_ROW] = {
+                "sf1_sec": round(t_mid, 3),
+                "sf10_sec": round(t_big, 3),
+                "slope10": round(t_big / t_mid, 2),
+                "rows": [n_mid, n_big],
+                "n_fields": [f_mid, f_big],
+                "note": "infer_schema_distributed over a 7-column nested "
+                "frame (2-deep struct + repeated string + repeated "
+                "struct); per-partition Observation + treeReduce merge — "
+                "driver condense input is the merged type tree "
+                "(n_fields rows), independent of corpus size",
+            }
+            print(
+                f"# {_SCHEMA_INFER_ROW}: {t_mid:.2f}s -> {t_big:.2f}s  "
+                f"slope10 {out[_SCHEMA_INFER_ROW]['slope10']}  "
+                f"fields {f_mid}/{f_big}",
+                file=sys.stderr,
+                flush=True,
+            )
+
     for name in names:
         fn = queries[name]
         bound_big = None
@@ -241,7 +374,8 @@ def main() -> None:
             prev = json.load(f)
         merged = prev.get("queries", {})
         merged.update(out)
-        out = {k: v for k, v in merged.items() if k in SCALE10_QUERIES}
+        keep = set(SCALE10_QUERIES) | {_SCHEMA_INFER_ROW}
+        out = {k: v for k, v in merged.items() if k in keep}
 
     slopes = sorted(v["slope10"] for v in out.values() if "slope10" in v)
     # two complementary flags:
@@ -265,19 +399,23 @@ def main() -> None:
     }
     note = (
         "second decade: 10x data sf1 -> sf10 (scalegen.py K=100; key-space "
-        "scaled, permutation-distinct doc copies, orthogonally-transformed "
-        "embedding copies). slope10 = t(sf10)/t(sf1). `superlinear` "
-        "(slope1*slope10 > 120) = wall time outgrew the 100x data across "
-        "both decades — the scale-killer signal; `accelerating` "
-        "(slope10 > 1.5*slope1) usually means decade 1 was overhead-bound "
-        "and decade 2 reached CPU-saturated LINEAR throughput on local[32] "
-        "(slope10 -> 10 is t ~ N) — an investigate-list, not a verdict. "
-        "`sf10_skipped` rows hit the candidate-bound budget: their bucket "
-        "self-join is workload-quadratic on this saturated-vocabulary "
-        "corpus (CANDIDATE_PAIR_BOUNDS docstring); their production-path "
-        "siblings run in the same table. Candidate columns [sf1, sf10] "
-        "also expose the DF-cap recall cliff on the jaccard audit family "
-        "(candidates collapse as the cap prunes a saturating spectrum)."
+        "scaled, token-remapped doc copies with disjoint per-copy "
+        "vocabularies, shift+Rademacher orthogonal embedding copies — "
+        "round-13 data model, advisor r12: text dup rates exactly flat "
+        "for ALL families incl. bag-of-words ops; embedding cross-copy "
+        "cosines have a measured ~1-2% tail above 0.3, the 1/sqrt(dim) "
+        "orthogonal-transform floor scalegen prints at generation time). "
+        "slope10 = t(sf10)/t(sf1). `superlinear` (slope1*slope10 > 120) "
+        "= wall time outgrew the 100x data across both decades — the "
+        "scale-killer signal; `accelerating` (slope10 > 1.5*slope1) "
+        "usually means decade 1 was overhead-bound and decade 2 reached "
+        "CPU-saturated LINEAR throughput on local[32] (slope10 -> 10 is "
+        "t ~ N) — an investigate-list, not a verdict. `sf10_skipped` "
+        "rows hit the candidate-bound budget (CANDIDATE_PAIR_BOUNDS "
+        "docstring); their production-path siblings run in the same "
+        "table. Candidate columns are [sf1, sf10] measured pair counts. "
+        "`schema_infer_distributed` is the harness-measured "
+        "reference-parity core row (VERDICT r12 #6)."
     )
     result = {
         "note": note,

@@ -21,27 +21,36 @@ from pyspark.sql import DataFrame, SparkSession
 # the head is now always the ops whose plan/code changed most
 # recently.
 _FIRST_NAMES = (
-    # --- round-12 head: every op whose PLAN, kernel, or semantics
-    # changed this round, first. The md5 video-frame signature (the
-    # second-decade scale fix), the vectorized bloom probe kernel,
-    # the bucketed-equi join_range_bands reshape, the candidate-stage
-    # refactors of the shingle/tfidf/simhash/minhash dedup family,
-    # PC2's lineage-cut element scan, and the federated-union staging
-    # fallback. All were re-certified this session at sf0.001/0.01
-    # (pytest + vanilla-session oracle) and sf1 (scaleverify --only,
-    # 18/18 match). ---
-    "multimodal_video_frame_dedup",
+    # --- round-13 head: every op whose PLAN, kernel, or semantics
+    # changed this round, first. The corpus-derived LSH banding
+    # (ordered-concat band keys + _lsh_band_size, mirrored by the
+    # params CTE in every banding oracle), the in-op pair-budget gate
+    # on the exact embedding family (_label_cos_edges measures
+    # sum C(n_label,2) before scheduling), the
+    # jaccard-threshold-histogram refactor onto the shared
+    # _capped_shingle_pairs stage, the bloom probe's zero-length
+    # reduceat guard, and the federated-union fallback logging. ---
+    "dedup_minhash_lsh",
+    "dedup_minhash_verified",
+    "dedup_minhash_estimate_quality",
+    "dedup_lsh_bucket_skew",
+    "dedup_embedding_neardup",
+    "dedup_semantic_clusters",
+    "dedup_connected_components",
+    "dedup_jaccard_threshold_histogram",
+    "dedup_neardup_clusters",
     "contamination_bloom_prefilter",
+    "source_federated_union",
+    # --- round-12 head re-checks (video signature, range bands, PC2,
+    # shingle/tfidf/simhash candidate stages) ---
+    "multimodal_video_frame_dedup",
     "join_range_bands",
     "embedding_pca_second_component",
     "dedup_ngram_jaccard",
     "dedup_shingle_containment",
     "dedup_tfidf_cosine_pairs",
     "dedup_simhash_neardup",
-    "dedup_minhash_verified",
-    "dedup_minhash_lsh",
     "dedup_levenshtein_verify",
-    "source_federated_union",
     "join_theta",
     # --- round-11 head re-checks (MG merge, lazy PCA, kmeans guard,
     # FLAC trio) ---
@@ -55,12 +64,9 @@ _FIRST_NAMES = (
     "stream_tumbling_counts",
     "part_bom_rollup",
     # --- dedup/pipeline family siblings of this round's refactors ---
-    "dedup_jaccard_threshold_histogram",
     "dedup_incremental_batch",
     "dedup_strategy_comparison",
-    "dedup_lsh_bucket_skew",
     "dedup_cascade_report",
-    "dedup_neardup_clusters",
     "dedup_template_groups",
     "dedup_exact_normalized",
     "contamination_ngram_check",
@@ -69,17 +75,13 @@ _FIRST_NAMES = (
     "pipeline_source_quality_card",
     "pipeline_training_prep_v2",
     "pipeline_curation_v3",
-    # --- embedding-family re-checks (scale corpus changed; driver
-    # data unchanged, but these share helpers with the PCA/kmeans
-    # shapes above) ---
+    # --- embedding-family re-checks (share helpers with the gated
+    # pair family above) ---
     "similarity_cosine_topk",
     "similarity_ivf_topk",
     "similarity_lsh_topk",
     "similarity_sq_topk",
     "embedding_norm_outliers",
-    "dedup_connected_components",
-    "dedup_semantic_clusters",
-    "dedup_embedding_neardup",
     # --- join/flagship representatives ---
     "q10_returned_items",
     "q3_shipping_priority",

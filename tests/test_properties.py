@@ -1105,6 +1105,50 @@ def test_shuffle_partitions_fallback():
     assert shuffle_partitions(_Spark(None)) == 7
 
 
+def test_lsh_band_size_sql_parity():
+    """The corpus-derived LSH band size exists in two places — the
+    Python formula (`_lsh_band_size`, used by `_minhash_bands`) and
+    its SQL twin (`_LSH_PARAMS_SQL`, pasted into every banding
+    oracle). They MUST agree for every corpus size or the engine and
+    its oracles silently band differently. Probed across six decades
+    plus the decade boundaries themselves (exact powers of ten times
+    the base, where float log10 is the only plausible divergence)."""
+    import duckdb
+
+    from load_datawarehouse_spark.ops.llm import _LSH_PARAMS_SQL, _lsh_band_size
+
+    con = duckdb.connect()
+    for n in (1, 499, 5_000, 10_000, 50_000, 100_000, 500_000,
+              1_000_000, 5_000_000, 10_000_000, 5 * 10**9):
+        con.execute(f"CREATE OR REPLACE VIEW documents AS SELECT * FROM range({n})")
+        bs = con.execute(f"WITH {_LSH_PARAMS_SQL} SELECT bs FROM params").fetchone()[0]
+        assert bs == _lsh_band_size(n), (n, bs, _lsh_band_size(n))
+    con.close()
+
+
+def test_bands_from_sigs_shapes(spark):
+    """Structural lock on the generalized banding: band_size=2 gives
+    4 full bands over all 8 sigs; band_size=3 gives 2 full bands and
+    DROPS the trailing two sigs (no partial band); keys are canonical
+    in hash-function order, so permuting sig VALUES between the two
+    slots of a band changes the key (the old MIN||MAX form did not)."""
+    from load_datawarehouse_spark.ops.llm import N_MINHASH, _bands_from_sigs
+
+    row = {f"sig{j}": f"{j:08d}" for j in range(N_MINHASH)}
+    swapped = dict(row, sig0=row["sig1"], sig1=row["sig0"])
+    sigs = spark.createDataFrame(
+        [dict(doc_id=1, **row), dict(doc_id=2, **swapped)]
+    )
+    b2 = _bands_from_sigs(sigs, 2).collect()
+    assert sorted({r["band"] for r in b2}) == [0, 1, 2, 3]
+    k1 = {r["band"]: r["band_key"] for r in b2 if r["doc_id"] == 1}
+    k2 = {r["band"]: r["band_key"] for r in b2 if r["doc_id"] == 2}
+    assert k1[0] != k2[0], "order-canonical key must see the swap"
+    assert all(k1[b] == k2[b] for b in (1, 2, 3))
+    b3 = _bands_from_sigs(sigs, 3).collect()
+    assert sorted({r["band"] for r in b3}) == [0, 1]
+
+
 def test_candidate_counters_bound_their_ops(spark):
     """Round-12 accounting contract (VERDICT r11 #4): every
     CANDIDATE_PAIR_COUNTS counter measures the PRE-threshold candidate

@@ -1029,7 +1029,7 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # task before the tiled repartition (8.8 -> 7.5 s at sf1)
     emb = _with_norm(spread_small_scan(t["embeddings"]))
     return (
-        _label_cos_edges(spark, emb)
+        _label_cos_edges(spark, emb, workload_frame=t["embeddings"])
         .select("v1", "v2", "label", F.col("cos").alias("cosine"))
         .orderBy("v1", "v2")
     )
@@ -1242,7 +1242,12 @@ def _require_pair_budget(workload: int, budget: int | None) -> None:
         )
 
 
-def _label_cos_edges(spark: SparkSession, emb, pair_budget: int | None = None) -> DataFrame:
+def _label_cos_edges(
+    spark: SparkSession,
+    emb,
+    pair_budget: int | None = None,
+    workload_frame=None,
+) -> DataFrame:
     """Exact cosine>=0.3 edge set (v1, v2, label, cos) within label
     cells, with the pair space of each cell tiled into a G x G grid
     of group-pairs (side A replicates each row over (g(v), *), side B
@@ -1277,8 +1282,18 @@ def _label_cos_edges(spark: SparkSession, emb, pair_budget: int | None = None) -
     and the bucket-bounded production siblings instead of launching
     an unbounded quadratic job. Locked by
     ``test_embedding_pair_scale_contract`` (tests/test_plans.py),
-    mirroring the theta/range family's plan contract."""
-    _require_pair_budget(_label_pair_workload(emb), pair_budget)
+    mirroring the theta/range family's plan contract.
+
+    ``workload_frame`` lets callers point the gate at the RAW table
+    scan: ``emb`` is usually wrapped in ``spread_small_scan``, whose
+    round-robin exchange cannot be pruned out of the gate's count
+    job — on the raw scan the label histogram is a map-side-combined
+    aggregation (tiny shuffle of distinct labels per partition), the
+    right shape at 100 TB. The histogram is identical either way."""
+    _require_pair_budget(
+        _label_pair_workload(emb if workload_frame is None else workload_frame),
+        pair_budget,
+    )
     grid = F.array(*[F.lit(i) for i in range(_CC_PAIR_GROUPS)])
     grp = F.pmod(F.col("vec_id"), F.lit(_CC_PAIR_GROUPS)).cast("int")
     n_tiles = max(_CC_PAIR_GROUPS * _CC_PAIR_GROUPS, spark.sparkContext.defaultParallelism)
@@ -1306,10 +1321,10 @@ def _label_cos_edges(spark: SparkSession, emb, pair_budget: int | None = None) -
     )
 
 
-def _cc_edges(spark: SparkSession, emb) -> DataFrame:
+def _cc_edges(spark: SparkSession, emb, workload_frame=None) -> DataFrame:
     """Slim (v1, v2) projection of :func:`_label_cos_edges` — the
     edge set dedup_connected_components propagates labels over."""
-    return _label_cos_edges(spark, emb).select("v1", "v2")
+    return _label_cos_edges(spark, emb, workload_frame=workload_frame).select("v1", "v2")
 
 
 def _min_label_components(und, vertices, id_col: str) -> DataFrame:
@@ -1463,7 +1478,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # swapped branches would otherwise EACH recompute the quadratic
     # tiled pair scan during und's materialization
     # (checkpoint-only-slim-frames rule)
-    edges = _cc_edges(spark, _with_norm(spread_small_scan(t["embeddings"]))).transform(lineage_cut)
+    edges = _cc_edges(
+        spark, _with_norm(spread_small_scan(t["embeddings"])), workload_frame=t["embeddings"]
+    ).transform(lineage_cut)
     und = (
         edges.select(F.col("v1").alias("src"), F.col("v2").alias("dst"))
         .unionByName(edges.select(F.col("v2").alias("src"), F.col("v1").alias("dst")))
@@ -3506,7 +3523,11 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rule)
     t = load_tables(spark, sf_dir, register_views=False)
     edges = (
-        _label_cos_edges(spark, _with_norm(spread_small_scan(t["embeddings"])))
+        _label_cos_edges(
+            spark,
+            _with_norm(spread_small_scan(t["embeddings"])),
+            workload_frame=t["embeddings"],
+        )
         .select("v1", "v2")
         .transform(lineage_cut)
     )

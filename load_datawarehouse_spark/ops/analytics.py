@@ -1337,7 +1337,16 @@ def dq_json_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Trailing-interval velocity flags (RANGE frame over event time)
 # ---------------------------------------------------------------------------
 
-_VELOCITY_WINDOW_S = 60
+#: Round-14 re-anchor: the original 60 s window was VACUOUS on this
+#: corpus — measured density is ~1 event per user per 38,700 s
+#: (10,000 events / 150 users / 30 days at sf0.01), so P(3 in 60 s)
+#: was ~0 at EVERY certified scale and the op's green oracle
+#: hash-matches only ever proved the empty set. One hour is ~0.093
+#: expected events/user, putting >= 3 in the Poisson tail: measured
+#: 31 flagged events at sf0.01, 427 at sf0.1. Per-user rate is
+#: scale-invariant in this corpus (users grow with sf), so the flag
+#: count grows ~linearly and stays populated at every scale.
+_VELOCITY_WINDOW_S = 3600
 _VELOCITY_K = 3
 
 _VELOCITY_ORACLE = f"""
@@ -1359,11 +1368,12 @@ ORDER BY user_id, event_id
 @_register("events_velocity_flags", _VELOCITY_ORACLE)
 def events_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Velocity screening: events where the same user fired >= 3 events
-    within a trailing 60-second wall-clock window — the rate-limit /
+    within a trailing one-hour wall-clock window — the rate-limit /
     fraud-velocity primitive, expressed as a RANGE frame over epoch
     seconds (time-valued RANGE frames are the window-surface member
     the ROWS-frame ops can't substitute: the frame width is in TIME,
-    not row count).
+    not row count). The window width is derived from measured corpus
+    density, not convention — see ``_VELOCITY_WINDOW_S``.
 
     Epoch seconds are integers, the count is exact; ties inside the
     frame are irrelevant to COUNT. Scale: one shuffle partitioning by

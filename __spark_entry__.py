@@ -21,40 +21,51 @@ from pyspark.sql import DataFrame, SparkSession
 # the head is now always the ops whose plan/code changed most
 # recently.
 _FIRST_NAMES = (
-    # --- round-13 head: every op whose PLAN, kernel, or semantics
-    # changed this round, first. The corpus-derived LSH banding
-    # (ordered-concat band keys + _lsh_band_size, mirrored by the
-    # params CTE in every banding oracle), the in-op pair-budget gate
-    # on the exact embedding family (_label_cos_edges measures
-    # sum C(n_label,2) before scheduling), the
-    # jaccard-threshold-histogram refactor onto the shared
-    # _capped_shingle_pairs stage, the bloom probe's zero-length
-    # reduceat guard, and the federated-union fallback logging. ---
+    # --- round-14 head: every op whose PLAN, kernel, or semantics
+    # changed this round, first. The three re-anchored event-time ops
+    # (predicates moved from the unsatisfiable events-vs-orders era
+    # onto populated events-domain shapes), the in-op pair-budget
+    # gates on join_theta and dedup_tfidf_cosine_pairs (shared
+    # require_pair_budget helper with validated env overrides), the
+    # as-of-nearest forward-leg rewire onto _asof_forward_day_orders,
+    # and the band-size memo's full-file-tuple cache key. ---
+    "join_range_bucketed",
+    "join_asof_forward",
+    "events_velocity_flags",
+    "join_asof_nearest",
+    "join_theta",
+    "dedup_tfidf_cosine_pairs",
+    # --- shared-gate path (the embedding family now routes through
+    # ops/_util.require_pair_budget) ---
+    "dedup_embedding_neardup",
+    "dedup_semantic_clusters",
+    "dedup_connected_components",
+    # --- band-size memo cache-key change (ADVICE r13 #2) ---
     "dedup_minhash_lsh",
     "dedup_minhash_verified",
     "dedup_minhash_estimate_quality",
     "dedup_lsh_bucket_skew",
-    "dedup_embedding_neardup",
-    "dedup_semantic_clusters",
-    "dedup_connected_components",
+    # --- sf1-dilution docstring subjects + the bench-adjudication
+    # target (fresh driver evidence is cheap) ---
+    "q11_important_stock",
+    "heavy_hitters_misra_gries",
+    "pipeline_curation_v3",
+    "tfidf_top_terms",
+    # --- round-13 head re-checks (corpus-derived banding, jaccard
+    # histogram refactor, bloom guard, federated union) ---
     "dedup_jaccard_threshold_histogram",
     "dedup_neardup_clusters",
     "contamination_bloom_prefilter",
     "source_federated_union",
-    # --- round-12 head re-checks (video signature, range bands, PC2,
-    # shingle/tfidf/simhash candidate stages) ---
     "multimodal_video_frame_dedup",
     "join_range_bands",
     "embedding_pca_second_component",
     "dedup_ngram_jaccard",
     "dedup_shingle_containment",
-    "dedup_tfidf_cosine_pairs",
     "dedup_simhash_neardup",
     "dedup_levenshtein_verify",
-    "join_theta",
-    # --- round-11 head re-checks (MG merge, lazy PCA, kmeans guard,
+    # --- round-11/12 re-checks (MG merge, lazy PCA, kmeans guard,
     # FLAC trio) ---
-    "heavy_hitters_misra_gries",
     "embedding_pca_power_iteration",
     "kmeans_lloyd",
     "multimodal_decode_flac_real",
@@ -63,7 +74,7 @@ _FIRST_NAMES = (
     # --- jitter adjudication pair (VERDICT r10 #6) ---
     "stream_tumbling_counts",
     "part_bom_rollup",
-    # --- dedup/pipeline family siblings of this round's refactors ---
+    # --- dedup/pipeline family siblings of the gated refactors ---
     "dedup_incremental_batch",
     "dedup_strategy_comparison",
     "dedup_cascade_report",
@@ -74,7 +85,6 @@ _FIRST_NAMES = (
     "text_novelty_per_doc",
     "pipeline_source_quality_card",
     "pipeline_training_prep_v2",
-    "pipeline_curation_v3",
     # --- embedding-family re-checks (share helpers with the gated
     # pair family above) ---
     "similarity_cosine_topk",
@@ -88,7 +98,6 @@ _FIRST_NAMES = (
     "q1_pricing_summary",
     "join_inner",
     "join_null_safe_eq",
-    "join_range_bucketed",
     "join_asof",
     "join_skew_salted",
     "graph_triangle_count",

@@ -7622,6 +7622,17 @@ def _bound_simhash_pairs(spark: SparkSession, sf_dir: str) -> int:
     return _bucket_pair_sum(_simhash_bands(_simhash60(t)), "band", "bits")
 
 
+def _bound_theta_pairs(spark: SparkSession, sf_dir: str) -> int:
+    # join_theta's residual workload over the fixed 25-key nation
+    # domain — delegates to the SAME histogram product the op's
+    # round-14 in-op gate measures, so the sweep skips-with-bound
+    # instead of tripping the op's own refusal at sf10
+    from load_datawarehouse_spark.ops.relational import _theta_pair_workload
+
+    t = load_tables(spark, sf_dir, register_views=False)
+    return _theta_pair_workload(t)
+
+
 #: op name -> CHEAP upper bound on its candidate-pair workload,
 #: (spark, sf_dir) -> int. Each bound is the bucket-histogram sum
 #: sum C(bucket, 2) over the op's own blocking keys — linear in the
@@ -7650,6 +7661,10 @@ CANDIDATE_PAIR_BOUNDS = {
     "dedup_neardup_clusters": _bound_shingle_pairs,
     "dedup_tfidf_cosine_pairs": _bound_tfidf_pairs,
     "dedup_simhash_neardup": _bound_simhash_pairs,
+    # round 14: join_theta now refuses in-op past its budget (like the
+    # embedding family), so the sf10 sweep must consult the bound and
+    # record the skip instead of hitting WarehousePairBudgetExceeded
+    "join_theta": _bound_theta_pairs,
     "dedup_embedding_neardup": _count_label_pairs,
     # same exact within-label pair graph as embedding_neardup (shared
     # _label_cos_edges); round 12 measured the ungated run once at

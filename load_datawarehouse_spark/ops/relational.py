@@ -472,6 +472,30 @@ ORDER BY n.n_name
 """
 
 
+def _theta_pair_workload(t) -> int:
+    """sum-over-keys n_supplier(k) * n_customer(k) — the exact number
+    of (supplier, customer) pairs ``join_theta``'s residual inequality
+    must evaluate, measured LINEARLY from two 25-row key histograms.
+    Shared by the in-op budget gate and the scale sweep's bound
+    (``ops.llm._bound_theta_pairs``) so the two cannot drift."""
+    ns = (
+        t["supplier"]
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_s"))
+    )
+    nc = (
+        t["customer"]
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_c"))
+    )
+    row = (
+        ns.join(nc, "k")
+        .agg(F.sum(F.col("n_s").cast("double") * F.col("n_c")).alias("p"))
+        .collect()[0]
+    )
+    return int(row["p"] or 0)
+
+
 @_register("join_theta", _JOIN_THETA_ORACLE)
 def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta join with an equi component — the documented AUDIT SHAPE
@@ -500,15 +524,8 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load_tables(spark, sf_dir, register_views=False)
     s, c, n = t["supplier"], t["customer"], t["nation"]
-    ns = s.groupBy(F.col("s_nationkey").alias("k")).agg(F.count(F.lit(1)).alias("n_s"))
-    nc = c.groupBy(F.col("c_nationkey").alias("k")).agg(F.count(F.lit(1)).alias("n_c"))
-    row = (
-        ns.join(nc, "k")
-        .agg(F.sum(F.col("n_s").cast("double") * F.col("n_c")).alias("p"))
-        .collect()[0]
-    )
     require_pair_budget(
-        int(row["p"] or 0),
+        _theta_pair_workload(t),
         None,
         env_var="SPARK_GRAFT_THETA_PAIR_BUDGET",
         default=200_000_000,

@@ -2378,6 +2378,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n = nodes.count()
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # NOT hoisted: the edges⨝outdeg join is loop-invariant, but a
+    # round-14 fresh-JVM interleaved A/B at sf1 measured the hoisted
+    # form (edeg = edges⨝outdeg materialized once via lineage_cut)
+    # SLOWER — 12.5/12.9 s vs 8.5/9.0 s for this shape — because
+    # outdeg is node-sized and AQE serves the per-iteration join as a
+    # cheap broadcast, while the hoist pays a synchronous edge-sized
+    # checkpoint. (A same-session A/B had said the opposite — warm
+    # block reuse; fresh-JVM interleaved is the honest protocol.)
     pr = nodes.select("node", F.lit(_PR_UNIT // n).cast("long").alias("pr"))
     base_units = (3 * _PR_UNIT // 20) // n  # (1-d) * unit / n, exact
     for _ in range(_PR_ITERS):

@@ -3042,7 +3042,17 @@ def pipeline_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: stages alternate narrow codegen passes with key-bounded
     shuffles (norm_key dedup, per-source packing window); the
-    decontamination probe broadcasts eval grams; nothing collects."""
+    decontamination probe broadcasts eval grams; nothing collects.
+
+    Measured boundary (round 14): the eval-gram broadcast is
+    constant-bounded BY DESIGN (a benchmark suite is a fixed
+    artifact), but the replicated scale corpus copies eval-source
+    docs with disjoint vocabularies, so there it grows with the data
+    — measured 23,395 / 233,950 / 2,339,500 distinct grams at
+    sf0.1/sf1/sf10, which is a real component of this op's sf10
+    slope (13.78, the sweep max). On a deployment where the eval set
+    genuinely grows with the corpus, drop the hint and join bare
+    (AQE's runtime size check is the guard that survives scale-up)."""
     t = load_tables(spark, sf_dir, register_views=False)
     # materialize the words array ONCE per row: every lambda below
     # references the column, not the split() expression — referencing

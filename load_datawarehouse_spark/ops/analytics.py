@@ -1445,6 +1445,14 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle (the lag pass reuses the same partitioning); the only
     rounding is the reported modal share in bps. Scale: per-user
     cardinalities bound every intermediate; no corpus-wide window.
+
+    Evidence note (round-14 flag census): `bot_suspect` is
+    constant-false at every certified scale because the synthetic
+    events are uniform over 5 types with continuous timestamps — no
+    user ever collects 2 of 3 votes, which is the correct clean-corpus
+    answer. The positive branch (3-vote bot, exactly-2-vote bot, and
+    the 1-vote human that proves the cadence rule alone cannot flag)
+    is fixture-locked by ``tests/test_detector_fixtures.py``.
     """
     t = load_tables(spark, sf_dir, register_views=False)
     ev = t["events"]

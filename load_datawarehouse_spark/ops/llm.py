@@ -6489,6 +6489,14 @@ def contamination_embedding_check(spark: SparkSession, sf_dir: str) -> DataFrame
     shuffle of the big side at all, the same plan shape locked for
     the repetition filters. Cosines round to 6 dp before the max and
     the threshold so libm sqrt divergence cannot flip the flag.
+
+    Evidence note (round-14 flag census): `contaminated` is
+    constant-false at every certified scale because the synthetic
+    corpus genuinely contains no eval-overlapping vectors (max
+    cross-cosine sits far below tau=0.92) — the clean-corpus negative
+    is correct. The positive branch (exact copy, paraphrase-close at
+    24/25, max-over-eval-set semantics) is fixture-locked by
+    ``tests/test_detector_fixtures.py`` with exact rational cosines.
     """
     t = load_tables(spark, sf_dir, register_views=False)
     emb = t["embeddings"]

@@ -1,0 +1,104 @@
+"""Positive-branch goldens for the detector ops whose flag never fires
+on the synthetic corpus (round-14 flag census: `contaminated` and
+`bot_suspect` are constant-false at sf0.01 AND sf1 because the corpus
+genuinely contains no contamination and no bots — the clean-corpus
+negative is CORRECT, but without these fixtures a detector that could
+never flag anything would pass identically).
+
+Geometry is chosen so every asserted value is exact: integer-component
+vectors give rational cosines (24/25 = 0.96, 4/5 = 0.8) that survive
+the 6-dp quantization bit-for-bit, and the bot rules are voted on
+hand-countable event sets.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import types as T
+
+from load_datawarehouse_spark.ops.analytics import events_bot_detection
+from load_datawarehouse_spark.ops.llm import contamination_embedding_check
+
+_EMB_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def test_embedding_contamination_flags_fire_and_max_is_over_eval_set(spark, tmp_path):
+    # eval set (vec_id < 20): axis vectors e0, e1. Corpus: an exact
+    # eval copy (cos 1.0), a paraphrase-close vector (cos 24/25 =
+    # 0.96 >= tau 0.92), and a clean vector whose BEST eval match is
+    # e1 at 4/5 = 0.8 (its e0 cosine is 0.6 — asserting 0.8 proves
+    # the max runs over the whole eval set, not just the first row).
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.0, 1.0, 0.0, 0.0], 0),
+        (20, [1.0, 0.0, 0.0, 0.0], 1),
+        (21, [24.0, 7.0, 0.0, 0.0], 1),
+        (22, [3.0, 4.0, 0.0, 0.0], 1),
+    ]
+    d = str(tmp_path / "sf_emb")
+    spark.createDataFrame(rows, _EMB_SCHEMA).write.parquet(f"{d}/embeddings.parquet")
+    got = [tuple(r) for r in contamination_embedding_check(spark, d).collect()]
+    assert got == [
+        (20, 1.0, True),
+        (21, 0.96, True),
+        (22, 0.8, False),
+    ]
+
+
+_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def test_bot_detection_votes_fire_exactly(spark, tmp_path):
+    # user 1: textbook bot — 5 clicks, one day, exact 60 s cadence.
+    #   rate 5 >= 2*1 (Y), diversity 1 <= 3 (Y), cadence modal 4/4
+    #   (Y) -> 3 votes, suspect, modal share 10000 bps.
+    # user 2: human — 4 events over 4 days, 4 types, distinct gaps.
+    #   rate 4 >= 8 (N), diversity 4 <= 3 (N), cadence 1*5 >= 3 (Y —
+    #   the cadence rule alone fires on small samples, which is WHY
+    #   the composite needs 2-of-3) -> 1 vote, clean, 3333 bps.
+    # user 3: rate+diversity bot with irregular cadence — 8 events,
+    #   one day, 2 types, 7 distinct gaps. rate (Y), diversity (Y),
+    #   cadence 1*5 >= 7 (N) -> 2 votes, suspect at exactly the
+    #   threshold, 1429 bps.
+    def ts(day, h, m, s=0):
+        return dt.datetime(2024, 1, day, h, m, s)
+
+    rows = []
+    eid = 0
+    for k in range(5):  # user 1
+        eid += 1
+        rows.append((eid, ts(1, 0, k), 1, "click", 0.0, "{}"))
+    for day, typ, minute in [(1, "view", 0), (2, "click", 7), (3, "purchase", 21), (4, "error", 50)]:
+        eid += 1
+        rows.append((eid, ts(day, 1, minute), 2, typ, 0.0, "{}"))
+    gaps = [1, 2, 4, 8, 16, 32, 59]  # minutes, all distinct
+    m = 0
+    for k in range(8):  # user 3
+        eid += 1
+        rows.append((eid, ts(5, m // 60, m % 60), 3, "click" if k % 2 else "view", 0.0, "{}"))
+        if k < 7:
+            m += gaps[k]
+    d = str(tmp_path / "sf_bot")
+    spark.createDataFrame(rows, _EVENTS_SCHEMA).write.parquet(f"{d}/events.parquet")
+    got = [tuple(r) for r in events_bot_detection(spark, d).collect()]
+    assert got == [
+        (1, 5, 1, 10000, True),
+        (2, 4, 4, 3333, False),
+        (3, 8, 2, 1429, True),
+    ]

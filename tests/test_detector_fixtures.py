@@ -102,3 +102,109 @@ def test_bot_detection_votes_fire_exactly(spark, tmp_path):
         (2, 4, 4, 3333, False),
         (3, 8, 2, 1429, True),
     ]
+
+
+_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def test_lang_markers_every_language_und_and_tiebreak(spark, tmp_path):
+    # The corpus is English-vocabulary synthetic text regardless of
+    # its lang column, so lang_id_markers legitimately only ever
+    # guesses en/und there (round-14 label census). This fixture
+    # fires every other branch: one doc per marker set, a
+    # no-marker doc -> 'und', a doc where 'le' scores for BOTH fr and
+    # zh but zh's full marker set wins, and an en/fr exact tie that
+    # must break to 'en' (first in _LANG_MARKERS order, mirroring the
+    # oracle's CASE order).
+    from load_datawarehouse_spark.ops.llm import lang_id_markers
+
+    rows = [
+        (1, "le la et bonjour", "xx", "s", 16),
+        (2, "el los y hola", "xx", "s", 13),
+        (3, "der die und hallo", "xx", "s", 17),
+        (4, "de shi le ni", "xx", "s", 12),  # le also scores fr; zh=3 > fr=1
+        (5, "the and of hello", "xx", "s", 16),
+        (6, "xyzzy plugh", "xx", "s", 11),
+        (7, "the le", "xx", "s", 6),  # en=1, fr=1 tie -> en
+    ]
+    d = str(tmp_path / "sf_lang")
+    spark.createDataFrame(rows, _DOC_SCHEMA).write.parquet(f"{d}/documents.parquet")
+    got = [r["lang_guess"] for r in lang_id_markers(spark, d).collect()]
+    assert got == ["fr", "es", "de", "zh", "en", "und", "en"]
+
+
+_ORD_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_orderdate", T.TimestampType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ]
+)
+
+
+def test_mann_kendall_decreasing_and_no_trend_branches(spark, tmp_path):
+    # The corpus series only ever emits 'increasing' (round-14 label
+    # census); lock the other two branches with exact S statistics.
+    from load_datawarehouse_spark.ops.relational import stat_mann_kendall_trend
+
+    dec = [(k + 1, dt.datetime(2024, 1, k + 1), 300.0 - 100 * k) for k in range(3)]
+    d1 = str(tmp_path / "sf_dec")
+    spark.createDataFrame(dec, _ORD_SCHEMA).write.parquet(f"{d1}/orders.parquet")
+    got = [tuple(r) for r in stat_mann_kendall_trend(spark, d1).collect()]
+    assert got == [(3, -3, "decreasing")]
+
+    flat = [(1, dt.datetime(2024, 1, 1), 100.0), (2, dt.datetime(2024, 1, 2), 100.0)]
+    d2 = str(tmp_path / "sf_flat")
+    spark.createDataFrame(flat, _ORD_SCHEMA).write.parquet(f"{d2}/orders.parquet")
+    got = [tuple(r) for r in stat_mann_kendall_trend(spark, d2).collect()]
+    assert got == [(1, 0, "no_trend")]
+
+
+def test_sprt_ledger_crosses_both_boundaries(spark, tmp_path):
+    # The corpus purchase share is ~0.2 << p0, so the ledger slams
+    # into accept_h0 on day one and the 'continue' / 'accept_h1'
+    # branches never fire (round-14 label census). Constructed daily
+    # mixes walk the cumulative LLR through all three decisions, with
+    # the expected 6-dp ledger recomputed from the op's own published
+    # constants (identical double order: per-day term, then cumsum).
+    from load_datawarehouse_spark.ops.analytics import (
+        _SPRT_LL_CONV,
+        _SPRT_LL_MISS,
+        _SPRT_LOWER,
+        _SPRT_UPPER,
+        stats_sprt_monitoring,
+    )
+
+    days = [  # (day, n_purchase, n_view)
+        (1, 6, 4),  # llr ~ +0.15 -> inside (lower, upper): continue
+        (2, 28, 0),  # cum ~ +2.82 >= upper 2.7726: accept_h1
+        (3, 0, 42),  # cum ~ -1.61 <= lower -1.5581: accept_h0
+    ]
+    rows, eid = [], 0
+    for day, conv, miss in days:
+        for _ in range(conv):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, day, 0, eid % 60), 1, "purchase", 1.0, "{}"))
+        for _ in range(miss):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, day, 1, eid % 60), 1, "view", 0.0, "{}"))
+    d = str(tmp_path / "sf_sprt")
+    spark.createDataFrame(rows, _EVENTS_SCHEMA).write.parquet(f"{d}/events.parquet")
+
+    cum, expect = 0.0, []
+    for day, conv, miss in days:
+        cum += conv * _SPRT_LL_CONV + miss * _SPRT_LL_MISS
+        dec = ("accept_h1" if cum >= _SPRT_UPPER
+               else "accept_h0" if cum <= _SPRT_LOWER else "continue")
+        expect.append((f"2024-01-0{day}", conv + miss, conv, round(cum, 6), dec))
+    got = [tuple(r) for r in stats_sprt_monitoring(spark, d).collect()]
+    assert got == expect
+    assert [r[4] for r in expect] == ["continue", "accept_h1", "accept_h0"]

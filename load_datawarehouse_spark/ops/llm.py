@@ -4182,7 +4182,14 @@ def contamination_decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataF
 # Tokenizer vocabulary coverage (OOV accounting against a top-N vocab)
 # ---------------------------------------------------------------------------
 
-_VOCAB_TOP_N = 500
+#: Round-14 numeric census: the synthetic corpus has a 31-word base
+#: vocabulary (310 at sf1 under the token remap), so the previous
+#: production-flavored 500 made OOV structurally IMPOSSIBLE at every
+#: certified scale — the audit audited nothing. 24 < |vocab| keeps
+#: both branches live at every scale (7 of 31 base words fall out)
+#: while the mechanics (top-N + broadcast null-probe) are unchanged;
+#: a real deployment sets this to its tokenizer's 32k-256k.
+_VOCAB_TOP_N = 24
 
 _VOCAB_COVERAGE_ORACLE = f"""
 WITH words AS (

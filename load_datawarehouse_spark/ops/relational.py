@@ -994,7 +994,7 @@ SELECT p_partkey,
        LENGTH(p_name) AS name_len,
        CONCAT(p_brand, ':', p_type) AS brand_type,
        REPLACE(p_name, ' ', '_') AS snake_name,
-       CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END AS is_green
+       CASE WHEN p_name LIKE '%red%' THEN 1 ELSE 0 END AS is_red
 FROM part
 ORDER BY p_partkey
 """
@@ -1014,7 +1014,11 @@ def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("p_name").cast("long").alias("name_len"),
             F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
             F.regexp_replace("p_name", " ", "_").alias("snake_name"),
-            F.when(F.col("p_name").contains("green"), 1).otherwise(0).alias("is_green"),
+            # round-14 label census: the corpus color vocabulary is
+            # {small,hot,red,blue,large,old,cold,new} — 'green' never
+            # occurs at any scale, so the old is_green branch was
+            # vacuous; 'red' fires on ~13% of parts
+            F.when(F.col("p_name").contains("red"), 1).otherwise(0).alias("is_red"),
         )
         .orderBy("p_partkey")
     )
@@ -4120,81 +4124,95 @@ def events_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _ASOF_TOL_ORACLE = """
-WITH day_orders AS (
-    SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS day_max_price
-    FROM orders GROUP BY o_custkey, o_orderdate
+WITH v AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+), p AS (
+    SELECT user_id, ts, MAX(value) AS purchase_value
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
 )
-SELECT e.event_id, e.user_id,
-       CASE WHEN d.o_orderdate >= e.ts - INTERVAL 30 DAY
-            THEN d.o_orderdate END AS asof_orderdate,
-       CASE WHEN d.o_orderdate >= e.ts - INTERVAL 30 DAY
-            THEN d.day_max_price END AS day_max_price,
-       CAST(CASE WHEN d.o_orderdate >= e.ts - INTERVAL 30 DAY
+SELECT v.event_id, v.user_id,
+       CASE WHEN p.ts >= v.ts - INTERVAL 1 HOUR
+            THEN p.ts END AS asof_purchase_ts,
+       CASE WHEN p.ts >= v.ts - INTERVAL 1 HOUR
+            THEN p.purchase_value END AS purchase_value,
+       CAST(CASE WHEN p.ts IS NOT NULL AND p.ts >= v.ts - INTERVAL 1 HOUR
                  THEN 1 ELSE 0 END AS BIGINT) AS fresh
-FROM events e
-ASOF LEFT JOIN day_orders d
-  ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
-ORDER BY e.event_id
+FROM v
+ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
+ORDER BY v.event_id
 """
 
 
 @_register("join_asof_tolerance", _ASOF_TOL_ORACLE)
 def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join with a 30-day staleness tolerance: every event keeps
-    its row (left semantics), but a matched state OLDER than the
-    tolerance is nulled out — the feature-store freshness rule ("use
-    the last known value unless it has gone stale").
+    """As-of join with a staleness tolerance: every ``view`` event
+    keeps its row (left semantics) and carries the user's LAST
+    ``purchase`` at-or-before the view — but a match older than one
+    hour is nulled out. The feature-store freshness rule ("use the
+    last known value unless it has gone stale").
 
     Scale: identical union + running-last-value plan to ``join_asof``
     (one shuffle on the key, no quadratic join); the tolerance is a
     post-projection CASE, free. Left semantics come from keeping
-    unmatched events instead of filtering them.
-    """
+    unmatched views instead of filtering them.
+
+    Round 14 re-anchor (numeric census): the old events->last-order
+    shape matched every event (backward as-of over the cross-era
+    tables) but its ``fresh`` branch could NEVER fire — every order
+    predates every event by 22+ years, so a 30-day tolerance nulled
+    100% of matches at every certified scale and the op's entire
+    point had only negative evidence. view->purchase is same-era:
+    measured 39 fresh / 1,943 stale of 1,982 views at sf0.01, both
+    branches populated. The purchase side is pre-deduped per
+    (user, ts) so ties are deterministic, mirroring
+    ``join_asof_forward``."""
     t = load_tables(spark, sf_dir, register_views=False)
-    day_orders = (
-        t["orders"]
-        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate"))
-        .agg(F.max("o_totalprice").alias("day_max_price"))
+    v = t["events"].filter(F.col("event_type") == "view")
+    p = (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
     )
-    o_side = day_orders.select(
-        "user_id",
-        F.col("o_orderdate").cast("timestamp").alias("t"),
-        F.lit(0).alias("is_event"),
-        F.lit(None).cast("long").alias("event_id"),
-        F.col("o_orderdate"),
-        "day_max_price",
-    )
-    e_side = t["events"].select(
+    p_side = p.select(
         "user_id",
         F.col("ts").alias("t"),
-        F.lit(1).alias("is_event"),
+        F.lit(0).alias("is_view"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("purchase_ts"),
+        "purchase_value",
+    )
+    v_side = v.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_view"),
         "event_id",
-        F.lit(None).cast("date").alias("o_orderdate"),
-        F.lit(None).cast("double").alias("day_max_price"),
+        F.lit(None).cast("timestamp").alias("purchase_ts"),
+        F.lit(None).cast("double").alias("purchase_value"),
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("t", "is_event")
+        .orderBy("t", "is_view")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    merged = o_side.unionByName(e_side).select(
+    merged = p_side.unionByName(v_side).select(
         "event_id",
         "user_id",
-        "is_event",
+        "is_view",
         F.col("t"),
-        F.last("o_orderdate", ignorenulls=True).over(w).alias("raw_date"),
-        F.last("day_max_price", ignorenulls=True).over(w).alias("raw_price"),
+        F.last("purchase_ts", ignorenulls=True).over(w).alias("raw_ts"),
+        F.last("purchase_value", ignorenulls=True).over(w).alias("raw_value"),
     )
-    fresh = F.col("raw_date").isNotNull() & (
-        F.col("raw_date") >= F.col("t") - F.expr("INTERVAL 30 DAYS")
+    fresh = F.col("raw_ts").isNotNull() & (
+        F.col("raw_ts") >= F.col("t") - F.expr("INTERVAL 1 HOUR")
     )
     return (
-        merged.filter(F.col("is_event") == 1)
+        merged.filter(F.col("is_view") == 1)
         .select(
             "event_id",
             "user_id",
-            F.when(fresh, F.col("raw_date")).alias("asof_orderdate"),
-            F.when(fresh, F.col("raw_price")).alias("day_max_price"),
+            F.when(fresh, F.col("raw_ts")).alias("asof_purchase_ts"),
+            F.when(fresh, F.col("raw_value")).alias("purchase_value"),
             F.when(fresh, 1).otherwise(0).cast("long").alias("fresh"),
         )
         .orderBy("event_id")

@@ -208,3 +208,75 @@ def test_sprt_ledger_crosses_both_boundaries(spark, tmp_path):
     got = [tuple(r) for r in stats_sprt_monitoring(spark, d).collect()]
     assert got == expect
     assert [r[4] for r in expect] == ["continue", "accept_h1", "accept_h0"]
+
+
+def test_dq_expectations_every_rule_can_fail(spark, tmp_path):
+    # The clean corpus never violates any expectation (n_failed is
+    # constant 0 at every scale — round-14 numeric census), which is
+    # correct but leaves the failure accounting unproven. One
+    # violation per rule: a non-positive price, an FK orphan, a
+    # duplicate order key, a NULL order date, and an out-of-domain
+    # discount.
+    from load_datawarehouse_spark.ops.relational import dq_expectations_report
+
+    orders = [
+        (1, 1, dt.datetime(2024, 1, 1), 100.0),
+        (1, 1, dt.datetime(2024, 1, 2), 100.0),  # duplicate o_orderkey
+        (2, 99, dt.datetime(2024, 1, 3), 50.0),  # orphan custkey
+        (3, 1, None, -5.0),  # NULL date + non-positive price
+    ]
+    o_schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    cust = [(1,)]
+    c_schema = T.StructType([T.StructField("c_custkey", T.LongType())])
+    lines = [(1, 0.5), (1, 1.5)]  # one in-domain, one out
+    l_schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_discount", T.DoubleType()),
+        ]
+    )
+    d = str(tmp_path / "sf_dq")
+    spark.createDataFrame(orders, o_schema).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(cust, c_schema).write.parquet(f"{d}/customer.parquet")
+    spark.createDataFrame(lines, l_schema).write.parquet(f"{d}/lineitem.parquet")
+    got = [tuple(r) for r in dq_expectations_report(spark, d).collect()]
+    assert got == [
+        ("lineitem.l_discount in [0,1]", 2, 1),
+        ("orders.o_custkey fk customer", 4, 1),
+        ("orders.o_orderdate not null", 4, 1),
+        ("orders.o_orderkey unique", 4, 1),
+        ("orders.o_totalprice > 0", 4, 1),
+    ]
+
+
+def test_iqr_anomaly_flags_a_spike_day(spark, tmp_path):
+    # Daily event volume on the corpus is uniform, so is_outlier is
+    # constant 0 at every scale (round-14 numeric census). Four quiet
+    # days plus one 5x spike put the spike outside q3 + 1.5*IQR.
+    from load_datawarehouse_spark.ops.relational import events_anomaly_iqr
+
+    rows, eid = [], 0
+    for day in range(1, 5):
+        for k in range(2):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, day, k), 1, "view", 0.0, "{}"))
+    for k in range(10):
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 1, 5, k), 1, "view", 0.0, "{}"))
+    d = str(tmp_path / "sf_iqr")
+    spark.createDataFrame(rows, _EVENTS_SCHEMA).write.parquet(f"{d}/events.parquet")
+    got = [tuple(r) for r in events_anomaly_iqr(spark, d).collect()]
+    assert got == [
+        ("2024-01-01", 2, 0),
+        ("2024-01-02", 2, 0),
+        ("2024-01-03", 2, 0),
+        ("2024-01-04", 2, 0),
+        ("2024-01-05", 10, 1),
+    ]

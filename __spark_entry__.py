@@ -35,6 +35,11 @@ _FIRST_NAMES = (
     "join_asof_nearest",
     "join_theta",
     "dedup_tfidf_cosine_pairs",
+    # --- late-round-14 numeric-census re-anchors (freshness gate to
+    # the events domain, is_red color predicate, OOV-capable vocab) ---
+    "join_asof_tolerance",
+    "scalar_string",
+    "tokenizer_vocab_coverage",
     # --- shared-gate path (the embedding family now routes through
     # ops/_util.require_pair_budget) ---
     "dedup_embedding_neardup",

@@ -1,0 +1,143 @@
+"""Combined evidence census over every registered query (VERDICT r14
+#6): one recorded artifact unifying the round-14 label / boolean-flag
+/ numeric / all-NULL censuses, so future rounds DIFF it instead of
+re-deriving each probe.
+
+For each query in ``__spark_entry__.queries()`` the census runs the
+query at a scale directory and records, in ONE aggregate job per
+query:
+
+- ``n_rows``
+- per column: ``n_nonnull``, and for atomic types (numeric / string /
+  boolean / date / timestamp) ``n_distinct`` plus stringified
+  ``min`` / ``max``
+
+That covers every evidence class the round-14 probes caught by hand:
+an all-NULL column is ``n_nonnull == 0`` (the vacuous-branch class,
+VERDICT r14 #1), a constant flag is ``min == max`` on a multi-row
+output, and a label census is ``n_distinct`` + the min/max pair of a
+low-cardinality string column.
+
+Output: ``CENSUS.json`` — ``{"scales": {label: {query: {...}}}}``.
+Per-scale maps MERGE over the existing artifact (like
+``scalecheck.py --only``), so sf0.01 and sf1 runs compose and a
+chunked ``--only a,b,c`` run never clobbers rows it did not measure.
+Queries since removed from the registry are pruned from the merged
+map. ``tests/test_properties.py::test_census_covers_registry_and_no_
+allnull_columns`` consumes the artifact: every registered query must
+appear, and every output column must be non-NULL in >= 1 row at some
+censused scale (justified exceptions in ``EXPECTED_ALLNULL_COLUMNS``).
+
+Usage:
+    python census.py                      # full registry at sf0.01
+    python census.py --sf-dir /root/repo/.scaledata/sf1.0 --label sf1
+    python census.py --only a,b,c         # chunked (merges)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _atomic(dtype) -> bool:
+    from pyspark.sql import types as T
+
+    return isinstance(
+        dtype,
+        (
+            T.NumericType,
+            T.StringType,
+            T.BooleanType,
+            T.DateType,
+            T.TimestampType,
+            T.TimestampNTZType,
+        ),
+    )
+
+
+def _census_one(df) -> dict:
+    from pyspark.sql import functions as F
+
+    fields = df.schema.fields
+    aggs = [F.count(F.lit(1)).alias("r")]
+    for i, f in enumerate(fields):
+        aggs.append(F.count(F.col(f.name)).alias(f"n{i}"))
+        if _atomic(f.dataType):
+            aggs.append(F.countDistinct(F.col(f.name)).alias(f"d{i}"))
+            aggs.append(F.min(F.col(f.name)).cast("string").alias(f"lo{i}"))
+            aggs.append(F.max(F.col(f.name)).cast("string").alias(f"hi{i}"))
+    row = df.agg(*aggs).collect()[0].asDict()
+    cols = {}
+    for i, f in enumerate(fields):
+        c = {"type": f.dataType.simpleString(), "n_nonnull": row[f"n{i}"]}
+        if _atomic(f.dataType):
+            c["n_distinct"] = row[f"d{i}"]
+            c["min"] = row[f"lo{i}"]
+            c["max"] = row[f"hi{i}"]
+        cols[f.name] = c
+    return {"n_rows": row["r"], "columns": cols}
+
+
+def main() -> None:
+    sf_dir, label, only = DEFAULT_SF_DIR, "sf0.01", None
+    args = sys.argv[1:]
+    while args:
+        a = args.pop(0)
+        if a == "--sf-dir":
+            sf_dir = args.pop(0)
+        elif a == "--label":
+            label = args.pop(0)
+        elif a == "--only":
+            only = set(args.pop(0).split(","))
+        else:
+            raise SystemExit(f"unknown arg {a!r}")
+
+    import __spark_entry__ as e
+    from load_datawarehouse_spark.ops._util import release_lineage_cuts
+    from load_datawarehouse_spark.session import get_spark
+
+    spark = get_spark(app_name="ldw-census")
+    queries = e.queries()
+    names = [n for n in queries if only is None or n in only]
+
+    out: dict[str, dict] = {}
+    for k, name in enumerate(names):
+        t0 = time.monotonic()
+        try:
+            out[name] = _census_one(queries[name](spark, sf_dir))
+        except Exception as exc:  # recorded, never aborts the sweep
+            out[name] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+        finally:
+            release_lineage_cuts()
+        dt = time.monotonic() - t0
+        nr = out[name].get("n_rows", "ERR")
+        print(f"# [{k + 1}/{len(names)}] {name}: rows={nr} ({dt:.1f}s)",
+              file=sys.stderr, flush=True)
+
+    path = os.path.join(HERE, "CENSUS.json")
+    doc = {"note": __doc__.split("\n\n")[0], "scales": {}}
+    if os.path.exists(path):
+        with open(path) as f:
+            doc = json.load(f)
+            doc.setdefault("scales", {})
+    merged = doc["scales"].get(label, {})
+    merged.update(out)
+    # prune queries since removed/renamed out of the registry
+    doc["scales"][label] = {k: v for k, v in merged.items() if k in queries}
+    doc["sf_dirs"] = {**doc.get("sf_dirs", {}), label: sf_dir}
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=2, sort_keys=True)
+    n_err = sum(1 for v in out.values() if "error" in v)
+    print(json.dumps({"label": label, "queries": len(out), "errors": n_err}))
+
+
+if __name__ == "__main__":
+    main()

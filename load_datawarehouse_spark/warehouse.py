@@ -31,12 +31,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from load_datawarehouse_spark import types as wtypes
-from load_datawarehouse_spark.data import prepare
+from load_datawarehouse_spark.data import clean_dataframe_keys, prepare
 from load_datawarehouse_spark.errors import (
     WarehouseInvalidInput,
     WarehouseTableNotFound,
 )
-from load_datawarehouse_spark.schema_infer import infer_schema
+from load_datawarehouse_spark.schema_infer import (
+    infer_schema,
+    infer_schema_distributed,
+)
 
 META_FILE = "_ldw_meta.json"
 
@@ -430,36 +433,69 @@ class SparkWarehouse:
         becomes a single distributed ``df.write``: the executor/driver
         boundary replaces the HTTP boundary, and parquet row-groups
         replace 20 MiB JSON chunks.
+
+        ``data`` may also be a Spark DataFrame (VERDICT r14 #5): that
+        is the BULK path — no records round-trip, no driver
+        materialization. Key sanitation runs as a zero-copy projection
+        (``clean_dataframe_keys``), the infer/merge stage runs
+        distributed (``infer_schema_distributed``: per-partition
+        observation + treeAggregate), and the append is a straight
+        ``df.write`` — every stage scales with the cluster, closing
+        the verb-decade finding that the record path's collect slope
+        (6.02) is driver-bound by contract. Semantics are identical to
+        the records path: adopt-existing-schema, existing-wins field
+        merge, widen-only stable-order append.
         """
-        records = prepare(data)
-        if not isinstance(records, list):
-            raise WarehouseInvalidInput(
-                f"expected records or DataFrame, got {type(data).__name__}"
-            )
-        existing = self.schema if self.exists() else None
-        if existing and schema is None:
-            schema = existing  # :409-410 — adopt table schema
-        if full_schema and schema:
-            api = schema  # caller asserts completeness (:413-417)
+        if isinstance(data, DataFrame):
+            src = clean_dataframe_keys(data)
+            existing = self.schema if self.exists() else None
+            if existing and schema is None:
+                schema = existing  # :409-410 — adopt table schema
+            if full_schema and schema:
+                api = schema  # caller asserts completeness (:413-417)
+            else:
+                api = infer_schema_distributed(src, schema=schema).schema
+            api = self._widen_only_merge(api, existing)
+            struct = wtypes.api_repr_to_struct_type(api)
+            have = {f.name: f.dataType for f in src.schema.fields}
+
+            def _conform_col(f):
+                from pyspark.sql import types as T
+
+                if f.name not in have:
+                    return F.lit(None).cast(f.dataType).alias(f.name)
+                if isinstance(f.dataType, T.ArrayType) and not isinstance(
+                    have[f.name], T.ArrayType
+                ):
+                    # reference quirk parity (_conform_record): a
+                    # scalar arriving for a REPEATED field wraps into
+                    # a 1-element array; NULL stays NULL
+                    elem = F.col(f.name).cast(f.dataType.elementType)
+                    return F.when(
+                        F.col(f.name).isNotNull(), F.array(elem)
+                    ).alias(f.name)
+                return F.col(f.name).cast(f.dataType).alias(f.name)
+
+            df = src.select(*[_conform_col(f) for f in struct.fields])
         else:
-            api = infer_schema(records, schema=schema).schema
-        if existing:
-            # a batch that omits an existing column must not NARROW the
-            # table schema, and an append must not PERMUTE it either:
-            # keep every existing field in its declared position
-            # (merged definition if re-observed, else unchanged), then
-            # append genuinely new fields after (widen-only, stable
-            # order — positional consumers see appends, never
-            # reorders)
-            by_name = {f["name"]: f for f in api}
-            api = [
-                by_name.pop(f["name"], dict(f)) for f in existing
-            ] + list(by_name.values())
-        struct = wtypes.api_repr_to_struct_type(api)
-        conformed = [
-            _conform_record(r, api) for r in records if isinstance(r, dict)
-        ]
-        df = self.spark.createDataFrame(conformed, struct)
+            records = prepare(data)
+            if not isinstance(records, list):
+                raise WarehouseInvalidInput(
+                    f"expected records or DataFrame, got {type(data).__name__}"
+                )
+            existing = self.schema if self.exists() else None
+            if existing and schema is None:
+                schema = existing  # :409-410 — adopt table schema
+            if full_schema and schema:
+                api = schema  # caller asserts completeness (:413-417)
+            else:
+                api = infer_schema(records, schema=schema).schema
+            api = self._widen_only_merge(api, existing)
+            struct = wtypes.api_repr_to_struct_type(api)
+            conformed = [
+                _conform_record(r, api) for r in records if isinstance(r, dict)
+            ]
+            df = self.spark.createDataFrame(conformed, struct)
         if not self.exists():
             self._write_meta(
                 {"schema": api, "expires": None,
@@ -469,6 +505,24 @@ class SparkWarehouse:
             self._write_meta({**self._read_meta(), "schema": api})
         df.write.mode("append").parquet(os.path.join(self.path, "data"))
         return True
+
+    @staticmethod
+    def _widen_only_merge(
+        api: list[dict], existing: list[dict] | None
+    ) -> list[dict]:
+        """Widen-only, stable-order schema merge shared by both load
+        paths: a batch that omits an existing column must not NARROW
+        the table schema, and an append must not PERMUTE it either —
+        keep every existing field in its declared position (merged
+        definition if re-observed, else unchanged), then append
+        genuinely new fields after (positional consumers see appends,
+        never reorders)."""
+        if not existing:
+            return api
+        by_name = {f["name"]: f for f in api}
+        return [
+            by_name.pop(f["name"], dict(f)) for f in existing
+        ] + list(by_name.values())
 
     def query(self, query: str) -> DataFrame:
         """Raw SQL over the warehouse (R1, the reference's ``pass``

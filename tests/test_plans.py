@@ -1084,3 +1084,97 @@ def test_scan_spread_sites_round_robin(spark):
     ):
         plan = _plan(fn(spark, SF_DIR))
         assert "RoundRobinPartitioning" in plan, plan
+
+
+def test_bcast_measured_hints_only_under_threshold(spark):
+    """VERDICT r14 #1: the measured-broadcast gate must force the hint
+    when the measured count is at-or-under the ceiling and return the
+    frame BARE above it (AQE's runtime size check then owns the
+    decision) — both branches asserted on the optimized logical plan,
+    where a forced hint survives as ``strategy=broadcast`` regardless
+    of what AQE later picks physically."""
+    from pyspark.sql import functions as F
+
+    from load_datawarehouse_spark.ops._util import bcast_measured
+
+    small = spark.range(10).withColumnRenamed("id", "gram")
+    big = spark.range(1000).withColumn("gram", F.col("id") % 10).drop("id")
+
+    def opt(df) -> str:
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    hinted = big.join(bcast_measured(small, 10, "test frame"), "gram")
+    assert "strategy=broadcast" in opt(hinted)
+    bare = big.join(bcast_measured(small, 9, "test frame"), "gram")
+    assert "strategy=broadcast" not in opt(bare)
+
+
+def test_bcast_measured_memo_keyed_by_file_identity(spark, tmp_path):
+    """The per-corpus count memo must be (a) actually consulted — a
+    second call with the same tag + files never re-counts — and (b)
+    invalidated by an IN-PLACE regeneration that keeps file names but
+    changes contents (ADVICE r14: the name-only key stale-hit there;
+    the key now carries size + mtime via ``input_files_key``)."""
+    from load_datawarehouse_spark.ops import _util
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(10).withColumnRenamed("id", "gram").write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    _util.bcast_measured(df, 100, "memo probe", tag="memo-probe")
+    keys = [k for k in _util._MEASURED_ROWS_CACHE if k[0] == "memo-probe"]
+    assert len(keys) == 1
+    # (a) memo consulted: poison the cached count over the ceiling —
+    # the next call must go bare WITHOUT re-counting the real 10 rows
+    _util._MEASURED_ROWS_CACHE[keys[0]] = 10**9
+    bare = spark.range(100).withColumnRenamed("id", "gram").join(
+        _util.bcast_measured(df, 100, "memo probe", tag="memo-probe"), "gram"
+    )
+    assert "strategy=broadcast" not in bare._jdf.queryExecution().optimizedPlan().toString()
+    # (b) in-place regeneration with identical names but different
+    # contents -> new key -> fresh count -> hint returns
+    import time
+
+    time.sleep(0.01)  # ensure mtime_ns moves even on coarse filesystems
+    spark.range(20).withColumnRenamed("id", "gram").write.mode("overwrite").parquet(p)
+    df2 = spark.read.parquet(p)
+    hinted = spark.range(100).withColumnRenamed("id", "gram").join(
+        _util.bcast_measured(df2, 100, "memo probe", tag="memo-probe"), "gram"
+    )
+    assert "strategy=broadcast" in hinted._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_eval_gram_sites_routed_through_measured_gate():
+    """All four eval-gram probe sites must use ``_bcast_eval_grams``
+    (the measured gate) — a re-introduced ``bcast_bounded`` with a
+    'fixed by design' claim on these frames is the exact bug VERDICT
+    r14 #1 closed."""
+    import pathlib
+
+    src = pathlib.Path("load_datawarehouse_spark/ops/llm.py").read_text()
+    assert 'bcast_bounded(ev, "eval-suite grams' not in src
+    assert 'bcast_bounded(eval_grams, "eval-suite grams' not in src
+    # 4 call sites + the helper's own definition line
+    assert src.count("_bcast_eval_grams(") == 5
+
+
+def test_pair_budget_explicit_negative_rejected():
+    """ADVICE r14 #4: an explicitly PASSED negative budget must raise
+    the same 'must be >= 0' error as a negative env override — before
+    the fix it was truthy and silently rejected every nonzero workload
+    instead of raising."""
+    import pytest
+
+    from load_datawarehouse_spark.errors import (
+        WarehouseError,
+        WarehousePairBudgetExceeded,
+    )
+    from load_datawarehouse_spark.ops._util import require_pair_budget
+
+    kw = dict(env_var="SPARK_GRAFT_TEST_BUDGET", default=10,
+              what="probe", levers="raise $SPARK_GRAFT_TEST_BUDGET")
+    with pytest.raises(WarehouseError, match="negative"):
+        require_pair_budget(5, -1, **kw)
+    require_pair_budget(5, 0, **kw)  # explicit 0 still disables
+    require_pair_budget(5, 5, **kw)  # at-budget passes
+    with pytest.raises(WarehousePairBudgetExceeded):
+        require_pair_budget(5, 4, **kw)

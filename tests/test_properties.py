@@ -1240,3 +1240,70 @@ def test_no_registered_query_is_vacuous(spark):
         "Re-anchor the predicate to a populated domain or record a "
         "justification in EXPECTED_EMPTY_AT_ALL_SCALES."
     )
+
+
+# --- column-level vacuous-evidence guard (VERDICT r14 #2 + #6) --------------
+
+#: Output columns that are LEGITIMATELY all-NULL at every censused
+#: scale, keyed "query.column", each with its adjudication. Starts
+#: EMPTY: the round-14 all-NULL column census found exactly one
+#: instance (scalar_try_arith.flag_as_number) and round 15 re-anchored
+#: it to a mixed string feed with both try_cast branches live.
+EXPECTED_ALLNULL_COLUMNS: dict[str, str] = {}
+
+
+def test_census_covers_registry_and_no_allnull_columns():
+    """The recorded census artifact (CENSUS.json, written by
+    ``census.py``) must cover every registered query, and every output
+    column must be non-NULL in >= 1 row at SOME censused scale where
+    the query produced rows. This is the column-level extension of
+    ``test_no_registered_query_is_vacuous``: a column that is NULL in
+    every row at every scale hash-matches a broken expression that
+    returns NULL unconditionally — its oracle agreement proves nothing
+    about the success branch (the class VERDICT r14 #1 flagged on
+    ``scalar_try_arith.flag_as_number``). Queries empty at every
+    censused scale are the ROW-level guard's case, skipped here."""
+    import os
+
+    import __spark_entry__ as e
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "CENSUS.json")
+    assert os.path.exists(path), (
+        "CENSUS.json missing — run `python census.py` (the combined "
+        "label/flag/numeric/NULL evidence census) and commit the artifact"
+    )
+    scales = json.load(open(path)).get("scales", {})
+    q = e.queries()
+
+    def rows_for(name):
+        return [
+            s[name]
+            for s in scales.values()
+            if name in s and "error" not in s[name]
+        ]
+
+    missing = [n for n in q if not rows_for(n)]
+    assert not missing, (
+        "registered queries with no (successful) census row — run "
+        f"`python census.py --only {','.join(missing)}`: {missing}"
+    )
+
+    vacuous = []
+    for name in q:
+        populated = [r for r in rows_for(name) if r.get("n_rows", 0) > 0]
+        if not populated:
+            continue  # row-level guard adjudicates empty-everywhere
+        best_nonnull: dict[str, int] = {}
+        for r in populated:
+            for c, st in r["columns"].items():
+                best_nonnull[c] = max(best_nonnull.get(c, 0), st["n_nonnull"])
+        for c, nn in best_nonnull.items():
+            if nn == 0 and f"{name}.{c}" not in EXPECTED_ALLNULL_COLUMNS:
+                vacuous.append(f"{name}.{c}")
+    assert not vacuous, (
+        "output columns NULL in every row at every censused scale — "
+        f"their oracle matches are vacuous for that expression: {vacuous}. "
+        "Re-anchor the expression to a domain with live success rows or "
+        "record a justification in EXPECTED_ALLNULL_COLUMNS."
+    )

@@ -237,3 +237,73 @@ def test_merge_applies_insert_update_delete(spark, tmp_path):
     assert got == {1: "a", 2: "B", 4: "d"}
     # schema sidecar must NOT have absorbed the op column
     assert [f["name"] for f in wh.schema] == ["id", "v"]
+
+
+# --- DataFrame-native bulk load (VERDICT r14 #5) ---------------------------
+
+
+def _records_as_df(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+        ]
+    )
+    rows = [(r["id"], r["name"], r["score"], r["tags"]) for r in RECORDS]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_load_dataframe_bulk_path_matches_records_goldens(spark, root):
+    """The DataFrame-in load must land the SAME metadata schema and
+    rows as the records path on equivalent input — distributed
+    inference (treeAggregate) and driver inference share the
+    observation lattice, so the condensed api_repr is identical."""
+    a = SparkWarehouse.new(spark, root, "lr")
+    a.load(RECORDS)
+    b = SparkWarehouse.new(spark, root, "ld")
+    assert b.load(_records_as_df(spark)) is True
+    assert b.schema == a.schema
+    key = lambda r: r["id"]
+    got = sorted((r.asDict() for r in b.df().collect()), key=key)
+    want = sorted((r.asDict() for r in a.df().collect()), key=key)
+    assert got == want
+
+
+def test_load_dataframe_append_widen_and_existing_wins(spark, root):
+    # append a DataFrame batch onto a records-loaded table: the FLOAT
+    # column coerces an int batch (existing-schema-wins), an omitted
+    # column survives as NULL (never narrows), a new column appends
+    # AFTER the existing fields (stable order), and a scalar arriving
+    # for a REPEATED field wraps into a 1-element array
+    wh = SparkWarehouse.new(spark, root, "ldw")
+    wh.load(RECORDS)
+    batch = spark.createDataFrame(
+        [(4, "delta", 7, "solo", "x")],
+        "id long, name string, score long, tags string, flag string",
+    )
+    wh.load(batch)
+    names = [f["name"] for f in wh.schema]
+    assert names[:4] == ["id", "name", "score", "tags"]
+    assert "flag" in names and names.index("flag") == len(names) - 1
+    rows = {r["id"]: r for r in wh.df().collect()}
+    assert rows[4]["score"] == 7.0
+    assert rows[4]["tags"] == ["solo"]
+    assert rows[4]["flag"] == "x"
+    assert rows[1]["flag"] is None
+    assert wh.df().count() == 4
+
+
+def test_load_dataframe_cleans_keys_like_records_path(spark, root):
+    # dirty top-level column names sanitize identically to clean_keys
+    # on the same records (metadata-only rename, no shuffle)
+    dirty_records = [{"user id": 1, "amount$": 2.0}]
+    a = SparkWarehouse.new(spark, root, "kr")
+    a.load(dirty_records)
+    df = spark.createDataFrame([(1, 2.0)], "`user id` long, `amount$` double")
+    b = SparkWarehouse.new(spark, root, "kd")
+    b.load(df)
+    assert [f["name"] for f in b.schema] == [f["name"] for f in a.schema]

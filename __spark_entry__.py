@@ -17,50 +17,60 @@ from pyspark.sql import DataFrame, SparkSession
 # registered first: the driver's CORRECTNESS sweep covers a prefix of
 # the registration order (50 names), generated at ROUND START from the
 # previous round's final commit. Every registered query has been
-# driver-checked at least once (the r1-r10 union covers all 378), so
+# driver-checked at least once (the r1-r10 union covers all of the
+# pre-r15 378; round 15 adds warehouse_load_dataframe, #379), so
 # the head is now always the ops whose plan/code changed most
 # recently.
 _FIRST_NAMES = (
-    # --- round-14 head: every op whose PLAN, kernel, or semantics
-    # changed this round, first. The three re-anchored event-time ops
-    # (predicates moved from the unsatisfiable events-vs-orders era
-    # onto populated events-domain shapes), the in-op pair-budget
-    # gates on join_theta and dedup_tfidf_cosine_pairs (shared
-    # require_pair_budget helper with validated env overrides), the
-    # as-of-nearest forward-leg rewire onto _asof_forward_day_orders,
-    # and the band-size memo's full-file-tuple cache key. ---
-    "join_range_bucketed",
-    "join_asof_forward",
-    "events_velocity_flags",
-    "join_asof_nearest",
-    "join_theta",
-    "dedup_tfidf_cosine_pairs",
-    # --- late-round-14 numeric-census re-anchors (freshness gate to
-    # the events domain, is_red color predicate, OOV-capable vocab) ---
-    "join_asof_tolerance",
-    "scalar_string",
-    "tokenizer_vocab_coverage",
-    # --- shared-gate path (the embedding family now routes through
-    # ops/_util.require_pair_budget) ---
-    "dedup_embedding_neardup",
-    "dedup_semantic_clusters",
-    "dedup_connected_components",
-    # --- band-size memo cache-key change (ADVICE r13 #2) ---
+    # --- round-15 head: every op whose PLAN, kernel, or semantics
+    # changed this round, first. The four eval-gram probes now route
+    # through the MEASURED broadcast gate (_bcast_eval_grams /
+    # bcast_measured: counted per corpus, hinted only under 1M rows,
+    # bare + AQE above), scalar_try_arith's flag_as_number re-anchored
+    # onto a mixed string feed (both try_cast branches live — the last
+    # vacuous column), the NEW warehouse_load_dataframe op (S2 bulk
+    # path: DataFrame in, distributed inference, widen-only append),
+    # and the S2 load() refactor every warehouse verb op exercises. ---
+    "scalar_try_arith",
+    "warehouse_load_dataframe",
+    "contamination_ngram_check",
+    "pipeline_training_prep_v2",
+    "contamination_bloom_prefilter",
+    "contamination_decontaminate_apply",
+    "warehouse_load_fetch",
+    "warehouse_merge_cdc",
+    "warehouse_etl_capstone",
+    "warehouse_partitioned_upsert",
+    "warehouse_vacuum_snapshots",
+    "warehouse_expiry_sweep",
+    # --- band-size memo re-key AGAIN (size+mtime identity tuple,
+    # ADVICE r14 #3) — the whole banding family re-checks ---
     "dedup_minhash_lsh",
     "dedup_minhash_verified",
     "dedup_minhash_estimate_quality",
     "dedup_lsh_bucket_skew",
-    # --- sf1-dilution docstring subjects + the bench-adjudication
-    # target (fresh driver evidence is cheap) ---
-    "q11_important_stock",
-    "heavy_hitters_misra_gries",
-    "pipeline_curation_v3",
-    "tfidf_top_terms",
-    # --- round-13 head re-checks (corpus-derived banding, jaccard
-    # histogram refactor, bloom guard, federated union) ---
+    # --- forward-leg fixture subject (code unchanged; the fixture
+    # locks the forward-wins/tie branches) ---
+    "join_asof_nearest",
+    # --- round-14 head re-checks: the re-anchored event-time ops
+    # (now with second-decade rows), the in-op pair gates, and the
+    # late-r14 numeric-census re-anchors ---
+    "join_range_bucketed",
+    "join_asof_forward",
+    "events_velocity_flags",
+    "join_asof_tolerance",
+    "join_theta",
+    "dedup_tfidf_cosine_pairs",
+    "scalar_string",
+    "tokenizer_vocab_coverage",
+    # --- shared-gate path (embedding family on require_pair_budget) ---
+    "dedup_embedding_neardup",
+    "dedup_semantic_clusters",
+    "dedup_connected_components",
+    # --- round-13 re-checks (corpus-derived banding, jaccard
+    # histogram refactor, federated union) ---
     "dedup_jaccard_threshold_histogram",
     "dedup_neardup_clusters",
-    "contamination_bloom_prefilter",
     "source_federated_union",
     "multimodal_video_frame_dedup",
     "join_range_bands",
@@ -76,22 +86,16 @@ _FIRST_NAMES = (
     "multimodal_decode_flac_real",
     "multimodal_payload_entropy",
     "multimodal_cdc_chunk_dedup",
-    # --- jitter adjudication pair (VERDICT r10 #6) ---
-    "stream_tumbling_counts",
-    "part_bom_rollup",
-    # --- dedup/pipeline family siblings of the gated refactors ---
+    # --- dedup/pipeline family siblings of the gated probes ---
     "dedup_incremental_batch",
     "dedup_strategy_comparison",
     "dedup_cascade_report",
     "dedup_template_groups",
     "dedup_exact_normalized",
-    "contamination_ngram_check",
-    "contamination_decontaminate_apply",
     "text_novelty_per_doc",
     "pipeline_source_quality_card",
-    "pipeline_training_prep_v2",
-    # --- embedding-family re-checks (share helpers with the gated
-    # pair family above) ---
+    "pipeline_curation_v3",
+    # --- embedding-family re-checks ---
     "similarity_cosine_topk",
     "similarity_ivf_topk",
     "similarity_lsh_topk",

@@ -1378,6 +1378,11 @@ def events_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     Epoch seconds are integers, the count is exact; ties inside the
     frame are irrelevant to COUNT. Scale: one shuffle partitioning by
     user; per-user ordering cost is bounded by per-user activity.
+
+    Second-decade evidence (round 15, SCALECHECK10): flagged rows
+    4,270 -> 42,700 sf1->sf10 (exactly 10x — the Poisson-tail flag
+    rate is scale-invariant as claimed), wall 0.34 -> 1.06 s
+    (slope 3.15 on sub-second absolutes: job overhead, not data).
     """
     t = load_tables(spark, sf_dir, register_views=False)
     e = t["events"].select(

@@ -254,6 +254,7 @@ SCALE_QUERIES = [
     "doc_repetition_score",
     "histogram_fixed_bins",
     "warehouse_load_fetch",
+    "warehouse_load_dataframe",
     "warehouse_merge_cdc",
     "warehouse_time_travel",
     "warehouse_incremental_view",

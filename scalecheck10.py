@@ -108,8 +108,15 @@ _SLOPE_TAIL = [
     "dedup_incremental_batch",
     "dedup_intradoc_segments",
     "events_burst_hours",
+    # round-15 extension (VERDICT r14 #4): the round-14 re-anchored
+    # event-time ops carry second-decade evidence too —
+    # join_asof_tolerance's refreshed decade-1 slope (3.13) warrants
+    # it, and the other two ride along since their domains changed
+    "events_velocity_flags",
     "events_winback_gaps",
     "gap_islands_streaks",
+    "join_asof_forward",
+    "join_asof_tolerance",
     "heavy_hitters_misra_gries",
     "join_semi",
     "lang_id_ngram_profile",

@@ -1178,3 +1178,27 @@ def test_pair_budget_explicit_negative_rejected():
     require_pair_budget(5, 5, **kw)  # at-budget passes
     with pytest.raises(WarehousePairBudgetExceeded):
         require_pair_budget(5, 4, **kw)
+
+
+def test_eval_gram_gate_goes_bare_over_ceiling(spark, monkeypatch):
+    """Production-site wiring of the measured gate: with the ceiling
+    monkeypatched below the corpus's measured gram count, the
+    contamination probe's eval-gram join must carry NO broadcast hint
+    (AQE owns it); at the real ceiling the hint is present at test
+    scale. Complements the synthetic bcast_measured test by driving
+    the actual op."""
+    from load_datawarehouse_spark.ops import _util
+
+    def opt(df) -> str:
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    # clear the memo so each branch re-evaluates under its ceiling
+    _util._MEASURED_ROWS_CACHE.clear()
+    monkeypatch.setattr(llm, "_EVAL_GRAM_BCAST_MAX", 0)
+    bare = opt(llm.contamination_ngram_check(spark, SF_DIR))
+    assert "strategy=broadcast" not in bare
+
+    _util._MEASURED_ROWS_CACHE.clear()
+    monkeypatch.setattr(llm, "_EVAL_GRAM_BCAST_MAX", 1_000_000)
+    hinted = opt(llm.contamination_ngram_check(spark, SF_DIR))
+    assert "strategy=broadcast" in hinted

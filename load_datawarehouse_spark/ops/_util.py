@@ -99,7 +99,9 @@ def input_files_key(df) -> tuple | None:
 _MEASURED_ROWS_CACHE: dict[tuple, int] = {}
 
 
-def bcast_measured(df, max_rows: int, what: str, *, tag: str | None = None):
+def bcast_measured(
+    df, max_rows: int, what: str, *, tag: str | None = None, key_df=None
+):
     """Broadcast hint gated by a MEASURED row count — the policy
     sibling of :func:`bcast_bounded` for frames whose size is claimed
     small but is NOT bounded by a constant of the design (VERDICT r14
@@ -113,10 +115,16 @@ def bcast_measured(df, max_rows: int, what: str, *, tag: str | None = None):
     ``<= max_rows``; above the threshold the frame is returned BARE so
     AQE's runtime size check — the only guard that survives a 100-TB
     scale-up — decides the join strategy. ``what`` documents the frame
-    at the call site like ``bcast_bounded``'s ``bound``."""
+    at the call site like ``bcast_bounded``'s ``bound``.
+
+    ``key_df`` supplies the frame whose input files key the memo when
+    ``df`` itself has none — a frame derived through ``lineage_cut``
+    (localCheckpoint → LogicalRDD) reports ZERO input files, which
+    would silently disable the memo and re-count on every invocation;
+    pass the underlying table scan instead."""
     key = None
     if tag is not None:
-        fk = input_files_key(df)
+        fk = input_files_key(key_df if key_df is not None else df)
         if fk is not None:
             key = (tag, fk)
     n = _MEASURED_ROWS_CACHE.get(key) if key is not None else None

@@ -2327,19 +2327,22 @@ _CONTAM_EVAL_PRED = ", ".join(f"'{s}'" for s in _CONTAM_EVAL_SOURCES)
 _EVAL_GRAM_BCAST_MAX = 1_000_000
 
 
-def _bcast_eval_grams(ev):
+def _bcast_eval_grams(ev, docs):
     """Measured-broadcast wrapper shared by the four eval-gram probe
     sites (``contamination_ngram_check``, ``pipeline_training_prep_v2``,
     ``contamination_bloom_prefilter``'s exact-verify leg,
     ``contamination_decontaminate_apply``). One shared memo tag: all
     four derive the same logical frame — distinct hashed
     ``_CONTAM_N``-grams of the eval-source documents — so one count
-    per corpus serves every site."""
+    per corpus serves every site. ``docs`` (the raw documents scan)
+    keys the memo: ``ev`` itself is usually derived through a
+    ``lineage_cut`` checkpoint and reports no input files."""
     return bcast_measured(
         ev,
         _EVAL_GRAM_BCAST_MAX,
         "eval-suite grams: measured, hinted only under 1M rows",
         tag="eval-grams-8",
+        key_df=docs,
     )
 
 _CONTAMINATION_ORACLE = f"""
@@ -2385,7 +2388,7 @@ def contamination_ngram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = d.filter(is_eval).select("gram").distinct()
     return (
         d.filter(~is_eval)
-        .join(_bcast_eval_grams(ev), "gram")
+        .join(_bcast_eval_grams(ev, t["documents"]), "gram")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
         .orderBy("doc_id")
@@ -3135,7 +3138,7 @@ def pipeline_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = rep.filter(~F.col("source").isin(*_CONTAM_EVAL_SOURCES))
     flagged = (
         train.select("doc_id", F.explode(grams8).alias("gram"))
-        .join(_bcast_eval_grams(eval_grams), "gram")
+        .join(_bcast_eval_grams(eval_grams, t["documents"]), "gram")
         .select("doc_id")
         .distinct()
     )
@@ -3526,7 +3529,7 @@ def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
         .drop("bloom_pos")
     )
     return (
-        candidates.join(_bcast_eval_grams(ev), "gram")  # exact verify: FPs die here
+        candidates.join(_bcast_eval_grams(ev, t["documents"]), "gram")  # exact verify: FPs die here
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
         .orderBy("doc_id")
@@ -4195,7 +4198,7 @@ def contamination_decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataF
     ev = d.filter(is_eval).select("gram").distinct()
     flagged = (
         d.filter(~is_eval)
-        .join(_bcast_eval_grams(ev), "gram")
+        .join(_bcast_eval_grams(ev, t["documents"]), "gram")
         .select("doc_id")
         .distinct()
     )

@@ -1307,3 +1307,106 @@ def test_census_covers_registry_and_no_allnull_columns():
         "Re-anchor the expression to a domain with live success rows or "
         "record a justification in EXPECTED_ALLNULL_COLUMNS."
     )
+
+
+#: Output columns whose value is the SAME single constant at every
+#: censused scale, each with its adjudication — the next evidence
+#: class above all-NULL (a constant expression would hash-match a
+#: literal). Three legitimate kinds: designed ASSERTIONS whose whole
+#: point is the invariant value, columns constant BY PREDICATE or by
+#: fixed input shape, and corpus data-model constants (most already
+#: fixture-locked in tests/test_detector_fixtures.py so the live
+#: branch is still proven on constructed inputs).
+ADJUDICATED_CONSTANT_COLUMNS: dict[str, str] = {
+    "agg_groupby_distinct.last_ship": "per-group MAX saturates to the corpus ship horizon: every (returnflag, linestatus) group is dense through 2001-11",
+    "agg_hll_mergeable_rollup.est_ok": "designed assertion: HLL estimate within tolerance — false IS the failure signal",
+    "chunking_distributed.row_oversize": "clean corpus has no oversized rows; the raise branch is unit-locked (WarehouseRowOversize)",
+    "contamination_embedding_check.contaminated": "clean corpus; positive branch fixture-locked (test_detector_fixtures)",
+    "dedup_embedding_exact.n_copies": "generator writes exactly one duplicate per duplicated vector -> every group has 2 copies",
+    "dedup_tfidf_cosine_pairs.cosine": "only exact-text copies clear the 0.9 threshold on this corpus, and identical bags have cosine exactly 1.0",
+    "dq_expectations_report.n_failed": "clean corpus passes all expectations; failing branch fixture-locked (test_detector_fixtures)",
+    "events_bot_detection.bot_suspect": "detector negative on the clean corpus; positive branch fixture-locked (test_detector_fixtures)",
+    "events_bot_detection.n_types": "every active user emits all 5 event types at every scale (per-user rate is scale-invariant)",
+    "events_type_pmi.pmi": "every user co-occurs with every type pair -> joint == product of marginals -> PMI exactly 0 (independence by generator design)",
+    "features_user_hash_vector.nnz": "5 distinct event types hash to 5 distinct buckets for every user (all users have all types)",
+    "json_extract_props.max_k": "props key domain is 0..99 by generator; the aggregate saturates at every scale",
+    "json_extract_props.min_k": "props key domain is 0..99 by generator; the aggregate saturates at every scale",
+    "multimodal_caption_pairs.media_type": "the op filters to image media by design; the column restates the predicate",
+    "multimodal_feature_extract.hist_0": "payload bytes are ASCII -> histogram bins 1 and 3 only (adjudicated r14; fixture-locked)",
+    "multimodal_feature_extract.hist_2": "payload bytes are ASCII -> histogram bins 1 and 3 only",
+    "multimodal_feature_extract.hist_4": "payload bytes are ASCII -> histogram bins 1 and 3 only",
+    "multimodal_feature_extract.hist_5": "payload bytes are ASCII -> histogram bins 1 and 3 only",
+    "multimodal_feature_extract.hist_6": "payload bytes are ASCII -> histogram bins 1 and 3 only",
+    "multimodal_feature_extract.hist_7": "payload bytes are ASCII -> histogram bins 1 and 3 only",
+    "multimodal_video_frame_dedup.match_bps": "surviving groups are exact frame-signature duplicates -> 100.00% match by construction",
+    "orders_duplicate_suspects.days_apart": "the replayed batch shifts order dates by exactly 3 days; the window is <= 7",
+    "pii_scrub.n_emails": "generator embeds exactly one email per document (adjudicated r14; scrub branch fixture-locked)",
+    "pii_scrub.n_phones": "generator embeds exactly one phone per document",
+    "pipeline_source_quality_card.dup_rate_bps": "base corpus has no intra-source exact dups; dup accounting is live in the dedup family fixtures",
+    "quality_domain_cap.kept": "kept == the cap (10) because every domain exceeds it; the varying column is `dropped`",
+    "sample_temperature_mix.mix_share": "20 equal-size sources at the chosen temperature -> uniform 1/20 share; unequal shares exercised in the unit fixture",
+    "scalar_encoding_family.name_bits": "c_name is fixed-width 'Customer#%09d' (18 chars) -> 144 bits",
+    "scalar_encoding_family.name_bytes": "c_name is fixed-width -> 18 bytes",
+    "scalar_map.json_keys_sorted": "designed probe over a fixed-shape JSON/map literal: the keys ARE the assertion",
+    "scalar_map.m_keys": "designed probe over a fixed-shape map: constant keys by construction",
+    "scalar_map.n_json_keys": "fixed-shape JSON document: one key by construction",
+    "scalar_math.l_linenumber": "constant by predicate: the op filters to l_linenumber == 1",
+    "scalar_null_semantics.arith_propagates": "designed assertion: NULL-propagation invariant — false IS the failure signal",
+    "scalar_null_semantics.first_present": "designed assertion: COALESCE fallback — any other value IS the failure signal",
+    "scalar_string_shape.depunct": "input is the fixed c_name prefix 'Customer#' -> constant by input shape",
+    "scalar_string_shape.stutter": "fixed 2-char prefix repeated 3x -> constant by input shape",
+    "scalar_string_shape.trimmed_len": "c_name is fixed-width 18 chars",
+    "schema_infer_documents.mode": "all five documents columns infer NULLABLE; REPEATED/REQUIRED modes are unit-locked on constructed records",
+    "stats_sprt_monitoring.decision": "detector negative on the clean corpus (no effect injected); reject branch fixture-locked (test_detector_fixtures)",
+    "text_rake_keyphrases.n_occurrences": "disjoint per-copy vocabularies: every surviving candidate phrase occurs exactly once",
+    "text_readability_score.n_sents": "corpus text has no sentence punctuation (adjudicated r14; fixture-locked)",
+    "warehouse_partitioned_upsert.untouched_intact": "designed assertion: untouched partitions byte-identical — false IS the failure signal",
+}
+
+
+def test_census_constant_columns_are_adjudicated():
+    """Constant-column census (the evidence class one step above
+    all-NULL): any output column that is the SAME single value in
+    every row at EVERY censused scale could be a literal and still
+    hash-match. Every such column must carry an adjudication in
+    ``ADJUDICATED_CONSTANT_COLUMNS`` (designed assertion / constant by
+    predicate / corpus data-model constant with the live branch
+    fixture-locked). Scale-varying constants (e.g. a count that is
+    150 at sf0.01 and 15,000 at sf1) demonstrably respond to data and
+    are excluded. Stale adjudications (entries no longer constant or
+    no longer registered) fail too, so the dict cannot rot."""
+    import os
+
+    import __spark_entry__ as e
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scales = json.load(open(os.path.join(repo, "CENSUS.json")))["scales"]
+
+    def consts(label):
+        out = {}
+        for q, r in scales.get(label, {}).items():
+            if "error" in r or r.get("n_rows", 0) < 5:
+                continue
+            for c, st in r["columns"].items():
+                if st.get("n_distinct") == 1 and st["n_nonnull"] == r["n_rows"]:
+                    out[f"{q}.{c}"] = st.get("min")
+        return out
+
+    per_scale = [consts(lbl) for lbl in sorted(scales)]
+    assert per_scale and all(per_scale), "census must cover >= 1 scale"
+    same = {
+        k
+        for k in set.intersection(*[set(p) for p in per_scale])
+        if len({p[k] for p in per_scale}) == 1
+    }
+    unadjudicated = sorted(same - set(ADJUDICATED_CONSTANT_COLUMNS))
+    assert not unadjudicated, (
+        "columns constant at the SAME value at every censused scale "
+        f"without an adjudication: {unadjudicated}"
+    )
+    q = e.queries()
+    stale = sorted(
+        k for k in ADJUDICATED_CONSTANT_COLUMNS
+        if k not in same or k.split(".", 1)[0] not in q
+    )
+    assert not stale, f"stale constant-column adjudications: {stale}"

@@ -33,6 +33,7 @@ _FIRST_NAMES = (
     # and the S2 load() refactor every warehouse verb op exercises. ---
     "scalar_try_arith",
     "warehouse_load_dataframe",
+    "window_ranking",
     "contamination_ngram_check",
     "pipeline_training_prep_v2",
     "contamination_bloom_prefilter",

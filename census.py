@@ -74,6 +74,23 @@ def _census_one(df) -> dict:
             aggs.append(F.countDistinct(F.col(f.name)).alias(f"d{i}"))
             aggs.append(F.min(F.col(f.name)).cast("string").alias(f"lo{i}"))
             aggs.append(F.max(F.col(f.name)).cast("string").alias(f"hi{i}"))
+    # pairwise-identical columns (round 15): two same-type columns
+    # that are null-safe-equal on EVERY row mean the op proves nothing
+    # about their distinction (rank vs dense_rank was caught exactly
+    # this way). Same single aggregate job; pair count is O(width^2)
+    # of a narrow result frame, not of the data.
+    pairs = [
+        (a.name, b.name)
+        for i, a in enumerate(fields)
+        for b in fields[i + 1 :]
+        if a.dataType == b.dataType
+    ]
+    for k, (a, b) in enumerate(pairs):
+        aggs.append(
+            F.sum(
+                F.when(~F.col(a).eqNullSafe(F.col(b)), 1).otherwise(0)
+            ).alias(f"pq{k}")
+        )
     row = df.agg(*aggs).collect()[0].asDict()
     cols = {}
     for i, f in enumerate(fields):
@@ -83,7 +100,14 @@ def _census_one(df) -> dict:
             c["min"] = row[f"lo{i}"]
             c["max"] = row[f"hi{i}"]
         cols[f.name] = c
-    return {"n_rows": row["r"], "columns": cols}
+    out = {"n_rows": row["r"], "columns": cols}
+    if row["r"] > 0:
+        ident = sorted(
+            f"{a}=={b}" for k, (a, b) in enumerate(pairs) if row[f"pq{k}"] == 0
+        )
+        if ident:
+            out["identical_pairs"] = ident
+    return out
 
 
 def main() -> None:

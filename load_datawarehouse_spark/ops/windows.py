@@ -38,7 +38,7 @@ SELECT * FROM (
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey),
            w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate DESC)
-) WHERE rn <= 2
+) WHERE rn <= 3
 ORDER BY o_custkey, rn
 """
 
@@ -46,7 +46,18 @@ ORDER BY o_custkey, rn
 @_register("window_ranking", _WIN_RANK_ORACLE)
 def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """row_number / rank / dense_rank; one shuffle on o_custkey shared
-    by both window specs (same partitioning)."""
+    by both window specs (same partitioning).
+
+    The output keeps the top THREE rows per customer (round 15): under
+    the old ``rn <= 2`` cut the rank/dense_rank distinction was
+    STRUCTURALLY impossible — for the first two rows of any order,
+    RANK and DENSE_RANK are equal whether or not the top date ties
+    (1,1 or 1,2), so a broken dense_rank aliasing rank would have
+    hash-matched forever (the pairwise-identical-columns census
+    caught rnk == drnk on all 2,998 output rows). At rn <= 3 a tie on
+    a customer's top date yields rank 3 vs dense_rank 2 on the third
+    row — live on this corpus at every scale (7 divergent rows at
+    sf0.01, 270 at sf1)."""
     t = load_tables(spark, sf_dir, register_views=False)
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
     w2 = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"))
@@ -60,7 +71,7 @@ def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.rank().over(w2).cast("long").alias("rnk"),
             F.dense_rank().over(w2).cast("long").alias("drnk"),
         )
-        .filter(F.col("rn") <= 2)
+        .filter(F.col("rn") <= 3)
         .orderBy("o_custkey", "rn")
     )
 

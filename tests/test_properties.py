@@ -1410,3 +1410,85 @@ def test_census_constant_columns_are_adjudicated():
         if k not in same or k.split(".", 1)[0] not in q
     )
     assert not stale, f"stale constant-column adjudications: {stale}"
+
+
+#: Column pairs that are null-safe-IDENTICAL on every row at every
+#: censused scale, keyed "query.colA==colB", each adjudicated. Two
+#: legitimate kinds: identities BY CONSTRUCTION (the min-label
+#: component id IS the min member) and corpus data-model identities
+#: whose distinguishing branch is fixture/property-locked. The class
+#: caught one real structural bug (window_ranking's rn <= 2 cut made
+#: rank == dense_rank mathematically unavoidable — re-anchored to
+#: rn <= 3, 7 divergent rows at sf0.01 / 270 at sf1).
+ADJUDICATED_IDENTICAL_PAIRS: dict[str, str] = {
+    "dedup_neardup_clusters.cluster_id==representative_doc": "identity by construction: min-label CC converges to the min member id and the representative is defined as MIN(doc_id)",
+    "dedup_semantic_clusters.cluster_id==representative_vec": "identity by construction: same min-label component labeling over vec_id",
+    "pipeline_training_prep.total_words==total_tokens": "corpus text has no punctuation, so the token regex degenerates to whitespace words; the tokenizer distinction is live in the BPE/tokenizer ops and their fixtures",
+    "pii_scrub.n_emails==n_phones": "generator embeds exactly one email AND one phone per document (both columns adjudicated constants)",
+    "sample_temperature_mix.n_docs==target_docs": "20 equal-size sources: uniform shares x floor(share * total) reproduces exactly 25 docs per source",
+    "dedup_intradoc_segments.n_segments==n_kept": "corpus documents have no intra-doc repeated segments; keep-first dedup semantics are property-locked on constructed inputs (test_intradoc_segment_dedup_invariants)",
+    "quality_dedup_rate_by_source.n_duplicates==dup_rate_bps": "both are 0 on the clean corpus (no intra-source exact dups); the dup branch is live in the dedup-family fixtures",
+    "exec_daily_kpis.n_orders==n_customers": "data model: customers place at most one order per day at every scale, so COUNT(*) == COUNT(DISTINCT cust) per day; distinct-vs-count is live in profile_column_stats / agg_groupby_distinct",
+    "multimodal_feature_extract.hist_0==hist_2": "ASCII payloads: bins 0/2/4/5/6/7 are all zero (adjudicated constants), hence pairwise identical",
+    "multimodal_feature_extract.hist_0==hist_4": "ASCII payloads (see hist_0==hist_2)",
+    "multimodal_feature_extract.hist_0==hist_5": "ASCII payloads (see hist_0==hist_2)",
+    "multimodal_feature_extract.hist_0==hist_6": "ASCII payloads (see hist_0==hist_2)",
+    "multimodal_feature_extract.hist_0==hist_7": "ASCII payloads (see hist_0==hist_2)",
+    "multimodal_feature_extract.hist_2==hist_4": "ASCII payloads (see hist_0==hist_2)",
+    "multimodal_feature_extract.hist_2==hist_5": "ASCII payloads (see hist_0==hist_2)",
+    "multimodal_feature_extract.hist_2==hist_6": "ASCII payloads (see hist_0==hist_2)",
+    "multimodal_feature_extract.hist_2==hist_7": "ASCII payloads (see hist_0==hist_2)",
+    "multimodal_feature_extract.hist_4==hist_5": "ASCII payloads (see hist_0==hist_2)",
+    "multimodal_feature_extract.hist_4==hist_6": "ASCII payloads (see hist_0==hist_2)",
+    "multimodal_feature_extract.hist_4==hist_7": "ASCII payloads (see hist_0==hist_2)",
+    "multimodal_feature_extract.hist_5==hist_6": "ASCII payloads (see hist_0==hist_2)",
+    "multimodal_feature_extract.hist_5==hist_7": "ASCII payloads (see hist_0==hist_2)",
+    "multimodal_feature_extract.hist_6==hist_7": "ASCII payloads (see hist_0==hist_2)",
+}
+
+
+def test_census_identical_pairs_are_adjudicated():
+    """Pairwise-identical-columns census: two same-type output columns
+    null-safe-equal on every row at EVERY censused scale prove nothing
+    about their distinction — one could alias the other and still
+    hash-match (exactly how window_ranking's dense_rank was
+    structurally unprovable until round 15). Every such pair must
+    carry an adjudication; pairs identical at only ONE scale (e.g.
+    join_left_outer's n_rows == n_matched at sf0.01, broken by sf1's
+    unmatched rows) demonstrably diverge and are excluded. Stale
+    entries fail too."""
+    import os
+
+    import __spark_entry__ as e
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scales = json.load(open(os.path.join(repo, "CENSUS.json")))["scales"]
+
+    def pairs(label):
+        out = set()
+        for q, r in scales.get(label, {}).items():
+            if "error" in r or r.get("n_rows", 0) < 5:
+                continue
+            for p in r.get("identical_pairs", []):
+                out.add(f"{q}.{p}")
+        return out
+
+    per_scale = [pairs(lbl) for lbl in sorted(scales)]
+    if not any("identical_pairs" in r
+               for s in scales.values() for r in s.values()
+               if isinstance(r, dict)):
+        import pytest
+
+        pytest.skip("census artifact predates pair detection — regenerate")
+    same = set.intersection(*per_scale) if per_scale else set()
+    unadjudicated = sorted(same - set(ADJUDICATED_IDENTICAL_PAIRS))
+    assert not unadjudicated, (
+        "column pairs identical at every censused scale without an "
+        f"adjudication: {unadjudicated}"
+    )
+    q = e.queries()
+    stale = sorted(
+        k for k in ADJUDICATED_IDENTICAL_PAIRS
+        if k not in same or k.split(".", 1)[0] not in q
+    )
+    assert not stale, f"stale identical-pair adjudications: {stale}"

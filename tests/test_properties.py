@@ -1427,8 +1427,6 @@ ADJUDICATED_IDENTICAL_PAIRS: dict[str, str] = {
     "pii_scrub.n_emails==n_phones": "generator embeds exactly one email AND one phone per document (both columns adjudicated constants)",
     "sample_temperature_mix.n_docs==target_docs": "20 equal-size sources: uniform shares x floor(share * total) reproduces exactly 25 docs per source",
     "dedup_intradoc_segments.n_segments==n_kept": "corpus documents have no intra-doc repeated segments; keep-first dedup semantics are property-locked on constructed inputs (test_intradoc_segment_dedup_invariants)",
-    "quality_dedup_rate_by_source.n_duplicates==dup_rate_bps": "both are 0 on the clean corpus (no intra-source exact dups); the dup branch is live in the dedup-family fixtures",
-    "exec_daily_kpis.n_orders==n_customers": "data model: customers place at most one order per day at every scale, so COUNT(*) == COUNT(DISTINCT cust) per day; distinct-vs-count is live in profile_column_stats / agg_groupby_distinct",
     "multimodal_feature_extract.hist_0==hist_2": "ASCII payloads: bins 0/2/4/5/6/7 are all zero (adjudicated constants), hence pairwise identical",
     "multimodal_feature_extract.hist_0==hist_4": "ASCII payloads (see hist_0==hist_2)",
     "multimodal_feature_extract.hist_0==hist_5": "ASCII payloads (see hist_0==hist_2)",

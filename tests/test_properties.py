@@ -1332,7 +1332,7 @@ ADJUDICATED_CONSTANT_COLUMNS: dict[str, str] = {
     "json_extract_props.max_k": "props key domain is 0..99 by generator; the aggregate saturates at every scale",
     "json_extract_props.min_k": "props key domain is 0..99 by generator; the aggregate saturates at every scale",
     "multimodal_caption_pairs.media_type": "the op filters to image media by design; the column restates the predicate",
-    "multimodal_feature_extract.hist_0": "payload bytes are ASCII -> histogram bins 1 and 3 only (adjudicated r14; fixture-locked)",
+    "multimodal_feature_extract.hist_0": "payload bytes are ASCII -> histogram bins 1 and 3 only (adjudicated r14; non-ASCII branch fixture-locked in test_feature_extract_nonascii_bytes_fill_other_bins)",
     "multimodal_feature_extract.hist_2": "payload bytes are ASCII -> histogram bins 1 and 3 only",
     "multimodal_feature_extract.hist_4": "payload bytes are ASCII -> histogram bins 1 and 3 only",
     "multimodal_feature_extract.hist_5": "payload bytes are ASCII -> histogram bins 1 and 3 only",
@@ -1423,11 +1423,11 @@ def test_census_constant_columns_are_adjudicated():
 ADJUDICATED_IDENTICAL_PAIRS: dict[str, str] = {
     "dedup_neardup_clusters.cluster_id==representative_doc": "identity by construction: min-label CC converges to the min member id and the representative is defined as MIN(doc_id)",
     "dedup_semantic_clusters.cluster_id==representative_vec": "identity by construction: same min-label component labeling over vec_id",
-    "pipeline_training_prep.total_words==total_tokens": "corpus text has no punctuation, so the token regex degenerates to whitespace words; the tokenizer distinction is live in the BPE/tokenizer ops and their fixtures",
+    "pipeline_training_prep.total_words==total_tokens": "corpus text has no punctuation, so the token regex degenerates to whitespace words; divergence fixture-locked (test_training_prep_tokens_diverge_from_words_on_punctuation: 24 words -> 47 tokens)",
     "pii_scrub.n_emails==n_phones": "generator embeds exactly one email AND one phone per document (both columns adjudicated constants)",
     "sample_temperature_mix.n_docs==target_docs": "20 equal-size sources: uniform shares x floor(share * total) reproduces exactly 25 docs per source",
-    "dedup_intradoc_segments.n_segments==n_kept": "corpus documents have no intra-doc repeated segments; keep-first dedup semantics are property-locked on constructed inputs (test_intradoc_segment_dedup_invariants)",
-    "multimodal_feature_extract.hist_0==hist_2": "ASCII payloads: bins 0/2/4/5/6/7 are all zero (adjudicated constants), hence pairwise identical",
+    "dedup_intradoc_segments.n_segments==n_kept": "corpus documents have no intra-doc repeated segments; the drop branch is fixture-locked on the real op (test_intradoc_segment_dedup_drops_repeat_and_hashes_kept_order) plus the pure-python property model",
+    "multimodal_feature_extract.hist_0==hist_2": "ASCII payloads: bins 0/2/4/5/6/7 are all zero (adjudicated constants), hence pairwise identical; non-ASCII bins fixture-locked (test_feature_extract_nonascii_bytes_fill_other_bins)",
     "multimodal_feature_extract.hist_0==hist_4": "ASCII payloads (see hist_0==hist_2)",
     "multimodal_feature_extract.hist_0==hist_5": "ASCII payloads (see hist_0==hist_2)",
     "multimodal_feature_extract.hist_0==hist_6": "ASCII payloads (see hist_0==hist_2)",

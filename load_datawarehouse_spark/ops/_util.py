@@ -70,6 +70,7 @@ def input_files_key(df) -> tuple | None:
     frames with no file inputs (in-memory fixtures) — callers must
     then skip the memo."""
     import os as _os
+    from urllib.parse import unquote as _unquote
     from urllib.parse import urlparse as _urlparse
 
     files = df.inputFiles()
@@ -78,7 +79,11 @@ def input_files_key(df) -> tuple | None:
     key = []
     for uri in sorted(files):
         parsed = _urlparse(uri)
-        path = parsed.path if parsed.scheme in ("", "file") else None
+        # Spark reports input files as percent-encoded URIs; unquote
+        # before stat or any path with spaces etc. silently falls to
+        # the name-only entry, reintroducing the stale-memo bug this
+        # key exists to fix (ADVICE r15).
+        path = _unquote(parsed.path) if parsed.scheme in ("", "file") else None
         if path is not None:
             try:
                 st = _os.stat(path)

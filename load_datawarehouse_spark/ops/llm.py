@@ -2327,21 +2327,27 @@ _CONTAM_EVAL_PRED = ", ".join(f"'{s}'" for s in _CONTAM_EVAL_SOURCES)
 _EVAL_GRAM_BCAST_MAX = 1_000_000
 
 
-def _bcast_eval_grams(ev, docs):
+def _bcast_eval_grams(ev, docs, n: int = _CONTAM_N):
     """Measured-broadcast wrapper shared by the four eval-gram probe
     sites (``contamination_ngram_check``, ``pipeline_training_prep_v2``,
     ``contamination_bloom_prefilter``'s exact-verify leg,
-    ``contamination_decontaminate_apply``). One shared memo tag: all
-    four derive the same logical frame — distinct hashed
-    ``_CONTAM_N``-grams of the eval-source documents — so one count
-    per corpus serves every site. ``docs`` (the raw documents scan)
-    keys the memo: ``ev`` itself is usually derived through a
+    ``contamination_decontaminate_apply``). The memo tag is keyed by
+    the GRAM ORDER ``n``: the three ``_CONTAM_N`` (8-gram) sites
+    derive the identical logical frame — distinct hashed n-grams of
+    the eval-source documents — so one count per corpus serves them
+    all (equality enforced executably by
+    ``tests/test_plans.py::test_eval_gram_sites_derive_identical_gram_sets``),
+    while the bloom cascade's ``_BLOOM_N`` (6-gram) frame counts
+    under its own tag — ADVICE r15 #3 found the old shared
+    'eval-grams-8' tag silently let the 8-gram count drive the
+    6-gram broadcast decision. ``docs`` (the raw documents scan) keys
+    the memo: ``ev`` itself is usually derived through a
     ``lineage_cut`` checkpoint and reports no input files."""
     return bcast_measured(
         ev,
         _EVAL_GRAM_BCAST_MAX,
         "eval-suite grams: measured, hinted only under 1M rows",
-        tag="eval-grams-8",
+        tag=f"eval-grams-{n}",
         key_df=docs,
     )
 
@@ -3529,7 +3535,7 @@ def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
         .drop("bloom_pos")
     )
     return (
-        candidates.join(_bcast_eval_grams(ev, t["documents"]), "gram")  # exact verify: FPs die here
+        candidates.join(_bcast_eval_grams(ev, t["documents"], n=_BLOOM_N), "gram")  # exact verify: FPs die here
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
         .orderBy("doc_id")

@@ -1150,11 +1150,55 @@ def test_eval_gram_sites_routed_through_measured_gate():
     r14 #1 closed."""
     import pathlib
 
-    src = pathlib.Path("load_datawarehouse_spark/ops/llm.py").read_text()
+    src = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "load_datawarehouse_spark"
+        / "ops"
+        / "llm.py"
+    ).read_text()
     assert 'bcast_bounded(ev, "eval-suite grams' not in src
     assert 'bcast_bounded(eval_grams, "eval-suite grams' not in src
     # 4 call sites + the helper's own definition line
     assert src.count("_bcast_eval_grams(") == 5
+
+
+def test_eval_gram_sites_derive_identical_gram_sets(spark, monkeypatch):
+    """ADVICE r15 #3: a memo tag shared across probe sites is only
+    sound while those sites derive the IDENTICAL distinct eval-gram
+    frame — a count measured at one site drives the broadcast decision
+    at every other. Writing this test found the invariant was already
+    FALSE: the bloom cascade's exact-verify leg probes ``_BLOOM_N``
+    (6-gram) frames, disjoint from the three ``_CONTAM_N`` (8-gram)
+    sites, yet counted under the shared 'eval-grams-8' tag. The tag is
+    now keyed by gram order; enforce both halves executably: spy on
+    ``_bcast_eval_grams``, build all four plans, assert the three
+    8-gram ``ev`` frames collect to the same non-empty gram set and
+    the 6-gram frame is disjoint from it (same hash, different n —
+    any overlap would mean the derivations drifted together)."""
+    captured = []
+    real = llm._bcast_eval_grams
+    monkeypatch.setattr(
+        llm,
+        "_bcast_eval_grams",
+        lambda ev, docs, n=llm._CONTAM_N: captured.append((n, ev)) or real(ev, docs, n),
+    )
+    for op in (
+        llm.contamination_ngram_check,
+        llm.pipeline_training_prep_v2,
+        llm.contamination_bloom_prefilter,
+        llm.contamination_decontaminate_apply,
+    ):
+        op(spark, SF_DIR)  # plan build invokes the gate; no collect needed
+    assert [n for n, _ in captured] == [
+        llm._CONTAM_N, llm._CONTAM_N, llm._BLOOM_N, llm._CONTAM_N
+    ]
+    sets = {
+        i: frozenset(r["gram"] for r in ev.collect())
+        for i, (_, ev) in enumerate(captured)
+    }
+    assert sets[0], "eval-gram set empty at test scale — invariant vacuous"
+    assert sets[1] == sets[0] and sets[3] == sets[0]
+    assert sets[2] and not (sets[2] & sets[0])
 
 
 def test_pair_budget_explicit_negative_rejected():

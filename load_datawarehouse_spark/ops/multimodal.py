@@ -1966,7 +1966,15 @@ def multimodal_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multimodal_audio_silence_segments — VAD-style silence islands
 # ---------------------------------------------------------------------------
 
-_SIL_MSQ = 5000  #: window is "silence" iff sum_sq < _SIL_MSQ * n_samples
+#: Window is "silence" iff sum_sq < _SIL_MSQ * n_samples. Anchored to
+#: the measured corpus energy distribution (VERDICT r15 #1): fake-codec
+#: samples are ASCII text bytes whose typical mean square is ~9,025
+#: (lowercase letters ~= code 95), so 9000 = "quieter than a
+#: mean-letter window". The old 5000 was below the corpus MINIMUM at
+#: sf0.01 (8,380), making the driver's correctness row an empty-set
+#: agreement; at 9000 the flag stays selective at every scale
+#: (2/276 windows silent at sf0.01, 142/33,730 at sf1).
+_SIL_MSQ = 9000
 
 _AUDIO_SILENCE_ORACLE = f"""
 WITH ch AS (

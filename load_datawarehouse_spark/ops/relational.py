@@ -430,17 +430,33 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JOIN_ANTI_ORACLE = """
 SELECT c.c_custkey, c.c_mktsegment
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
 ORDER BY c.c_custkey
 """
 
 
 @_register("join_anti", _JOIN_ANTI_ORACLE)
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers who never placed an URGENT order.
+
+    Anchor (VERDICT r15 #1): the original "customers with no orders
+    at all" predicate is unsatisfiable on the driver corpus (every
+    customer has orders at every scale — the generator assigns 10
+    orders/customer), so the driver's sf0.01 oracle row was an
+    empty-set agreement for 15 rounds. Anti-joining against the
+    urgent-priority slice keeps the operator claim (left_anti on the
+    order fact) and is populated at every scale (203 rows at sf0.01,
+    19,860 at sf1)."""
     t = load_tables(spark, sf_dir, register_views=False)
     return (
         t["customer"]
-        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .join(
+            t["orders"].filter(F.col("o_orderpriority") == "1-URGENT"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
         .select("c_custkey", "c_mktsegment")
         .orderBy("c_custkey")
     )
@@ -952,19 +968,34 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SETOP_EXCEPT_ORACLE = """
-SELECT c_custkey AS custkey FROM customer
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
 EXCEPT
-SELECT o_custkey FROM orders
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
 ORDER BY custkey
 """
 
 
 @_register("setop_except", _SETOP_EXCEPT_ORACLE)
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers with open orders but no finished ones.
+
+    Anchor (VERDICT r15 #1): the original "customer keys EXCEPT order
+    keys" is the empty set at every scale (every customer has orders
+    by generator design), so the driver's sf0.01 row proved only
+    empty-set agreement. Differencing the open-status key set against
+    the finished-status key set keeps the set-operator claim and is
+    populated at every scale (68 rows at sf0.01, 4,920 at sf1).
+
+    Both key sets now carry duplicates (multiple orders per customer),
+    so SQL EXCEPT's distinct semantics require distinct-reducing BOTH
+    sides before the difference — ``exceptAll`` on the raw streams
+    would keep a customer whose open-order count merely exceeds their
+    finished-order count. The multiset flavor lives in
+    ``setop_except_all``."""
     t = load_tables(spark, sf_dir, register_views=False)
-    a = t["customer"].select(F.col("c_custkey").alias("custkey"))
-    b = t["orders"].select(F.col("o_custkey").alias("custkey"))
-    return a.exceptAll(b).distinct().orderBy("custkey")
+    a = t["orders"].filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    b = t["orders"].filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.distinct().exceptAll(b.distinct()).orderBy("custkey")
 
 
 _SETOP_DISTINCT_ORACLE = """
@@ -1915,7 +1946,9 @@ SELECT c.c_nationkey, COUNT(*) AS numcust,
        CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
 FROM customer c, avg_bal
 WHERE c.c_acctbal > avg_bal.ab
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
 GROUP BY c.c_nationkey
 ORDER BY c.c_nationkey
 """
@@ -1924,10 +1957,20 @@ ORDER BY c.c_nationkey
 @_register("subq_not_exists_idle_rich", _SUBQ_NOT_EXISTS_SQL)
 def subq_not_exists_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global-sales-opportunity (TPC-H Q22 shape): above-average
-    balances with no orders, per nation.
+    balances with no big-ticket order (> 300k), per nation.
+
+    Anchor (VERDICT r15 #1): the original bare NOT EXISTS over orders
+    is unsatisfiable on this corpus (every customer has orders at
+    every scale), so the driver's sf0.01 row was an empty-set
+    agreement. Gating the correlated subquery on a big-ticket
+    predicate keeps the NOT EXISTS -> anti-join decorrelation claim
+    and is populated at every scale (14 customers at sf0.01). The
+    segment-grouped sibling ``q22_idle_rich_segments`` anchors on
+    order PRIORITY instead, so the two Q22 shapes stay distinct.
 
     Scale: NOT EXISTS decorrelates into a LEFT ANTI join on
-    o_custkey; the scalar average is computed once (single-row
+    o_custkey (the subquery filter pushes into the anti-join's build
+    side scan); the scalar average is computed once (single-row
     broadcast) and compared via the exact decimal accumulator so the
     threshold never flips on partitioning (c_acctbal has cents)."""
     load_tables(spark, sf_dir, register_views=True)

@@ -1242,6 +1242,64 @@ def test_no_registered_query_is_vacuous(spark):
     )
 
 
+#: Registered queries that are LEGITIMATELY empty at the DRIVER's only
+#: correctness scale (sf0.01) while populated at certified larger
+#: scales, each with its adjudication (VERDICT r15 #1). The driver's
+#: green row for these proves empty-set agreement only; the populated
+#: evidence lives in the sf1 SCALEVERIFY + census records.
+EXPECTED_EMPTY_AT_DRIVER_SCALE: dict[str, str] = {
+    "dedup_exact_groups": (
+        "exact full-document duplicates (md5(text) collisions) do not "
+        "exist in the sf0.01 corpus by construction — the generator "
+        "emits unique documents, and the scale corpus only gains exact "
+        "copies from replication at sf>=1 (80 dup groups at sf1, "
+        "hash-verified there). Weakening the key to populate sf0.01 "
+        "would change the op's claim from exact to near dedup, which "
+        "dedup_exact_normalized and the near-dup families already cover."
+    ),
+}
+
+
+def test_no_registered_query_is_vacuous_at_driver_scale():
+    """VERDICT r15 #1 + #6 (hard gate): the driver's correctness sweep
+    runs ONLY at sf0.01, so a query that is empty there gets green
+    rows that prove nothing beyond empty-set agreement — even when a
+    larger certified scale populates it. Require, from the recorded
+    census artifact: (a) every registered query HAS a successful
+    sf0.01 census row (a new op without one fails here until
+    `python census.py --only <op>` is run — the staleness gate), and
+    (b) every query produces >= 1 row at sf0.01 or carries a recorded
+    justification in EXPECTED_EMPTY_AT_DRIVER_SCALE."""
+    import os
+
+    import __spark_entry__ as e
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "CENSUS.json")
+    assert os.path.exists(path), "CENSUS.json missing — run `python census.py`"
+    sf001 = json.load(open(path)).get("scales", {}).get("sf0.01", {})
+    q = e.queries()
+
+    missing = [n for n in q if n not in sf001 or "error" in sf001[n]]
+    assert not missing, (
+        "registered queries with no successful sf0.01 census row — run "
+        f"`python census.py --only {','.join(missing)}` and commit: {missing}"
+    )
+    stale_just = sorted(set(EXPECTED_EMPTY_AT_DRIVER_SCALE) - set(q))
+    assert not stale_just, f"justifications for unregistered queries: {stale_just}"
+    empty = [
+        n for n in q
+        if sf001[n].get("n_rows", 0) == 0 and n not in EXPECTED_EMPTY_AT_DRIVER_SCALE
+    ]
+    assert not empty, (
+        "queries EMPTY at the driver's only correctness scale (sf0.01) — "
+        f"their driver rows are vacuous: {empty}. Re-anchor the predicate "
+        "so sf0.01 yields rows (keeping larger-scale semantics "
+        "meaningful) or record a justification in "
+        "EXPECTED_EMPTY_AT_DRIVER_SCALE."
+    )
+
+
 # --- column-level vacuous-evidence guard (VERDICT r14 #2 + #6) --------------
 
 #: Output columns that are LEGITIMATELY all-NULL at every censused

@@ -2115,6 +2115,43 @@ def orders_price_time_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _count_band_grid_candidates(spark: SparkSession, sf_dir: str) -> int:
+    """Exact number of joined row slots ``orders_price_time_band_pairs``'s
+    grid join emits — sum over 3x3 neighbor offsets of
+    sum_cells h(pc+dp, tc+dt) * h(pc, tc) — computed LINEARLY from the
+    cell histogram (one groupBy + a 9-exploded histogram self-join;
+    never order x order). Registered in ``CANDIDATE_PAIR_COUNTS`` so
+    the scale sweeps record a measured ``slope_per_candidate_pair``
+    for this op (VERDICT r15 #3): the corpus replicates into a FIXED
+    calendar span, so cell occupancy — and with it the band-pair
+    workload — grows ~quadratically per decade by construction; the
+    accounting separates that workload growth from engine scaling."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    cells = (
+        t["orders"]
+        .select(
+            F.expr(f"CAST(ROUND(o_totalprice * 100) AS BIGINT) DIV {_BAND_CENTS}").alias("pc"),
+            F.expr(f"datediff(CAST(o_orderdate AS DATE), DATE '1990-01-01') DIV {_BAND_DAYS}").alias("tc"),
+        )
+        .groupBy("pc", "tc")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    offs = spark.range(-1, 2).select(F.col("id").alias("dp")).crossJoin(
+        spark.range(-1, 2).select(F.col("id").alias("dt"))
+    )
+    a = cells.crossJoin(bcast_bounded(offs, "3x3 neighbor offsets: 9 rows")).select(
+        (F.col("pc") + F.col("dp")).alias("pc"),
+        (F.col("tc") + F.col("dt")).alias("tc"),
+        F.col("n").alias("n_a"),
+    )
+    row = (
+        a.join(cells, ["pc", "tc"])
+        .agg(F.sum(F.col("n_a").cast("double") * F.col("n")).alias("p"))
+        .collect()[0]
+    )
+    return int(row["p"] or 0)
+
+
 # ---------------------------------------------------------------------------
 # SPC control chart (baseline-period limits, Western Electric rule 1)
 # ---------------------------------------------------------------------------

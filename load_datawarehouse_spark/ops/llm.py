@@ -7625,14 +7625,34 @@ def _count_label_pairs(spark: SparkSession, sf_dir: str) -> int:
     return _label_pair_workload(t["embeddings"])
 
 
-#: op name -> pre-threshold candidate-pair counter, (spark, sf_dir) ->
-#: int. Consumed by scalecheck.py so slope outliers whose cost is
-#: candidate-growth-driven (incl. ones whose FINAL output shrinks
-#: under a DF cap, e.g. dedup_shingle_containment) carry a measured
+def _count_corpus_text_chars(spark: SparkSession, sf_dir: str) -> int:
+    """Total text characters in the corpus — the workload unit of the
+    byte-linear per-row kernels (normalize + hash reads every char
+    exactly once). VERDICT r15 #3: ``dedup_exact_normalized``'s
+    slope10 of 12.31 looked ~20% superlinear against ROW growth, but
+    the scale corpus's copy-keyed token remap LENGTHENS tokens in
+    later copies (avg 297 / 395 / 453 chars per doc at sf0.1/1/10),
+    so BYTES grow 11.48x across the sf1->sf10 decade — against the
+    measured char workload the op is linear (~1.07 per char)."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    row = t["documents"].agg(F.sum(F.length("text")).alias("c")).collect()[0]
+    return int(row["c"] or 0)
+
+
+#: op name -> pre-threshold WORKLOAD counter, (spark, sf_dir) -> int.
+#: The unit is the op's intrinsic work driver — candidate pairs for
+#: the banded/bucketed pair families, corpus chars for byte-linear
+#: kernels. Consumed by scalecheck.py / scalecheck10.py so slope
+#: outliers whose cost is workload-growth-driven (incl. ones whose
+#: FINAL output shrinks under a DF cap, e.g.
+#: dedup_shingle_containment) carry a measured
 #: ``slope_per_candidate_pair`` instead of an argued one. Each counter
-#: re-derives the op's OWN candidate stage from the shared helper the
+#: re-derives the op's OWN workload stage from the shared helper the
 #: op itself calls, so the two cannot drift.
 CANDIDATE_PAIR_COUNTS = {
+    # byte-linear normalize+hash kernel: workload = corpus chars
+    # (the token-remapped scale corpus grows ~11.5x chars per decade)
+    "dedup_exact_normalized": _count_corpus_text_chars,
     "dedup_ngram_jaccard": _count_shingle_candidates,
     "dedup_shingle_containment": _count_shingle_candidates,
     # shares _capped_shingle_pairs verbatim (round-13 refactor made
@@ -7651,6 +7671,12 @@ CANDIDATE_PAIR_COUNTS = {
     # (shared _label_cos_edges)
     "dedup_semantic_clusters": _count_label_pairs,
 }
+
+# 2-D grid-cell pair workload (fixed calendar span -> occupancy grows
+# per decade by construction); counter lives next to the op
+from load_datawarehouse_spark.ops.analytics import _count_band_grid_candidates  # noqa: E402
+
+CANDIDATE_PAIR_COUNTS["orders_price_time_band_pairs"] = _count_band_grid_candidates
 
 
 def _bucket_pair_sum(df: DataFrame, *keys: str) -> int:

@@ -459,24 +459,60 @@ class SparkWarehouse:
             struct = wtypes.api_repr_to_struct_type(api)
             have = {f.name: f.dataType for f in src.schema.fields}
 
-            def _conform_col(f):
+            def _conform_expr(col, src_type, dst_type):
+                """Recursive per-field conform (ADVICE r15 #1): a
+                whole-struct ``cast`` fails with an AnalysisException
+                when the batch's struct misses (or adds) nested fields
+                relative to the table schema, while the record path's
+                ``_conform_record`` backfills missing nested fields
+                with NULL and drops extras. Build struct columns
+                field-by-field so the two load paths evolve nested
+                schemas identically."""
                 from pyspark.sql import types as T
 
-                if f.name not in have:
-                    return F.lit(None).cast(f.dataType).alias(f.name)
-                if isinstance(f.dataType, T.ArrayType) and not isinstance(
-                    have[f.name], T.ArrayType
-                ):
+                if src_type is None:
+                    return F.lit(None).cast(dst_type)
+                if isinstance(dst_type, T.StructType):
+                    if not isinstance(src_type, T.StructType):
+                        return col.cast(dst_type)  # loud, like the record path's type clash
+                    sub_have = {sf.name: sf.dataType for sf in src_type.fields}
+                    inner = [
+                        _conform_expr(
+                            col.getField(sub.name) if sub.name in sub_have else F.lit(None),
+                            sub_have.get(sub.name),
+                            sub.dataType,
+                        ).alias(sub.name)
+                        for sub in dst_type.fields
+                    ]
+                    # a NULL struct stays NULL (not a struct of NULLs)
+                    return F.when(col.isNotNull(), F.struct(*inner))
+                if isinstance(dst_type, T.ArrayType):
+                    if isinstance(src_type, T.ArrayType):
+                        if isinstance(dst_type.elementType, T.StructType):
+                            return F.when(
+                                col.isNotNull(),
+                                F.transform(
+                                    col,
+                                    lambda x: _conform_expr(
+                                        x, src_type.elementType, dst_type.elementType
+                                    ),
+                                ),
+                            )
+                        return col.cast(dst_type)
                     # reference quirk parity (_conform_record): a
                     # scalar arriving for a REPEATED field wraps into
                     # a 1-element array; NULL stays NULL
-                    elem = F.col(f.name).cast(f.dataType.elementType)
-                    return F.when(
-                        F.col(f.name).isNotNull(), F.array(elem)
-                    ).alias(f.name)
-                return F.col(f.name).cast(f.dataType).alias(f.name)
+                    elem = _conform_expr(col, src_type, dst_type.elementType)
+                    return F.when(col.isNotNull(), F.array(elem))
+                return col.cast(dst_type)
 
-            df = src.select(*[_conform_col(f) for f in struct.fields])
+            df = src.select(
+                *[
+                    _conform_expr(F.col(f.name) if f.name in have else F.lit(None),
+                                  have.get(f.name), f.dataType).alias(f.name)
+                    for f in struct.fields
+                ]
+            )
         else:
             records = prepare(data)
             if not isinstance(records, list):

@@ -434,12 +434,20 @@ SCALE_QUERIES = [
 ]
 
 
-def _warehouse_verb_decade(spark, sf_dir: str) -> dict:
+def _warehouse_verb_decade(spark, sf_dir: str, df_legs_only: bool = False) -> dict:
     """One decade of the reference-parity verb surface (VERDICT r13
     #6): drives the S2 load path (prepare -> infer/merge -> append)
     and the R3 merge over the documents table at ``sf_dir``, timing
     each stage separately so driver-side bottlenecks are NAMED, not
     argued.
+
+    ``df_legs_only`` (VERDICT r15 #5, consumed by scalecheck10.py)
+    skips the record-oriented legs (collect + record load) and times
+    only the distributed paths a 100-TB load actually takes —
+    ``load(DataFrame)`` and ``merge`` — so the second decade can be
+    measured without collecting half a million documents to the
+    driver for a leg whose driver-bound cost is already recorded as
+    reference contract.
 
     The reference's load contract is record-oriented (streaming-
     insert rows through the client), so the measurement honestly
@@ -459,16 +467,22 @@ def _warehouse_verb_decade(spark, sf_dir: str) -> dict:
     from load_datawarehouse_spark.warehouse import SparkWarehouse
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    t0 = time.perf_counter()
-    records = [r.asDict() for r in docs.collect()]
-    t_collect = time.perf_counter() - t0
+    if df_legs_only:
+        n_rows, records, t_collect = docs.count(), None, None
+    else:
+        t0 = time.perf_counter()
+        records = [r.asDict() for r in docs.collect()]
+        t_collect = time.perf_counter() - t0
+        n_rows = len(records)
 
     root = tempfile.mkdtemp(prefix="wh_decade_")
     try:
-        wh = SparkWarehouse(spark, root, "documents")
-        t0 = time.perf_counter()
-        wh.load(records)
-        t_load = time.perf_counter() - t0
+        t_load = None
+        if not df_legs_only:
+            wh = SparkWarehouse(spark, root, "documents")
+            t0 = time.perf_counter()
+            wh.load(records)
+            t_load = time.perf_counter() - t0
 
         # the round-15 bulk path: same verb, DataFrame in — clean ->
         # distributed infer (treeAggregate) -> conform -> append, no
@@ -496,21 +510,24 @@ def _warehouse_verb_decade(spark, sf_dir: str) -> dict:
             .otherwise(F.lit("I")),
         )
         n_changes = changes.count()
+        target = wh_df if df_legs_only else wh
         t0 = time.perf_counter()
-        wh.merge(changes, keys=["doc_id"])
+        target.merge(changes, keys=["doc_id"])
         t_merge = time.perf_counter() - t0
-        n_final = wh.df().count()
+        n_final = target.df().count()
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return {
-        "rows_loaded": len(records),
-        "collect_sec": round(t_collect, 3),
-        "load_sec": round(t_load, 3),
+    row = {
+        "rows_loaded": n_rows,
         "load_df_sec": round(t_load_df, 3),
         "merge_sec": round(t_merge, 3),
         "n_changes": n_changes,
         "rows_after_merge": n_final,
     }
+    if not df_legs_only:
+        row["collect_sec"] = round(t_collect, 3)
+        row["load_sec"] = round(t_load, 3)
+    return row
 
 
 def _time(fn, *args) -> tuple[float, int]:

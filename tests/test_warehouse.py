@@ -297,6 +297,93 @@ def test_load_dataframe_append_widen_and_existing_wins(spark, root):
     assert wh.df().count() == 4
 
 
+def test_load_dataframe_nested_struct_evolution_matches_records_path(spark, root):
+    """ADVICE r15 #1: a DataFrame batch whose STRUCT column is missing
+    nested fields (or carries extras) relative to the table schema
+    must conform like the records path — missing nested fields
+    backfill NULL, extras drop, NULL structs stay NULL — instead of
+    failing the whole-struct cast. Both paths are driven with the
+    same logical batches and must land identical rows."""
+    rec_schema = [
+        {"name": "id", "type": "INTEGER", "mode": "NULLABLE"},
+        {"name": "meta", "type": "RECORD", "mode": "NULLABLE", "fields": [
+            {"name": "a", "type": "STRING", "mode": "NULLABLE"},
+            {"name": "b", "type": "INTEGER", "mode": "NULLABLE"},
+        ]},
+    ]
+    base = [
+        {"id": 1, "meta": {"a": "x", "b": 10}},
+        {"id": 2, "meta": None},
+    ]
+    batch = [
+        # missing nested 'b', extra nested 'z' (dropped by conform)
+        {"id": 3, "meta": {"a": "y", "z": "extra"}},
+    ]
+    a = SparkWarehouse.new(spark, root, "nr")
+    a.load(base, schema=rec_schema)
+    a.load(batch)
+
+    b = SparkWarehouse.new(spark, root, "nd")
+    b.load(
+        spark.createDataFrame(
+            [(1, ("x", 10)), (2, None)],
+            "id long, meta struct<a string, b long>",
+        ),
+        schema=rec_schema,
+    )
+    b.load(
+        spark.createDataFrame(
+            [(3, ("y", "extra"))],
+            "id long, meta struct<a string, z string>",
+        )
+    )
+    assert [f["name"] for f in b.schema] == [f["name"] for f in a.schema]
+    key = lambda r: r["id"]
+    got = sorted((r.asDict(recursive=True) for r in b.df().collect()), key=key)
+    want = sorted((r.asDict(recursive=True) for r in a.df().collect()), key=key)
+    assert got == want
+    assert got[2]["meta"] == {"a": "y", "b": None}
+    assert got[1]["meta"] is None
+
+
+def test_load_dataframe_array_of_struct_nested_evolution(spark, root):
+    """Nested evolution inside REPEATED RECORD columns: each array
+    element conforms field-by-field (missing nested -> NULL), matching
+    _conform_record's per-item recursion on the records path."""
+    arr_schema = [
+        {"name": "id", "type": "INTEGER", "mode": "NULLABLE"},
+        {"name": "items", "type": "RECORD", "mode": "REPEATED", "fields": [
+            {"name": "k", "type": "STRING", "mode": "NULLABLE"},
+            {"name": "v", "type": "INTEGER", "mode": "NULLABLE"},
+        ]},
+    ]
+    a = SparkWarehouse.new(spark, root, "anr")
+    a.load(
+        [{"id": 1, "items": [{"k": "a", "v": 1}, {"k": "b", "v": 2}]}],
+        schema=arr_schema,
+    )
+    a.load([{"id": 2, "items": [{"k": "c"}]}])
+
+    b = SparkWarehouse.new(spark, root, "and")
+    b.load(
+        spark.createDataFrame(
+            [(1, [("a", 1), ("b", 2)])],
+            "id long, items array<struct<k string, v long>>",
+        ),
+        schema=arr_schema,
+    )
+    b.load(
+        spark.createDataFrame(
+            [(2, [("c",)])], "id long, items array<struct<k string>>"
+        )
+    )
+    key = lambda r: r["id"]
+    got = sorted((r.asDict(recursive=True) for r in b.df().collect()), key=key)
+    want = sorted((r.asDict(recursive=True) for r in a.df().collect()), key=key)
+    assert got == want
+    assert got[1]["items"] == [{"k": "c", "v": None}]
+
+
 def test_load_dataframe_cleans_keys_like_records_path(spark, root):
     # dirty top-level column names sanitize identically to clean_keys
     # on the same records (metadata-only rename, no shuffle)

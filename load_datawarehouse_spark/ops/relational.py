@@ -2757,6 +2757,84 @@ def warehouse_load_dataframe(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+_WAREHOUSE_NESTED_ORACLE = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(meta_chars) AS BIGINT) AS n_with_chars,
+       CAST(COUNT(meta_src) AS BIGINT) AS n_with_src,
+       CAST(SUM(meta_chars) AS BIGINT) AS sum_chars
+FROM (
+    SELECT lang, n_chars AS meta_chars, CAST(NULL AS VARCHAR) AS meta_src
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT lang, NULL, source FROM documents WHERE doc_id % 2 = 1
+)
+GROUP BY lang ORDER BY lang
+"""
+
+
+@_register("warehouse_load_nested_evolution", _WAREHOUSE_NESTED_ORACLE)
+def warehouse_load_nested_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-schema evolution on the S2 DataFrame bulk path, under
+    the correctness gate (ADVICE r15 #1): the table declares a RECORD
+    column ``meta<chars, src>``, then two DataFrame batches each ship
+    a struct missing ONE nested field (even docs carry only
+    ``meta.chars``, odd docs only ``meta.src``). The conform stage
+    must backfill the absent nested field with NULL per batch —
+    mirroring ``_conform_record``'s recursion on the records path —
+    instead of failing the whole-struct cast (which is exactly what
+    the pre-r16 cast-based conform did on this query). The per-lang
+    NULL census (``n_with_chars`` / ``n_with_src``) proves which
+    nested field each batch populated.
+
+    Scale: conform is a zero-shuffle projection (per-field struct
+    rebuild in codegen); both loads stay narrow distributed passes
+    like ``warehouse_load_dataframe``."""
+    import shutil
+    import tempfile
+
+    from load_datawarehouse_spark.warehouse import SparkWarehouse
+
+    nested_schema = [
+        {"name": "doc_id", "type": "INTEGER", "mode": "NULLABLE"},
+        {"name": "lang", "type": "STRING", "mode": "NULLABLE"},
+        {"name": "meta", "type": "RECORD", "mode": "NULLABLE", "fields": [
+            {"name": "chars", "type": "INTEGER", "mode": "NULLABLE"},
+            {"name": "src", "type": "STRING", "mode": "NULLABLE"},
+        ]},
+    ]
+    t = load_tables(spark, sf_dir, register_views=False)
+    docs = t["documents"]
+    even = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang",
+        F.struct(F.col("n_chars").cast("long").alias("chars")).alias("meta"),
+    )
+    odd = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang",
+        F.struct(F.col("source").alias("src")).alias("meta"),
+    )
+    root = tempfile.mkdtemp(prefix="ldw_nested_")
+    try:
+        wh = SparkWarehouse.new(spark, root, "docs_nested")
+        wh.load(even, schema=nested_schema, full_schema=True)
+        wh.load(odd)  # adopts the table schema; conform backfills chars
+        out = (
+            wh.df()
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.count("meta.chars").alias("n_with_chars"),
+                F.count("meta.src").alias("n_with_src"),
+                F.sum("meta.chars").alias("sum_chars"),
+            )
+            .orderBy("lang")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Schema inference under the driver gate
 # ---------------------------------------------------------------------------

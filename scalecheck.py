@@ -255,6 +255,7 @@ SCALE_QUERIES = [
     "histogram_fixed_bins",
     "warehouse_load_fetch",
     "warehouse_load_dataframe",
+    "warehouse_load_nested_evolution",
     "warehouse_merge_cdc",
     "warehouse_time_travel",
     "warehouse_incremental_view",

@@ -18,45 +18,62 @@ from pyspark.sql import DataFrame, SparkSession
 # the registration order (50 names), generated at ROUND START from the
 # previous round's final commit. Every registered query has been
 # driver-checked at least once (the r1-r10 union covers all of the
-# pre-r15 378; round 15 adds warehouse_load_dataframe, #379), so
-# the head is now always the ops whose plan/code changed most
-# recently.
+# pre-r15 378; round 15 added warehouse_load_dataframe, round 16
+# warehouse_load_nested_evolution, #380), so the head is now always
+# the ops whose plan/code changed most recently.
 _FIRST_NAMES = (
-    # --- round-15 head: every op whose PLAN, kernel, or semantics
-    # changed this round, first. The four eval-gram probes now route
-    # through the MEASURED broadcast gate (_bcast_eval_grams /
-    # bcast_measured: counted per corpus, hinted only under 1M rows,
-    # bare + AQE above), scalar_try_arith's flag_as_number re-anchored
-    # onto a mixed string feed (both try_cast branches live — the last
-    # vacuous column), the NEW warehouse_load_dataframe op (S2 bulk
-    # path: DataFrame in, distributed inference, widen-only append),
-    # and the S2 load() refactor every warehouse verb op exercises. ---
-    "scalar_try_arith",
+    # --- round-16 head: every op whose PLAN, kernel, or semantics
+    # changed this round, first. The six VERDICT r15 #1 re-anchors
+    # (driver-scale evidence now non-vacuous: populated at sf0.01),
+    # the NEW warehouse_load_nested_evolution + the recursive
+    # nested-struct conform the whole S2 DataFrame path now routes
+    # through (ADVICE r15 #1), and the eval-gram memo tag re-key
+    # (per gram order — the bloom site's 6-gram frame no longer
+    # counts under the 8-gram tag, ADVICE r15 #3). ---
+    "warehouse_load_nested_evolution",
     "warehouse_load_dataframe",
-    "window_ranking",
+    "join_anti",
+    "setop_except",
+    "q22_idle_rich_segments",
+    "subq_not_exists_idle_rich",
+    "multimodal_audio_silence_segments",
+    "orders_price_time_band_pairs",
+    "dedup_exact_groups",
+    "contamination_bloom_prefilter",
     "contamination_ngram_check",
     "pipeline_training_prep_v2",
-    "contamination_bloom_prefilter",
     "contamination_decontaminate_apply",
+    # --- S2 load() conform refactor: the verb family re-checks ---
     "warehouse_load_fetch",
     "warehouse_merge_cdc",
     "warehouse_etl_capstone",
     "warehouse_partitioned_upsert",
     "warehouse_vacuum_snapshots",
     "warehouse_expiry_sweep",
-    # --- band-size memo re-key AGAIN (size+mtime identity tuple,
-    # ADVICE r14 #3) — the whole banding family re-checks ---
+    "warehouse_quarantine_load",
+    "warehouse_schema_evolution",
+    "warehouse_snapshot_diff",
+    "warehouse_time_travel",
+    "warehouse_right_to_forget",
+    "warehouse_two_table_atomic_publish",
+    "warehouse_incremental_view",
+    "warehouse_idempotent_backfill",
+    # --- siblings of the re-anchored ops (shared claims/predicates) ---
+    "setop_except_all",
+    "setop_intersect",
+    "dedup_exact_normalized",
+    "dedup_exact_keep_first",
+    "multimodal_audio_energy",
+    "join_range_bucketed",
+    # --- round-15 head re-checks: measured eval-gram gate family,
+    # the re-anchored scalar/window ops, the banding memo re-key ---
+    "scalar_try_arith",
+    "window_ranking",
     "dedup_minhash_lsh",
     "dedup_minhash_verified",
     "dedup_minhash_estimate_quality",
     "dedup_lsh_bucket_skew",
-    # --- forward-leg fixture subject (code unchanged; the fixture
-    # locks the forward-wins/tie branches) ---
     "join_asof_nearest",
-    # --- round-14 head re-checks: the re-anchored event-time ops
-    # (now with second-decade rows), the in-op pair gates, and the
-    # late-r14 numeric-census re-anchors ---
-    "join_range_bucketed",
     "join_asof_forward",
     "events_velocity_flags",
     "join_asof_tolerance",
@@ -68,8 +85,8 @@ _FIRST_NAMES = (
     "dedup_embedding_neardup",
     "dedup_semantic_clusters",
     "dedup_connected_components",
-    # --- round-13 re-checks (corpus-derived banding, jaccard
-    # histogram refactor, federated union) ---
+    # --- earlier-round re-checks (banding, jaccard histogram,
+    # federated union, MG merge, lazy PCA, kmeans, FLAC trio) ---
     "dedup_jaccard_threshold_histogram",
     "dedup_neardup_clusters",
     "source_federated_union",
@@ -80,8 +97,6 @@ _FIRST_NAMES = (
     "dedup_shingle_containment",
     "dedup_simhash_neardup",
     "dedup_levenshtein_verify",
-    # --- round-11/12 re-checks (MG merge, lazy PCA, kmeans guard,
-    # FLAC trio) ---
     "embedding_pca_power_iteration",
     "kmeans_lloyd",
     "multimodal_decode_flac_real",
@@ -92,7 +107,6 @@ _FIRST_NAMES = (
     "dedup_strategy_comparison",
     "dedup_cascade_report",
     "dedup_template_groups",
-    "dedup_exact_normalized",
     "text_novelty_per_doc",
     "pipeline_source_quality_card",
     "pipeline_curation_v3",

@@ -1143,6 +1143,27 @@ def test_bcast_measured_memo_keyed_by_file_identity(spark, tmp_path):
     assert "strategy=broadcast" in hinted._jdf.queryExecution().optimizedPlan().toString()
 
 
+def test_input_files_key_unquotes_percent_encoded_paths(spark, tmp_path):
+    """ADVICE r15 #2: Spark reports input files as percent-encoded
+    URIs, so a path with a space must unquote before os.stat — the
+    name-only (uri, -1, -1) fallback silently reintroduces the
+    stale-memo-on-in-place-regeneration bug for any such path."""
+    from load_datawarehouse_spark.ops._util import input_files_key
+
+    d = tmp_path / "with space"
+    d.mkdir()
+    p = str(d / "t.parquet")
+    spark.range(5).write.parquet(p)
+    key = input_files_key(spark.read.parquet(p))
+    assert key, "no input files reported"
+    assert any("%20" in uri for uri, _, _ in key), (
+        "fixture did not exercise a percent-encoded URI"
+    )
+    assert all(size >= 0 and mtime >= 0 for _, size, mtime in key), (
+        "percent-encoded path fell back to the name-only entry"
+    )
+
+
 def test_eval_gram_sites_routed_through_measured_gate():
     """All four eval-gram probe sites must use ``_bcast_eval_grams``
     (the measured gate) — a re-introduced ``bcast_bounded`` with a

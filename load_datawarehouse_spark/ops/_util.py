@@ -79,11 +79,18 @@ def input_files_key(df) -> tuple | None:
     key = []
     for uri in sorted(files):
         parsed = _urlparse(uri)
-        # Spark reports input files as percent-encoded URIs; unquote
+        # Spark reports file: URIs percent-encoded; unquote those
         # before stat or any path with spaces etc. silently falls to
         # the name-only entry, reintroducing the stale-memo bug this
-        # key exists to fix (ADVICE r15).
-        path = _unquote(parsed.path) if parsed.scheme in ("", "file") else None
+        # key exists to fix (ADVICE r15). Scheme-less entries are raw
+        # paths — unquoting one that literally contains '%20' would
+        # stat the wrong file, so they pass through untouched.
+        if parsed.scheme == "file":
+            path = _unquote(parsed.path)
+        elif parsed.scheme == "":
+            path = parsed.path
+        else:
+            path = None
         if path is not None:
             try:
                 st = _os.stat(path)

@@ -2051,9 +2051,33 @@ FROM pairs GROUP BY d1 ORDER BY day
 """
 
 
+def _band_grid(t) -> DataFrame:
+    """Orders keyed into the (price-band, time-band) grid — the ONE
+    derivation shared by ``orders_price_time_band_pairs`` and its
+    workload counter ``_count_band_grid_candidates`` so the recorded
+    ``slope_per_candidate_pair`` can never measure a different
+    bucketing than the op pays."""
+    return t["orders"].select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("cust"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).withColumn("pc", F.expr(f"cents DIV {_BAND_CENTS}")).withColumn(
+        "tc", F.expr(f"datediff(d, DATE '1990-01-01') DIV {_BAND_DAYS}")
+    )
+
+
+def _band_offsets(spark: SparkSession) -> DataFrame:
+    """The 3x3 neighbor-offset frame both band-grid consumers explode
+    against (constant 9 rows)."""
+    return spark.range(-1, 2).select(F.col("id").alias("dp")).crossJoin(
+        spark.range(-1, 2).select(F.col("id").alias("dt"))
+    )
+
+
 @_register("orders_price_time_band_pairs", _PRICE_TIME_PAIRS_ORACLE)
 def orders_price_time_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2-D banded pair join: cross-customer order pairs within $1 AND
+    """2-D banded pair join: cross-customer order pairs within $5 AND
     3 days of each other (collusion/ring screening: coordinated
     near-identical transactions) — the TWO-dimensional generalization
     of the 1-D ``join_range_bucketed``: a raw conjunction of band
@@ -2070,17 +2094,8 @@ def orders_price_time_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     order.
     """
     t = load_tables(spark, sf_dir, register_views=False)
-    o = t["orders"].select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_custkey").alias("cust"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        F.col("o_orderdate").cast("date").alias("d"),
-    ).withColumn("pc", F.expr(f"cents DIV {_BAND_CENTS}")).withColumn(
-        "tc", F.expr(f"datediff(d, DATE '1990-01-01') DIV {_BAND_DAYS}")
-    )
-    offs = spark.range(-1, 2).select(F.col("id").alias("dp")).crossJoin(
-        spark.range(-1, 2).select(F.col("id").alias("dt"))
-    )
+    o = _band_grid(t)
+    offs = _band_offsets(spark)
     a = o.crossJoin(bcast_bounded(offs, "3x3 neighbor offsets: 9 rows")).select(
         F.col("k").alias("k1"),
         F.col("cust").alias("c1"),
@@ -2125,20 +2140,12 @@ def _count_band_grid_candidates(spark: SparkSession, sf_dir: str) -> int:
     for this op (VERDICT r15 #3): the corpus replicates into a FIXED
     calendar span, so cell occupancy — and with it the band-pair
     workload — grows ~quadratically per decade by construction; the
-    accounting separates that workload growth from engine scaling."""
+    accounting separates that workload growth from engine scaling.
+    Shares ``_band_grid`` / ``_band_offsets`` with the op itself so
+    the counted workload cannot drift from the paid one."""
     t = load_tables(spark, sf_dir, register_views=False)
-    cells = (
-        t["orders"]
-        .select(
-            F.expr(f"CAST(ROUND(o_totalprice * 100) AS BIGINT) DIV {_BAND_CENTS}").alias("pc"),
-            F.expr(f"datediff(CAST(o_orderdate AS DATE), DATE '1990-01-01') DIV {_BAND_DAYS}").alias("tc"),
-        )
-        .groupBy("pc", "tc")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    offs = spark.range(-1, 2).select(F.col("id").alias("dp")).crossJoin(
-        spark.range(-1, 2).select(F.col("id").alias("dt"))
-    )
+    cells = _band_grid(t).groupBy("pc", "tc").agg(F.count(F.lit(1)).alias("n"))
+    offs = _band_offsets(spark)
     a = cells.crossJoin(bcast_bounded(offs, "3x3 neighbor offsets: 9 rows")).select(
         (F.col("pc") + F.col("dp")).alias("pc"),
         (F.col("tc") + F.col("dt")).alias("tc"),

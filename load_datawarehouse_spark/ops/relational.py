@@ -987,15 +987,15 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     populated at every scale (68 rows at sf0.01, 4,920 at sf1).
 
     Both key sets now carry duplicates (multiple orders per customer),
-    so SQL EXCEPT's distinct semantics require distinct-reducing BOTH
-    sides before the difference — ``exceptAll`` on the raw streams
-    would keep a customer whose open-order count merely exceeds their
+    so SQL EXCEPT's distinct semantics matter: ``subtract`` IS Spark's
+    EXCEPT DISTINCT, while ``exceptAll`` on the raw streams would keep
+    a customer whose open-order count merely exceeds their
     finished-order count. The multiset flavor lives in
     ``setop_except_all``."""
     t = load_tables(spark, sf_dir, register_views=False)
     a = t["orders"].filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
     b = t["orders"].filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
-    return a.distinct().exceptAll(b.distinct()).orderBy("custkey")
+    return a.subtract(b).orderBy("custkey")
 
 
 _SETOP_DISTINCT_ORACLE = """

@@ -469,7 +469,7 @@ def _warehouse_verb_decade(spark, sf_dir: str, df_legs_only: bool = False) -> di
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     if df_legs_only:
-        n_rows, records, t_collect = docs.count(), None, None
+        n_rows = docs.count()
     else:
         t0 = time.perf_counter()
         records = [r.asDict() for r in docs.collect()]

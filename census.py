@@ -11,6 +11,11 @@ query:
 - per column: ``n_nonnull``, and for atomic types (numeric / string /
   boolean / date / timestamp) ``n_distinct`` plus stringified
   ``min`` / ``max``
+- ``output_hash`` (round 16): an order-independent full-output
+  fingerprint (sum of per-row xxhash64 over all non-map columns) —
+  the r15 duplicate-output probe as a standing field; populated
+  queries sharing (n_rows, output_hash) must be adjudicated
+  plan-twins (``ADJUDICATED_TWIN_OUTPUTS``)
 
 That covers every evidence class the round-14 probes caught by hand:
 an all-NULL column is ``n_nonnull == 0`` (the vacuous-branch class,
@@ -91,6 +96,22 @@ def _census_one(df) -> dict:
                 F.when(~F.col(a).eqNullSafe(F.col(b)), 1).otherwise(0)
             ).alias(f"pq{k}")
         )
+    # order-independent full-output fingerprint (round 16: the r15
+    # duplicate-output probe, made a standing artifact): sum of
+    # per-row xxhash64 over every column. Equal multisets of rows ->
+    # equal sums, no collect, no sort; any two POPULATED queries
+    # sharing (n_rows, output_hash) at a censused scale are the same
+    # relation and must be adjudicated plan-twins
+    # (tests/test_properties.py::ADJUDICATED_TWIN_OUTPUTS).
+    hashable = [
+        f for f in fields if "map<" not in f.dataType.simpleString()
+    ]  # xxhash64 rejects MapType; map columns are excluded from the print
+    if hashable:
+        aggs.append(
+            F.sum(F.xxhash64(*[F.col(f.name) for f in hashable]).cast("decimal(38,0)"))
+            .cast("string")
+            .alias("ohash")
+        )
     row = df.agg(*aggs).collect()[0].asDict()
     cols = {}
     for i, f in enumerate(fields):
@@ -101,6 +122,8 @@ def _census_one(df) -> dict:
             c["max"] = row[f"hi{i}"]
         cols[f.name] = c
     out = {"n_rows": row["r"], "columns": cols}
+    if row["r"] > 0 and row.get("ohash") is not None:
+        out["output_hash"] = row["ohash"]
     if row["r"] > 0:
         ident = sorted(
             f"{a}=={b}" for k, (a, b) in enumerate(pairs) if row[f"pq{k}"] == 0

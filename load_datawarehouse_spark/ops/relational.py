@@ -2498,9 +2498,9 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-table by construction: measured 1,816 matched views at
     sf0.01 (~92% of views convert within the corpus window). The
     purchase side is pre-deduped per (user, ts) so the match is
-    deterministic under timestamp ties. ``join_asof_nearest`` keeps
-    the original orders-domain forward pass via
-    :func:`_asof_forward_day_orders`.
+    deterministic under timestamp ties. Round 16 re-anchored
+    ``join_asof_nearest`` onto this same domain (its forward leg IS
+    this op), retiring the vacuous orders-domain forward pass.
 
     Second-decade evidence (round 15, SCALECHECK10): output rows
     184,760 -> 1,847,600 (exactly 10x — the per-user rate IS
@@ -2545,54 +2545,6 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         merged.filter((F.col("is_view") == 1) & F.col("next_purchase_ts").isNotNull())
         .select("event_id", "user_id", "next_purchase_ts", "purchase_value")
-        .orderBy("event_id")
-    )
-
-
-def _asof_forward_day_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The pre-round-14 ``join_asof_forward`` body (next order day
-    at-or-after each event), kept for ``join_asof_nearest``'s forward
-    leg. Same union + single-shuffle technique as the registered op;
-    on this corpus it matches nothing (events post-date every order),
-    which ``join_asof_nearest`` tolerates by falling back to its
-    backward leg."""
-    t = load_tables(spark, sf_dir, register_views=False)
-    day_orders = (
-        t["orders"]
-        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate"))
-        .agg(F.max("o_totalprice").alias("day_max_price"))
-    )
-    o_side = day_orders.select(
-        "user_id",
-        F.col("o_orderdate").alias("t"),
-        F.lit(0).alias("is_event"),
-        F.lit(None).cast("long").alias("event_id"),
-        F.col("o_orderdate"),
-        "day_max_price",
-    )
-    e_side = t["events"].select(
-        "user_id",
-        F.col("ts").alias("t"),
-        F.lit(1).alias("is_event"),
-        "event_id",
-        F.lit(None).cast("timestamp").alias("o_orderdate"),
-        F.lit(None).cast("double").alias("day_max_price"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("t", F.desc("is_event"))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    merged = o_side.unionByName(e_side).select(
-        "event_id",
-        "user_id",
-        "is_event",
-        F.first("o_orderdate", ignorenulls=True).over(w).alias("next_orderdate"),
-        F.first("day_max_price", ignorenulls=True).over(w).alias("day_max_price"),
-    )
-    return (
-        merged.filter((F.col("is_event") == 1) & F.col("next_orderdate").isNotNull())
-        .select("event_id", "user_id", "next_orderdate", "day_max_price")
         .orderBy("event_id")
     )
 
@@ -3354,82 +3306,147 @@ def warehouse_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 
 _JOIN_ASOF_NEAREST_ORACLE = """
-WITH day_orders AS (
-    SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS day_max_price
-    FROM orders GROUP BY o_custkey, o_orderdate
+WITH v AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+), p AS (
+    SELECT user_id, ts, MAX(value) AS purchase_value
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
 ),
 back AS (
-    -- LEFT asof: keep events with no backward match (they may still
+    -- LEFT asof: keep views with no backward match (they may still
     -- have a forward one)
-    SELECT e.event_id, e.user_id, e.ts, d.o_orderdate, d.day_max_price
-    FROM events e
-    ASOF LEFT JOIN day_orders d
-      ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+    SELECT v.event_id, v.user_id, v.ts, p.ts AS pts, p.purchase_value
+    FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
 ),
 fwd AS (
-    SELECT e.event_id, d.o_orderdate, d.day_max_price
-    FROM events e
-    ASOF LEFT JOIN day_orders d
-      ON e.user_id = d.o_custkey AND e.ts <= d.o_orderdate
+    SELECT v.event_id, p.ts AS pts, p.purchase_value
+    FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts <= p.ts
 )
 SELECT b.event_id, b.user_id,
-       CASE WHEN f.o_orderdate IS NULL THEN b.o_orderdate
-            WHEN b.o_orderdate IS NULL THEN f.o_orderdate
-            WHEN date_diff('second', b.o_orderdate, b.ts)
-                 <= date_diff('second', b.ts, f.o_orderdate) THEN b.o_orderdate
-            ELSE f.o_orderdate END AS nearest_orderdate,
-       CASE WHEN f.o_orderdate IS NULL THEN b.day_max_price
-            WHEN b.o_orderdate IS NULL THEN f.day_max_price
-            WHEN date_diff('second', b.o_orderdate, b.ts)
-                 <= date_diff('second', b.ts, f.o_orderdate) THEN b.day_max_price
-            ELSE f.day_max_price END AS day_max_price
+       CASE WHEN f.pts IS NULL THEN b.pts
+            WHEN b.pts IS NULL THEN f.pts
+            WHEN epoch_us(b.ts) - epoch_us(b.pts)
+                 <= epoch_us(f.pts) - epoch_us(b.ts) THEN b.pts
+            ELSE f.pts END AS nearest_purchase_ts,
+       CASE WHEN f.pts IS NULL THEN b.purchase_value
+            WHEN b.pts IS NULL THEN f.purchase_value
+            WHEN epoch_us(b.ts) - epoch_us(b.pts)
+                 <= epoch_us(f.pts) - epoch_us(b.ts) THEN b.purchase_value
+            ELSE f.purchase_value END AS purchase_value
 FROM back b LEFT JOIN fwd f USING (event_id)
-WHERE b.o_orderdate IS NOT NULL OR f.o_orderdate IS NOT NULL
+WHERE b.pts IS NOT NULL OR f.pts IS NOT NULL
 ORDER BY b.event_id
 """
 
 
+def _asof_backward_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest purchase at-or-before each view (per user) — the
+    backward leg of ``join_asof_nearest``, same union + single-shuffle
+    technique as ``join_asof_forward`` with the PRECEDING window.
+    LEFT semantics: views with no prior purchase keep a NULL leg."""
+    t = load_tables(spark, sf_dir, register_views=False)
+    v = t["events"].filter(F.col("event_type") == "view")
+    p = (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    p_side = p.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_view"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("prev_purchase_ts"),
+        "purchase_value",
+    )
+    v_side = v.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_view"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("prev_purchase_ts"),
+        F.lit(None).cast("double").alias("purchase_value"),
+    )
+    # purchases (is_view=0) sort BEFORE same-instant views, so the
+    # at-or-before match is inclusive
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_view")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = p_side.unionByName(v_side).select(
+        "event_id",
+        "user_id",
+        "is_view",
+        F.last("prev_purchase_ts", ignorenulls=True).over(w).alias("prev_purchase_ts"),
+        F.last("purchase_value", ignorenulls=True).over(w).alias("purchase_value"),
+    )
+    return merged.filter(F.col("is_view") == 1).select(
+        "event_id", "user_id", "prev_purchase_ts", "purchase_value"
+    )
+
+
 @_register("join_asof_nearest", _JOIN_ASOF_NEAREST_ORACLE)
 def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest-in-time as-of join: each event matched to its user's
-    temporally CLOSEST order day, looking both directions (sensor-
-    fusion / measurement-alignment semantics; ties break backward).
+    """Nearest-in-time as-of join: each ``view`` event matched to its
+    user's temporally CLOSEST ``purchase``, looking both directions
+    (sensor-fusion / measurement-alignment semantics; equidistant
+    ties break backward; distances compared in exact microseconds on
+    both engines — ``unix_micros`` / ``epoch_us``).
+
+    Round 16 re-anchor: the old events->nearest-order-day shape was a
+    FULL output twin of ``join_asof`` at every certified scale (the
+    census output-hash probe caught it: events are 2024-01, orders
+    end 2001-08, so the forward leg matched nothing and "nearest"
+    degenerated to "backward" on 100% of rows — the forward-wins
+    branch had zero corpus evidence, same class as the rank vs
+    dense_rank catch). view->purchase is same-era by construction:
+    both branches are live at sf0.01 and the op's output now differs
+    from both ``join_asof`` (different domain) and
+    ``join_asof_forward`` (bidirectional vs forward-only). The
+    purchase side is pre-deduped per (user, ts) so the match is
+    deterministic under timestamp ties.
 
     Scale: composes the two directional passes — each is the
-    union+window single-shuffle pattern — and merges per event; all
+    union+window single-shuffle pattern (the forward leg IS the
+    registered ``join_asof_forward``) — and merges per event; all
     three stages hash on the same user/event keys."""
-    back = join_asof(spark, sf_dir).select(
+    back = _asof_backward_purchases(spark, sf_dir).select(
         "event_id",
-        F.col("asof_orderdate").alias("b_date"),
-        F.col("day_max_price").alias("b_price"),
+        F.col("prev_purchase_ts").alias("b_ts"),
+        F.col("purchase_value").alias("b_val"),
     )
-    fwd = _asof_forward_day_orders(spark, sf_dir).select(
+    fwd = join_asof_forward(spark, sf_dir).select(
         "event_id",
-        F.col("next_orderdate").alias("f_date"),
-        F.col("day_max_price").alias("f_price"),
+        F.col("next_purchase_ts").alias("f_ts"),
+        F.col("purchase_value").alias("f_val"),
     )
     t = load_tables(spark, sf_dir, register_views=False)
-    ev = t["events"].select("event_id", "user_id", "ts")
+    ev = t["events"].filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
     j = (
         ev.join(back, "event_id", "left")
         .join(fwd, "event_id", "left")
-        .filter(F.col("b_date").isNotNull() | F.col("f_date").isNotNull())
+        .filter(F.col("b_ts").isNotNull() | F.col("f_ts").isNotNull())
     )
+    # driver parquet ships ts as TIMESTAMP_NTZ (see load_tables);
+    # unix_micros requires TIMESTAMP, and all three columns cast
+    # identically so distances are unaffected
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
     back_closer = (
-        F.col("f_date").isNull()
+        F.col("f_ts").isNull()
         | (
-            F.col("b_date").isNotNull()
-            & (
-                (F.unix_timestamp("ts") - F.unix_timestamp("b_date"))
-                <= (F.unix_timestamp("f_date") - F.unix_timestamp("ts"))
-            )
+            F.col("b_ts").isNotNull()
+            & ((us("ts") - us("b_ts")) <= (us("f_ts") - us("ts")))
         )
     )
     return j.select(
         "event_id",
         "user_id",
-        F.when(back_closer, F.col("b_date")).otherwise(F.col("f_date")).alias("nearest_orderdate"),
-        F.when(back_closer, F.col("b_price")).otherwise(F.col("f_price")).alias("day_max_price"),
+        F.when(back_closer, F.col("b_ts")).otherwise(F.col("f_ts")).alias("nearest_purchase_ts"),
+        F.when(back_closer, F.col("b_val")).otherwise(F.col("f_val")).alias("purchase_value"),
     ).orderBy("event_id")
 
 

@@ -100,44 +100,30 @@ def test_velocity_flags_exact_rows_and_frame_edge(spark, tmp_path):
 
 # --- join_asof_nearest: forward-wins + equidistant tie-break ---------------
 #
-# ADVICE r14 #1: on the corpus the forward leg matches nothing (events
-# post-date every order), so nearest always equals the backward leg and
-# the forward-wins branch had zero positive evidence. This fixture
-# constructs orders on BOTH sides of each event so every merge branch
-# is asserted exactly.
-
-_NEAREST_ORDERS = [
-    # (o_orderkey, o_custkey, o_totalprice, o_orderdate)
-    (1, 1, 100.0, _ts(1)),            # user 1: far backward anchor
-    (2, 1, 200.0, _ts(20)),           # user 1: near forward anchor
-    (3, 2, 300.0, _ts(10)),           # user 2: forward-only (no order before)
-]
+# Round 16 re-anchor (census output-hash probe): the orders-domain
+# form was a FULL output twin of join_asof at every certified scale
+# (no order ever at-or-after an event), so the op moved to the
+# view->purchase domain where both directions are live. This fixture
+# constructs purchases on BOTH sides of each view so every merge
+# branch is asserted exactly.
 
 _NEAREST_EVENTS = [
-    # (event_id, ts, user_id)
-    (1, _ts(15), 1),          # back 14d vs fwd 5d -> FORWARD wins
-    (2, _ts(10, 12), 1),      # exactly equidistant (9.5d) -> tie breaks BACKWARD
-    (3, _ts(5), 2),           # backward leg NULL -> forward fallback
-    (4, _ts(5), 3),           # no orders either side -> row dropped
-    (5, _ts(20), 1),          # same instant as order 2: both legs match at 0s
+    # (event_id, ts, user_id, event_type, value)
+    (1, _ts(1), 1, "purchase", 100.0),   # user 1: far backward anchor
+    (2, _ts(20), 1, "purchase", 200.0),  # user 1: near forward anchor
+    (3, _ts(10), 2, "purchase", 300.0),  # user 2: forward-only (none before)
+    (10, _ts(15), 1, "view", 0.0),       # back 14d vs fwd 5d -> FORWARD wins
+    (11, _ts(10, 12), 1, "view", 0.0),   # exactly equidistant -> tie BACKWARD
+    (12, _ts(5), 2, "view", 0.0),        # backward leg NULL -> forward fallback
+    (13, _ts(5), 3, "view", 0.0),        # no purchases either side -> dropped
+    (14, _ts(20), 1, "view", 0.0),       # same instant as purchase 2: 0s both
 ]
 
 
 def _nearest_fixture_dir(spark, tmp_path) -> str:
     d = str(tmp_path / "sf_nearest")
-    ev_rows = [(i, ts, u, "view", 0.0, "{}") for i, ts, u in _NEAREST_EVENTS]
-    spark.createDataFrame(ev_rows, _SCHEMA).write.parquet(f"{d}/events.parquet")
-    o_schema = T.StructType(
-        [
-            T.StructField("o_orderkey", T.LongType()),
-            T.StructField("o_custkey", T.LongType()),
-            T.StructField("o_totalprice", T.DoubleType()),
-            T.StructField("o_orderdate", T.TimestampType()),
-        ]
-    )
-    spark.createDataFrame(_NEAREST_ORDERS, o_schema).write.parquet(
-        f"{d}/orders.parquet"
-    )
+    rows = [(i, ts, u, t, v, "{}") for i, ts, u, t, v in _NEAREST_EVENTS]
+    spark.createDataFrame(rows, _SCHEMA).write.parquet(f"{d}/events.parquet")
     return d
 
 
@@ -145,8 +131,8 @@ def test_asof_nearest_forward_wins_and_tie_breaks_backward(spark, tmp_path):
     d = _nearest_fixture_dir(spark, tmp_path)
     got = [tuple(r) for r in relational.join_asof_nearest(spark, d).collect()]
     assert got == [
-        (1, 1, _ts(20), 200.0),   # forward strictly nearer -> forward value
-        (2, 1, _ts(1), 100.0),    # equidistant -> backward by the <= tie rule
-        (3, 2, _ts(10), 300.0),   # no backward match -> forward fallback
-        (5, 1, _ts(20), 200.0),   # same-instant: both legs inclusive, tie -> backward
+        (10, 1, _ts(20), 200.0),  # forward strictly nearer -> forward value
+        (11, 1, _ts(1), 100.0),   # equidistant -> backward by the <= tie rule
+        (12, 2, _ts(10), 300.0),  # no backward match -> forward fallback
+        (14, 1, _ts(20), 200.0),  # same-instant: both legs inclusive, tie -> backward
     ]

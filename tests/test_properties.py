@@ -1300,6 +1300,71 @@ def test_no_registered_query_is_vacuous_at_driver_scale():
     )
 
 
+#: Query groups whose FULL OUTPUT is identical at censused scales ON
+#: PURPOSE — plan-twins whose identical result IS the correctness
+#: claim (different physical strategy / engine path, same relation).
+#: Any unadjudicated identical-output group is registry padding or a
+#: vacuous-branch bug (round 16's output-hash census caught
+#: join_asof_nearest as a FULL twin of join_asof — the forward leg
+#: never fired on the corpus — and it was re-anchored, not listed).
+ADJUDICATED_TWIN_OUTPUTS: dict[frozenset, str] = {
+    frozenset({"join_hint_shuffle_hash", "join_skew_salted"}):
+        "same join semantics; salted-key rewrite vs planner hint — identical result is the claim",
+    frozenset({"join_left_outer", "join_right_outer"}):
+        "the SAME relational expression written from each side: customer leftouter orders == orders rightouter customer by definition",
+    frozenset({"dedup_minhash_verified", "dedup_ngram_jaccard"}):
+        "different candidate generators (LSH bands vs shingle index), same exact-Jaccard verify — identical pair set IS the LSH recall claim",
+    frozenset({"similarity_cosine_topk", "similarity_sq_topk"}):
+        "scalar-quantized rescore must recover the exact float top-k — equality is the SQ correctness claim",
+    frozenset({"udf_arrow_optimized", "udf_python_scalar"}):
+        "UDF flavor equivalence: same kernel via arrow-optimized vs row-at-a-time python UDF",
+    frozenset({"stream_sliding_counts", "time_window_sliding"}):
+        "exactly-once streaming vs its batch twin — equality is the streaming claim",
+    frozenset({"stream_tumbling_counts", "time_window_tumbling"}):
+        "exactly-once streaming vs its batch twin — equality is the streaming claim",
+    frozenset({"stream_session_windows", "time_window_session"}):
+        "exactly-once streaming vs its batch twin — equality is the streaming claim",
+}
+
+
+def test_duplicate_outputs_are_adjudicated_twins():
+    """Round 16: the r15 manual duplicate-output probe as a standing
+    gate. census.py records an order-independent full-output
+    fingerprint (``output_hash``) per populated query; at every
+    censused scale, any group of queries sharing (n_rows,
+    output_hash) must be a recorded plan-twin group in
+    ADJUDICATED_TWIN_OUTPUTS. This is the evidence class that caught
+    join_asof_nearest shadowing join_asof on 100% of corpus rows."""
+    import collections
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scales = json.load(open(os.path.join(repo, "CENSUS.json")))["scales"]
+    assert any(
+        "output_hash" in row for m in scales.values() for row in m.values()
+    ), "no output_hash fields — regenerate CENSUS.json with census.py (r16+)"
+    offenders = []
+    for label, m in scales.items():
+        groups = collections.defaultdict(list)
+        for name, row in m.items():
+            if row.get("n_rows", 0) > 0 and "output_hash" in row:
+                groups[(row["n_rows"], row["output_hash"])].append(name)
+        for names in groups.values():
+            if len(names) > 1 and frozenset(names) not in ADJUDICATED_TWIN_OUTPUTS:
+                offenders.append((label, sorted(names)))
+    assert not offenders, (
+        "identical-output query groups without a plan-twin adjudication "
+        f"(padding or a vacuous-branch bug): {offenders}. Re-anchor one "
+        "of the queries or record the twin claim in "
+        "ADJUDICATED_TWIN_OUTPUTS."
+    )
+    stale = [
+        g for g in ADJUDICATED_TWIN_OUTPUTS
+        if not g <= set.union(*(set(m) for m in scales.values()))
+    ]
+    assert not stale, f"twin adjudications for unregistered queries: {stale}"
+
+
 # --- column-level vacuous-evidence guard (VERDICT r14 #2 + #6) --------------
 
 #: Output columns that are LEGITIMATELY all-NULL at every censused

@@ -116,6 +116,9 @@ _SLOPE_TAIL = [
     "events_winback_gaps",
     "gap_islands_streaks",
     "join_asof_forward",
+    # round-16 re-anchor (view->nearest-purchase, census output-hash
+    # probe): second-decade evidence on the new domain
+    "join_asof_nearest",
     "join_asof_tolerance",
     "heavy_hitters_misra_gries",
     "join_semi",

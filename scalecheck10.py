@@ -163,6 +163,37 @@ _PAGERANK_ATTR_ROW = "graph_pagerank_attribution"
 #: the two paths a 100-TB load actually takes
 _VERB_DECADE2_ROW = "warehouse_verb_decade_df"
 
+#: Per-query adjudication notes attached to rows at GENERATION time
+#: (hand-edits to the artifact would be clobbered by the next run).
+_ROW_NOTES = {
+    "dedup_minhash_verified": (
+        "slope_per_candidate_pair > 1 is an accounting artifact, not a "
+        "superlinear verify: LSH candidates grow only ~3.4x per decade "
+        "(disjoint-vocabulary replication keeps cross-copy bands cold) "
+        "while the op's dominant cost — minhash SIGNATURES over every "
+        "document — is byte-linear at the corpus's 11.5x chars/decade, "
+        "so time/candidates rises even though both stages are at or "
+        "under linear in their own workload (signature leg matches "
+        "dedup_exact_normalized's 0.889/char; candidate join matches "
+        "dedup_minhash_lsh's own row)."
+    ),
+    "orders_price_time_band_pairs": (
+        "candidates (grid-cell join slots) grow ~100x per decade BY "
+        "CONSTRUCTION: the scale corpus replicates orders into a fixed "
+        "calendar span, so (price, time)-cell occupancy rises linearly "
+        "and pair slots quadratically; slope_per_candidate_pair 0.122 "
+        "shows the engine is strongly sublinear per unit of that "
+        "intrinsic workload. A real corpus's time span grows with the "
+        "data, keeping occupancy ~flat."
+    ),
+    "dedup_exact_normalized": (
+        "candidates = corpus chars (byte-linear kernel); the token "
+        "remap lengthens tokens in later copies (avg 297/395/453 "
+        "chars/doc at sf0.1/1/10), so chars grow 11.48x per decade and "
+        "row-based slopes read ~15% high."
+    ),
+}
+
 SCALE10_QUERIES = _SLOPE_OUTLIERS + [
     n for n in _DESIGN_POINTS if n not in _SLOPE_OUTLIERS
 ] + [n for n in _SLOPE_TAIL if n not in _SLOPE_OUTLIERS and n not in _DESIGN_POINTS]
@@ -490,6 +521,8 @@ def main() -> None:
                     row["slope_per_candidate_pair"] = round(
                         (t_big / c_big) / (t_mid / c_mid), 3
                     )
+        if name in _ROW_NOTES:
+            row["note"] = _ROW_NOTES[name]
         out[name] = row
         print(
             f"# {name}: {t_mid:.2f}s -> {t_big:.2f}s  slope10 {row['slope10']}"

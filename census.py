@@ -11,11 +11,14 @@ query:
 - per column: ``n_nonnull``, and for atomic types (numeric / string /
   boolean / date / timestamp) ``n_distinct`` plus stringified
   ``min`` / ``max``
-- ``output_hash`` (round 16): an order-independent full-output
-  fingerprint (sum of per-row xxhash64 over all non-map columns) —
-  the r15 duplicate-output probe as a standing field; populated
-  queries sharing (n_rows, output_hash) must be adjudicated
-  plan-twins (``ADJUDICATED_TWIN_OUTPUTS``)
+- ``output_hash`` + ``output_hash2`` (round 16, strengthened round
+  17 per ADVICE r16 #1): order-independent full-output fingerprints
+  (sums of per-row xxhash64 over all non-map columns in sorted-name
+  order, salted with the schema fingerprint; the second sum uses an
+  independent salt) — the r15 duplicate-output probe as a standing
+  field; populated queries sharing (n_rows, output_hash,
+  output_hash2) must be adjudicated plan-twins
+  (``ADJUDICATED_TWIN_OUTPUTS``)
 
 That covers every evidence class the round-14 probes caught by hand:
 an all-NULL column is ``n_nonnull == 0`` (the vacuous-branch class,
@@ -100,18 +103,33 @@ def _census_one(df) -> dict:
     # duplicate-output probe, made a standing artifact): sum of
     # per-row xxhash64 over every column. Equal multisets of rows ->
     # equal sums, no collect, no sort; any two POPULATED queries
-    # sharing (n_rows, output_hash) at a censused scale are the same
-    # relation and must be adjudicated plan-twins
+    # sharing (n_rows, output_hash, output_hash_xor) at a censused
+    # scale are the same relation and must be adjudicated plan-twins
     # (tests/test_properties.py::ADJUDICATED_TWIN_OUTPUTS).
-    hashable = [
-        f for f in fields if "map<" not in f.dataType.simpleString()
-    ]  # xxhash64 rejects MapType; map columns are excluded from the print
+    #
+    # Round 17 (ADVICE r16 #1): the per-row hash is SALTED with a
+    # schema fingerprint (sorted column name:type pairs) so a
+    # coincidental value collision between schema-renamed relations
+    # cannot alias as a twin, and a SECOND order-independent
+    # aggregate (the same per-row tuple under an INDEPENDENT salt,
+    # summed) is recorded — one additive sum alone can collide across
+    # different row multisets; simultaneous collisions under two
+    # independent 64-bit hash functions between distinct relations
+    # are implausible. Columns are hashed in sorted-name order so
+    # genuine twins that differ only in projection order still match.
+    hashable = sorted(
+        (f for f in fields if "map<" not in f.dataType.simpleString()),
+        key=lambda f: f.name,
+    )  # xxhash64 rejects MapType; map columns are excluded from the print
     if hashable:
-        aggs.append(
-            F.sum(F.xxhash64(*[F.col(f.name) for f in hashable]).cast("decimal(38,0)"))
-            .cast("string")
-            .alias("ohash")
-        )
+        fp = ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in hashable)
+        cols = [F.col(f.name) for f in hashable]
+        for salt, alias in ((fp, "ohash"), (fp + "#2", "oxor")):
+            aggs.append(
+                F.sum(F.xxhash64(F.lit(salt), *cols).cast("decimal(38,0)"))
+                .cast("string")
+                .alias(alias)
+            )
     row = df.agg(*aggs).collect()[0].asDict()
     cols = {}
     for i, f in enumerate(fields):
@@ -124,6 +142,8 @@ def _census_one(df) -> dict:
     out = {"n_rows": row["r"], "columns": cols}
     if row["r"] > 0 and row.get("ohash") is not None:
         out["output_hash"] = row["ohash"]
+        if row.get("oxor") is not None:
+            out["output_hash2"] = row["oxor"]
     if row["r"] > 0:
         ident = sorted(
             f"{a}=={b}" for k, (a, b) in enumerate(pairs) if row[f"pq{k}"] == 0

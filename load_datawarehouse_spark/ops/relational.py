@@ -2400,7 +2400,9 @@ pr0 AS (
 
 
 @_register("graph_pagerank", _pagerank_oracle())
-def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_pagerank(
+    spark: SparkSession, sf_dir: str, *, iters: int | None = None
+) -> DataFrame:
     """Fixed-point PageRank (d=17/20, 3 iterations) over the
     undirected customer-supplier purchase graph. Ranks are BIGINT
     micro-units (1e12 = rank 1.0): floor divisions and integer sums
@@ -2413,7 +2415,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges⨝ranks equi join + groupBy(dst), all hash-partitioned on the
     node key, no driver round-trip between iterations (pure lineage);
     per iteration: one join shuffle + one agg shuffle. At web scale,
-    localCheckpoint every ~5 rounds to cut lineage depth."""
+    localCheckpoint every ~5 rounds to cut lineage depth.
+
+    ``iters`` overrides the iteration count for TIMING-ONLY callers
+    (scalecheck10's t(k) = build + k*per_iter attribution, ADVICE r16
+    #3 — previously a monkeypatch of the module global); the
+    REGISTERED query always runs the default ``_PR_ITERS`` = 3, which
+    is what the 3-iteration oracle SQL verifies."""
     t = load_tables(spark, sf_dir, register_views=False)
     e0 = (
         t["orders"]
@@ -2442,7 +2450,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # block reuse; fresh-JVM interleaved is the honest protocol.)
     pr = nodes.select("node", F.lit(_PR_UNIT // n).cast("long").alias("pr"))
     base_units = (3 * _PR_UNIT // 20) // n  # (1-d) * unit / n, exact
-    for _ in range(_PR_ITERS):
+    for _ in range(_PR_ITERS if iters is None else iters):
         contrib = (
             edges.join(pr.withColumnRenamed("node", "src"), "src")
             .join(outdeg, "src")
@@ -3431,16 +3439,18 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(fwd, "event_id", "left")
         .filter(F.col("b_ts").isNotNull() | F.col("f_ts").isNotNull())
     )
-    # driver parquet ships ts as TIMESTAMP_NTZ (see load_tables);
-    # unix_micros requires TIMESTAMP, and all three columns cast
-    # identically so distances are unaffected
-    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    # ADVICE r16 #2: distances are computed with timestampdiff on the
+    # NTZ columns DIRECTLY — pure field arithmetic, independent of the
+    # session timezone — instead of the previous
+    # unix_micros(cast('timestamp')) whose three casts only cancel
+    # when the session zone's UTC offset is constant across the three
+    # wall times (a DST transition between them shifts one leg by the
+    # DST gap on a mis-pinned session)
+    dist_back = F.expr("timestampdiff(MICROSECOND, b_ts, ts)")
+    dist_fwd = F.expr("timestampdiff(MICROSECOND, ts, f_ts)")
     back_closer = (
         F.col("f_ts").isNull()
-        | (
-            F.col("b_ts").isNotNull()
-            & ((us("ts") - us("b_ts")) <= (us("f_ts") - us("ts")))
-        )
+        | (F.col("b_ts").isNotNull() & (dist_back <= dist_fwd))
     )
     return j.select(
         "event_id",

@@ -149,11 +149,28 @@ def load_tables(
     # nanos-timestamp workaround and the UTC pin (time-window bucketing
     # and unix_timestamp are session-timezone-dependent; the DuckDB
     # oracle is effectively UTC) must hold there too (runtime confs).
+    # ADVICE r16 #2: do not swallow a failed pin silently — a session
+    # whose zone CANNOT be set and is not already UTC would silently
+    # shift every session-zone-dependent expression (time-window
+    # bucketing, unix_timestamp) away from the UTC-naive oracle.
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
-        pass
+        import warnings
+
+        try:
+            tz = spark.conf.get("spark.sql.session.timeZone")
+        except Exception:
+            tz = "<unreadable>"
+        if tz != "UTC":
+            warnings.warn(
+                "could not pin spark.sql.session.timeZone to UTC (session "
+                f"zone is {tz!r}); session-zone-dependent expressions may "
+                "diverge from the UTC-naive oracle",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     out: dict[str, DataFrame] = {}
     sid = id(spark)
     for name in TABLE_NAMES:

@@ -253,16 +253,18 @@ def _time_schema_infer(spark, sf_dir: str, warmup: bool) -> tuple[float, int, in
 
 def _time_pagerank_at(spark, sf_dir: str, iters: int, warmup: bool) -> float:
     """min-of-2 wall time of graph_pagerank with the iteration count
-    overridden (the loop reads the module global at call time), same
-    protocol as ``_time``."""
+    overridden through its keyword parameter (ADVICE r16 #3: the
+    previous module-global monkeypatch would have silently compared a
+    k-iteration run against the registered 3-iteration oracle if this
+    helper were ever reused in a verifying context; the explicit
+    ``iters=`` keyword keeps the timing-only intent in the
+    signature), same protocol as ``_time``."""
+    import functools
+
     from load_datawarehouse_spark.ops import relational
 
-    old = relational._PR_ITERS
-    relational._PR_ITERS = iters
-    try:
-        best, _ = _time(relational.graph_pagerank, spark, sf_dir, warmup=warmup)
-    finally:
-        relational._PR_ITERS = old
+    fn = functools.partial(relational.graph_pagerank, iters=iters)
+    best, _ = _time(fn, spark, sf_dir, warmup=warmup)
     return best
 
 

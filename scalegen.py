@@ -58,6 +58,24 @@ _SHIFTS = {
 }
 _FIXED = ("region", "nation")
 
+# table -> timestamp columns shifted per copy by the ORDERS calendar
+# span (VERDICT r16 #3): replicating orders into a FIXED 1995-2001
+# window made time-band cell occupancy rise linearly with sf and
+# band-pair slots quadratically BY CONSTRUCTION — a regime a real
+# growing corpus would not produce (more history, not a denser fixed
+# window). Copy i shifts BACKWARD by i * span_days, so the calendar
+# span grows proportionally to sf while (a) each copy keeps the base
+# window's internal density and order<->line date relationships
+# (l_shipdate shifts by the same stride as its order's o_orderdate),
+# and (b) the corpus fact "events (2024-01) post-date ALL orders"
+# holds at every sf — a forward shift would cross the events era near
+# sf4 and silently re-satisfy the events x orders time predicates the
+# round-14 re-anchors removed as unsatisfiable.
+_DATE_SHIFTS = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
 
 def _max_keys(spark: SparkSession) -> dict[str, int]:
     out: dict[str, int] = {}
@@ -71,9 +89,33 @@ def _max_keys(spark: SparkSession) -> dict[str, int]:
     return out
 
 
-def _replicate(df: DataFrame, table: str, k: int, maxes: dict[str, int]) -> DataFrame:
+def _span_days(spark: SparkSession) -> int:
+    """Calendar span of the base orders window in whole days (+1 so
+    copy windows abut without overlapping), the per-copy backward
+    date stride for every column in ``_DATE_SHIFTS``."""
+    row = (
+        spark.read.parquet(f"{SRC}/orders.parquet")
+        .agg(
+            F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("d")
+        )
+        .collect()[0]
+    )
+    return int(row["d"]) + 1
+
+
+def _replicate(
+    df: DataFrame, table: str, k: int, maxes: dict[str, int], span_days: int
+) -> DataFrame:
     copies = df.sparkSession.range(k).withColumnRenamed("id", "_copy")
     out = df.crossJoin(F.broadcast(copies))
+    for col in _DATE_SHIFTS.get(table, ()):
+        # backward shift: copy i's window is [base - i*span, ...] —
+        # see the _DATE_SHIFTS comment for why backward
+        out = out.withColumn(
+            col,
+            F.col(col)
+            - F.make_dt_interval(days=(F.col("_copy") * F.lit(span_days))),
+        )
     for col, owner in _SHIFTS.get(table, {}).items():
         dtype = dict(df.dtypes)[col]
         # stride = max + 1: with base keys spanning [0, max], a stride
@@ -254,6 +296,8 @@ def main() -> None:
     spark = get_spark(app_name="scalegen")
     spark.sparkContext.setLogLevel("ERROR")
     maxes = _max_keys(spark)
+    span_days = _span_days(spark)
+    print(f"orders calendar span: {span_days} days/copy (backward stride)", flush=True)
     for table in list(_SHIFTS) + list(_FIXED):
         src = f"{SRC}/{table}.parquet"
         out = f"{dest}/{table}.parquet"
@@ -277,7 +321,7 @@ def main() -> None:
             continue
         reps = max(1, min(32, (df.count() * k) // 200_000))
         tmp = out + ".dir"
-        _replicate(df, table, k, maxes).repartition(int(reps)).write.mode(
+        _replicate(df, table, k, maxes, span_days).repartition(int(reps)).write.mode(
             "overwrite"
         ).parquet(tmp)
         # driver layout is one file per table-name path; a directory of

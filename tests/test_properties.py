@@ -1300,6 +1300,59 @@ def test_no_registered_query_is_vacuous_at_driver_scale():
     )
 
 
+#: Registered queries that are LEGITIMATELY empty at the CERTIFIED
+#: scale (sf1) while populated at sf0.01, each with its adjudication
+#: — the symmetric twin of EXPECTED_EMPTY_AT_DRIVER_SCALE (VERDICT
+#: r16 #1: an sf1 SCALEVERIFY "match" on an empty result proves only
+#: empty-set agreement at the one scale that exists to prove scale
+#: behavior). Starts EMPTY: round 17 re-anchored all three r16
+#: offenders (heavy_hitters_misra_gries m 200 -> 4000,
+#: q11_important_stock fraction-of-total -> 4x-average,
+#: pipeline_curation_v3 gate-before-cap) so sf1 is populated.
+EXPECTED_EMPTY_AT_SF1: dict[str, str] = {}
+
+
+def test_no_registered_query_is_vacuous_at_certified_scale():
+    """VERDICT r16 #1 (hard gate): the sf1 SCALEVERIFY sweep is the
+    evidence that operators behave at 100x the driver's correctness
+    scale — a query that returns 0 rows there gets a "match"
+    certificate that proves nothing beyond empty-set agreement.
+    Require, from the recorded census artifact: (a) every registered
+    query HAS a successful sf1 census row (a new op without one fails
+    here until ``python census.py --sf-dir /root/repo/.scaledata/sf1.0
+    --label sf1 --only <op>`` is run — the sf1 staleness gate), and
+    (b) every query produces >= 1 row at sf1 or carries a recorded
+    justification in EXPECTED_EMPTY_AT_SF1."""
+    import os
+
+    import __spark_entry__ as e
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "CENSUS.json")
+    assert os.path.exists(path), "CENSUS.json missing — run `python census.py`"
+    sf1 = json.load(open(path)).get("scales", {}).get("sf1", {})
+    q = e.queries()
+
+    missing = [n for n in q if n not in sf1 or "error" in sf1[n]]
+    assert not missing, (
+        "registered queries with no successful sf1 census row — run "
+        "`python census.py --sf-dir /root/repo/.scaledata/sf1.0 --label "
+        f"sf1 --only {','.join(missing)}` and commit: {missing}"
+    )
+    stale_just = sorted(set(EXPECTED_EMPTY_AT_SF1) - set(q))
+    assert not stale_just, f"justifications for unregistered queries: {stale_just}"
+    empty = [
+        n for n in q
+        if sf1[n].get("n_rows", 0) == 0 and n not in EXPECTED_EMPTY_AT_SF1
+    ]
+    assert not empty, (
+        "queries EMPTY at the certified scale (sf1) — their sf1 "
+        f"SCALEVERIFY certificates are vacuous: {empty}. Re-anchor the "
+        "predicate so sf1 yields rows (keeping the operator claim) or "
+        "record a justification in EXPECTED_EMPTY_AT_SF1."
+    )
+
+
 #: Query groups whose FULL OUTPUT is identical at censused scales ON
 #: PURPOSE — plan-twins whose identical result IS the correctness
 #: claim (different physical strategy / engine path, same relation).
@@ -1348,7 +1401,9 @@ def test_duplicate_outputs_are_adjudicated_twins():
         groups = collections.defaultdict(list)
         for name, row in m.items():
             if row.get("n_rows", 0) > 0 and "output_hash" in row:
-                groups[(row["n_rows"], row["output_hash"])].append(name)
+                groups[
+                    (row["n_rows"], row["output_hash"], row.get("output_hash2"))
+                ].append(name)
         for names in groups.values():
             if len(names) > 1 and frozenset(names) not in ADJUDICATED_TWIN_OUTPUTS:
                 offenders.append((label, sorted(names)))
@@ -1363,6 +1418,28 @@ def test_duplicate_outputs_are_adjudicated_twins():
         if not g <= set.union(*(set(m) for m in scales.values()))
     ]
     assert not stale, f"twin adjudications for unregistered queries: {stale}"
+    # VERDICT r16 #6: twins must STAY twins. The adjudicated groups
+    # are equality CLAIMS (streaming-vs-batch, SQ-vs-brute, UDF
+    # flavors) — if a group ever stops hash-matching at a censused
+    # scale where both members are populated, that is a silent
+    # divergence of a claimed-equal pair, which previously would just
+    # drop out of the dup-group list unnoticed.
+    diverged = []
+    for g in ADJUDICATED_TWIN_OUTPUTS:
+        for label, m in scales.items():
+            rows = [m.get(n) for n in sorted(g)]
+            if any(r is None or "error" in r for r in rows):
+                continue  # scale not censused for this pair (yet)
+            keys = {
+                (r.get("n_rows"), r.get("output_hash"), r.get("output_hash2"))
+                for r in rows
+            }
+            if any(r.get("n_rows", 0) > 0 for r in rows) and len(keys) > 1:
+                diverged.append((label, sorted(g), sorted(map(str, keys))))
+    assert not diverged, (
+        "adjudicated twin groups that no longer hash-match at a censused "
+        f"scale (the claimed-equal pair has DIVERGED): {diverged}"
+    )
 
 
 # --- column-level vacuous-evidence guard (VERDICT r14 #2 + #6) --------------

@@ -14,8 +14,8 @@ query:
 - ``output_hash`` + ``output_hash2`` (round 16, strengthened round
   17 per ADVICE r16 #1): order-independent full-output fingerprints
   (sums of per-row xxhash64 over all non-map columns in sorted-name
-  order, salted with the schema fingerprint; the second sum uses an
-  independent salt) — the r15 duplicate-output probe as a standing
+  order, salted with the sorted column-NAME list; the second sum
+  uses an independent salt) — the r15 duplicate-output probe as a standing
   field; populated queries sharing (n_rows, output_hash,
   output_hash2) must be adjudicated plan-twins
   (``ADJUDICATED_TWIN_OUTPUTS``)
@@ -122,7 +122,14 @@ def _census_one(df) -> dict:
         key=lambda f: f.name,
     )  # xxhash64 rejects MapType; map columns are excluded from the print
     if hashable:
-        fp = ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in hashable)
+        # NAME-only fingerprint (ADVICE r16 #1 asked for column names):
+        # including TYPES would break the streaming-vs-batch twin
+        # groups, which legitimately differ in timestamp KIND
+        # (watermarks require TIMESTAMP; the batch twin keeps the
+        # parquet NTZ) while agreeing on every value — and per-column
+        # types are already recorded in the columns map, so a type
+        # flip remains visible in the artifact.
+        fp = ",".join(f.name for f in hashable)
         cols = [F.col(f.name) for f in hashable]
         for salt, alias in ((fp, "ohash"), (fp + "#2", "oxor")):
             aggs.append(

@@ -22,14 +22,31 @@ from pyspark.sql import DataFrame, SparkSession
 # warehouse_load_nested_evolution, #380), so the head is now always
 # the ops whose plan/code changed most recently.
 _FIRST_NAMES = (
-    # --- round-16 head: every op whose PLAN, kernel, or semantics
-    # changed this round, first. The six VERDICT r15 #1 re-anchors
-    # (driver-scale evidence now non-vacuous: populated at sf0.01),
-    # the NEW warehouse_load_nested_evolution + the recursive
-    # nested-struct conform the whole S2 DataFrame path now routes
-    # through (ADVICE r15 #1), and the eval-gram memo tag re-key
-    # (per gram order — the bloom site's 6-gram frame no longer
-    # counts under the 8-gram tag, ADVICE r15 #3). ---
+    # --- round-17 head: every op whose PLAN, kernel, or semantics
+    # changed this round, first. The three VERDICT r16 #1 re-anchors
+    # (sf1 evidence now non-vacuous: populated at every certified
+    # scale), the session-zone-independent as-of distance math
+    # (ADVICE r16 #2), and the pagerank iters-parameter refactor
+    # (ADVICE r16 #3 — default plan unchanged, re-checked anyway). ---
+    "heavy_hitters_misra_gries",
+    "q11_important_stock",
+    "pipeline_curation_v3",
+    "join_asof_nearest",
+    "graph_pagerank",
+    # --- siblings sharing the re-anchored claims/predicates: the
+    # as-of family, the curation capstone's stage operators, and the
+    # time-band family whose scale-corpus regime changed with the
+    # r17 calendar-span scalegen fix (driver data is untouched, but
+    # the shared band-grid derivation deserves fresh evidence) ---
+    "join_asof",
+    "join_asof_forward",
+    "join_asof_tolerance",
+    "quality_domain_cap",
+    "split_train_val_test",
+    "orders_price_time_band_pairs",
+    "join_range_bucketed",
+    "join_range_bands",
+    # --- round-16 head (previous round's changed ops, re-checked) ---
     "warehouse_load_nested_evolution",
     "warehouse_load_dataframe",
     "join_anti",
@@ -37,7 +54,6 @@ _FIRST_NAMES = (
     "q22_idle_rich_segments",
     "subq_not_exists_idle_rich",
     "multimodal_audio_silence_segments",
-    "orders_price_time_band_pairs",
     "dedup_exact_groups",
     "contamination_bloom_prefilter",
     "contamination_ngram_check",
@@ -64,7 +80,6 @@ _FIRST_NAMES = (
     "dedup_exact_normalized",
     "dedup_exact_keep_first",
     "multimodal_audio_energy",
-    "join_range_bucketed",
     # --- round-15 head re-checks: measured eval-gram gate family,
     # the re-anchored scalar/window ops, the banding memo re-key ---
     "scalar_try_arith",
@@ -73,10 +88,7 @@ _FIRST_NAMES = (
     "dedup_minhash_verified",
     "dedup_minhash_estimate_quality",
     "dedup_lsh_bucket_skew",
-    "join_asof_nearest",
-    "join_asof_forward",
     "events_velocity_flags",
-    "join_asof_tolerance",
     "join_theta",
     "dedup_tfidf_cosine_pairs",
     "scalar_string",
@@ -91,7 +103,6 @@ _FIRST_NAMES = (
     "dedup_neardup_clusters",
     "source_federated_union",
     "multimodal_video_frame_dedup",
-    "join_range_bands",
     "embedding_pca_second_component",
     "dedup_ngram_jaccard",
     "dedup_shingle_containment",
@@ -109,7 +120,6 @@ _FIRST_NAMES = (
     "dedup_template_groups",
     "text_novelty_per_doc",
     "pipeline_source_quality_card",
-    "pipeline_curation_v3",
     # --- embedding-family re-checks ---
     "similarity_cosine_topk",
     "similarity_ivf_topk",
@@ -122,7 +132,6 @@ _FIRST_NAMES = (
     "q1_pricing_summary",
     "join_inner",
     "join_null_safe_eq",
-    "join_asof",
     "join_skew_salted",
     "graph_triangle_count",
     "basket_association_rules",

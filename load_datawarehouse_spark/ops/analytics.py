@@ -2137,10 +2137,14 @@ def _count_band_grid_candidates(spark: SparkSession, sf_dir: str) -> int:
     cell histogram (one groupBy + a 9-exploded histogram self-join;
     never order x order). Registered in ``CANDIDATE_PAIR_COUNTS`` so
     the scale sweeps record a measured ``slope_per_candidate_pair``
-    for this op (VERDICT r15 #3): the corpus replicates into a FIXED
-    calendar span, so cell occupancy — and with it the band-pair
-    workload — grows ~quadratically per decade by construction; the
-    accounting separates that workload growth from engine scaling.
+    for this op (VERDICT r15 #3). History: through round 16 the scale
+    corpus replicated orders into a FIXED calendar span, so cell
+    occupancy — and the band-pair workload — grew ~quadratically per
+    decade BY CONSTRUCTION (slope10 12.24 with per-candidate 0.122);
+    round 17 made scalegen grow the calendar span with sf (per-copy
+    backward date stride, VERDICT r16 #3), restoring the
+    linear-workload regime a real growing corpus produces. The
+    accounting still separates workload growth from engine scaling.
     Shares ``_band_grid`` / ``_band_offsets`` with the op itself so
     the counted workload cannot drift from the paid one."""
     t = load_tables(spark, sf_dir, register_views=False)

@@ -1193,8 +1193,9 @@ def test_candidate_counters_bound_their_ops(spark):
 #: re-anchored the three ops whose predicates could never be satisfied
 #: by the corpus (join_range_bucketed, join_asof_forward,
 #: events_velocity_flags). Ops empty at SOME scales but populated at
-#: others (e.g. q11_important_stock's share dilution at sf1) don't
-#: belong here — they pass via their populated scale.
+#: others don't belong here — they pass via their populated scale
+#: (and since round 17 the sf0.01/sf1 per-scale gates require a
+#: justification at EACH of those scales individually).
 EXPECTED_EMPTY_AT_ALL_SCALES: dict[str, str] = {}
 
 

@@ -1541,6 +1541,7 @@ ADJUDICATED_CONSTANT_COLUMNS: dict[str, str] = {
     "multimodal_feature_extract.hist_7": "payload bytes are ASCII -> histogram bins 1 and 3 only",
     "multimodal_video_frame_dedup.match_bps": "surviving groups are exact frame-signature duplicates -> 100.00% match by construction",
     "orders_duplicate_suspects.days_apart": "the replayed batch shifts order dates by exactly 3 days; the window is <= 7",
+    "orders_pareto_skyline.n_orders": "cent-granular prices make frontier (cents, day) pairs unique, so every skyline point counts exactly 1 order; values >1 at sf1 were an artifact of the pre-r17 fixed-calendar-span corpus stacking replicas onto identical days (the count aggregation itself is live in the groupBy)",
     "pii_scrub.n_emails": "generator embeds exactly one email per document (adjudicated r14; scrub branch fixture-locked)",
     "pii_scrub.n_phones": "generator embeds exactly one phone per document",
     "pipeline_source_quality_card.dup_rate_bps": "base corpus has no intra-source exact dups; dup accounting is live in the dedup family fixtures",

@@ -147,6 +147,29 @@ def bcast_measured(
     return F.broadcast(df) if n <= max_rows else df
 
 
+def measured_workload(tag: str, key_df, count_fn) -> int:
+    """Per-process memo for a MEASURED workload number (pair-budget
+    histogram sums, gate counts) keyed by ``tag`` +
+    :func:`input_files_key` of ``key_df`` — the same contract as
+    ``_MEASURED_ROWS_CACHE`` / ``_BAND_SIZE_CACHE``: repeated
+    invocations against one corpus pay the measurement job exactly
+    once, and an in-place corpus regeneration (different files, sizes
+    or mtimes) invalidates the memo. ``count_fn`` is a thunk running
+    the actual measurement job; frames with no file inputs (in-memory
+    fixtures) skip the memo entirely."""
+    key = None
+    fk = input_files_key(key_df)
+    if fk is not None:
+        key = (tag, fk)
+        n = _MEASURED_ROWS_CACHE.get(key)
+        if n is not None:
+            return n
+    n = int(count_fn())
+    if key is not None:
+        _MEASURED_ROWS_CACHE[key] = n
+    return n
+
+
 def dec_sum(col: Column | str, alias: str) -> Column:
     """Exact sum of a double column, returned as double."""
     return F.sum(_c(col).cast(DEC)).cast("double").alias(alias)

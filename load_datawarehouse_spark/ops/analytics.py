@@ -193,7 +193,6 @@ def orders_concurrent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Hierarchical BOM explosion (iterative closure vs recursive CTE)
 # ---------------------------------------------------------------------------
 
-_BOM_MAX_ITERS = 12
 
 _BOM_ORACLE = """
 WITH RECURSIVE walk AS (
@@ -222,51 +221,49 @@ def part_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hierarchies) Spark expresses as a bounded iterative equi join
     against the edge table.
 
-    Each iteration joins only still-walking rows (anc > 3) against the
-    edge relation and multiplies the edge quantity into the running
-    multiplier; converged rows pass through untouched. Lineage is cut
-    every 4 rounds (``localCheckpoint``) so the plan stays flat, and
-    non-convergence within ``_BOM_MAX_ITERS`` (covers 4^12 parts)
-    raises instead of returning partial closure — cf. the same
-    discipline in the connected-components ops. Scale: tree depth is
-    logarithmic in |part|, and each round is one hash equi join on the
-    ancestor key; the final rollup is a 3-group aggregation. Oracle:
-    DuckDB recursive CTE over the identical edge arithmetic.
+    The edge relation here is a PURE FUNCTION of the key — parent(c) =
+    c DIV 4, qty-per(c) = 1 + c % 3 — knowledge the optimizer cannot
+    exploit but we can (optimization-guide §8): joining the edge table
+    merely looked up values every row can compute locally, so the walk
+    folds the recurrence per row with ``aggregate`` over a bounded
+    step sequence instead of 12 iterative hash-join rounds. That
+    removes every join shuffle, every lineage cut, and the driver-side
+    convergence count (a full extra job per call) from the plan: one
+    narrow scan, one 3-group aggregation. Convergence is provable, not
+    checked at runtime: anc DIV 4 strictly descends for anc > 3 and 32
+    halving-twice steps cover every positive 63-bit key (4^32 > 2^63),
+    so the fold always reaches a root — the old runtime raise guarded
+    an iteration cap the closed form does not have. A REAL edge table
+    (arbitrary parent pointers) would still need the iterative join;
+    this op's contract is the synthetic arithmetic hierarchy, exactly
+    as the oracle's recursive CTE computes it (no join there either).
+    Scale: per-row work is O(depth) integer ops in codegen.
     """
     t = load_tables(spark, sf_dir, register_views=False)
-    edges = t["part"].select(
-        F.col("p_partkey").alias("child"),
-        F.expr("p_partkey DIV 4").alias("parent"),
-        (1 + F.col("p_partkey") % 3).cast("long").alias("qty"),
+    # one fold step: while anc > 3, multiply in this level's qty-per
+    # and ascend (DIV 4 == shiftright 2 for the non-negative keys;
+    # converged rows pass through untouched, exactly the old union)
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.lit(32)),
+        F.struct(
+            F.col("p_partkey").cast("long").alias("anc"),
+            F.lit(1).cast("long").alias("mult"),
+            F.lit(0).cast("long").alias("depth"),
+        ),
+        lambda acc, _: F.when(
+            acc["anc"] > 3,
+            F.struct(
+                F.shiftright(acc["anc"], 2).alias("anc"),
+                (acc["mult"] * (1 + acc["anc"] % 3)).alias("mult"),
+                (acc["depth"] + 1).alias("depth"),
+            ),
+        ).otherwise(acc),
     )
-    state = t["part"].select(
-        F.col("p_partkey").alias("part"),
-        F.col("p_partkey").alias("anc"),
-        F.lit(1).cast("long").alias("mult"),
-        F.lit(0).cast("long").alias("depth"),
+    state = t["part"].select(walk.alias("w")).select(
+        F.col("w.anc").alias("anc"),
+        F.col("w.mult").alias("mult"),
+        F.col("w.depth").alias("depth"),
     )
-    for i in range(_BOM_MAX_ITERS):
-        walking = state.filter(F.col("anc") > 3)
-        done = state.filter(F.col("anc") <= 3)
-        adv = (
-            walking.join(edges, walking.anc == edges.child)
-            .select(
-                "part",
-                F.col("parent").alias("anc"),
-                (F.col("mult") * F.col("qty")).alias("mult"),
-                (F.col("depth") + 1).alias("depth"),
-            )
-        )
-        state = adv.unionByName(done)
-        if i % 4 == 3:
-            state = state.transform(lineage_cut)
-    remaining = state.filter(F.col("anc") > 3).count()
-    if remaining:
-        raise RuntimeError(
-            f"BOM walk did not converge within {_BOM_MAX_ITERS} rounds: "
-            f"{remaining} rows still above the root layer — the part "
-            "keyspace exceeds 4^12; raise _BOM_MAX_ITERS"
-        )
     return (
         state.groupBy(F.col("anc").alias("root"))
         .agg(

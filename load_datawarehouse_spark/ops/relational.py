@@ -540,8 +540,13 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load_tables(spark, sf_dir, register_views=False)
     s, c, n = t["supplier"], t["customer"], t["nation"]
+    from load_datawarehouse_spark.ops._util import measured_workload
+
     require_pair_budget(
-        _theta_pair_workload(t),
+        # r17: workload histogram memoized per corpus file identity
+        measured_workload(
+            "theta-pair-workload", s, lambda: _theta_pair_workload(t)
+        ),
         None,
         env_var="SPARK_GRAFT_THETA_PAIR_BUDGET",
         default=200_000_000,

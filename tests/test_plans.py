@@ -69,15 +69,22 @@ def test_theta_range_scale_contract(spark):
     assert "CartesianProduct" not in bands
 
 
-def test_shingles_single_shuffle(spark):
+def test_shingles_zero_shuffles(spark):
     t = load_tables(spark, SF_DIR, register_views=False)
     plan = _plan(llm._shingles(t))
-    # array-native n-gram assembly: narrow until the closing distinct.
-    # The scan-spread round-robin (session._spread_small_scan) is the
-    # one tolerated extra exchange — it moves raw doc rows, not the
-    # shingle fan-out, and disappears at scale (partition-count guard).
-    assert plan.count("Exchange hashpartitioning") == 1
+    # r17: the dedup is IN-ROW (array_distinct before the explode), so
+    # the frame is narrow end to end — the old closing distinct's
+    # exchange is gone. The scan-spread round-robin
+    # (session.spread_small_scan) stays the one tolerated exchange
+    # when `spread=True` — it moves raw doc rows, not the shingle
+    # fan-out, and disappears at scale (partition-count guard).
+    assert plan.count("Exchange hashpartitioning") == 0
     assert plan.count("Exchange rangepartitioning") == 0
+    # the explode must consume the array EXPRESSION, not an aliased
+    # attribute: an attribute generator triggers
+    # InferFiltersFromGenerate and the pushed-down filter re-inlines
+    # the whole assembly below the scan (measured 8.7 s vs 0.3 s)
+    assert "+- Filter" not in _plan(llm._shingles(t, spread=True))
 
 
 def test_similarity_topk_no_corpus_shuffle(spark):
@@ -749,12 +756,16 @@ def test_balanced_sample_windows_only_boundary_bucket(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_bom_rollup_joins_stay_hash_equi(spark):
+def test_bom_rollup_is_closed_form_no_joins(spark):
+    # r17: the synthetic edge relation is a pure function of the key,
+    # so the walk folds per row — the plan must carry NO join at all
+    # and exactly one data shuffle (the 3-group rollup aggregation;
+    # the tiny orderBy range exchange on <= 3 rows is tolerated)
     from load_datawarehouse_spark.ops import analytics
 
     plan = _plan(analytics.part_bom_rollup(spark, SF_DIR))
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_price_time_band_join_is_equi(spark):

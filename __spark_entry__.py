@@ -22,10 +22,42 @@ from pyspark.sql import DataFrame, SparkSession
 # warehouse_load_nested_evolution, #380), so the head is now always
 # the ops whose plan/code changed most recently.
 _FIRST_NAMES = (
-    # --- round-17 head: every op whose PLAN, kernel, or semantics
-    # changed this round, first. The three VERDICT r16 #1 re-anchors
-    # (sf1 evidence now non-vacuous: populated at every certified
-    # scale), the session-zone-independent as-of distance math
+    # --- round-17 OPTIMIZATION head: every op whose PHYSICAL PLAN
+    # changed in the r17 optimization pass (shuffle removal: in-row
+    # array_distinct shingle/gram dedup, closed-form BOM walk,
+    # first-occurrence direct rollups, contamination in-row dedup,
+    # rake re-explode, dsir lang-through-groupBy, memoized pair-budget
+    # gates). Results are oracle-identical (380/380 vanilla sweep at
+    # sf0.01 + per-op sf1 scaleverify), but the changed plans are
+    # exactly what the driver window should re-check first. ---
+    "part_bom_rollup",
+    "dedup_ngram_jaccard",
+    "dedup_shingle_containment",
+    "dedup_jaccard_threshold_histogram",
+    "dedup_minhash_lsh",
+    "dedup_minhash_verified",
+    "dedup_minhash_estimate_quality",
+    "dedup_incremental_batch",
+    "text_novelty_per_doc",
+    "dedup_crossdoc_segments",
+    "contamination_ngram_check",
+    "contamination_bloom_prefilter",
+    "contamination_decontaminate_apply",
+    "pipeline_training_prep_v2",
+    "text_rake_keyphrases",
+    "dedup_tfidf_cosine_pairs",
+    "join_theta",
+    "importance_resample_dsir",
+    "pipeline_source_quality_card",
+    "dedup_neardup_clusters",
+    # gate-memo siblings: returned plan unchanged, but the pair-budget
+    # gate job they run at plan-build time is now memoized per corpus
+    "dedup_embedding_neardup",
+    "dedup_connected_components",
+    "dedup_semantic_clusters",
+    # --- round-17 BUILD head (mid-build re-anchors, stopped before a
+    # driver pass ever covered them): the three VERDICT r16 #1
+    # re-anchors, the session-zone-independent as-of distance math
     # (ADVICE r16 #2), and the pagerank iters-parameter refactor
     # (ADVICE r16 #3 — default plan unchanged, re-checked anyway). ---
     "heavy_hitters_misra_gries",
@@ -55,10 +87,6 @@ _FIRST_NAMES = (
     "subq_not_exists_idle_rich",
     "multimodal_audio_silence_segments",
     "dedup_exact_groups",
-    "contamination_bloom_prefilter",
-    "contamination_ngram_check",
-    "pipeline_training_prep_v2",
-    "contamination_decontaminate_apply",
     # --- S2 load() conform refactor: the verb family re-checks ---
     "warehouse_load_fetch",
     "warehouse_merge_cdc",
@@ -84,28 +112,16 @@ _FIRST_NAMES = (
     # the re-anchored scalar/window ops, the banding memo re-key ---
     "scalar_try_arith",
     "window_ranking",
-    "dedup_minhash_lsh",
-    "dedup_minhash_verified",
-    "dedup_minhash_estimate_quality",
     "dedup_lsh_bucket_skew",
     "events_velocity_flags",
-    "join_theta",
-    "dedup_tfidf_cosine_pairs",
     "scalar_string",
     "tokenizer_vocab_coverage",
     # --- shared-gate path (embedding family on require_pair_budget) ---
-    "dedup_embedding_neardup",
-    "dedup_semantic_clusters",
-    "dedup_connected_components",
     # --- earlier-round re-checks (banding, jaccard histogram,
     # federated union, MG merge, lazy PCA, kmeans, FLAC trio) ---
-    "dedup_jaccard_threshold_histogram",
-    "dedup_neardup_clusters",
     "source_federated_union",
     "multimodal_video_frame_dedup",
     "embedding_pca_second_component",
-    "dedup_ngram_jaccard",
-    "dedup_shingle_containment",
     "dedup_simhash_neardup",
     "dedup_levenshtein_verify",
     "embedding_pca_power_iteration",
@@ -114,12 +130,9 @@ _FIRST_NAMES = (
     "multimodal_payload_entropy",
     "multimodal_cdc_chunk_dedup",
     # --- dedup/pipeline family siblings of the gated probes ---
-    "dedup_incremental_batch",
     "dedup_strategy_comparison",
     "dedup_cascade_report",
     "dedup_template_groups",
-    "text_novelty_per_doc",
-    "pipeline_source_quality_card",
     # --- embedding-family re-checks ---
     "similarity_cosine_topk",
     "similarity_ivf_topk",

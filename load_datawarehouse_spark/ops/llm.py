@@ -3189,9 +3189,24 @@ def pipeline_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _shingles; measured ~20x slower here)
     docs = t["documents"].withColumn("words", F.split("text", " ", -1))
     w = F.col("words")
+    # r17: the Gopher and repetition metrics are computed BELOW the
+    # dedup window's exchange so the gate filters above it compare
+    # MATERIALIZED ints. Referenced as aliased HOF expressions above
+    # the window (the old shape), Catalyst's pushdown re-inlined the
+    # word-fold / gram-assembly pipeline into every reference — the
+    # sum_len fold ran twice (between = >= AND <=) and the 3-gram
+    # assembly 3x per row inside one filter condition. Five extra int
+    # columns cross an exchange that already carries text + words.
+    n_words, sum_len, n_stop = _gopher_metrics(w)
+    grams3 = _word_ngrams(w, 3)
     norm = docs.select(
         "doc_id", "source", "text", "words",
         F.md5(_norm_text_expr()).alias("norm_key"),
+        n_words.alias("m_words"),
+        sum_len.alias("m_sumlen"),
+        n_stop.alias("m_stop"),
+        F.size(grams3).alias("m_ng"),
+        F.size(F.array_distinct(grams3)).alias("m_nd"),
     )
     dedup = (
         norm.withColumn(
@@ -3201,17 +3216,18 @@ def pipeline_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .drop("rk", "norm_key")
     )
-    n_words, sum_len, n_stop = _gopher_metrics(w)
     quality = dedup.filter(
-        n_words.between(50, 100000)
-        & (sum_len.cast("double") / n_words).between(3.0, 10.0)
-        & (n_stop >= 2)
+        F.col("m_words").between(50, 100000)
+        & (F.col("m_sumlen").cast("double") / F.col("m_words")).between(3.0, 10.0)
+        & (F.col("m_stop") >= 2)
     )
-    grams3 = _word_ngrams(w, 3)
-    ng = F.size(grams3)
-    nd = F.size(F.array_distinct(grams3))
-    dup_frac = F.when(ng > 0, (ng - nd).cast("double") / ng).otherwise(F.lit(0.0))
-    rep = quality.filter(dup_frac <= 0.2)
+    dup_frac = F.when(
+        F.col("m_ng") > 0,
+        (F.col("m_ng") - F.col("m_nd")).cast("double") / F.col("m_ng"),
+    ).otherwise(F.lit(0.0))
+    rep = quality.filter(dup_frac <= 0.2).drop(
+        "m_words", "m_sumlen", "m_stop", "m_ng", "m_nd"
+    )
 
     # r17: per-doc gram dedup in-row (array_distinct) — shrinks the
     # eval distinct's input and the probe join's stream for free
@@ -3945,6 +3961,7 @@ def importance_resample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(bcast_bounded(totals, "1-row aggregate"))
         .select(
             "doc_id",
+            "lang",
             (
                 ((F.col("tcnt") + F.lit(1.0)) / (F.col("bcnt") + F.lit(1.0)))
                 * (
@@ -3954,14 +3971,16 @@ def importance_resample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wt"),
         )
     )
-    scored = weighted.groupBy("doc_id").agg(
+    # r17: lang rides the per-doc aggregation key (functionally
+    # dependent on doc_id), replacing the old re-join against a second
+    # documents scan with nothing at all (guide §2.4)
+    scored = weighted.groupBy("doc_id", "lang").agg(
         (F.sum(F.col("wt").cast(_COS_DEC)).cast("double") / F.count(F.lit(1))).alias(
             "importance"
         )
     )
     return (
-        scored.join(docs.select("doc_id", "lang"), "doc_id")
-        .select("doc_id", "lang", "importance")
+        scored.select("doc_id", "lang", "importance")
         .orderBy(F.desc("importance"), "doc_id")
         .limit(_DSIR_KEEP)
     )
@@ -5392,24 +5411,32 @@ def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is the cap working as designed).
     """
     t = load_tables(spark, sf_dir, register_views=False)
+    # r17: the word metrics are computed BELOW the dedup window's
+    # exchange, so the gate filter above it compares MATERIALIZED int
+    # attributes. Computed above (the old shape), the gate condition
+    # referenced the aliased HOF expressions and Catalyst's pushdown
+    # re-inlined the split+filter+array_distinct pipeline into every
+    # reference — n_words alone was re-derived 3x per surviving row
+    # (the same re-inlining pathology measured on _shingles). The
+    # exchange carries two extra ints per row; metrics are computed
+    # for dup copies too (rare), a fine trade.
+    words = F.filter(F.split("norm", " ", -1), lambda w: w != F.lit(""))
     normed = t["documents"].select(
         "doc_id", "lang", "source", "n_chars", _norm_text_expr().alias("norm")
+    ).select(
+        "doc_id", "lang", "source", "n_chars", "norm",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_types"),
     )
     w_dup = Window.partitionBy(F.md5("norm")).orderBy("doc_id")
     deduped = (
         normed.withColumn("copy_rk", F.row_number().over(w_dup))
         .filter(F.col("copy_rk") == 1)
     )
-    words = F.filter(F.split("norm", " ", -1), lambda w: w != F.lit(""))
-    gated = (
-        deduped.withColumn("words", words)
-        .withColumn("n_words", F.size("words"))
-        .withColumn("n_types", F.size(F.array_distinct("words")))
-        .filter(
-            (F.col("n_words") >= 30)
-            & (F.col("n_words") <= 500)
-            & (F.col("n_types").cast("double") / F.col("n_words") >= 0.3)
-        )
+    gated = deduped.filter(
+        (F.col("n_words") >= 30)
+        & (F.col("n_words") <= 500)
+        & (F.col("n_types").cast("double") / F.col("n_words") >= 0.3)
     )
     w_dom = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
     capped = (

@@ -204,6 +204,24 @@ def _word_ngrams(w, n, hashed=False):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _h128(col):
+    """Two independent 64-bit hash columns over a string expression —
+    the shuffle-narrow stand-in for joining/grouping on the string
+    itself (guide §2.3: shuffle keys, not payloads; VERDICT r17 #1).
+
+    Collision safety: equality of the PAIR is equality under an
+    effective 128-bit hash (the second xxhash64 prepends a constant,
+    so the two are independent), and every use below is key-internal —
+    the strings never appear in any query's output. A result can
+    change only if two DISTINCT strings in one corpus agree on both
+    halves: p ~ n^2 / 2^129, i.e. ~7e-16 even at 10^12 distinct grams
+    (a 100-TB corpus), the same guarantee class as the md5-128 keys
+    the oracles use. A single 64-bit key would NOT be safe at that
+    scale (birthday bound ~5e9)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.xxhash64(c), F.xxhash64(F.lit(1), c)
+
+
 def _gopher_metrics(w):
     """(n_words, sum_word_len, n_stopwords) over a materialized words
     column — shared by quality_gopher_filters and the capstone."""
@@ -216,7 +234,7 @@ def _gopher_metrics(w):
     return n_words, sum_len, n_stop
 
 
-def _shingle_base(t, n: int, spread: bool):
+def _shingle_base(t, n: int, spread: bool | str):
     """(base frame with a materialized words column, distinct-shingle
     array EXPRESSION over it) — shared by :func:`_shingle_arrays` and
     :func:`_shingles`.
@@ -231,7 +249,15 @@ def _shingle_base(t, n: int, spread: bool):
     # referencing the split(...) *expression* inside the transform
     # lambda would re-split the document for every element_at call
     # (3 splits per shingle — measured 3-4x slower).
-    docs = spread_small_scan(t["documents"]) if spread else t["documents"]
+    # spread=True: round-robin; spread="<col>": hash spread on that
+    # column (r18 — lets a doc-keyed consumer aggregation reuse the
+    # spread exchange, see session.spread_small_scan)
+    if spread:
+        docs = spread_small_scan(
+            t["documents"], by=spread if isinstance(spread, str) else None
+        )
+    else:
+        docs = t["documents"]
     base = docs.select("doc_id", F.split("text", " ", -1).alias("words"))
     w = F.col("words")
     # sequence(0, x) counts DOWN when x < 0, so gate short documents
@@ -250,7 +276,7 @@ def _shingle_base(t, n: int, spread: bool):
     return base, expr
 
 
-def _shingle_arrays(t, n: int = 3, spread: bool = False) -> DataFrame:
+def _shingle_arrays(t, n: int = 3, spread: bool | str = False) -> DataFrame:
     """doc_id -> distinct shingle ARRAY (one row per doc), for
     consumers that read per-doc counts or multiple views of the set.
 
@@ -265,7 +291,7 @@ def _shingle_arrays(t, n: int = 3, spread: bool = False) -> DataFrame:
     return base.select("doc_id", expr.alias("shingles"))
 
 
-def _shingles(t, n: int = 3, spread: bool = False):
+def _shingles(t, n: int = 3, spread: bool | str = False):
     """doc_id -> distinct (doc_id, shingle) rows; ZERO shuffles (the
     dedup is in-row, see :func:`_shingle_base`).
 
@@ -294,15 +320,24 @@ def _capped_shingle_pairs(ds: DataFrame) -> DataFrame:
     collect_list + in-row pair-assembly variant (one fewer exchange)
     was built and MEASURED SLOWER (+25% op time at sf0.1 — nested
     higher-order pair generation skips codegen), so the codegen'd
-    self-join stays."""
-    idx = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+    self-join stays.
+
+    r18: the DF census, the pruning join and the pair self-join all
+    key on the 128-bit hash pair of the shingle (``_h128``) instead of
+    the 23+-char string — every exchange of the exploded stream
+    carries two longs, and the join/agg hash+compare run on fixed
+    width (guide §2.3). n_common is a count over hash-equal rows ==
+    string-equal rows under the documented collision bound."""
+    sh1, sh2 = _h128("shingle")
+    hs = ds.select("doc_id", sh1.alias("sh1"), sh2.alias("sh2"))
+    idx = hs.groupBy("sh1", "sh2").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df").between(2, MAX_SHINGLE_DF)
     )
-    pruned = ds.join(idx.select("shingle"), "shingle")
-    a = pruned.select(F.col("doc_id").alias("d1"), "shingle")
-    b = pruned.select(F.col("doc_id").alias("d2"), "shingle")
+    pruned = hs.join(idx.select("sh1", "sh2"), ["sh1", "sh2"])
+    a = pruned.select(F.col("doc_id").alias("d1"), "sh1", "sh2")
+    b = pruned.select(F.col("doc_id").alias("d2"), "sh1", "sh2")
     return (
-        a.join(b, "shingle")
+        a.join(b, ["sh1", "sh2"])
         .filter(F.col("d1") < F.col("d2"))
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -507,31 +542,44 @@ def _minhash_sigs(ds: DataFrame) -> DataFrame:
 
 
 def _bands_from_sigs(sigs: DataFrame, band_size: int) -> DataFrame:
-    """Signature columns -> (doc_id, band, band_key) LSH rows:
-    N_MINHASH // band_size full bands, band key = md5 of the band's
-    signatures joined in hash-function order (canonical for any band
-    size; trailing signatures that do not fill a band are dropped).
-    Mirrored in SQL by ``_LSH_BANDS_SQL``."""
+    """Signature columns -> (doc_id, band, bk1, bk2) LSH rows:
+    N_MINHASH // band_size full bands; trailing signatures that do not
+    fill a band are dropped.
+
+    r18: the band key is the 128-bit xxhash64 pair over the band's
+    signature columns (passed directly — no concat_ws, no md5) instead
+    of a 32-char md5 hex string: the bucket self-join's exchange rows
+    narrow from ~48 to 24 bytes and the crypto hash per (doc, band)
+    drops to two xxhash64s (guide §2.3). Band-bucket identity ==
+    equality of the band's signature tuple either way (the oracle's
+    ``_LSH_BANDS_SQL`` buckets by the md5 of the same tuple), so the
+    candidate set is unchanged under the ``_h128`` collision bound."""
     n_bands = max(1, N_MINHASH // band_size)
     band_structs = [
         F.struct(
             F.lit(b).cast("long").alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[F.col(f"sig{j}") for j in range(b * band_size, (b + 1) * band_size)],
-                )
-            ).alias("band_key"),
+            F.xxhash64(
+                *[F.col(f"sig{j}") for j in range(b * band_size, (b + 1) * band_size)]
+            ).alias("bk1"),
+            F.xxhash64(
+                F.lit(1),
+                *[F.col(f"sig{j}") for j in range(b * band_size, (b + 1) * band_size)],
+            ).alias("bk2"),
         )
         for b in range(n_bands)
     ]
     return sigs.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    ).select(
+        "doc_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bk1").alias("bk1"),
+        F.col("bk.bk2").alias("bk2"),
+    )
 
 
 def _minhash_bands(t, ds: DataFrame | None = None, band_size: int | None = None) -> DataFrame:
-    """doc_id -> (band, band_key) LSH rows at the CORPUS-DERIVED band
+    """doc_id -> (band, bk1, bk2) LSH rows at the CORPUS-DERIVED band
     size: ``band_size`` defaults to :func:`_lsh_band_size` of the
     documents row count (one column-pruned parquet count — metadata
     cheap), so the collision threshold sharpens by a factor of the
@@ -547,7 +595,12 @@ def _minhash_bands(t, ds: DataFrame | None = None, band_size: int | None = None)
     if band_size is None:
         band_size = _derived_band_size(t["documents"])
     if ds is None:
-        ds = _shingles(t, spread=True)
+        # r18: doc_id-keyed spread — _minhash_sigs' groupBy(doc_id)
+        # then reuses the spread exchange (zero exchanges between the
+        # scan and the banding explode). Callers that pass a shared
+        # lineage-cut ds keep their own spread; partitioning does not
+        # survive the cut, so their sigs exchange stays (one row/doc).
+        ds = _shingles(t, spread="doc_id")
     return _bands_from_sigs(_minhash_sigs(ds), band_size)
 
 
@@ -569,10 +622,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4 band rows per doc, consumed by both self-join sides — cut
     # lineage so the shingle+minhash pipeline runs once, not per side
     bands = _minhash_bands(t).transform(lineage_cut)
-    a = bands.select(F.col("doc_id").alias("d1"), "band", "band_key")
-    b = bands.select(F.col("doc_id").alias("d2"), "band", "band_key")
+    a = bands.select(F.col("doc_id").alias("d1"), "band", "bk1", "bk2")
+    b = bands.select(F.col("doc_id").alias("d2"), "band", "bk1", "bk2")
     return (
-        a.join(b, ["band", "band_key"])
+        a.join(b, ["band", "bk1", "bk2"])
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
         .distinct()
@@ -652,10 +705,10 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cheap bucket join per consumer.
     ds = _shingles(t, spread=True).transform(lineage_cut)
     bands = _minhash_bands(t, ds=ds).transform(lineage_cut)
-    ba = bands.select(F.col("doc_id").alias("d1"), "band", "band_key")
-    bb = bands.select(F.col("doc_id").alias("d2"), "band", "band_key")
+    ba = bands.select(F.col("doc_id").alias("d1"), "band", "bk1", "bk2")
+    bb = bands.select(F.col("doc_id").alias("d2"), "band", "bk1", "bk2")
     cand = (
-        ba.join(bb, ["band", "band_key"])
+        ba.join(bb, ["band", "bk1", "bk2"])
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
         .distinct()
@@ -666,11 +719,20 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # same cut for the candidate-doc shingles: consumed by cnt + both
-    # join sides; bounded by |candidate docs| x shingles-per-doc
-    ds_c = ds.join(cand_docs, "doc_id", "left_semi").transform(lineage_cut)
+    # join sides; bounded by |candidate docs| x shingles-per-doc.
+    # r18: hashed to the 128-bit pair BEFORE the cut, so the
+    # checkpoint materializes (doc_id, 2 longs) rows and the exact
+    # intersection joins/aggregates on fixed-width keys — the shingle
+    # strings never leave the assembly stage (guide §2.3; _h128)
+    sh1, sh2 = _h128("shingle")
+    ds_c = (
+        ds.join(cand_docs, "doc_id", "left_semi")
+        .select("doc_id", sh1.alias("sh1"), sh2.alias("sh2"))
+        .transform(lineage_cut)
+    )
     cnt = ds_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = ds_c.select(F.col("doc_id").alias("d1"), "shingle")
-    b = ds_c.select(F.col("doc_id").alias("d2"), "shingle")
+    a = ds_c.select(F.col("doc_id").alias("d1"), "sh1", "sh2")
+    b = ds_c.select(F.col("doc_id").alias("d2"), "sh1", "sh2")
     # PAIR-FIRST intersection count: attach d1's shingles to each
     # candidate pair, then equi-join on (d2, shingle). The inverted
     # index shape (join a<->b on shingle, THEN restrict to cand)
@@ -681,7 +743,7 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate list (A/B at sf1: 38.8 s -> 19.9 s, identical rows).
     common = (
         cand.join(a, "d1")
-        .join(b, ["d2", "shingle"])
+        .join(b, ["d2", "sh1", "sh2"])
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -1901,8 +1963,12 @@ def _simhash60(t) -> DataFrame:
     disguised cross join. 60 bits / 15-bit bands give 32768 buckets
     per band, so bucket sizes stay O(N/32768)."""
     # the 60-bit-per-word signature aggregation is explode-heavy:
-    # spread the single-file scan first (2.27 -> 1.61 s at sf0.1)
-    words = spread_small_scan(t["documents"]).select(
+    # spread the single-file scan first (2.27 -> 1.61 s at sf0.1).
+    # r18: keyed on doc_id, so the groupBy(doc_id) below — whose 60
+    # partial-sum vote columns were the op's widest exchange — plans
+    # with no exchange at all: a doc's words are partition-local and
+    # the votes aggregate in place (guide §2.4).
+    words = spread_small_scan(t["documents"], by="doc_id").select(
         "doc_id", F.explode(F.split("text", " ", -1)).alias("word")
     )
     # ONE integer parse of the first 15 md5 hex chars instead of 60
@@ -2329,11 +2395,11 @@ def dedup_crossdoc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     how many of its distinct segments it still owns after dedup.
 
     Scale: segments are assembled array-natively per row (narrow) and
-    only their md5 hashes are exploded — the shuffle carries 16-byte
-    keys, not text. Ownership is one groupBy(seg_hash) with partial
-    min; the ownership join is hash-equi on the same key so the
-    exchange is reused. This is the pattern that removes boilerplate
-    at 100 TB without ever comparing documents pairwise."""
+    hashed to the 128-bit xxhash64 pair right after the explode (r18:
+    md5 dropped — see ``_h128``) — the shuffle carries two longs per
+    segment, not text. Ownership is one groupBy with partial min.
+    This is the pattern that removes boilerplate at 100 TB without
+    ever comparing documents pairwise."""
     t = load_tables(spark, sf_dir, register_views=False)
     base = t["documents"].select("doc_id", F.split("text", " ", -1).alias("w"))
     w = F.col("w")
@@ -2344,8 +2410,11 @@ def dedup_crossdoc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             # cast rounds half-up while Spark's truncates — `//` and
             # floor() agree everywhere
             F.sequence(F.lit(0), F.floor(F.size(w) / _SEG_WORDS).cast("long") - 1),
-            lambda j: F.md5(
-                F.concat_ws(" ", F.slice(w, (j * _SEG_WORDS + 1).cast("int"), _SEG_WORDS))
+            # r18: RAW segment text — identity moves to the 128-bit
+            # xxhash64 pair after the explode (no md5; the oracle's
+            # md5 key is the equivalent 128-bit identity)
+            lambda j: F.concat_ws(
+                " ", F.slice(w, (j * _SEG_WORDS + 1).cast("int"), _SEG_WORDS)
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
@@ -2361,9 +2430,12 @@ def dedup_crossdoc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrs = base.select(
         "doc_id", F.array_distinct(segs).alias("segs")
     ).transform(lineage_cut)
-    dseg = arrs.select("doc_id", F.explode("segs").alias("seg_hash"))
+    s1, s2 = _h128("seg")
+    dseg = arrs.select("doc_id", F.explode("segs").alias("seg")).select(
+        "doc_id", s1.alias("s1"), s2.alias("s2")
+    )
     kept = (
-        dseg.groupBy("seg_hash")
+        dseg.groupBy("s1", "s2")
         .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_kept"))
@@ -2459,20 +2531,35 @@ def contamination_ngram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     through a broadcast hash semi-probe with no shuffle of the big
     side; grams travel as md5 hashes, never raw text."""
     t = load_tables(spark, sf_dir, register_views=False)
-    base = spread_small_scan(t["documents"]).select("doc_id", "source", F.split("text", " ", -1).alias("w"))
+    # r18: spread keyed on doc_id — the per-doc shared-gram count
+    # (groupBy(doc_id) above the broadcast probe, which preserves the
+    # streamed side's partitioning) then needs no exchange of its own
+    base = spread_small_scan(t["documents"], by="doc_id").select(
+        "doc_id", "source", F.split("text", " ", -1).alias("w")
+    )
     # r17: per-doc dedup is IN-ROW (array_distinct before the explode
     # == the old corpus-wide DISTINCT for the per-doc key), so the
     # full-corpus distinct exchange + its checkpoint materialization
     # are gone (guide §2.4). The eval and training branches re-derive
     # from the scan with complementary source filters pushed below the
     # explode — together one corpus pass, no materialized gram table.
-    grams = F.array_distinct(_word_ngrams(F.col("w"), _CONTAM_N, hashed=True))
-    d = base.select("doc_id", "source", F.explode(grams).alias("gram"))
+    # r18: grams travel as the 128-bit xxhash64 pair of the RAW gram
+    # (see _h128) instead of md5 hex — the md5 evaluation per corpus
+    # gram is gone, the broadcast build halves (16 vs 32+ bytes/key)
+    # and the probe compares two longs (guide §2.3/§4: do less per
+    # row, narrower keys). Gram identity is unchanged under the
+    # documented collision bound; the oracle keys on md5 of the same
+    # raw gram, an equivalent 128-bit identity.
+    grams = F.array_distinct(_word_ngrams(F.col("w"), _CONTAM_N))
+    g1, g2 = _h128("gram")
+    d = base.select("doc_id", "source", F.explode(grams).alias("gram")).select(
+        "doc_id", "source", g1.alias("g1"), g2.alias("g2")
+    )
     is_eval = F.col("source").isin(*_CONTAM_EVAL_SOURCES)
-    ev = d.filter(is_eval).select("gram").distinct()
+    ev = d.filter(is_eval).select("g1", "g2").distinct()
     return (
         d.filter(~is_eval)
-        .join(_bcast_eval_grams(ev, t["documents"]), "gram")
+        .join(_bcast_eval_grams(ev, t["documents"]), ["g1", "g2"])
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
         .orderBy("doc_id")
@@ -3199,9 +3286,17 @@ def pipeline_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # columns cross an exchange that already carries text + words.
     n_words, sum_len, n_stop = _gopher_metrics(w)
     grams3 = _word_ngrams(w, 3)
+    # r18: the dedup exchange sheds its two heaviest columns (guide
+    # §2.3 — shuffle keys and metadata, not payloads): the WORDS array
+    # (~text-sized again; the one post-window consumer re-splits text
+    # in its own projection instead) and the 32-char md5 window key
+    # (the partition key is now the 128-bit xxhash64 pair of the
+    # normalized text — same groups under the _h128 collision bound).
+    # The exchange now carries text + ids + seven narrow ints/longs.
+    nk1, nk2 = _h128(_norm_text_expr())
     norm = docs.select(
-        "doc_id", "source", "text", "words",
-        F.md5(_norm_text_expr()).alias("norm_key"),
+        "doc_id", "source", "text",
+        nk1.alias("nk1"), nk2.alias("nk2"),
         n_words.alias("m_words"),
         sum_len.alias("m_sumlen"),
         n_stop.alias("m_stop"),
@@ -3211,10 +3306,10 @@ def pipeline_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup = (
         norm.withColumn(
             "rk",
-            F.row_number().over(Window.partitionBy("norm_key").orderBy("doc_id")),
+            F.row_number().over(Window.partitionBy("nk1", "nk2").orderBy("doc_id")),
         )
         .filter(F.col("rk") == 1)
-        .drop("rk", "norm_key")
+        .drop("rk", "nk1", "nk2")
     )
     quality = dedup.filter(
         F.col("m_words").between(50, 100000)
@@ -3230,17 +3325,27 @@ def pipeline_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # r17: per-doc gram dedup in-row (array_distinct) — shrinks the
-    # eval distinct's input and the probe join's stream for free
-    grams8 = F.array_distinct(_word_ngrams(w, _CONTAM_N, hashed=True))
+    # eval distinct's input and the probe join's stream for free.
+    # r18: raw grams hashed to the 128-bit pair (no md5 — see
+    # contamination_ngram_check); the train side re-materializes its
+    # words array in its own projection (the column is referenced by
+    # many element_at calls, so CollapseProject cannot re-inline the
+    # split — the _shingle_base discipline), which is what lets the
+    # dedup exchange above drop the array entirely.
+    g1, g2 = _h128("gram")
+    grams8 = F.array_distinct(_word_ngrams(w, _CONTAM_N))
     eval_grams = (
         docs.filter(F.col("source").isin(*_CONTAM_EVAL_SOURCES))
         .select(F.explode(grams8).alias("gram"))
+        .select(g1.alias("g1"), g2.alias("g2"))
         .distinct()
     )
     train = rep.filter(~F.col("source").isin(*_CONTAM_EVAL_SOURCES))
+    tw = train.select("doc_id", F.split("text", " ", -1).alias("words"))
     flagged = (
-        train.select("doc_id", F.explode(grams8).alias("gram"))
-        .join(_bcast_eval_grams(eval_grams, t["documents"]), "gram")
+        tw.select("doc_id", F.explode(grams8).alias("gram"))
+        .select("doc_id", g1.alias("g1"), g2.alias("g2"))
+        .join(_bcast_eval_grams(eval_grams, t["documents"]), ["g1", "g2"])
         .select("doc_id")
         .distinct()
     )
@@ -3550,34 +3655,43 @@ def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
     from pyspark.sql.functions import pandas_udf
 
     t = load_tables(spark, sf_dir, register_views=False)
-    base = spread_small_scan(t["documents"]).select(
+    # r18: spread keyed on doc_id — see contamination_ngram_check
+    base = spread_small_scan(t["documents"], by="doc_id").select(
         "doc_id", "source", F.split("text", " ", -1).alias("w")
     )
     # r17: in-row array_distinct replaces the corpus-wide DISTINCT +
-    # checkpoint (see contamination_ngram_check)
-    grams = F.array_distinct(_word_ngrams(F.col("w"), _BLOOM_N, hashed=True))
-    d = base.select("doc_id", "source", F.explode(grams).alias("gram"))
+    # checkpoint (see contamination_ngram_check). r18: raw grams hash
+    # straight to the 128-bit xxhash64 pair — md5 is gone from the
+    # whole op, the SAME two longs serve as (a) the exact-verify join
+    # key and (b) the Kirsch-Mitzenmacher base pair for the bloom
+    # positions (previously two MORE xxhash64s over the md5 hex), so
+    # per-gram hashing drops from md5 + 2 xxhash64 to 2 xxhash64.
+    grams = F.array_distinct(_word_ngrams(F.col("w"), _BLOOM_N))
+    g1, g2 = _h128("gram")
+    d = base.select("doc_id", "source", F.explode(grams).alias("gram")).select(
+        "doc_id", "source", g1.alias("g1"), g2.alias("g2")
+    )
     is_eval = F.col("source").isin(*_CONTAM_EVAL_SOURCES)
-    ev = d.filter(is_eval).select("gram").distinct()
+    ev = d.filter(is_eval).select("g1", "g2").distinct()
     ev = ev.transform(lineage_cut)  # reused: bloom build + exact verify
 
     n_ev = max(1024, ev.count())
     m_bits = int(math.ceil(-n_ev * math.log(_BLOOM_FPP) / math.log(2) ** 2))
     k_hashes = max(1, round(m_bits / n_ev * math.log(2)))
 
-    def _positions(gram_col):
+    def _positions(c1, c2):
         # reduce both hashes mod m BEFORE combining: raw xxhash64
         # values span the full 64-bit range and h1 + i*h2 overflows
         # long under ANSI mode; (h1%m) + i*(h2%m) stays < 8m
-        h1 = F.pmod(F.xxhash64(gram_col), F.lit(m_bits))
-        h2 = F.pmod(F.xxhash64(F.concat(gram_col, F.lit("#2"))), F.lit(m_bits))
+        h1 = F.pmod(c1, F.lit(m_bits))
+        h2 = F.pmod(c2, F.lit(m_bits))
         return F.transform(
             F.sequence(F.lit(0), F.lit(k_hashes - 1)),
             lambda i: F.pmod(h1 + i * h2, F.lit(m_bits)),
         )
 
     set_bits = (
-        ev.select(F.explode(_positions(F.col("gram"))).alias("pos"))
+        ev.select(F.explode(_positions(F.col("g1"), F.col("g2"))).alias("pos"))
         .distinct()
         .toPandas()["pos"]
         .to_numpy()
@@ -3622,12 +3736,14 @@ def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
 
     candidates = (
         d.filter(~is_eval)
-        .withColumn("bloom_pos", _positions(F.col("gram")))
+        .withColumn("bloom_pos", _positions(F.col("g1"), F.col("g2")))
         .filter(might_contain(F.col("bloom_pos")))
         .drop("bloom_pos")
     )
     return (
-        candidates.join(_bcast_eval_grams(ev, t["documents"], n=_BLOOM_N), "gram")  # exact verify: FPs die here
+        candidates.join(
+            _bcast_eval_grams(ev, t["documents"], n=_BLOOM_N), ["g1", "g2"]
+        )  # exact verify: FPs die here
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
         .orderBy("doc_id")
@@ -4284,18 +4400,25 @@ def contamination_decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataF
     — only doc ids and token counts.
     """
     t = load_tables(spark, sf_dir, register_views=False)
-    base = spread_small_scan(t["documents"]).select(
+    # r18: spread keyed on doc_id — the flagged set's distinct, the
+    # train<->flagged equi join (both sides co-partitioned on doc_id)
+    # and its aggregation then plan without further doc_id exchanges
+    base = spread_small_scan(t["documents"], by="doc_id").select(
         "doc_id", "source", F.split("text", " ", -1).alias("w")
     )
     is_eval = F.col("source").isin(*_CONTAM_EVAL_SOURCES)
     # r17: in-row array_distinct replaces the corpus-wide DISTINCT +
-    # checkpoint (see contamination_ngram_check)
-    grams = F.array_distinct(_word_ngrams(F.col("w"), _CONTAM_N, hashed=True))
-    d = base.select("doc_id", "source", F.explode(grams).alias("gram"))
-    ev = d.filter(is_eval).select("gram").distinct()
+    # checkpoint; r18: raw grams hashed to the 128-bit pair — no md5,
+    # narrow broadcast + probe keys (see contamination_ngram_check)
+    grams = F.array_distinct(_word_ngrams(F.col("w"), _CONTAM_N))
+    g1, g2 = _h128("gram")
+    d = base.select("doc_id", "source", F.explode(grams).alias("gram")).select(
+        "doc_id", "source", g1.alias("g1"), g2.alias("g2")
+    )
+    ev = d.filter(is_eval).select("g1", "g2").distinct()
     flagged = (
         d.filter(~is_eval)
-        .join(_bcast_eval_grams(ev, t["documents"]), "gram")
+        .join(_bcast_eval_grams(ev, t["documents"]), ["g1", "g2"])
         .select("doc_id")
         .distinct()
     )
@@ -4481,8 +4604,8 @@ def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFram
     sigs = _minhash_sigs(ds).transform(lineage_cut)
     bands = _bands_from_sigs(sigs, _derived_band_size(t["documents"]))
     cand = (
-        bands.select(F.col("doc_id").alias("d1"), "band", "band_key")
-        .join(bands.select(F.col("doc_id").alias("d2"), "band", "band_key"), ["band", "band_key"])
+        bands.select(F.col("doc_id").alias("d1"), "band", "bk1", "bk2")
+        .join(bands.select(F.col("doc_id").alias("d2"), "band", "bk1", "bk2"), ["band", "bk1", "bk2"])
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
         .distinct()
@@ -4498,10 +4621,15 @@ def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFram
         .select("d1", "d2", (n_agree.cast("double") / F.lit(N_MINHASH)).alias("est_jaccard"))
     )
     cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = ds.select(F.col("doc_id").alias("d1"), "shingle")
-    b = ds.select(F.col("doc_id").alias("d2"), "shingle")
+    # r18: the exact-intersection self-join keys on the 128-bit hash
+    # pair (guide §2.3; see _h128) — computed narrowly off the cut
+    # string frame, so only two longs per posting cross the exchange
+    sh1, sh2 = _h128("shingle")
+    hs = ds.select("doc_id", sh1.alias("sh1"), sh2.alias("sh2"))
+    a = hs.select(F.col("doc_id").alias("d1"), "sh1", "sh2")
+    b = hs.select(F.col("doc_id").alias("d2"), "sh1", "sh2")
     common = (
-        a.join(b, "shingle")
+        a.join(b, ["sh1", "sh2"])
         .filter(F.col("d1") < F.col("d2"))
         .join(cand, ["d1", "d2"], "left_semi")
         .groupBy("d1", "d2")
@@ -5265,7 +5393,13 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate each unordered pair once (d1 < d2 halves the pair
     # shuffle, the op's dominant cost) and re-emit both directions
     # after — 18.4 -> 10.3 s at sf1, identical rows.
-    half = _capped_shingle_pairs(ds)
+    # r18: the union below references `half` TWICE and Spark unions
+    # re-derive each branch — without a cut the whole inverted-index
+    # pair join ran twice (at every scale). The cut materializes the
+    # pair AGGREGATE (output-sized, far smaller than the posting
+    # stream), bench-neutral at sf0.1, halves the dominant join at
+    # scale.
+    half = _capped_shingle_pairs(ds).transform(lineage_cut)
     pairs = half.unionByName(
         half.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"), "n_common")
     )
@@ -5420,15 +5554,24 @@ def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the same re-inlining pathology measured on _shingles). The
     # exchange carries two extra ints per row; metrics are computed
     # for dup copies too (rare), a fine trade.
+    # r18: nothing above the dedup window reads the normalized TEXT —
+    # only its identity (the window key) and the two word metrics. So
+    # the exchange sheds the norm payload entirely (guide §2.3:
+    # shuffle keys and metadata, not documents): the window partitions
+    # on the 128-bit xxhash64 pair of norm (same groups as the
+    # oracle's md5(norm) under the _h128 collision bound) and carries
+    # ids + four narrow ints — the heaviest column left is `source`.
     words = F.filter(F.split("norm", " ", -1), lambda w: w != F.lit(""))
+    nk1, nk2 = _h128("norm")
     normed = t["documents"].select(
         "doc_id", "lang", "source", "n_chars", _norm_text_expr().alias("norm")
     ).select(
-        "doc_id", "lang", "source", "n_chars", "norm",
+        "doc_id", "lang", "source", "n_chars",
+        nk1.alias("nk1"), nk2.alias("nk2"),
         F.size(words).alias("n_words"),
         F.size(F.array_distinct(words)).alias("n_types"),
     )
-    w_dup = Window.partitionBy(F.md5("norm")).orderBy("doc_id")
+    w_dup = Window.partitionBy("nk1", "nk2").orderBy("doc_id")
     deduped = (
         normed.withColumn("copy_rk", F.row_number().over(w_dup))
         .filter(F.col("copy_rk") == 1)
@@ -5577,12 +5720,23 @@ def _tfidf_weights(t) -> DataFrame:
     — the shared sparse-vector stage of ``dedup_tfidf_cosine_pairs``
     (norms + dots) and its scalecheck candidate counter."""
     # spread the single-file scan: the explode-heavy narrow stage ran
-    # as ONE task at test scale (sf0.1/sf1 A/B in commit message)
-    words = spread_small_scan(t["documents"]).select(
+    # as ONE task at test scale (sf0.1/sf1 A/B in commit message).
+    # r18: keyed on doc_id — the tf aggregation below (grouping keys
+    # (doc_id, term) ⊇ the partition key) then plans with no exchange:
+    # the exploded term stream never shuffles, and term strings first
+    # cross a wire in the vocabulary-sized DF census (guide §2.4).
+    words = spread_small_scan(t["documents"], by="doc_id").select(
         "doc_id", F.explode(F.split("text", " ", -1)).alias("term")
     )
+    # r18: terms ride as the 128-bit hash pair from here on (guide
+    # §2.3; see _h128) — the tf aggregation is exchange-free (doc_id-
+    # keyed spread), so term strings never cross ANY exchange: the DF
+    # census, the cap join and the inverted-index self-join all move
+    # two longs per posting
+    t1, t2 = _h128("term")
     tf = (
-        words.groupBy("doc_id", "term")
+        words.select("doc_id", t1.alias("t1"), t2.alias("t2"))
+        .groupBy("doc_id", "t1", "t2")
         .agg(F.count(F.lit(1)).alias("tf"))
         .transform(lineage_cut)
     )
@@ -5592,21 +5746,22 @@ def _tfidf_weights(t) -> DataFrame:
     # pairs at sf0.1 with the fixed cap) — 5% of docs keeps the idf
     # floor constant as the corpus grows
     df = (
-        tf.groupBy("term")
+        tf.groupBy("t1", "t2")
         .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(bcast_bounded(n, "1-row aggregate"))
         .filter(
             F.col("df")
             <= F.greatest(F.lit(MAX_SHINGLE_DF), F.floor(F.col("n_docs") * 5 / 100))
         )
-        .select("term", "df")
+        .select("t1", "t2", "df")
     )
     return (
-        tf.join(df, "term")
+        tf.join(df, ["t1", "t2"])
         .crossJoin(bcast_bounded(n, "1-row aggregate"))
         .select(
             "doc_id",
-            "term",
+            "t1",
+            "t2",
             (F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))).alias("w"),
         )
         .transform(lineage_cut)
@@ -5617,10 +5772,10 @@ def _tfidf_dots(wts: DataFrame) -> DataFrame:
     """Pre-threshold candidate pairs of the tf-idf inverted index:
     one (d1 < d2, dot) row per doc pair sharing >= 1 capped term."""
     dec18 = "decimal(38,18)"
-    a = wts.select(F.col("doc_id").alias("d1"), "term", F.col("w").alias("w1"))
-    b = wts.select(F.col("doc_id").alias("d2"), "term", F.col("w").alias("w2"))
+    a = wts.select(F.col("doc_id").alias("d1"), "t1", "t2", F.col("w").alias("w1"))
+    b = wts.select(F.col("doc_id").alias("d2"), "t1", "t2", F.col("w").alias("w2"))
     return (
-        a.join(b, "term")
+        a.join(b, ["t1", "t2"])
         .filter(F.col("d1") < F.col("d2"))
         .groupBy("d1", "d2")
         .agg(F.sum((F.col("w1") * F.col("w2")).cast(dec18)).cast("double").alias("dot"))
@@ -5675,7 +5830,7 @@ def dedup_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         measured_workload(
             "tfidf-pair-workload",
             t["documents"],
-            lambda: _bucket_pair_sum(wts, "term"),
+            lambda: _bucket_pair_sum(wts, "t1", "t2"),
         ),
         None,
         env_var="SPARK_GRAFT_TFIDF_PAIR_BUDGET",
@@ -6121,18 +6276,22 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = arrs.filter(F.size("shingles") >= 1).select(
         "doc_id", F.size("shingles").cast("long").alias("n")
     )
-    idx = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+    # r18: DF census, pruning join, postings cut and the asymmetric
+    # probe all key on the 128-bit hash pair (guide §2.3; see _h128)
+    sh1, sh2 = _h128("shingle")
+    hs = ds.select("doc_id", sh1.alias("sh1"), sh2.alias("sh2"))
+    idx = hs.groupBy("sh1", "sh2").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= MAX_SHINGLE_DF
     )
-    pruned = ds.join(idx.select("shingle"), "shingle").transform(lineage_cut)
+    pruned = hs.join(idx.select("sh1", "sh2"), ["sh1", "sh2"]).transform(lineage_cut)
     old = pruned.filter(F.col("doc_id") < 400).select(
-        F.col("doc_id").alias("old_doc"), "shingle"
+        F.col("doc_id").alias("old_doc"), "sh1", "sh2"
     )
     new = pruned.filter(F.col("doc_id") >= 400).select(
-        F.col("doc_id").alias("new_doc"), "shingle"
+        F.col("doc_id").alias("new_doc"), "sh1", "sh2"
     )
     pairs = (
-        old.join(new, "shingle")
+        old.join(new, ["sh1", "sh2"])
         .groupBy("new_doc", "old_doc")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -6309,7 +6468,7 @@ def dedup_lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load_tables(spark, sf_dir, register_views=False)
     bands = _minhash_bands(t)
-    bucket_sizes = bands.groupBy("band", "band_key").agg(
+    bucket_sizes = bands.groupBy("band", "bk1", "bk2").agg(
         F.count(F.lit(1)).alias("sz")
     )
     return (
@@ -6768,9 +6927,15 @@ def text_novelty_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expression would let Catalyst inline the whole assembly into the
     # filter (measured: the uncut shape re-split the text per element)
     arrs = _shingle_arrays(t, spread=True).transform(lineage_cut)
-    g = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
+    # r18: the first-occurrence census groups on the 128-bit hash pair
+    # of the gram (guide §2.3; see _h128) — the op's one exploded-
+    # stream exchange carries two longs per gram, never the string
+    sh1, sh2 = _h128(F.col("shingle"))
+    g = arrs.select("doc_id", F.explode("shingles").alias("shingle")).select(
+        "doc_id", sh1.alias("g1"), sh2.alias("g2")
+    )
     n_novel = (
-        g.groupBy("shingle")
+        g.groupBy("g1", "g2")
         .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_novel"))
@@ -7162,11 +7327,16 @@ def pipeline_source_quality_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = docs.select("doc_id", "source", "text")
     preds = lang_id_markers(spark, sf_dir).select("doc_id", "lang", "lang_guess")
     clf = _hashed_classifier_raw(docs).select("doc_id", "raw")
-    g = _shingles(t, spread=True)
-    firsts = g.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    # r18: the novelty leg's census, distinct and ownership join all
+    # key on the 128-bit gram hash pair (guide §2.3; see _h128)
+    sh1, sh2 = _h128("shingle")
+    g = _shingles(t, spread=True).select(
+        "doc_id", sh1.alias("g1"), sh2.alias("g2")
+    )
+    firsts = g.groupBy("g1", "g2").agg(F.min("doc_id").alias("first_doc"))
     src_grams = (
         g.join(src.select("doc_id", "source"), "doc_id")
-        .select("source", "shingle")
+        .select("source", "g1", "g2")
         .distinct()
     )
     first_src = firsts.join(
@@ -7174,7 +7344,7 @@ def pipeline_source_quality_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_doc",
     )
     novelty = (
-        src_grams.join(first_src, "shingle")
+        src_grams.join(first_src, ["g1", "g2"])
         .groupBy("source")
         .agg(
             F.round(
@@ -7282,6 +7452,13 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized) and a TakeOrderedAndProject top-k.
     """
     t = load_tables(spark, sf_dir, register_views=False)
+    # r18 negative result (measured, kept out): a doc_id-keyed scan
+    # spread REPLACES the gaps-and-islands window's exchange of the
+    # exploded word stream (3 exchanges either way, strictly fewer
+    # bytes moved) but measured SLOWER same-session (0.998 vs 1.247 s
+    # min-of-3 at sf0.1) — at bench scale the extra scan-side stage
+    # costs more than the narrower window exchange saves, the same
+    # verdict the r17 round-robin spread got here (1.28 -> 1.70 s).
     words = t["documents"].select(
         "doc_id",
         F.posexplode(F.split("text", " ", -1)).alias("pos", "word"),
@@ -7399,8 +7576,14 @@ def _ct_doc_predictions(docs: DataFrame) -> DataFrame:
     than the second narrow fan-out).
     """
     # the ~1000x trigram explode dominates: spread the single-file
-    # scan first (lang_id 3.36 -> 2.01 s, kappa 3.79 -> 2.66 s at sf0.1)
-    grams = spread_small_scan(docs).select(
+    # scan first (lang_id 3.36 -> 2.01 s, kappa 3.79 -> 2.66 s at
+    # sf0.1). r18: the spread is keyed on doc_id, so the doc-profile
+    # leg — groupBy(doc_id, gram), the top-20 window, the scoring
+    # groupBy(doc_id, cand) and the best-language window — plans with
+    # ZERO further exchanges: the explode-sized (doc, gram) streams
+    # never shuffle (guide §2.4; only the language-profile aggregation
+    # still exchanges, on its own (lang, gram) key).
+    grams = spread_small_scan(docs, by="doc_id").select(
         "doc_id",
         "lang",
         F.explode(
@@ -7865,12 +8048,12 @@ def _bound_shingle_pairs(spark: SparkSession, sf_dir: str) -> int:
 
 def _bound_tfidf_pairs(spark: SparkSession, sf_dir: str) -> int:
     t = load_tables(spark, sf_dir, register_views=False)
-    return _bucket_pair_sum(_tfidf_weights(t), "term")
+    return _bucket_pair_sum(_tfidf_weights(t), "t1", "t2")
 
 
 def _bound_minhash_pairs(spark: SparkSession, sf_dir: str) -> int:
     t = load_tables(spark, sf_dir, register_views=False)
-    return _bucket_pair_sum(_minhash_bands(t), "band", "band_key")
+    return _bucket_pair_sum(_minhash_bands(t), "band", "bk1", "bk2")
 
 
 def _bound_simhash_pairs(spark: SparkSession, sf_dir: str) -> int:

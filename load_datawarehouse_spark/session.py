@@ -83,9 +83,22 @@ def get_spark(
     return builder.getOrCreate()
 
 
-def spread_small_scan(df: DataFrame) -> DataFrame:
+def spread_small_scan(df: DataFrame, by: str | None = None) -> DataFrame:
     """Round-robin a SMALL single-file scan across the cluster — OPT-IN
     per operator, for plans whose pre-shuffle narrow stage is heavy.
+
+    ``by`` (r18): HASH-partition on that column instead of round-robin.
+    Same spread, same guard, same cost — but the exchange then DOUBLES
+    as the shuffle for every downstream aggregation/window keyed on
+    ``by`` (or a superset: ``HashPartitioning(k)`` satisfies
+    ``ClusteredDistribution([k, ...])``), so e.g. a per-document
+    groupBy/row_number after an explode plans with ZERO additional
+    exchanges — the exploded stream never shuffles (guide §2.4;
+    measured at sf0.1: the Cavnar-Trenkle doc-profile leg lost both
+    its explode-sized exchanges). Partitioning does NOT survive a
+    ``lineage_cut`` (AQE reports UnknownPartitioning to the
+    checkpoint's LogicalRDD — probed on 4.1.2), so key the spread only
+    when the doc-keyed operation sits below any cut.
 
     The corpus tables arrive as one parquet file at test scale, so a
     query's narrow pre-shuffle stage runs as ONE task. For plans that
@@ -111,7 +124,7 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     """
     n = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < n:
-        return df.repartition(n)
+        return df.repartition(n, by) if by is not None else df.repartition(n)
     return df
 
 

@@ -1141,8 +1141,8 @@ def test_bands_from_sigs_shapes(spark):
     )
     b2 = _bands_from_sigs(sigs, 2).collect()
     assert sorted({r["band"] for r in b2}) == [0, 1, 2, 3]
-    k1 = {r["band"]: r["band_key"] for r in b2 if r["doc_id"] == 1}
-    k2 = {r["band"]: r["band_key"] for r in b2 if r["doc_id"] == 2}
+    k1 = {r["band"]: (r["bk1"], r["bk2"]) for r in b2 if r["doc_id"] == 1}
+    k2 = {r["band"]: (r["bk1"], r["bk2"]) for r in b2 if r["doc_id"] == 2}
     assert k1[0] != k2[0], "order-canonical key must see the swap"
     assert all(k1[b] == k2[b] for b in (1, 2, 3))
     b3 = _bands_from_sigs(sigs, 3).collect()

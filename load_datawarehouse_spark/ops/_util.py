@@ -147,6 +147,15 @@ def bcast_measured(
     return F.broadcast(df) if n <= max_rows else df
 
 
+#: per-process memo for measured WORKLOAD numbers — kept separate from
+#: ``_MEASURED_ROWS_CACHE`` (ADVICE r17 #2: the two quantity kinds were
+#: distinguished only by string-tag discipline in one shared dict, so
+#: an accidental tag reuse across bcast_measured and measured_workload
+#: would silently feed the wrong number to a broadcast decision or a
+#: budget gate; separate namespaces make that collision impossible).
+_MEASURED_WORKLOAD_CACHE: dict[tuple, int] = {}
+
+
 def measured_workload(tag: str, key_df, count_fn) -> int:
     """Per-process memo for a MEASURED workload number (pair-budget
     histogram sums, gate counts) keyed by ``tag`` +
@@ -156,17 +165,23 @@ def measured_workload(tag: str, key_df, count_fn) -> int:
     once, and an in-place corpus regeneration (different files, sizes
     or mtimes) invalidates the memo. ``count_fn`` is a thunk running
     the actual measurement job; frames with no file inputs (in-memory
-    fixtures) skip the memo entirely."""
-    key = None
-    fk = input_files_key(key_df)
-    if fk is not None:
-        key = (tag, fk)
-        n = _MEASURED_ROWS_CACHE.get(key)
+    fixtures) skip the memo entirely.
+
+    ``key_df`` may be a single frame or a LIST/TUPLE of frames when
+    the measurement reads several inputs (ADVICE r17 #1: join_theta's
+    histogram reads supplier AND customer — keying on one table alone
+    would stale-hit when only the other is regenerated in place). If
+    ANY input frame reports no files, the memo is skipped."""
+    frames = key_df if isinstance(key_df, (list, tuple)) else (key_df,)
+    fks = [input_files_key(df) for df in frames]
+    key = None if any(fk is None for fk in fks) else (tag, *fks)
+    if key is not None:
+        n = _MEASURED_WORKLOAD_CACHE.get(key)
         if n is not None:
             return n
     n = int(count_fn())
     if key is not None:
-        _MEASURED_ROWS_CACHE[key] = n
+        _MEASURED_WORKLOAD_CACHE[key] = n
     return n
 
 

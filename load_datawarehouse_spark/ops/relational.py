@@ -543,9 +543,11 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from load_datawarehouse_spark.ops._util import measured_workload
 
     require_pair_budget(
-        # r17: workload histogram memoized per corpus file identity
+        # r17: workload histogram memoized per corpus file identity;
+        # r18 (ADVICE r17 #1): keyed on BOTH inputs the histogram
+        # reads, so regenerating either table invalidates the memo
         measured_workload(
-            "theta-pair-workload", s, lambda: _theta_pair_workload(t)
+            "theta-pair-workload", (s, c), lambda: _theta_pair_workload(t)
         ),
         None,
         env_var="SPARK_GRAFT_THETA_PAIR_BUDGET",

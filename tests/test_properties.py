@@ -1692,3 +1692,63 @@ def test_census_identical_pairs_are_adjudicated():
         if k not in same or k.split(".", 1)[0] not in q
     )
     assert not stale, f"stale identical-pair adjudications: {stale}"
+
+
+def test_gate_memos_store_only_ints_keyed_by_file_identity(spark, tmp_path):
+    """BASELINE.md measured-gate memo contract (VERDICT r17 #7): the
+    in-process gate memos may hold ONLY scalar ints keyed by (tag,
+    file-identity tuples) — never DataFrames or other derived state —
+    and measured_workload must key on EVERY input frame it is given
+    (ADVICE r17 #1), so regenerating any one input invalidates the
+    entry. Runs a real memoized measurement against two throwaway
+    parquet inputs, then audits every memo dict in the library."""
+    import os
+    import time
+
+    from pyspark.sql import DataFrame
+
+    from load_datawarehouse_spark.ops import _util
+    from load_datawarehouse_spark.ops.llm import _BAND_SIZE_CACHE
+
+    p1, p2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    spark.range(7).write.parquet(p1)
+    spark.range(5).write.parquet(p2)
+    df1, df2 = spark.read.parquet(p1), spark.read.parquet(p2)
+
+    calls = []
+    tag = "memo-contract-probe"
+    n = _util.measured_workload(tag, (df1, df2), lambda: calls.append(1) or 42)
+    assert n == 42 and calls == [1]
+    n = _util.measured_workload(tag, (df1, df2), lambda: calls.append(1) or 42)
+    assert n == 42 and calls == [1], "second call must hit the memo"
+    # regenerate ONE of the two inputs in place -> memo must miss
+    spark.range(5, 11).write.mode("overwrite").parquet(p2)
+    now = time.time()
+    for root, _, files in os.walk(p2):
+        for f in files:
+            os.utime(os.path.join(root, f), (now + 5, now + 5))
+    df2b = spark.read.parquet(p2)
+    n = _util.measured_workload(tag, (df1, df2b), lambda: calls.append(1) or 43)
+    assert n == 43 and calls == [1, 1], (
+        "regenerating the SECOND input must invalidate the memo"
+    )
+
+    for name, memo in (
+        ("_MEASURED_ROWS_CACHE", _util._MEASURED_ROWS_CACHE),
+        ("_MEASURED_WORKLOAD_CACHE", _util._MEASURED_WORKLOAD_CACHE),
+        ("_BAND_SIZE_CACHE", _BAND_SIZE_CACHE),
+    ):
+        for key, val in memo.items():
+            assert isinstance(val, int) and not isinstance(val, bool), (
+                f"{name} holds a non-int value {type(val).__name__} — "
+                "the memo contract allows scalar gate inputs only"
+            )
+            assert not isinstance(val, DataFrame)
+            assert isinstance(key, tuple), f"{name} key {key!r} not a tuple"
+            # _BAND_SIZE_CACHE keys are the bare file-identity tuple;
+            # the tagged memos prepend a str tag
+            ident = key[1:] if key and isinstance(key[0], str) else key
+            for part in ident:
+                assert isinstance(part, tuple), (
+                    f"{name} key {key!r} carries a non-file-identity part"
+                )

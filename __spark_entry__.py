@@ -22,47 +22,50 @@ from pyspark.sql import DataFrame, SparkSession
 # warehouse_load_nested_evolution, #380), so the head is now always
 # the ops whose plan/code changed most recently.
 _FIRST_NAMES = (
-    # --- round-17 OPTIMIZATION head: every op whose PHYSICAL PLAN
-    # changed in the r17 optimization pass (shuffle removal: in-row
-    # array_distinct shingle/gram dedup, closed-form BOM walk,
-    # first-occurrence direct rollups, contamination in-row dedup,
-    # rake re-explode, dsir lang-through-groupBy, memoized pair-budget
-    # gates). Results are oracle-identical (380/380 vanilla sweep at
-    # sf0.01 + per-op sf1 scaleverify), but the changed plans are
-    # exactly what the driver window should re-check first. ---
-    "part_bom_rollup",
-    "dedup_ngram_jaccard",
-    "dedup_shingle_containment",
-    "dedup_jaccard_threshold_histogram",
+    # --- round-18 OPTIMIZATION head: every op whose PHYSICAL PLAN
+    # changed in the r18 optimization pass (doc_id-keyed scan spread
+    # eliding every doc-keyed exchange; 128-bit xxhash64 pair keys on
+    # every pair-family exchange/join instead of gram/band/term
+    # strings; md5 removed from the contamination + crossdoc paths;
+    # v2/v3 dedup exchanges shed their text/words payloads; the bloom
+    # build fused to one driver job). Results are oracle-identical
+    # (380/380 vanilla sweep at sf0.01 + per-op sf1 scaleverify), but
+    # the changed plans are exactly what the driver window should
+    # re-check first. ---
+    "lang_id_ngram_profile",
+    "stats_classifier_kappa",
+    "dedup_simhash_neardup",
     "dedup_minhash_lsh",
     "dedup_minhash_verified",
     "dedup_minhash_estimate_quality",
+    "dedup_lsh_bucket_skew",
+    "dedup_ngram_jaccard",
+    "dedup_shingle_containment",
+    "dedup_jaccard_threshold_histogram",
     "dedup_incremental_batch",
+    "dedup_neardup_clusters",
     "text_novelty_per_doc",
     "dedup_crossdoc_segments",
+    "pipeline_source_quality_card",
+    "dedup_tfidf_cosine_pairs",
     "contamination_ngram_check",
     "contamination_bloom_prefilter",
     "contamination_decontaminate_apply",
     "pipeline_training_prep_v2",
-    "text_rake_keyphrases",
-    "dedup_tfidf_cosine_pairs",
+    "pipeline_curation_v3",
+    # gate-memo sibling: plan unchanged, but its pair-budget memo is
+    # now keyed on BOTH input tables (ADVICE r17 #1)
     "join_theta",
+    # --- round-17 head re-checks (previous round's changed ops) ---
+    "part_bom_rollup",
+    "text_rake_keyphrases",
     "importance_resample_dsir",
-    "pipeline_source_quality_card",
-    "dedup_neardup_clusters",
-    # gate-memo siblings: returned plan unchanged, but the pair-budget
-    # gate job they run at plan-build time is now memoized per corpus
     "dedup_embedding_neardup",
     "dedup_connected_components",
     "dedup_semantic_clusters",
-    # --- round-17 BUILD head (mid-build re-anchors, stopped before a
-    # driver pass ever covered them): the three VERDICT r16 #1
-    # re-anchors, the session-zone-independent as-of distance math
-    # (ADVICE r16 #2), and the pagerank iters-parameter refactor
-    # (ADVICE r16 #3 — default plan unchanged, re-checked anyway). ---
+    # --- round-17 BUILD head (re-anchors) and band/asof siblings ---
     "heavy_hitters_misra_gries",
     "q11_important_stock",
-    "pipeline_curation_v3",
     "join_asof_nearest",
     "graph_pagerank",
     # --- siblings sharing the re-anchored claims/predicates: the
@@ -112,7 +115,6 @@ _FIRST_NAMES = (
     # the re-anchored scalar/window ops, the banding memo re-key ---
     "scalar_try_arith",
     "window_ranking",
-    "dedup_lsh_bucket_skew",
     "events_velocity_flags",
     "scalar_string",
     "tokenizer_vocab_coverage",
@@ -122,7 +124,6 @@ _FIRST_NAMES = (
     "source_federated_union",
     "multimodal_video_frame_dedup",
     "embedding_pca_second_component",
-    "dedup_simhash_neardup",
     "dedup_levenshtein_verify",
     "embedding_pca_power_iteration",
     "kmeans_lloyd",

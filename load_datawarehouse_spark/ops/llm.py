@@ -3293,8 +3293,15 @@ def pipeline_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the partition key is now the 128-bit xxhash64 pair of the
     # normalized text — same groups under the _h128 collision bound).
     # The exchange now carries text + ids + seven narrow ints/longs.
-    nk1, nk2 = _h128(_norm_text_expr())
+    # The normalized text is materialized in its OWN projection and
+    # referenced by both hash halves: inlining _norm_text_expr() into
+    # each xxhash64 would run the regex-normalization chain twice per
+    # row (the CollapseProject multi-reference discipline again —
+    # measured 2x the op's sf1 time before this split).
+    nk1, nk2 = _h128("nrm")
     norm = docs.select(
+        "doc_id", "source", "text", "words", _norm_text_expr().alias("nrm")
+    ).select(
         "doc_id", "source", "text",
         nk1.alias("nk1"), nk2.alias("nk2"),
         n_words.alias("m_words"),
